@@ -1,0 +1,99 @@
+"""SparkSession factory + testdata loaders.
+
+Local mode is a correctness harness only; every config below is chosen to
+also make sense on a large cluster (AQE on, sane shuffle parallelism,
+UTC timestamps for engine-portable semantics, Arrow for the few
+pandas-exchange paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The driver's parquet writer emits INT64 TIMESTAMP(NANOS), which Spark's
+# parquet reader refuses outright (PARQUET_TYPE_ILLEGAL) — nanosecond
+# timestamps only round-trip via the legacy nanos-as-long escape hatch.
+# We read those columns as epoch-nanos longs and rebuild TimestampType at
+# microsecond precision (truncation, same as DuckDB's nanos->us read).
+_TIMESTAMP_COLS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def get_spark(
+    app_name: str = "eventstreamd-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster the ``master`` and memory settings come from
+    spark-submit; everything set here is cluster-appropriate:
+
+    - AQE enabled: runtime coalescing of shuffle partitions, skew-join
+      splitting, and dynamic join-strategy switching — the knobs that keep
+      plans healthy when the optimizer's size estimates are off by 100x.
+    - shuffle.partitions sized to cores locally; at 100 TB this should be
+      (executors * cores * 2..3) or simply left to AQE's coalescing with a
+      high initial value.
+    - session timezone pinned to UTC so timestamp semantics are portable
+      (and match the DuckDB correctness oracle).
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver-generated parquet tables.
+
+    Parquet scan => columnar, predicate pushdown and column pruning reach
+    the reader for free when callers stay declarative.
+    """
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _TIMESTAMP_COLS.get(name, []):
+        # epoch-nanos long -> microsecond timestamp; `div` stays in 64-bit
+        # integer arithmetic (a double division would lose precision above
+        # 2^53 ns). Cheap narrow projection — no shuffle, stays in codegen.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
