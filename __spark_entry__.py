@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke-check at sf0.001.
+``queries()``    — every implemented operator from SURVEY.md §2 (and the
+                   layer-B analytics battery), as (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB twins over the pre-registered views
+                   (region nation customer supplier part orders lineitem
+                   events documents embeddings).
+
+Column names are aliased identically on both sides; float aggregates are
+computed via exact decimal arithmetic and cast back to double so the
+order-insensitive value hash is bit-stable across engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+from eventstreamd_spark import queries_registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's whole hot path in one declarative plan —
+    subsystem routing + filter-DSL conjunction over the event stream
+    (SURVEY.md §7 phase 0)."""
+    return queries_registry.QUERIES["flagship_filter_dsl"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(queries_registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(queries_registry.ORACLES)

@@ -1,0 +1,83 @@
+"""Event-envelope validation / projection (operator O2).
+
+Reference: /root/reference/evtstrd/socket_server.py:82-112 —
+
+- only ``action == "notify"`` messages proceed (``:88-92``);
+- the envelope must have ``subsystem: str``, ``event: str``,
+  ``data: dict`` (a JSON *object*), ``id: str``; any missing or
+  wrongly-typed field drops the event (``:103-112``);
+- unparseable JSON lines are skipped with a warning (util.py:11-21).
+
+Spark-first: a single declarative filter+project over the raw-line
+DataFrame.  Type gates use the same variant machinery as the filter DSL,
+so "wrongly typed" means the JSON node type, not a lenient cast.  Works
+identically under ``spark.read`` and ``spark.readStream`` (narrow ops
+only — no shuffle; at 100 TB this is a pure map stage that fuses into
+the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ENVELOPE_COLS = ["subsystem", "event_type", "data", "id"]
+
+
+def _node_type(v: Column, path: str) -> Column:
+    return F.schema_of_variant(F.try_variant_get(v, path, "variant"))
+
+
+def validate_envelope(raw: DataFrame, line_col: str = "value") -> DataFrame:
+    """Raw JSON-lines DataFrame -> validated envelope DataFrame.
+
+    Output columns: subsystem STRING, event_type STRING, data STRING
+    (canonical JSON of the payload object), id STRING.  Rows failing any
+    reference check are dropped silently, mirroring the daemon's
+    log-and-continue behavior.
+    """
+    v = F.try_parse_json(F.col(line_col))
+    action_ok = (
+        (_node_type(v, "$.action") == "STRING")
+        & (F.try_variant_get(v, "$.action", "string") == "notify")
+    )
+    typed_ok = (
+        (_node_type(v, "$.subsystem") == "STRING")
+        & (_node_type(v, "$.event") == "STRING")
+        & _node_type(v, "$.data").startswith("OBJECT")
+        & (_node_type(v, "$.id") == "STRING")
+    )
+    return (
+        raw.withColumn("__v", v)
+        .filter(F.coalesce(action_ok & typed_ok, F.lit(False)))
+        .select(
+            F.try_variant_get(F.col("__v"), "$.subsystem", "string").alias("subsystem"),
+            F.try_variant_get(F.col("__v"), "$.event", "string").alias("event_type"),
+            F.to_json(F.try_variant_get(F.col("__v"), "$.data", "variant")).alias("data"),
+            F.try_variant_get(F.col("__v"), "$.id", "string").alias("id"),
+        )
+    )
+
+
+def events_to_raw_lines(events: DataFrame, corrupt_every: int | None = None) -> DataFrame:
+    """Adapter: the driver's ``events`` table -> reference wire format
+    (one JSON line per event), for exercising O1/O2 in batch mode.
+
+    ``corrupt_every=n`` deterministically mangles every n-th line (by
+    event_id) so the validator's drop path is exercised end-to-end.
+    """
+    line = F.to_json(
+        F.struct(
+            F.lit("notify").alias("action"),
+            F.col("event_type").alias("subsystem"),
+            F.lit("add").alias("event"),
+            F.struct(
+                F.col("user_id"), F.col("value"), F.col("props")
+            ).alias("data"),
+            F.col("event_id").cast("string").alias("id"),
+        )
+    )
+    if corrupt_every:
+        line = F.when(
+            F.col("event_id") % corrupt_every == 0, F.lit("{not valid json")
+        ).otherwise(line)
+    return events.select(F.col("event_id"), line.alias("value"))

@@ -1,0 +1,117 @@
+"""Keyed routing / fan-out (operator O3) — subsystem -> listeners.
+
+Reference: /root/reference/evtstrd/dispatcher.py:20,88-99 — a
+``dict[str, list[Listener]]`` routing table; ``notify`` delivers each
+event to every listener subscribed to its subsystem whose filter
+conjunction matches (listener.py:56-68).
+
+Spark-first mapping: a listener is a *declarative view* — subsystem
+equality + compiled filter conjunction.  Fan-out to N listeners is NOT
+N scans: ``deliveries`` evaluates all listeners in one pass by building
+an array of (listener, matched) structs and exploding the matches — a
+single narrow stage, no shuffle, no join.  At 100 TB with many
+listeners this is the same O(events x listeners-per-subsystem) work the
+reference does, but columnar, codegen'd, and partition-parallel; the
+subsystem equality predicates are simple string comparisons that
+Catalyst can push into the scan (or use for partition pruning when the
+source is partitioned by subsystem — the scale-out analog of the
+reference's routing-table index).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from eventstreamd_spark.operators.filters import (
+    FilterSpec,
+    compile_filters,
+    oracle_filters_sql,
+    parse_filter,
+)
+
+
+@dataclass(frozen=True)
+class Listener:
+    """One subscription: GET /events?subsystem=S&filter=F&filter=G."""
+
+    name: str
+    subsystem: str
+    filters: tuple[str, ...] = ()
+
+    def specs(self) -> list[FilterSpec]:
+        return [parse_filter(f) for f in self.filters]
+
+
+def listener_predicate(
+    listener: Listener, subsystem_col: str = "event_type", payload_col: str = "props"
+):
+    return (F.col(subsystem_col) == F.lit(listener.subsystem)) & compile_filters(
+        listener.specs(), F.col(payload_col)
+    )
+
+
+def listener_view(
+    df: DataFrame,
+    listener: Listener,
+    subsystem_col: str = "event_type",
+    payload_col: str = "props",
+) -> DataFrame:
+    """The reference's per-listener delivery stream as a filtered view."""
+    return df.filter(listener_predicate(listener, subsystem_col, payload_col))
+
+
+def deliveries(
+    df: DataFrame,
+    listeners: list[Listener],
+    subsystem_col: str = "event_type",
+    payload_col: str = "props",
+) -> DataFrame:
+    """Single-pass fan-out: one output row per (event, matched listener).
+
+    Equivalent to the reference's dispatch loop (dispatcher.py:93-95 +
+    listener.py:62) but evaluated columnar in one scan.
+    """
+    tagged = F.array(
+        *[
+            F.struct(
+                F.lit(li.name).alias("listener"),
+                listener_predicate(li, subsystem_col, payload_col).alias("matched"),
+            )
+            for li in listeners
+        ]
+    )
+    matched = F.filter(tagged, lambda s: s["matched"])
+    return (
+        df.withColumn("__m", matched)
+        .filter(F.size("__m") > 0)
+        .withColumn("listener", F.explode(F.col("__m.listener")))
+        .drop("__m")
+    )
+
+
+def oracle_deliveries_sql(
+    listeners: list[Listener],
+    table: str = "events",
+    subsystem_col: str = "event_type",
+    payload_col: str = "props",
+    select: str = "*",
+) -> str:
+    """DuckDB twin of ``deliveries`` (UNION ALL of per-listener views)."""
+    parts = []
+    for li in listeners:
+        pred = oracle_filters_sql([parse_filter(f) for f in li.filters], payload_col)
+        parts.append(
+            f"SELECT {select}, '{li.name}' AS listener FROM {table} "
+            f"WHERE {subsystem_col} = '{li.subsystem}' AND {pred}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def subsystem_counts(df: DataFrame, subsystem_col: str = "event_type") -> DataFrame:
+    """Routing-table shape: events per subsystem (one shuffle, map-side
+    partial aggregation)."""
+    return df.groupBy(F.col(subsystem_col).alias("subsystem")).agg(
+        F.count("*").alias("n_events")
+    )

@@ -87,11 +87,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    dtypes = dict(df.dtypes)
     for c in _TIMESTAMP_COLS.get(name, []):
-        # epoch-nanos long -> microsecond timestamp; `div` stays in 64-bit
+        # Only rebuild when the file actually stored TIMESTAMP(NANOS) and
+        # the legacy conf surfaced it as a long (physical type varies per
+        # table/scale-factor in the driver data).  `div` stays in 64-bit
         # integer arithmetic (a double division would lose precision above
         # 2^53 ns). Cheap narrow projection — no shuffle, stays in codegen.
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
