@@ -1,0 +1,226 @@
+"""Layer-B relational operators: aggregation, joins, windows, top-k,
+set operations, grouping sets.
+
+The reference has NONE of these (SURVEY.md §2 absence list) — its only
+aggregation is over operational metadata.  This module is the scale-out
+analytics surface, written so every function is a declarative
+DataFrame program Catalyst can optimize: filters sit next to scans
+(pushdown), small dimension tables are broadcast explicitly, and
+aggregates use exact decimal arithmetic (functions/exact.py) so results
+are reproducible across engines and partitionings.
+
+Scale notes per operator are in the docstrings; the common themes:
+- one shuffle per groupBy/join on the declared keys, map-side partials;
+- broadcast for dimensions (region/nation/customer at 100 TB:
+  region/nation always; customer only if it fits — noted);
+- window functions shuffle once on the partition key, then sort within
+  partitions — the partition key choice is the scalability decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from eventstreamd_spark.functions.exact import (
+    davg,
+    dmul,
+    dsum,
+    dsum_expr,
+    one_minus,
+)
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate over the fact table.
+
+    At 100 TB this is the canonical map-heavy query: the date filter
+    prunes at the parquet level (min/max stats), partial aggregation
+    collapses each task's rows to <=6 groups (returnflag x linestatus),
+    and the final shuffle moves only a handful of rows.  No joins, one
+    shuffle, all codegen.
+    """
+    disc_price = dmul(F.col("l_extendedprice"), one_minus(F.col("l_discount")))
+    charge = disc_price * (F.lit(1).cast("decimal(18,4)") + F.col("l_tax").cast("decimal(18,4)"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum_expr(disc_price, "sum_disc_price"),
+            dsum_expr(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def top_revenue_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension -> fact join chain + top-k.
+
+    Join strategy at scale: customer filtered on segment is small
+    relative to the facts -> broadcast it into orders (kills one
+    shuffle); orders⨝lineitem stays a shuffle (sort-merge / AQE's
+    choice) on l_orderkey.  Top-k runs as a final single-partition
+    take over pre-aggregated rows (one row per order), which is tiny.
+    deterministic: revenue is exact decimal; ties broken by o_orderkey.
+    """
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    revenue = dmul(F.col("l_extendedprice"), one_minus(F.col("l_discount")))
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_expr(revenue, "revenue"))
+    )
+    return joined.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(k)
+
+
+def brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Broadcast-join enrichment: fact ⨝ small dimension, aggregate by
+    dimension attribute.  ``part`` is explicitly broadcast — at 100 TB a
+    part dimension in the millions still fits comfortably; if it did
+    not, AQE would fall back to shuffle join, same plan shape."""
+    revenue = dmul(F.col("l_extendedprice"), one_minus(F.col("l_discount")))
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            dsum_expr(revenue, "revenue"),
+            dsum("l_quantity", "sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def nation_order_rollup(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """ROLLUP over a join: per (nation, orderstatus) + subtotals + grand
+    total.  Both dims broadcast; rollup costs one shuffle with grouping
+    sets expanded map-side."""
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return j.rollup("n_name", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+def status_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE: all grouping-set combinations of (returnflag, linestatus)."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+def topk_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window top-k per group: row_number over (custkey, price desc).
+
+    One shuffle on o_custkey, per-partition sort; no global sort.  This
+    is the scalable top-k idiom — a global orderBy().limit() would
+    funnel everything to one partition."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def supplier_running_total(lineitem: DataFrame) -> DataFrame:
+    """Running (prefix) sum per supplier in shipdate order.
+
+    Frame = ROWS UNBOUNDED PRECEDING..CURRENT; fully deterministic
+    ordering (shipdate, orderkey, linenumber) and exact decimal sums so
+    the prefix values are engine-identical.  Shuffles once on suppkey."""
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+def lag_lead_order_gaps(orders: DataFrame) -> DataFrame:
+    """lag/lead: per-customer inter-order gap in days."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def users_error_except_purchase(events: DataFrame, threshold: float = 195.0) -> DataFrame:
+    """Set difference: users with a high-value error event but no
+    high-value purchase."""
+    err = (
+        events.filter((F.col("event_type") == "error") & (F.col("value") > threshold))
+        .select("user_id").distinct()
+    )
+    pur = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("value") > threshold))
+        .select("user_id").distinct()
+    )
+    return err.subtract(pur)
+
+
+def users_error_and_purchase(events: DataFrame) -> DataFrame:
+    """Set intersection."""
+    err = events.filter(F.col("event_type") == "error").select("user_id").distinct()
+    pur = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return err.intersect(pur)
+
+
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, min_price: float = 400000.0
+) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no order above min_price.
+    Catalyst turns this into a broadcast or shuffled anti hash join; no
+    data explosion either way, and the price filter prunes the build
+    side before the join."""
+    big = orders.filter(F.col("o_totalprice") > min_price)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi join (EXISTS)."""
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_nationkey")
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style semi join + count by priority."""
+    has_item = orders.join(
+        lineitem.select("l_orderkey").distinct(),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    return has_item.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))

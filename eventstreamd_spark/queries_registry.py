@@ -18,10 +18,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from eventstreamd_spark.functions.exact import (
+    sql_davg,
+    sql_dmul,
+    sql_dsum,
+    sql_one_minus,
+)
 from eventstreamd_spark.functions.sse import http_chunk, sse_frame, sse_frame_sql
+from eventstreamd_spark.operators import asof as asof_op
 from eventstreamd_spark.operators import envelope as envelope_op
+from eventstreamd_spark.operators import relational as rel
 from eventstreamd_spark.operators import routing as routing_op
 from eventstreamd_spark.operators import stats as stats_op
+from eventstreamd_spark.operators import windows as windows_op
 from eventstreamd_spark.operators.filters import (
     filter_events,
     oracle_filters_sql,
@@ -224,3 +233,255 @@ def sse_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"), F.col("props"), F.col("event_id").cast("string")
     )
     return delivered.select("event_id", http_chunk(frame).alias("chunk"))
+
+
+# ---------------------------------------------------------------------------
+# Layer B — relational analytics (SURVEY.md §2 absence list, §7 phase 3)
+# ---------------------------------------------------------------------------
+
+_DISC_PRICE = sql_dmul("l_extendedprice", sql_one_minus("l_discount"))
+_CHARGE = (
+    f"({_DISC_PRICE} * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))"
+)
+
+
+@register(
+    "q1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    + sql_dsum("l_quantity", "sum_qty") + ", "
+    + sql_dsum("l_extendedprice", "sum_base_price") + ", "
+    + f"CAST(sum({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price, "
+    + f"CAST(sum({_CHARGE}) AS DOUBLE) AS sum_charge, "
+    + sql_davg("l_quantity", "avg_qty") + ", "
+    + sql_davg("l_extendedprice", "avg_price") + ", "
+    + sql_davg("l_discount", "avg_disc") + ", "
+    "count(*) AS count_order FROM lineitem "
+    "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan->filter->aggregate."""
+    return rel.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q3_top_revenue_orders",
+    "SELECT o_orderkey, o_orderdate, o_orderpriority, "
+    f"CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, o_orderkey LIMIT 10",
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension->fact join chain + deterministic top-k."""
+    return rel.top_revenue_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "brand_revenue",
+    "SELECT p_brand, "
+    f"CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue, "
+    + sql_dsum("l_quantity", "sum_qty") + ", "
+    "count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "GROUP BY p_brand",
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join enrichment + aggregate by dimension attribute."""
+    return rel.brand_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "nation_order_rollup",
+    "SELECT n_name, o_orderstatus, count(*) AS n_orders, "
+    + sql_dsum("o_totalprice", "sum_price")
+    + " FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY ROLLUP (n_name, o_orderstatus)",
+)
+def nation_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a two-dimension join."""
+    return rel.nation_order_rollup(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "status_cube",
+    "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "
+    + sql_dsum("l_quantity", "sum_qty")
+    + " FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+)
+def status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    return rel.status_cube(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "topk_orders_per_customer",
+    "SELECT o_custkey, o_orderkey, o_totalprice, rk FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, "
+    "row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 3",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (scalable top-k idiom)."""
+    return rel.topk_orders_per_customer(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "supplier_running_total",
+    "SELECT l_suppkey, l_orderkey, l_linenumber, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER "
+    "(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "AS running_qty FROM lineitem",
+)
+def supplier_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running prefix sum per supplier (deterministic frame + exact sums)."""
+    return rel.supplier_running_total(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "order_gaps",
+    "SELECT o_custkey, o_orderkey, "
+    "datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev, "
+    "row_number() OVER w AS order_seq FROM orders "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)",
+)
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + row_number: per-customer inter-order gaps."""
+    return rel.lag_lead_order_gaps(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "setop_except",
+    "SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 195 "
+    "EXCEPT SELECT DISTINCT user_id FROM events "
+    "WHERE event_type = 'purchase' AND value > 195",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.users_error_except_purchase(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "setop_intersect",
+    "SELECT DISTINCT user_id FROM events WHERE event_type = 'error' "
+    "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.users_error_and_purchase(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "anti_join_customers",
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)",
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "semi_join_customers",
+    "SELECT c_custkey, c_nationkey FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.customers_with_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "order_priority_counts",
+    "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+    "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) "
+    "GROUP BY o_orderpriority",
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.order_priority_counts(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "asof_latest_order_per_event",
+    asof_op.asof_join_oracle_sql(
+        "events", "orders",
+        "user_id", "o_custkey", "ts", "o_orderdate",
+        value_cols=["o_orderkey"], left_cols=["event_id", "user_id"],
+    ),
+)
+def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each user's most recent order at-or-before the event
+    time (union-merge formulation, one shuffle).  Non-degenerate on the
+    driver data: events postdate orders, so most events find a match."""
+    return asof_op.asof_join(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "orders"),
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey"], left_cols=["event_id", "user_id"],
+    )
+
+
+@register(
+    "tumbling_window_counts",
+    "SELECT to_timestamp((epoch_us(ts) // 300000000) * 300) AS bucket, "
+    "event_type, count(*) AS n_events, "
+    + sql_dsum("value", "sum_value")
+    + " FROM events GROUP BY bucket, event_type",
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (batch-mode semantics)."""
+    return windows_op.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sliding_window_counts",
+    "SELECT to_timestamp(s.start) AS window_start, event_type, "
+    "count(*) AS n_events FROM events, LATERAL ("
+    "SELECT unnest(range((epoch_us(ts) // 300000000) * 300 - 300, "
+    "(epoch_us(ts) // 300000000) * 300 + 1, 300)) AS start) s "
+    "GROUP BY window_start, event_type",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (width 600s, slide 300s) via covering-bucket expansion."""
+    return windows_op.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sessionization",
+    """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), n AS (
+  SELECT user_id, ts, sum(is_new) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM n GROUP BY user_id, session_seq
+""",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + prefix-sum windows)."""
+    return windows_op.sessionize(load_table(spark, sf_dir, "events"))

@@ -38,6 +38,8 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df.reindex(sorted(df.columns), axis=1)
     for c in out.columns:
         if pd.api.types.is_datetime64_any_dtype(out[c]):
+            if getattr(out[c].dtype, "tz", None) is not None:
+                out[c] = out[c].dt.tz_convert("UTC").dt.tz_localize(None)
             out[c] = out[c].astype("datetime64[us]")
         elif pd.api.types.is_integer_dtype(out[c]):
             out[c] = out[c].astype("int64")
