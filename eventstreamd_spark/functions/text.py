@@ -1,0 +1,163 @@
+"""Text-analysis Column combinators — tokenization, shingling, portable
+hashing, quality metrics, language ID.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (codegen'd,
+no Python in the hot path), and every function has a DuckDB twin so the
+driver oracle can replay it exactly.  The portable polynomial hash is
+the engine-neutral anchor: Spark's ``xxhash64`` and DuckDB's ``hash``
+disagree, so any hash that must be oracle-checkable is computed with
+explicit 64-bit integer arithmetic both engines implement identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Polynomial rolling-hash parameters.  MOD is < 2^31 so acc*BASE + c
+# stays far below 2^63 (no overflow in either engine's BIGINT).
+HASH_BASE = 31
+HASH_MOD = 1_000_000_007
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def sql_tokens(expr: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), "
+        "t -> length(t) > 0)"
+    )
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined).  Declarative: transform
+    over an index sequence + slice; no UDF, no explode until the caller
+    wants rows."""
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def sql_word_shingles(toks_expr: str, n: int = 3) -> str:
+    """DuckDB twin of word_shingles (list_transform over a range)."""
+    return (
+        f"list_distinct(CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"list_transform(range(0, len({toks_expr}) - {n} + 1), "
+        f"i -> array_to_string(list_slice({toks_expr}, i + 1, i + {n}), ' ')) "
+        f"ELSE [array_to_string({toks_expr}, ' ')] END)"
+    )
+
+
+def poly_hash(s: Column) -> Column:
+    """Portable polynomial hash of a string -> [0, HASH_MOD).
+
+    aggregate over the code points; identical integer arithmetic exists
+    in DuckDB (list_reduce), so hashes are engine-equal.  This is the
+    rolling-hash "document fingerprint" primitive and the basis for
+    minhash/simhash signatures.
+    """
+    chars = F.split(s, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * HASH_BASE + F.ascii(c)) % HASH_MOD,
+    )
+
+
+def sql_poly_hash(expr: str) -> str:
+    """DuckDB twin of poly_hash.
+
+    DuckDB's ``string_split(s, '')`` splits to characters; ascii() gives
+    the code point of the first char, same as Spark's."""
+    codes = f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), "
+        f"(acc, c) -> (acc * {HASH_BASE} + c) % {HASH_MOD})"
+    )
+
+
+def punct_count(text: Column) -> Column:
+    """Count of non-alphanumeric, non-whitespace chars (explicit class —
+    Java regex and RE2 agree on it)."""
+    return F.length(text) - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+
+
+def sql_punct_count(expr: str) -> str:
+    return (
+        f"(length({expr}) - length(regexp_replace({expr}, '[^A-Za-z0-9\\s]', '', 'g')))"
+    )
+
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # tiny marker lists; deterministic heuristic, not a model
+    "en": ("the", "and", "of", "is", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def stopword_count(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def sql_stopword_count(toks_expr: str) -> str:
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"len(list_filter({toks_expr}, t -> t IN ({in_list})))"
+
+
+def _isin_filter(markers: tuple[str, ...]):
+    # NB: higher-order-function lambdas must be unary — a second param
+    # (even defaulted) is interpreted as the element index.
+    return lambda t: t.isin(*markers)
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {
+        lang: F.size(F.filter(toks, _isin_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(toks: Column) -> Column:
+    """argmax over marker-hit counts; ties + zero-hits -> 'und'.
+    Deterministic tie order: the LANG_MARKERS iteration order, expressed
+    as a strict > chain so both engines agree."""
+    scores = lang_scores(toks)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores.items():
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def sql_lang_id(toks_expr: str) -> str:
+    """DuckDB twin of lang_id (same strict-> argmax chain)."""
+    score_exprs = {}
+    for lang, markers in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{w}'" for w in markers)
+        score_exprs[lang] = f"len(list_filter({toks_expr}, t -> t IN ({in_list})))"
+    lang_expr = "'und'"
+    score_expr = "0"
+    for lang, s in score_exprs.items():
+        lang_expr = f"CASE WHEN {s} > {score_expr} THEN '{lang}' ELSE {lang_expr} END"
+        score_expr = f"CASE WHEN {s} > {score_expr} THEN {s} ELSE {score_expr} END"
+    return lang_expr

@@ -1,0 +1,421 @@
+"""Deduplication suite over the ``documents`` table — the operators a
+large-scale training-data pipeline runs before anything else.
+
+Five tiers, cheapest first (this is also the production cascade):
+
+1. exact         — hash-groupBy on content (or sha256 for wide rows)
+2. ngram-jaccard — exact set similarity on word shingles, candidate
+                   pairs via an inverted-index self-join
+3. minhash-LSH   — sketch + banding: candidates without the full
+                   inverted-index join; the 100 TB path
+4. simhash       — bitwise near-dup fingerprint, banded for candidates
+5. embedding     — semantic near-dup via cosine over vectors
+
+All hashes use the portable polynomial hash (functions/text.py) so every
+tier is DuckDB-oracle-checkable — including minhash and simhash, whose
+oracles are generated programmatically from the same parameters.
+
+Scale notes: the inverted-index join (tier 2) shuffles O(docs x
+shingles) rows — fine to ~10^9 shingles, then tier 3 replaces it: the
+signature is fixed-width (K mins), banding turns candidate generation
+into a groupBy on (band, band-hash) whose output is only the colliding
+pairs.  Both tiers end with an exact-jaccard verify on the candidate
+set, so precision is identical; LSH only trades recall (tunable via
+bands x rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from eventstreamd_spark.functions.text import (
+    HASH_MOD,
+    poly_hash,
+    sql_poly_hash,
+    sql_tokens,
+    sql_word_shingles,
+    tokens,
+    word_shingles,
+)
+
+# MinHash parameters: K universal-hash permutations h_i(x) = (a*x+b) % P,
+# banded B bands x R rows (K = B*R).  Deterministic, engine-portable.
+MINHASH_K = 16
+MINHASH_B = 4
+MINHASH_R = 4
+_MH_P = HASH_MOD
+_MH_A = [(17 + 13 * i) % _MH_P for i in range(MINHASH_K)]
+_MH_B = [(91 + 29 * i) % _MH_P for i in range(MINHASH_K)]
+
+# SimHash: 32-bit signature from the portable hash, banded 4 x 8 bits;
+# hamming <= 3 guarantees at least one identical band (pigeonhole).
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+HAMMING_MAX = 3
+
+
+PLANT_OFFSET = 100_000
+
+
+def with_planted_exact_dups(docs: DataFrame, every: int = 5) -> DataFrame:
+    """Driver documents carry no duplicates, so dedup operators would be
+    vacuously correct; plant deterministic exact copies (same text, new
+    doc_id) for every ``every``-th doc.  The oracle replays the same
+    construction."""
+    copies = docs.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    return docs.unionByName(copies)
+
+
+def sql_planted_exact_dups(table: str = "documents", every: int = 5) -> str:
+    return (
+        f"(SELECT * FROM {table} UNION ALL "
+        f"SELECT doc_id + {PLANT_OFFSET} AS doc_id, text, lang, source, n_chars "
+        f"FROM {table} WHERE doc_id % {every} = 0)"
+    )
+
+
+def with_planted_near_dups(docs: DataFrame, every: int = 5) -> DataFrame:
+    """Near-dup plants: append one token so jaccard is high but < 1."""
+    copies = docs.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(copies)
+
+
+def sql_planted_near_dups(table: str = "documents", every: int = 5) -> str:
+    return (
+        f"(SELECT * FROM {table} UNION ALL "
+        f"SELECT doc_id + {PLANT_OFFSET} AS doc_id, text || ' zz' AS text, "
+        f"lang, source, n_chars FROM {table} WHERE doc_id % {every} = 0)"
+    )
+
+
+def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    return docs.select(
+        "doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles")
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup: one shuffle on the content hash.  Grouping on
+    sha256(text) rather than text keeps shuffle keys fixed-width (32
+    bytes) no matter how large documents get — at 100 TB you never want
+    multi-KB shuffle keys."""
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    docs -> distinct shingles -> explode (inverted index) -> self-join
+    on shingle -> |A ∩ B| per pair -> join doc sizes -> jaccard filter.
+    Outputs (doc_a < doc_b, jaccard).  Integer counts divide in double:
+    engine-exact.
+    """
+    sh = with_shingles(docs, n)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signature(shingles: F.Column) -> list[F.Column]:
+    """K min-hash values over the shingle set (portable arithmetic)."""
+    def perm(a: int, b: int):
+        # unary lambda factory — HOF lambdas must not take extra params
+        return lambda s: (poly_hash(s) * a + b) % _MH_P
+
+    sig = []
+    for i in range(MINHASH_K):
+        sig.append(
+            F.array_min(F.transform(shingles, perm(_MH_A[i], _MH_B[i]))).alias(f"mh{i}")
+        )
+    return sig
+
+
+def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
+    """LSH banding: candidate pairs = docs colliding on >= 1 band.
+
+    The signature is computed in one narrow pass; banding explodes to B
+    rows per doc (B=4), then a groupBy on (band, hash) emits only
+    colliding buckets.  No inverted index over raw shingles — this is
+    what replaces the quadratic-ish tier-2 join at scale.
+    """
+    sh = with_shingles(docs, n)
+    sig = sh.select("doc_id", *minhash_signature(F.col("shingles")))
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.concat_ws(
+                "_",
+                *[F.col(f"mh{b * MINHASH_R + r}") for r in range(MINHASH_R)],
+            ).alias(f"band{b}")
+            for b in range(MINHASH_B)
+        ],
+    )
+    stacked = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band{b}").alias("bhash")
+                    )
+                    for b in range(MINHASH_B)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    l, r = stacked.alias("l"), stacked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: banded candidates -> exact-jaccard
+    verify (precision = exact; recall bounded by the banding curve)."""
+    cands = minhash_lsh_candidates(docs, n)
+    sh = with_shingles(docs, n)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(toks: F.Column) -> F.Column:
+    """32-bit SimHash from portable token hashes.
+
+    bit j of the signature = majority vote of bit j over all token
+    hashes (>= half the tokens set it).  Expressed as a sum over an
+    index sequence — declarative, no UDF.
+    """
+    hashes = F.transform(
+        toks, lambda t: poly_hash(t).bitwiseAND(F.lit((1 << SIMHASH_BITS) - 1))
+    )
+
+    def vote(bit: int):
+        return lambda acc, h: acc + (
+            h.bitwiseAND(F.lit(bit)) > 0
+        ).cast("bigint")
+
+    bits = []
+    for j in range(SIMHASH_BITS):
+        votes = F.aggregate(hashes, F.lit(0).cast("bigint"), vote(1 << j))
+        bits.append(
+            F.when(votes * 2 >= F.size(hashes), F.lit(1 << j)).otherwise(F.lit(0))
+        )
+    out = F.lit(0).cast("bigint")
+    for b in bits:
+        out = out + b
+    return out
+
+
+def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """SimHash near-dup pairs: banded candidate generation + hamming
+    verify.  4 bands x 8 bits; hamming <= 3 guarantees a band collision,
+    so recall is exact for the distance bound."""
+    sig = docs.select("doc_id", simhash(tokens(F.col("text"))).alias("sig"))
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    stacked = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bhash"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    l, r = stacked.alias("l"), stacked.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= hamming_max)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generators (same parameters, same arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def sql_ngram_jaccard_pairs(
+    base_sql: str, n: int = 3, threshold: float = 0.6
+) -> str:
+    """DuckDB twin of ngram_jaccard_pairs over a base relation."""
+    shingles = sql_word_shingles(sql_tokens("text"), n)
+    return f"""
+WITH base AS (SELECT * FROM {base_sql}),
+sh AS (SELECT doc_id, {shingles} AS shingles FROM base),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+"""
+
+
+def sql_minhash_lsh_dedup(base_sql: str, n: int = 3, threshold: float = 0.6) -> str:
+    """DuckDB twin of minhash_lsh_dedup (same signature params, banding,
+    and exact-jaccard verify)."""
+    shingles = sql_word_shingles(sql_tokens("text"), n)
+    sig_select = sql_minhash_signature_select("shingles")
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{b * MINHASH_R + r} AS VARCHAR)" for r in range(MINHASH_R)
+        )
+        + " AS bhash FROM sig"
+        for b in range(MINHASH_B)
+    )
+    return f"""
+WITH base AS (SELECT * FROM {base_sql}),
+sh AS (SELECT doc_id, {shingles} AS shingles FROM base),
+sig AS (SELECT doc_id, {sig_select} FROM sh),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+),
+verify AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+           AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verify WHERE jaccard >= {threshold}
+"""
+
+
+def sql_simhash_pairs(base_sql: str, hamming_max: int = HAMMING_MAX) -> str:
+    """DuckDB twin of simhash_pairs."""
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    toks = sql_tokens("text")
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band, (sig >> {b * band_width}) & {mask} AS bhash FROM sig"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH base AS (SELECT * FROM {base_sql}),
+sig AS (SELECT doc_id, {sql_simhash(toks)} AS sig FROM base),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                  l.sig AS sig_a, r.sig AS sig_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {hamming_max}
+"""
+
+
+def sql_minhash_signature_select(shingles_expr: str) -> str:
+    cols = []
+    for i in range(MINHASH_K):
+        a, b = _MH_A[i], _MH_B[i]
+        cols.append(
+            f"list_min(list_transform({shingles_expr}, "
+            f"s -> ({sql_poly_hash('s')} * {a} + {b}) % {_MH_P})) AS mh{i}"
+        )
+    return ", ".join(cols)
+
+
+def sql_simhash(toks_expr: str) -> str:
+    h = f"list_transform({toks_expr}, t -> {sql_poly_hash('t')} & {(1 << SIMHASH_BITS) - 1})"
+    bit_terms = []
+    for j in range(SIMHASH_BITS):
+        votes = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(__h, "
+            f"x -> CAST(x & {1 << j} > 0 AS BIGINT))), (a, b) -> a + b)"
+        )
+        bit_terms.append(
+            f"(CASE WHEN {votes} * 2 >= len(__h) THEN {1 << j} ELSE 0 END)"
+        )
+    total = " + ".join(bit_terms)
+    return f"(SELECT {total} FROM (SELECT {h} AS __h))"

@@ -1,0 +1,190 @@
+"""Similarity search over the ``embeddings`` table.
+
+Two paths:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against all vectors, window top-k per query.  The correctness
+  baseline, and the right plan whenever |queries| is small: the big side
+  streams through once, no shuffle of the corpus, top-k via per-query
+  heaps (TakeOrdered per partition after the window... in practice a
+  row_number window partitioned by query_id over |Q| x |corpus| scored
+  rows — with broadcast queries that scoring is a narrow map).
+
+- ``lsh_topk`` — random-hyperplane LSH bucketing: 16 deterministic ±1
+  hyperplanes -> 16-bit bucket; candidates = bucket collisions on >= 1
+  of the multi-probe bands; exact cosine re-rank of candidates.  At
+  100 TB the corpus is bucketed ONCE (a narrow map + one shuffle to
+  co-locate buckets) and each query touches only its buckets — the
+  classic sub-linear ANN trade (recall vs probes).
+
+The hyperplane signs are derived from deterministic integer arithmetic
+(engine-portable), so even the LSH path has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from eventstreamd_spark.functions.vectors import cosine, sql_cosine
+
+N_PLANES = 16
+PLANE_BANDS = 4  # 4 bands x 4 bits for multi-probe candidate generation
+
+
+def _plane_sign(i: int, j: int) -> int:
+    """Deterministic ±1 for hyperplane i, dimension j (portable)."""
+    v = (i * 2654435761 + j * 40503 + 12345) % 2147483647
+    return 1 if (v % 2) == 0 else -1
+
+
+def _bucket_bits(vec: F.Column, dim: int) -> list[F.Column]:
+    bits = []
+    for i in range(N_PLANES):
+        terms = F.lit(0.0)
+        # dot(plane_i, v) with ±1 components unrolled per dimension:
+        # compiles to one codegen'd expression, no array ops at run time
+        acc = None
+        for j in range(dim):
+            term = vec[j].cast("double") * _plane_sign(i, j)
+            acc = term if acc is None else acc + term
+        bits.append((acc >= 0).cast("bigint").alias(f"bit{i}"))
+    return bits
+
+
+def lsh_bucket(vec: F.Column, dim: int = 64) -> F.Column:
+    """16-bit random-hyperplane bucket id."""
+    bits = _bucket_bits(vec, dim)
+    out = F.lit(0).cast("bigint")
+    for i, b in enumerate(bits):
+        out = out + b * (1 << i)
+    return out
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Queries are broadcast (tiny), corpus streams once; deterministic
+    ordering via (cosine desc, vec_id).
+    """
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        embeddings.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("embedding")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+def bucketed_corpus(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    return embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), dim))
+
+
+def lsh_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5, dim: int = 64
+) -> DataFrame:
+    """ANN: candidates share >= 1 of the 4 4-bit bucket bands with the
+    query, re-ranked by exact cosine.  Banded multi-probe keeps recall
+    reasonable without widening the search to the full corpus."""
+    band_width = N_PLANES // PLANE_BANDS
+    mask = (1 << band_width) - 1
+    corpus = bucketed_corpus(embeddings, dim)
+
+    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.col("embedding").alias(vec_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("bucket", b * band_width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bhash"),
+                        )
+                        for b in range(PLANE_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            id_alias, vec_alias, F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+        )
+
+    qb = banded(corpus.filter(F.col("vec_id").isin(query_ids)), "query_id", "qvec")
+    qb = qb.withColumnRenamed("band", "qband").withColumnRenamed("bhash", "qbhash")
+    cb = banded(corpus, "neighbor_id", "nvec")
+    pairs = (
+        cb.join(
+            F.broadcast(qb),
+            (F.col("band") == F.col("qband")) & (F.col("bhash") == F.col("qbhash")),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qvec", "neighbor_id", "nvec")
+        .distinct()
+    )
+    scored = pairs.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine >= threshold.
+
+    Brute-force all-pairs here (correctness baseline); the scale path is
+    the same LSH bucketing with pairs generated within buckets only.
+    """
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generators
+# ---------------------------------------------------------------------------
+
+
+def sql_lsh_bucket(vec_expr: str, dim: int = 64) -> str:
+    bit_terms = []
+    for i in range(N_PLANES):
+        terms = " + ".join(
+            f"(CAST({vec_expr}[{j + 1}] AS DOUBLE) * {_plane_sign(i, j)})"
+            for j in range(dim)
+        )
+        bit_terms.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bit_terms) + ")"
+
+
+def sql_brute_force_topk(query_ids: list[int], k: int = 10, table: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = sql_cosine("q.embedding", "c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+  FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({ids})
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+"""

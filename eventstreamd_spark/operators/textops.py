@@ -1,0 +1,116 @@
+"""Document-level text analysis over the ``documents`` table:
+language ID, quality scoring, token stats, fingerprinting.
+
+All pure narrow projections (scan -> map), no shuffle: at 100 TB these
+run at scan speed and fuse into whole-stage codegen.  Every metric has
+a DuckDB twin generated from the same constants (functions/text.py), so
+the whole battery is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from eventstreamd_spark.functions.text import (
+    lang_id,
+    poly_hash,
+    punct_count,
+    sql_lang_id,
+    sql_poly_hash,
+    sql_punct_count,
+    sql_stopword_count,
+    sql_tokens,
+    stopword_count,
+    tokens,
+)
+
+
+def text_metrics(docs: DataFrame) -> DataFrame:
+    """Quality-scoring features: lengths, token stats, punctuation and
+    stopword ratios, plus a composite keep/drop quality flag of the kind
+    a pretraining filter applies."""
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_stop = stopword_count(toks)
+    n_punct = punct_count(F.col("text"))
+    avg_tok_len = F.when(
+        n_tok > 0,
+        (n_chars - (n_tok - 1)).cast("double") / n_tok,  # chars net of single spaces
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    quality_ok = (n_tok >= 5) & (stop_ratio <= F.lit(0.5)) & (punct_ratio <= F.lit(0.3))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality_ok.cast("int").alias("quality_ok"),
+    )
+
+
+def sql_text_metrics(table: str = "documents") -> str:
+    toks = sql_tokens("text")
+    n_tok = f"len({toks})"
+    n_stop = sql_stopword_count(toks)
+    n_punct = sql_punct_count("text")
+    stop_ratio = f"CASE WHEN {n_tok} > 0 THEN CAST({n_stop} AS DOUBLE) / {n_tok} ELSE 0.0 END"
+    punct_ratio = (
+        f"CASE WHEN length(text) > 0 THEN CAST({n_punct} AS DOUBLE) / length(text) ELSE 0.0 END"
+    )
+    quality = (
+        f"CAST(({n_tok} >= 5 AND {stop_ratio} <= 0.5 AND {punct_ratio} <= 0.3) AS INT)"
+    )
+    return f"""
+SELECT doc_id, length(text) AS n_chars_m, {n_tok} AS n_tokens,
+       {n_stop} AS n_stopwords, {n_punct} AS n_punct,
+       {stop_ratio} AS stopword_ratio, {punct_ratio} AS punct_ratio,
+       {quality} AS quality_ok
+FROM {table}
+"""
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """n-gram/marker-word language heuristic + agreement with the
+    table's labeled lang."""
+    toks = tokens(F.col("text"))
+    detected = lang_id(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        detected.alias("detected_lang"),
+        (detected == F.col("lang")).cast("int").alias("agrees"),
+    )
+
+
+def sql_language_id(table: str = "documents") -> str:
+    toks = sql_tokens("text")
+    detected = sql_lang_id(toks)
+    return f"""
+SELECT doc_id, lang, {detected} AS detected_lang,
+       CAST(({detected} = lang) AS INT) AS agrees
+FROM {table}
+"""
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprint (whole-doc polynomial hash) +
+    token count — the dedup-key primitive."""
+    return docs.select(
+        "doc_id",
+        poly_hash(F.col("text")).alias("fingerprint"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+
+
+def sql_fingerprints(table: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, {sql_poly_hash('text')} AS fingerprint, "
+        f"len({sql_tokens('text')}) AS n_tokens FROM {table}"
+    )

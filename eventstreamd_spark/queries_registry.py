@@ -26,6 +26,10 @@ from eventstreamd_spark.functions.exact import (
 )
 from eventstreamd_spark.functions.sse import http_chunk, sse_frame, sse_frame_sql
 from eventstreamd_spark.operators import asof as asof_op
+from eventstreamd_spark.operators import dedup as dedup_op
+from eventstreamd_spark.operators import multimodal as mm_op
+from eventstreamd_spark.operators import similarity as sim_op
+from eventstreamd_spark.operators import textops as text_op
 from eventstreamd_spark.operators import envelope as envelope_op
 from eventstreamd_spark.operators import relational as rel
 from eventstreamd_spark.operators import routing as routing_op
@@ -485,3 +489,188 @@ FROM n GROUP BY user_id, session_seq
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag + prefix-sum windows)."""
     return windows_op.sessionize(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Layer B — training-data pipeline: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    "SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_doc_id, "
+    "count(*) AS n_copies FROM "
+    + dedup_op.sql_planted_exact_dups()
+    + " GROUP BY sha256(text)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (fixed-width shuffle keys)."""
+    docs = dedup_op.with_planted_exact_dups(load_table(spark, sf_dir, "documents"))
+    return dedup_op.exact_dedup(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    dedup_op.sql_ngram_jaccard_pairs(dedup_op.sql_planted_near_dups()),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join)."""
+    docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    return dedup_op.ngram_jaccard_pairs(docs)
+
+
+@register(
+    "dedup_minhash_lsh",
+    dedup_op.sql_minhash_lsh_dedup(dedup_op.sql_planted_near_dups()),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: banded signatures -> candidates -> exact
+    verify.  Portable hashing makes even the sketch oracle-checkable."""
+    docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    return dedup_op.minhash_lsh_dedup(docs)
+
+
+@register(
+    "dedup_simhash",
+    dedup_op.sql_simhash_pairs(dedup_op.sql_planted_near_dups()),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (banded 32-bit signatures, hamming <= 3)."""
+    docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    return dedup_op.simhash_pairs(docs)
+
+
+_EMB_PLANT = (
+    "(SELECT vec_id, embedding, label FROM embeddings UNION ALL "
+    "SELECT vec_id + 100000 AS vec_id, "
+    "list_transform(embedding, x -> x * 2) AS embedding, label "
+    "FROM embeddings WHERE vec_id % 50 = 0)"
+)
+
+
+def _emb_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(copies)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+WITH base AS (SELECT * FROM {_EMB_PLANT}),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {sim_op.sql_cosine('a.embedding', 'b.embedding')} AS cos
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b FROM pairs WHERE cos >= 0.95
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (planted scaled copies)."""
+    return sim_op.embedding_near_dup_pairs(_emb_planted(spark, sf_dir))
+
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@register(
+    "similarity_topk",
+    sim_op.sql_brute_force_topk(_ANN_QUERY_IDS, k=10),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (exact baseline)."""
+    return sim_op.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=10
+    )
+
+
+@register(
+    "similarity_lsh_ann",
+    f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {sim_op.sql_lsh_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+qb AS (
+  SELECT vec_id AS query_id, embedding AS qvec, band,
+         (bucket >> (band * 4)) & 15 AS bhash
+  FROM bucketed, (SELECT unnest(range(4)) AS band)
+  WHERE vec_id IN ({', '.join(str(i) for i in _ANN_QUERY_IDS)})
+),
+cb AS (
+  SELECT vec_id AS neighbor_id, embedding AS nvec, band,
+         (bucket >> (band * 4)) & 15 AS bhash
+  FROM bucketed, (SELECT unnest(range(4)) AS band)
+),
+pairs AS (
+  SELECT DISTINCT query_id, qvec, neighbor_id, nvec
+  FROM cb JOIN qb USING (band, bhash)
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY {sim_op.sql_cosine('qvec', 'nvec')} DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+""",
+)
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (16 deterministic hyperplanes, 4x4-bit bands,
+    exact cosine re-rank of candidates)."""
+    return sim_op.lsh_topk(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+@register("text_metrics", text_op.sql_text_metrics())
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document."""
+    return text_op.text_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@register("language_id", text_op.sql_language_id())
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic vs labeled lang."""
+    return text_op.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprints", text_op.sql_fingerprints())
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (portable polynomial hash)."""
+    return text_op.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_metadata",
+    """
+SELECT media_type, count(*) AS n_blobs, sum(byte_len) AS total_bytes,
+       min(byte_len) AS min_bytes, max(byte_len) AS max_bytes,
+       count(DISTINCT content_md5) AS n_distinct_blobs
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         octet_length(encode(text)) AS byte_len,
+         md5(text) AS content_md5
+  FROM documents
+) GROUP BY media_type
+""",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata aggregation over binary media columns."""
+    media = mm_op.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return mm_op.media_metadata_summary(media)
+
+
+@register("multimodal_features", None)  # Pandas-UDF decode: rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/feature stage over binary blobs (stubbed
+    kernel, real Arrow-batch plumbing) — not SQL-expressible."""
+    media = mm_op.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return mm_op.extract_features(media)

@@ -1,0 +1,116 @@
+"""Training-data pipeline operators: dedup tiers, similarity, text
+metrics, multimodal plumbing.  (The exhaustive equivalence check is the
+DuckDB oracle gate — tools/check_correctness.py; these tests pin the
+operator-level semantics that matter independent of the oracle.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventstreamd_spark.operators import dedup, multimodal, similarity, textops
+from eventstreamd_spark.session import load_table
+
+
+def test_exact_dedup_finds_planted_copies(spark, sf_dir) -> None:
+    docs = load_table(spark, sf_dir, "documents")
+    n_planted = docs.filter("doc_id % 5 = 0").count()
+    out = dedup.exact_dedup(dedup.with_planted_exact_dups(docs))
+    dup_groups = out.filter("n_copies = 2")
+    assert dup_groups.count() == n_planted
+    # canonical id is always the original (min), never the planted copy
+    assert dup_groups.filter(F.col("canonical_doc_id") >= dedup.PLANT_OFFSET).count() == 0
+
+
+def test_ngram_jaccard_finds_planted_near_dups(spark, sf_dir) -> None:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = dedup.with_planted_near_dups(docs)
+    pairs = dedup.ngram_jaccard_pairs(planted, threshold=0.6).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    expected = {
+        (r["doc_id"], r["doc_id"] + dedup.PLANT_OFFSET)
+        for r in docs.filter("doc_id % 5 = 0").select("doc_id").collect()
+    }
+    assert expected <= got  # every planted pair found
+    for r in pairs:
+        assert 0.6 <= r["jaccard"] <= 1.0
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir) -> None:
+    docs = dedup.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_dedup(docs, threshold=0.6).collect()
+    }
+    # LSH verifies candidates exactly => subset; banding recall here
+    assert lsh <= exact
+    assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_embedding_near_dup_planted_scaled_copies(spark, sf_dir) -> None:
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter("vec_id % 50 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+        "label",
+    )
+    pairs = similarity.embedding_near_dup_pairs(emb.unionByName(copies)).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    expected = {
+        (r["vec_id"], r["vec_id"] + 100000)
+        for r in emb.filter("vec_id % 50 = 0").select("vec_id").collect()
+    }
+    assert got == expected  # scaled copies and nothing else at 0.95
+
+
+def test_brute_force_topk_shape(spark, sf_dir) -> None:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, [0, 1], k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+    assert set(by_q) == {0, 1}
+    for rows in by_q.values():
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_lsh_ann_neighbors_are_plausible(spark, sf_dir) -> None:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, [0], k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(emb, [0], k=5).collect()
+    }
+    # ANN should overlap the exact top-10 at least somewhat
+    assert len(exact & approx) >= 1
+
+
+def test_text_metrics_ranges(spark, sf_dir) -> None:
+    out = textops.text_metrics(load_table(spark, sf_dir, "documents"))
+    bad = out.filter(
+        (F.col("stopword_ratio") < 0) | (F.col("stopword_ratio") > 1)
+        | (F.col("punct_ratio") < 0) | (F.col("punct_ratio") > 1)
+        | (F.col("n_tokens") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_multimodal_feature_extraction_batches(spark, sf_dir) -> None:
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    rows = feats.limit(5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert r["byte_len"] > 0
+    # deterministic: same blob -> same feature
+    again = {r["doc_id"]: r["feature"] for r in feats.limit(5).collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == r["feature"]
