@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced with a full-result noop write (``format("noop")``),
+which executes the complete plan without driver-side materialization —
+timings measure Spark execution, not collect()/pickling overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    from eventstreamd_spark.session import get_spark
+
+    spark = get_spark(app_name="eventstreamd-spark-bench", cpus=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from eventstreamd_spark import queries_registry
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # plan, not first-touch session costs.
+    from eventstreamd_spark.session import load_table
+
+    load_table(spark, SF_DIR, "lineitem").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    for name, fn in queries_registry.QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # a broken query must not sink the run
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

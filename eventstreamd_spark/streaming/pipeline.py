@@ -1,0 +1,154 @@
+"""The reference daemon's hot path as a Structured Streaming program.
+
+EP1/EP2 (SURVEY.md §3) become:
+
+    jsonlines source -> validate_envelope -> per-listener predicate
+      -> SSE frame column -> foreachBatch sink (HTTP push / capture)
+
+The SAME operator functions as batch mode — ``validate_envelope``,
+``compile_filters``, ``sse_frame`` are DataFrame->DataFrame/Column
+combinators, so the streaming skin is just ``readStream`` + a sink.
+That is the §7 design stance: batch-first core, streaming-identical
+expressions.
+
+Delivery-semantics upgrade (documented difference from the reference):
+the reference is at-most-once (no listener => drop, mid-write
+disconnect => drop, /root/reference/evtstrd/dispatcher.py:93-95,
+listener.py:66-68).  Spark checkpointing gives at-least-once into the
+sink; adding ``dropDuplicatesWithinWatermark`` on the envelope ``id``
+(the reconnect id the reference emits but never uses —
+events.py:30-31) upgrades the end-to-end story to effectively-once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from eventstreamd_spark.functions.sse import sse_frame
+from eventstreamd_spark.operators.envelope import validate_envelope
+from eventstreamd_spark.operators.routing import Listener, deliveries
+from eventstreamd_spark.sources import jsonlines
+
+
+def read_event_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
+    """Unbounded raw-line DataFrame from the spool directory."""
+    jsonlines.register(spark)
+    return (
+        spark.readStream.format("jsonlines").option("path", spool_dir).load()
+    )
+
+
+def listener_frames(
+    raw: DataFrame, listeners: list[Listener]
+) -> DataFrame:
+    """raw lines -> validated envelopes -> fan-out -> SSE frames.
+
+    Output: (listener, subsystem, id, frame).  All narrow — this whole
+    pipeline is one stage per micro-batch, no shuffle.
+    """
+    env = validate_envelope(raw)
+    fanned = deliveries(env, listeners, subsystem_col="subsystem", payload_col="data")
+    frame = sse_frame(F.col("event_type"), F.col("data"), F.col("id"))
+    return fanned.select("listener", "subsystem", "id", frame.alias("frame"))
+
+
+def dedup_by_id(env: DataFrame, ts_col: str = "ingest_ts", horizon: str = "10 minutes") -> DataFrame:
+    """Effectively-once: drop redelivered envelope ids within the
+    watermark horizon (state is bounded by the watermark — at 100 TB/day
+    this is the only sane exactly-once-ish dedup)."""
+    with_ts = env.withColumn(ts_col, F.current_timestamp())
+    return with_ts.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(["id"])
+
+
+def start_envelope_pipeline(
+    spark: SparkSession,
+    spool_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Daemon mode: stream validated envelopes into a sink callback that
+    handles *dynamic* subscriptions (ListenerRegistry.push_batch filters
+    each micro-batch with per-connection compiled predicates)."""
+    env = validate_envelope(read_event_stream(spark, spool_dir))
+    writer = (
+        env.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def start_listener_pipeline(
+    spark: SparkSession,
+    spool_dir: str,
+    listeners: list[Listener],
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Wire the whole daemon: source -> operators -> foreachBatch sink.
+
+    ``sink(batch_df, epoch_id)`` receives (listener, subsystem, id,
+    frame) rows; the HTTP front-end (streaming/http_frontend.py) pushes
+    frames to live connections from there.  foreachBatch + checkpoint
+    gives at-least-once into the sink callback.
+    """
+    frames = listener_frames(read_event_stream(spark, spool_dir), listeners)
+    writer = (
+        frames.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_tumbling_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling window with watermarked late-data handling —
+    the streaming twin of operators/windows.tumbling_counts (F.window
+    variant; watermark bounds state)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("bucket"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "60 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Native session windows (gap-based), watermark-bounded state —
+    streaming twin of operators/windows.sessionize."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

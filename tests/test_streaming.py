@@ -1,0 +1,162 @@
+"""Streaming layer: custom source, listener pipeline, watermark dedup,
+event-time windows."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from eventstreamd_spark.operators.routing import Listener
+from eventstreamd_spark.sources import jsonlines
+from eventstreamd_spark.streaming import pipeline
+
+
+def msg(subsystem: str, k: int, id: str) -> dict:
+    return {
+        "action": "notify",
+        "subsystem": subsystem,
+        "event": "add",
+        "data": {"k": k},
+        "id": id,
+    }
+
+
+def test_jsonlines_batch_reader(spark, tmp_path) -> None:
+    spool = str(tmp_path / "spool")
+    jsonlines.write_spool_file(spool, [msg("a", 1, "x"), "not json"], 0)
+    jsonlines.write_spool_file(spool, [msg("b", 2, "y")], 1)
+    jsonlines.register(spark)
+    df = spark.read.format("jsonlines").option("path", spool).load()
+    assert df.count() == 3  # raw lines, including the invalid one
+    # partitions: one per file
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_streaming_source_and_listener_pipeline(spark, tmp_path) -> None:
+    spool = str(tmp_path / "spool")
+    jsonlines.write_spool_file(
+        spool,
+        [msg("orders", 60, "e1"), msg("orders", 10, "e2"), msg("other", 99, "e3"),
+         "garbage line", {"action": "ignore"}],
+        0,
+    )
+    listeners = [
+        Listener("big-orders", "orders", ("k>=50",)),
+        Listener("all-other", "other"),
+    ]
+    got: list = []
+
+    def sink(batch_df, epoch_id):
+        got.extend(batch_df.collect())
+
+    q = pipeline.start_listener_pipeline(
+        spark, spool, listeners, sink, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(60)
+    by_listener = {}
+    for r in got:
+        by_listener.setdefault(r["listener"], []).append(r)
+    assert [r["id"] for r in by_listener["big-orders"]] == ["e1"]
+    assert [r["id"] for r in by_listener["all-other"]] == ["e3"]
+    frame = by_listener["big-orders"][0]["frame"]
+    assert frame.startswith("event: add\r\ndata: ")
+    assert "id: e1\r\n" in frame
+    assert json.loads(frame.split("data: ")[1].split("\r\n")[0]) == {"k": 60}
+
+
+def test_streaming_incremental_offsets(spark, tmp_path) -> None:
+    spool = str(tmp_path / "spool")
+    jsonlines.write_spool_file(spool, [msg("s", 1, "a")], 0)
+    seen: list = []
+
+    def sink(batch_df, epoch_id):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    env = pipeline.validate_envelope(pipeline.read_event_stream(spark, spool))
+    q = (
+        env.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while "a" not in seen and time.time() < deadline:
+            time.sleep(0.5)
+        jsonlines.write_spool_file(spool, [msg("s", 2, "b")], 1)
+        while "b" not in seen and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert seen == ["a", "b"]  # incremental, no reprocessing of file 0
+
+
+def test_dedup_by_id(spark, tmp_path) -> None:
+    spool = str(tmp_path / "spool")
+    jsonlines.write_spool_file(
+        spool, [msg("s", 1, "dup"), msg("s", 2, "dup"), msg("s", 3, "uniq")], 0
+    )
+    got: list = []
+
+    def sink(batch_df, epoch_id):
+        got.extend(batch_df.collect())
+
+    env = pipeline.validate_envelope(pipeline.read_event_stream(spark, spool))
+    deduped = pipeline.dedup_by_id(env)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert sorted(r["id"] for r in got) == ["dup", "uniq"]
+
+
+def test_streaming_tumbling_and_session_windows(spark, sf_dir, tmp_path) -> None:
+    import os
+    import shutil
+
+    src = str(tmp_path / "events_stream")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/events.parquet")
+    from eventstreamd_spark.session import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    # stream with the RAW (possibly nanos-as-long) schema, then apply the
+    # same ts rebuild load_table does for batch
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(src)
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = pipeline.streaming_tumbling_counts(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n_events) AS n FROM tumbling_out").collect()[0]["n"]
+    # append mode only emits windows below the final watermark; the last
+    # 10 minutes of events stay in state, so got < total but most arrive
+    total = batch.count()
+    assert got is not None and 0.9 * total <= got <= total
+
+    sess = pipeline.streaming_session_windows(stream)
+    q2 = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    n_sessions = spark.sql("SELECT count(*) AS n FROM session_out").collect()[0]["n"]
+    assert n_sessions > 0
