@@ -52,9 +52,18 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    cold: dict[str, float] = {}
     for name, fn in queries_registry.QUERIES.items():
-        t0 = time.perf_counter()
         try:
+            # pass 1 (cold): includes one-time JVM costs — Catalyst rule
+            # warm-up, whole-stage-codegen Janino compilation — that a
+            # long-lived cluster amortizes to zero.  pass 2 (steady
+            # state) is the headline; cold totals stay in the output.
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            cold[name] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
@@ -68,6 +77,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
         "n_queries": len(timings),
+        "cold_total_sec": round(sum(cold.values()), 4),
     }
     if failures:
         out["failures"] = failures

@@ -37,6 +37,7 @@ from eventstreamd_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from eventstreamd_spark.session import fan_out
 
 # MinHash parameters: K universal-hash permutations h_i(x) = (a*x+b) % P,
 # banded B bands x R rows (K = B*R).  Deterministic, engine-portable.
@@ -96,7 +97,10 @@ def sql_planted_near_dups(table: str = "documents", every: int = 5) -> str:
 
 
 def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    return docs.select(
+    # fan_out: shingling is the expensive per-row stage of every text
+    # tier; small local inputs arrive as one split and must be spread
+    # across cores first (no-op when the scan already has parallelism)
+    return fan_out(docs).select(
         "doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles")
     )
 
@@ -149,16 +153,24 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(shingles: F.Column) -> list[F.Column]:
-    """K min-hash values over the shingle set (portable arithmetic)."""
+def minhash_signature(hashed_shingles: F.Column) -> list[F.Column]:
+    """K min-hash values over PRE-HASHED shingles (portable arithmetic).
+
+    Takes ``transform(shingles, poly_hash)`` — hashing must happen once
+    in its own projection: each of the K=16 permutations only applies
+    the cheap (h*a+b)%P map, instead of re-running the per-character
+    polynomial hash K times per shingle (measured ~6x slower).
+    """
     def perm(a: int, b: int):
         # unary lambda factory — HOF lambdas must not take extra params
-        return lambda s: (poly_hash(s) * a + b) % _MH_P
+        return lambda h: (h * a + b) % _MH_P
 
     sig = []
     for i in range(MINHASH_K):
         sig.append(
-            F.array_min(F.transform(shingles, perm(_MH_A[i], _MH_B[i]))).alias(f"mh{i}")
+            F.array_min(
+                F.transform(hashed_shingles, perm(_MH_A[i], _MH_B[i]))
+            ).alias(f"mh{i}")
         )
     return sig
 
@@ -170,9 +182,16 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
     rows per doc (B=4), then a groupBy on (band, hash) emits only
     colliding buckets.  No inverted index over raw shingles — this is
     what replaces the quadratic-ish tier-2 join at scale.
+
+    The hashed-shingle array stays a separate projection: CollapseProject
+    won't inline a non-cheap expression referenced 16 times, so each
+    shingle is poly-hashed exactly once.
     """
     sh = with_shingles(docs, n)
-    sig = sh.select("doc_id", *minhash_signature(F.col("shingles")))
+    hashed = sh.select(
+        "doc_id", F.transform(F.col("shingles"), poly_hash).alias("hs")
+    )
+    sig = hashed.select("doc_id", *minhash_signature(F.col("hs")))
     bands = sig.select(
         "doc_id",
         *[
@@ -234,35 +253,51 @@ def simhash(toks: F.Column) -> F.Column:
     """32-bit SimHash from portable token hashes.
 
     bit j of the signature = majority vote of bit j over all token
-    hashes (>= half the tokens set it).  Expressed as a sum over an
-    index sequence — declarative, no UDF.
+    hashes (>= half the tokens set it).  ONE aggregate pass carries a
+    struct accumulator (per-bit vote counts + token count), so each
+    token is hashed exactly once; the finish lambda folds the majority
+    votes into the signature.  (32 separate per-bit aggregates would
+    re-run poly_hash over every token 32 times — measured ~10x slower.)
+    Declarative throughout, no UDF; zero tokens => all bits voted set,
+    same as the per-bit formulation (0 >= 0).
     """
     hashes = F.transform(
         toks, lambda t: poly_hash(t).bitwiseAND(F.lit((1 << SIMHASH_BITS) - 1))
     )
-
-    def vote(bit: int):
-        return lambda acc, h: acc + (
-            h.bitwiseAND(F.lit(bit)) > 0
-        ).cast("bigint")
-
-    bits = []
-    for j in range(SIMHASH_BITS):
-        votes = F.aggregate(hashes, F.lit(0).cast("bigint"), vote(1 << j))
-        bits.append(
-            F.when(votes * 2 >= F.size(hashes), F.lit(1 << j)).otherwise(F.lit(0))
-        )
-    out = F.lit(0).cast("bigint")
-    for b in bits:
-        out = out + b
-    return out
+    zero = F.lit(0).cast("bigint")
+    pows = F.array(*[F.lit(1 << j).cast("bigint") for j in range(SIMHASH_BITS)])
+    return F.aggregate(
+        hashes,
+        F.struct(
+            F.array_repeat(zero, SIMHASH_BITS).alias("cnt"), zero.alias("n")
+        ),
+        lambda acc, h: F.struct(
+            F.zip_with(
+                acc["cnt"],
+                pows,
+                lambda c, p: c + (h.bitwiseAND(p) > 0).cast("bigint"),
+            ).alias("cnt"),
+            (acc["n"] + 1).alias("n"),
+        ),
+        lambda acc: F.aggregate(
+            F.zip_with(
+                acc["cnt"],
+                pows,
+                lambda v, p: F.when(v * 2 >= acc["n"], p).otherwise(zero),
+            ),
+            zero,
+            lambda a, x: a + x,
+        ),
+    )
 
 
 def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     """SimHash near-dup pairs: banded candidate generation + hamming
     verify.  4 bands x 8 bits; hamming <= 3 guarantees a band collision,
     so recall is exact for the distance bound."""
-    sig = docs.select("doc_id", simhash(tokens(F.col("text"))).alias("sig"))
+    sig = fan_out(docs).select(
+        "doc_id", simhash(tokens(F.col("text"))).alias("sig")
+    )
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_width) - 1
     stacked = sig.select(

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from eventstreamd_spark.session import fan_out
+
 ENVELOPE_COLS = ["subsystem", "event_type", "data", "id"]
 
 
@@ -35,7 +37,14 @@ def validate_envelope(raw: DataFrame, line_col: str = "value") -> DataFrame:
     reference check are dropped silently, mirroring the daemon's
     log-and-continue behavior.
     """
-    v = F.try_parse_json(F.col(line_col))
+    # Parse once into a real column; every gate and projection probes the
+    # parsed variant.  (Building the filter from a fresh try_parse_json
+    # expression would re-parse the line per predicate — JSON parsing is
+    # the dominant cost of this operator.)
+    # fan_out: JSON parsing is the dominant per-row cost; spread a
+    # narrow local input across cores (no-op for streams / wide scans)
+    parsed = fan_out(raw).withColumn("__v", F.try_parse_json(F.col(line_col)))
+    v = F.col("__v")
     action_ok = (
         (_node_type(v, "$.action") == "STRING")
         & (F.try_variant_get(v, "$.action", "string") == "notify")
@@ -47,8 +56,7 @@ def validate_envelope(raw: DataFrame, line_col: str = "value") -> DataFrame:
         & (_node_type(v, "$.id") == "STRING")
     )
     return (
-        raw.withColumn("__v", v)
-        .filter(F.coalesce(action_ok & typed_ok, F.lit(False)))
+        parsed.filter(F.coalesce(action_ok & typed_ok, F.lit(False)))
         .select(
             F.try_variant_get(F.col("__v"), "$.subsystem", "string").alias("subsystem"),
             F.try_variant_get(F.col("__v"), "$.event", "string").alias("event_type"),

@@ -24,6 +24,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from eventstreamd_spark.session import fan_out
+
 FEATURE_DIM = 8
 
 MEDIA_SCHEMA = (
@@ -84,7 +86,9 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             )
             yield out
 
-    return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+    # fan_out: the Python decode kernel is the per-row cost — make sure
+    # Arrow batches land on every core, not one file split's worth
+    return fan_out(media).mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
 def media_metadata_summary(media: DataFrame) -> DataFrame:

@@ -101,3 +101,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow input up to cluster parallelism before a
+    CPU-heavy per-row stage (shingling, hashing, Arrow-batched kernels).
+
+    Small parquet files arrive as 1-2 splits, which serializes an
+    expensive projection on one core no matter how wide the cluster is —
+    Spark sizes scan partitions by bytes, not by downstream cost.  The
+    shuffle moves only the (small) input rows, so it pays for itself as
+    soon as the per-row work dominates.  Guarded: when the input already
+    has enough partitions (the 100 TB case — thousands of file splits),
+    this is a no-op, adding no shuffle at scale.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # streaming plans can't expose an RDD; leave as-is
+        return df
+    return df.repartition(target) if current < target else df

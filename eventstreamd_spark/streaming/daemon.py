@@ -1,0 +1,102 @@
+"""The full daemon: every reference entry point in one process, with
+Spark as the execution engine.
+
+Reference lifecycle (/root/reference/evtstrd/server.py:14-29, main.py:10-20):
+one asyncio loop hosting the Unix-socket ingest server and the HTTP/SSE
+listener server, wired through an in-process dispatcher.  Here the same
+two front-ends run on one asyncio loop, but the dataflow between them is
+a Structured Streaming query:
+
+    unix socket -> spool files -> jsonlines source -> validate_envelope
+      -> foreachBatch(registry.push_batch) -> per-connection SSE queues
+
+EP1 (ingest) = socket_spool.run_socket_server; EP2 (subscribe) and
+EP3 (/stats) = http_frontend.run_http_server; the Spark query replaces
+the dispatcher's per-event Python loop with vectorized micro-batches.
+
+Delivery semantics: checkpointed source offsets give at-least-once into
+the registry (an upgrade over the reference's at-most-once); a listener
+that connects mid-stream starts at the next micro-batch, mirroring the
+reference's "whoever is subscribed now" routing (dispatcher.py:93-95).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import os
+
+from pyspark.sql import SparkSession
+
+from eventstreamd_spark.streaming import pipeline
+from eventstreamd_spark.streaming.http_frontend import (
+    AuthHook,
+    ListenerRegistry,
+    run_http_server,
+)
+from eventstreamd_spark.streaming.socket_spool import run_socket_server
+
+logger = logging.getLogger(__name__)
+
+
+async def run_daemon(
+    spark: SparkSession,
+    socket_path: str,
+    work_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 8888,
+    trigger_seconds: int | None = None,
+    auth: AuthHook | None = None,
+    stop_event: asyncio.Event | None = None,
+) -> None:
+    """Run ingest + Spark pipeline + SSE front-end until ``stop_event``.
+
+    ``work_dir`` holds the spool and the streaming checkpoint (the two
+    pieces of durable state; on a cluster both live on shared storage).
+    """
+    spool_dir = os.path.join(work_dir, "spool")
+    checkpoint = os.path.join(work_dir, "checkpoint")
+    os.makedirs(spool_dir, exist_ok=True)
+
+    loop = asyncio.get_running_loop()
+    registry = ListenerRegistry(loop=loop)
+
+    socket_server = await run_socket_server(socket_path, spool_dir)
+    http_server = await run_http_server(host, port, registry, auth=auth)
+    query = pipeline.start_envelope_pipeline(
+        spark,
+        spool_dir,
+        registry.push_batch,
+        checkpoint,
+        trigger_seconds=trigger_seconds or 1,
+    )
+    logger.info("daemon up: socket=%s http=%s:%s", socket_path, host, port)
+    try:
+        await (stop_event or asyncio.Event()).wait()
+    finally:
+        query.stop()
+        socket_server.close()
+        http_server.close()
+        await socket_server.wait_closed()
+        await http_server.wait_closed()
+
+
+def main() -> None:  # pragma: no cover - thin CLI shim
+    import argparse
+
+    from eventstreamd_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="eventstreamd-on-Spark daemon")
+    ap.add_argument("--socket", default="/tmp/eventstreamd_spark.sock")
+    ap.add_argument("--work-dir", default="/tmp/eventstreamd_spark")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8888)
+    args = ap.parse_args()
+    spark = get_spark("eventstreamd-spark-daemon")
+    asyncio.run(
+        run_daemon(spark, args.socket, args.work_dir, args.host, args.port)
+    )
+
+
+if __name__ == "__main__":
+    main()

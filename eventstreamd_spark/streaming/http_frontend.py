@@ -27,6 +27,7 @@ import asyncio
 import datetime
 import json
 import logging
+from collections.abc import Awaitable, Callable
 from dataclasses import dataclass, field
 from urllib.parse import parse_qs, urlsplit
 
@@ -36,6 +37,21 @@ logger = logging.getLogger(__name__)
 
 PING_INTERVAL = 20.0  # reference config.py:11
 CRLF = "\r\n"
+
+# O12 auth gate contract (reference auth.py:11-36, plugins/README.md:12-36):
+# an async callable (path, headers) -> (expire | None, payload); raising
+# AuthError with a status ends the request.  Absent hook => allow-all.
+AuthHook = Callable[
+    [str, dict[str, str]],
+    Awaitable[tuple[datetime.datetime | None, object]],
+]
+
+
+class AuthError(Exception):
+    def __init__(self, status: str, body: str = "") -> None:
+        super().__init__(status)
+        self.status = status
+        self.body = body or status + "\n"
 
 
 @dataclass
@@ -168,6 +184,7 @@ async def handle_http(
     writer: asyncio.StreamWriter,
     registry: ListenerRegistry,
     ping_interval: float = PING_INTERVAL,
+    auth: AuthHook | None = None,
 ) -> None:
     try:
         request_line = (await reader.readline()).decode()
@@ -176,11 +193,23 @@ async def handle_http(
             await _write_response(writer, "400 Bad Request", "bad request\n")
             return
         method, target, _ = parts
-        while True:  # drain headers
+        headers: dict[str, str] = {}
+        while True:
             line = await reader.readline()
             if line in (b"\r\n", b"\n", b""):
                 break
+            k, sep, val = line.decode("latin-1").partition(":")
+            if sep:  # header names lower-cased, reference http.py:78-84
+                headers[k.strip().lower()] = val.strip()
         url = urlsplit(target)
+        # O12: pluggable auth gate runs before any route work
+        expire: datetime.datetime | None = None
+        if auth is not None:
+            try:
+                expire, _payload = await auth(url.path, headers)
+            except AuthError as exc:
+                await _write_response(writer, exc.status, exc.body)
+                return
         if url.path == "/stats":
             await _write_response(
                 writer, "200 OK", json.dumps(registry.stats_json()), "application/json"
@@ -222,11 +251,32 @@ async def handle_http(
         await writer.drain()
         try:
             while True:
+                # O9: session expiry — wake at whichever comes first, the
+                # ping deadline or the auth-supplied logout time (exact,
+                # vs the reference's 60 s recheck loop, util.py:24-33)
+                timeout = ping_interval
+                if expire is not None:
+                    left = (
+                        expire - datetime.datetime.now(tz=expire.tzinfo)
+                    ).total_seconds()
+                    if left <= 0:
+                        logout = (
+                            "event: logout" + CRLF
+                            + 'data: {"reason": "expire"}' + CRLF + CRLF
+                        )  # reference events.py:53-55
+                        writer.write(_chunk(logout))
+                        await writer.drain()
+                        break
+                    timeout = min(timeout, left)
                 try:
                     frame = await asyncio.wait_for(
-                        conn.queue.get(), timeout=ping_interval
+                        conn.queue.get(), timeout=timeout
                     )
                 except asyncio.TimeoutError:
+                    if expire is not None and (
+                        expire - datetime.datetime.now(tz=expire.tzinfo)
+                    ).total_seconds() <= 0:
+                        continue  # expiry branch above emits the logout
                     frame = "event: ping" + CRLF + "data: " + CRLF + CRLF  # O8
                 writer.write(_chunk(frame))
                 await writer.drain()  # real backpressure (reference never drains)
@@ -242,9 +292,13 @@ async def handle_http(
 
 
 async def run_http_server(
-    host: str, port: int, registry: ListenerRegistry, ping_interval: float = PING_INTERVAL
+    host: str,
+    port: int,
+    registry: ListenerRegistry,
+    ping_interval: float = PING_INTERVAL,
+    auth: AuthHook | None = None,
 ) -> asyncio.AbstractServer:
     async def handler(r, w):
-        await handle_http(r, w, registry, ping_interval)
+        await handle_http(r, w, registry, ping_interval, auth)
 
     return await asyncio.start_server(handler, host, port)

@@ -1,0 +1,177 @@
+"""End-to-end daemon test: Unix-socket producer -> spool -> Spark
+streaming pipeline -> SSE listener over real HTTP, plus /stats and the
+auth gate — the reference's EP1/EP2/EP3 in one scenario."""
+
+from __future__ import annotations
+
+import asyncio
+import datetime
+import json
+
+import pytest
+
+from eventstreamd_spark.streaming.daemon import run_daemon
+from eventstreamd_spark.streaming.http_frontend import AuthError
+
+PORT = 18901
+
+
+def _msg(subsystem: str, k: int, id: str) -> str:
+    return json.dumps(
+        {
+            "action": "notify",
+            "subsystem": subsystem,
+            "event": "add",
+            "data": {"k": k},
+            "id": id,
+        }
+    )
+
+
+async def _read_headers(reader: asyncio.StreamReader) -> str:
+    head = b""
+    while b"\r\n\r\n" not in head:
+        head += await asyncio.wait_for(reader.read(256), 10)
+    return head.decode()
+
+
+async def _read_until(reader: asyncio.StreamReader, needle: str, timeout: float = 90) -> str:
+    buf = ""
+    deadline = asyncio.get_event_loop().time() + timeout
+    while needle not in buf:
+        left = deadline - asyncio.get_event_loop().time()
+        if left <= 0:
+            raise AssertionError(f"timed out waiting for {needle!r}; got {buf!r}")
+        chunk = await asyncio.wait_for(reader.read(4096), left)
+        if not chunk:
+            raise AssertionError(f"EOF before {needle!r}; got {buf!r}")
+        buf += chunk.decode()
+    return buf
+
+
+def test_daemon_end_to_end(spark, tmp_path) -> None:
+    sock = str(tmp_path / "evtd.sock")
+
+    async def auth(path: str, headers: dict[str, str]) -> tuple[datetime.datetime | None, None]:
+        if headers.get("x-token") == "deny":
+            raise AuthError("403 Forbidden")
+        return None, None
+
+    async def scenario() -> None:
+        stop = asyncio.Event()
+        daemon = asyncio.create_task(
+            run_daemon(
+                spark,
+                sock,
+                str(tmp_path / "work"),
+                port=PORT,
+                trigger_seconds=1,
+                auth=auth,
+                stop_event=stop,
+            )
+        )
+        for _ in range(100):  # wait for the socket server to come up
+            if daemon.done():
+                daemon.result()
+            try:
+                r, w = await asyncio.open_unix_connection(sock)
+                break
+            except (FileNotFoundError, ConnectionRefusedError):
+                await asyncio.sleep(0.1)
+        else:
+            raise AssertionError("socket server never came up")
+
+        # O12: denied client is rejected before any routing
+        dr, dw = await asyncio.open_connection("127.0.0.1", PORT)
+        dw.write(
+            b"GET /events?subsystem=orders HTTP/1.1\r\nx-token: deny\r\n\r\n"
+        )
+        await dw.drain()
+        assert "403 Forbidden" in await _read_headers(dr)
+        dw.close()
+
+        # EP2: subscribe with a filter (registered before events flow)
+        lr, lw = await asyncio.open_connection("127.0.0.1", PORT)
+        lw.write(
+            f"GET /events?subsystem=orders&filter=k>=50 HTTP/1.1\r\n\r\n".encode()
+        )
+        await lw.drain()
+        head = await _read_headers(lr)
+        assert "200 OK" in head and "text/event-stream" in head
+
+        # EP1: produce over the unix socket — k=60 matches, k=10 filtered,
+        # other-subsystem and garbage lines dropped
+        w.write(
+            (
+                _msg("orders", 60, "e1") + "\n"
+                + _msg("orders", 10, "e2") + "\n"
+                + _msg("other", 99, "e3") + "\n"
+                + "garbage\n"
+            ).encode()
+        )
+        await w.drain()
+
+        got = await _read_until(lr, "id: e1")
+        assert '"k":60' in got.replace(" ", "")
+        assert "id: e2" not in got and "id: e3" not in got
+
+        # EP3: /stats sees the live listener
+        sr, sw = await asyncio.open_connection("127.0.0.1", PORT)
+        sw.write(b"GET /stats HTTP/1.1\r\n\r\n")
+        await sw.drain()
+        body = await _read_until(sr, "}")
+        stats = json.loads(body.split("\r\n\r\n", 1)[1])
+        assert stats["total-connections"] >= 1
+        assert any(
+            c["subsystem"] == "orders" and c["filters"] == ["k>=50"]
+            for c in stats["connections"]
+        )
+        sw.close()
+        lw.close()
+        w.close()
+        stop.set()
+        await asyncio.wait_for(daemon, 60)
+
+    asyncio.run(scenario())
+
+
+def test_expiry_logout(spark, tmp_path) -> None:
+    """O9: an auth-supplied expire time emits a logout event and closes."""
+    sock = str(tmp_path / "evtd.sock")
+
+    async def auth(path, headers):
+        return (
+            datetime.datetime.now() + datetime.timedelta(seconds=2),
+            None,
+        )
+
+    async def scenario() -> None:
+        stop = asyncio.Event()
+        daemon = asyncio.create_task(
+            run_daemon(
+                spark,
+                sock,
+                str(tmp_path / "work"),
+                port=PORT + 1,
+                trigger_seconds=1,
+                auth=auth,
+                stop_event=stop,
+            )
+        )
+        for _ in range(100):
+            if daemon.done():
+                daemon.result()
+            try:
+                lr, lw = await asyncio.open_connection("127.0.0.1", PORT + 1)
+                break
+            except ConnectionRefusedError:
+                await asyncio.sleep(0.1)
+        lw.write(b"GET /events?subsystem=s HTTP/1.1\r\n\r\n")
+        await lw.drain()
+        got = await _read_until(lr, "event: logout", timeout=30)
+        assert '"reason": "expire"' in got
+        lw.close()
+        stop.set()
+        await asyncio.wait_for(daemon, 60)
+
+    asyncio.run(scenario())
