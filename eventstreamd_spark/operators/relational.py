@@ -224,3 +224,189 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         "left_semi",
     )
     return has_item.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape: the deep multi-join chain — revenue per nation
+    where the customer and the supplier sit in the same nation of one
+    region.
+
+    Join-order strategy at 100 TB: region (5 rows) and nation (25) are
+    always-broadcast; customer and supplier are broadcast of the
+    *pre-filtered* dim (region prunes ~80%); lineitem never moves — the
+    fact table is only probed.  Catalyst + AQE pick the same shape from
+    this declarative program: filters reach the scans, the dim chain
+    folds into consecutive BroadcastHashJoins, and the single shuffle
+    is the final groupBy(n_name).
+    """
+    nations_in_region = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nations_in_region),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("n_nationkey").alias("cust_nationkey"))
+    supp = supplier.join(
+        F.broadcast(nations_in_region),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name", F.col("n_nationkey").alias("supp_nationkey"))
+    return (
+        lineitem.join(
+            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+                        .select("o_orderkey", "cust_nationkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("cust_nationkey") == F.col("supp_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum_expr(dmul(F.col("l_extendedprice"), one_minus(F.col("l_discount"))), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def revenue_grouping_sets(lineitem: DataFrame) -> DataFrame:
+    """GROUPING SETS aggregation: per-returnflag, per-linestatus, and
+    grand total in ONE pass over the fact table (one shuffle; Spark
+    expands the sets map-side).  grouping_id disambiguates the NULLs of
+    each set — the standard way to ship several rollup reports from a
+    single scan instead of N scans."""
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+    )
+
+
+def sql_revenue_grouping_sets(table: str = "lineitem") -> str:
+    from eventstreamd_spark.functions.exact import sql_dsum
+
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "GROUPING(l_returnflag, l_linestatus) AS gid, "
+        "count(*) AS n_rows, " + sql_dsum("l_quantity", "sum_qty")
+        + f" FROM {table} GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
+def distinct_part_stats(lineitem: DataFrame) -> DataFrame:
+    """Exact distinct-cardinality profile per return flag.
+
+    count_distinct shuffles (key, value) pairs — exact but two-phase;
+    this is the ground-truth twin of approx_distinct_parts below."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def approx_distinct_parts(lineitem: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog++ distinct counts: one pass, fixed-size sketch, no
+    per-value shuffle — THE cardinality plan at 100 TB (exact distinct
+    moves every distinct value; HLL moves a 1.5 KB sketch per group).
+    Sketches are engine-specific, so the driver records a rows-only
+    check; tests bound the relative error against the exact twin."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("n_parts_approx"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+PRICE_BANDS = [
+    (0, "budget", 0.0, 20000.0),
+    (1, "mid", 20000.0, 45000.0),
+    (2, "premium", 45000.0, 80000.0),
+    (3, "luxury", 80000.0, 1e18),
+]
+
+
+def price_band_join(lineitem: DataFrame) -> DataFrame:
+    """Range (theta) join: fact rows matched to a banded dimension by
+    lo <= price < hi.  The band table is tiny => broadcast nested-loop
+    join, which is exactly right: each row scans 4 broadcast rows,
+    no shuffle of the fact side.  (A large range dim would instead be
+    binned to an equi-key first — bin = floor(price/width) — turning
+    the range join into an equi join plus a residual filter.)"""
+    spark = lineitem.sparkSession
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band_id int, band string, lo double, hi double"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band_id", "band")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice", "sum_price"))
+    )
+
+
+def sql_price_band_join(table: str = "lineitem") -> str:
+    from eventstreamd_spark.functions.exact import sql_dsum
+
+    values = ", ".join(
+        f"({i}, '{b}', {lo}, {hi})" for i, b, lo, hi in PRICE_BANDS
+    )
+    return (
+        f"SELECT band_id, band, count(*) AS n_items, "
+        + sql_dsum("l_extendedprice", "sum_price")
+        + f" FROM {table} JOIN (SELECT * FROM (VALUES {values}) "
+        "v(band_id, band, lo, hi)) b ON l_extendedprice >= lo AND l_extendedprice < hi "
+        "GROUP BY band_id, band"
+    )
+
+
+QUANTILE_PROBS = [0.25, 0.5, 0.75, 0.95]
+
+
+def quantity_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per group.
+
+    ``percentile`` is exact: it sorts each group's values (a per-group
+    shuffle+sort) — right when groups are few and answers must be
+    reproducible.  At 100 TB with many groups the one-pass sketch twin
+    (approx_quantity_quantiles) replaces it, same plan shape otherwise.
+    """
+    probs = ", ".join(str(p) for p in QUANTILE_PROBS)
+    q = F.expr(f"percentile(l_quantity, array({probs}))")
+    return lineitem.groupBy("l_returnflag").agg(
+        q[0].alias("q25"), q[1].alias("q50"), q[2].alias("q75"), q[3].alias("q95")
+    )
+
+
+def sql_quantity_quantiles(table: str = "lineitem") -> str:
+    cols = ", ".join(
+        f"quantile_cont(l_quantity, {p}) AS q{int(p * 100)}"
+        for p in QUANTILE_PROBS
+    )
+    return f"SELECT l_returnflag, {cols} FROM {table} GROUP BY l_returnflag"
+
+
+def approx_quantity_quantiles(lineitem: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """KLL/GK-sketch percentiles: one pass, bounded memory, mergeable
+    across partitions — the scale path for high-cardinality groups."""
+    probs = ", ".join(str(p) for p in QUANTILE_PROBS)
+    q = F.expr(f"approx_percentile(l_quantity, array({probs}), {accuracy})")
+    return lineitem.groupBy("l_returnflag").agg(
+        q[0].alias("q25"), q[1].alias("q50"), q[2].alias("q75"), q[3].alias("q95")
+    )

@@ -674,3 +674,82 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel, real Arrow-batch plumbing) — not SQL-expressible."""
     media = mm_op.documents_as_media(load_table(spark, sf_dir, "documents"))
     return mm_op.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Layer B (continued): deep join chain, grouping sets, distinct counts,
+# range join, exact quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+SELECT n_name,
+       CAST(sum({sql_dmul('l_extendedprice', sql_one_minus('l_discount'))}) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey AND c_nationkey = s_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join chain, broadcast dim cascade."""
+    return rel.local_supplier_volume(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("grouping_sets_revenue", rel.sql_revenue_grouping_sets())
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: three reports in one scan + one shuffle."""
+    return rel.revenue_grouping_sets(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "distinct_part_stats",
+    "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
+    "count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_rows "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def distinct_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts per group."""
+    return rel.distinct_part_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("approx_distinct_parts", None)  # HLL sketch: engine-specific
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality (the 100 TB distinct-count plan);
+    rows-only driver check, error-bounded against the exact twin in
+    tests/test_pipeline_ops.py."""
+    return rel.approx_distinct_parts(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("price_band_range_join", rel.sql_price_band_join())
+def price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a broadcast band dimension."""
+    return rel.price_band_join(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("quantity_quantiles", rel.sql_quantity_quantiles())
+def quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group percentiles (quantile_cont twin)."""
+    return rel.quantity_quantiles(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("approx_quantity_quantiles", None)  # sketch: engine-specific
+def approx_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch percentiles (one-pass, mergeable);
+    rows-only driver check, error-bounded in tests."""
+    return rel.approx_quantity_quantiles(load_table(spark, sf_dir, "lineitem"))

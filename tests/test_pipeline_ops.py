@@ -114,3 +114,28 @@ def test_multimodal_feature_extraction_batches(spark, sf_dir) -> None:
     again = {r["doc_id"]: r["feature"] for r in feats.limit(5).collect()}
     for r in rows:
         assert again[r["doc_id"]] == r["feature"]
+
+
+def test_approx_sketches_bounded_error(spark, sf_dir) -> None:
+    """The sketch twins (HLL distinct, approx_percentile) must stay
+    within their error bounds of the exact operators."""
+    from eventstreamd_spark.operators import relational as rel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n_parts"]
+        for r in rel.distinct_part_stats(li).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["n_parts_approx"]
+        for r in rel.approx_distinct_parts(li, rsd=0.02).collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) / n < 0.1, (flag, n, approx[flag])
+
+    eq = rel.quantity_quantiles(li).collect()
+    aq = {r["l_returnflag"]: r for r in rel.approx_quantity_quantiles(li).collect()}
+    for r in eq:
+        a = aq[r["l_returnflag"]]
+        for c in ("q25", "q50", "q75", "q95"):
+            assert abs(a[c] - r[c]) <= 2.0, (r["l_returnflag"], c, r[c], a[c])
