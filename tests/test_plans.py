@@ -1,0 +1,67 @@
+"""Plan-quality regression tests: the properties that make these
+queries survive a 100x scale-up, asserted on the physical plan itself.
+
+If one of these breaks, the query still returns correct rows — the
+oracle gate won't notice — but the plan has regressed into something
+that falls over at scale (full scans past a pushable filter, shuffles
+of a broadcastable dim, sort of the whole relation for a top-k)."""
+
+from __future__ import annotations
+
+import pytest
+
+from eventstreamd_spark import queries_registry as qr
+
+
+def plan_of(spark, sf_dir: str, name: str) -> str:
+    df = qr.QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return lambda name: plan_of(spark, sf_dir, name)
+
+
+def test_filter_pushdown_reaches_scan(plans) -> None:
+    # the DSL-compiled predicate's null-safety gate must reach parquet
+    plan = plans("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_scan_prunes_columns(plans) -> None:
+    # 2-column aggregate over a 11-column table: ReadSchema stays narrow
+    plan = plans("order_priority_counts")
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_dim_joins_broadcast(plans) -> None:
+    plan = plans("q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(plans) -> None:
+    # top-k must never globally sort: TakeOrderedAndProject keeps a
+    # k-row heap per partition
+    plan = plans("q3_top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "\n+- Sort" not in plan
+
+
+def test_aggregates_have_map_side_partials(plans) -> None:
+    plan = plans("subsystem_counts")
+    assert "partial_count" in plan
+
+
+def test_range_join_broadcasts_band_dim(plans) -> None:
+    plan = plans("price_band_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semi_join_stays_semi(plans) -> None:
+    # EXISTS must compile to a semi join (no row duplication + dedup)
+    plan = plans("semi_join_customers")
+    assert "LeftSemi" in plan

@@ -193,3 +193,94 @@ def test_streaming_observed_metrics(spark, tmp_path) -> None:
         assert collector.totals["batches"] >= 1
     finally:
         collector.detach(spark)
+
+
+def test_stateful_sessionizer_and_expiry(spark, tmp_path) -> None:
+    """applyInPandasWithState: sessions close on gap timeout; expiry
+    tracker emits logout rows when a TTL lapses unrefreshed."""
+    import os
+    import time
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from eventstreamd_spark.streaming.stateful import (
+        expiry_tracker,
+        streaming_sessionizer,
+    )
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(1, t0), (1, t0 + datetime.timedelta(seconds=10)), (2, t0)], schema
+    ).coalesce(1).write.parquet(src + "/batch0")
+
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    q = (
+        streaming_sessionizer(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM sessions_out ORDER BY user_id"
+            ).collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+        assert [r["user_id"] for r in rows] == [1, 2]
+        assert rows[0]["n_events"] == 2 and rows[1]["n_events"] == 1
+        assert rows[0]["first_ts"] == t0
+        assert rows[0]["last_ts"] == t0 + datetime.timedelta(seconds=10)
+    finally:
+        q.stop()
+
+    sess_src = str(tmp_path / "sessions")
+    os.makedirs(sess_src)
+    sschema = StructType(
+        [StructField("id", StringType()), StructField("ttl_ms", LongType())]
+    )
+    spark.createDataFrame([("s1", 1500)], sschema).coalesce(1).write.parquet(
+        sess_src + "/b0"
+    )
+    q2 = (
+        expiry_tracker(spark.readStream.schema(sschema).parquet(sess_src + "/*"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("expiry_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM expiry_out").collect()
+            if rows:
+                break
+            time.sleep(1)
+        assert [(r["id"], r["reason"]) for r in rows] == [("s1", "expire")]
+    finally:
+        q2.stop()
