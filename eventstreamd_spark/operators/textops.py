@@ -114,3 +114,39 @@ def sql_fingerprints(table: str = "documents") -> str:
         f"SELECT doc_id, {sql_poly_hash('text')} AS fingerprint, "
         f"len({sql_tokens('text')}) AS n_tokens FROM {table}"
     )
+
+
+# BPE-ish pre-tokenizer: word pieces, digit runs, and single punctuation
+# marks — the regex family GPT-2-style byte-pair encoders use as their
+# pre-split.  Counting these estimates LLM token cost far better than
+# whitespace splitting (which undercounts punctuation-dense text).
+# Explicit character classes only, so Java regex and RE2/DuckDB agree.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace vs BPE-ish token counts + the chars-per-token rate
+    used for corpus cost estimates.  Narrow projection, fuses into the
+    scan; the regex runs once per document JVM-side."""
+    ws = F.size(tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.when(bpe > 0, F.length("text").cast("double") / bpe)
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_token"),
+    )
+
+
+def sql_token_counts(table: str = "documents") -> str:
+    return (
+        "SELECT doc_id, "
+        f"len({sql_tokens('text')}) AS n_ws_tokens, "
+        f"len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens, "
+        f"CASE WHEN len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) > 0 "
+        f"THEN CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) "
+        f"ELSE 0.0 END AS chars_per_token "
+        f"FROM {table}"
+    )

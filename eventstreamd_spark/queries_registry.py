@@ -753,3 +753,9 @@ def approx_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile sketch percentiles (one-pass, mergeable);
     rows-only driver check, error-bounded in tests."""
     return rel.approx_quantity_quantiles(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("token_counts", text_op.sql_token_counts())
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts per document."""
+    return text_op.token_counts(load_table(spark, sf_dir, "documents"))

@@ -152,3 +152,33 @@ def streaming_session_windows(
             "n_events",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-stream inner interval join: right rows within ``within``
+    AFTER the left row, same key.
+
+    Both sides carry watermarks and the join condition bounds the time
+    difference in both directions — that pair of constraints is what
+    lets Spark expire buffered state (unbounded joins would hold every
+    row forever; at 100 TB/day the state bound IS the operator).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, "inner")

@@ -284,3 +284,67 @@ def test_stateful_sessionizer_and_expiry(spark, tmp_path) -> None:
         assert [(r["id"], r["reason"]) for r in rows] == [("s1", "expire")]
     finally:
         q2.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path) -> None:
+    """Watermarked stream-stream interval join: matches within the
+    window, drops outside it, bounded state on both sides."""
+    import datetime
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from eventstreamd_spark.streaming.pipeline import stream_interval_join
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    sch_l = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("page", StringType()),
+        ]
+    )
+    sch_r = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("item", StringType()),
+        ]
+    )
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ldir), os.makedirs(rdir)
+    spark.createDataFrame(
+        [(1, t0, "search"), (2, t0, "search")], sch_l
+    ).coalesce(1).write.parquet(ldir + "/b0")
+    spark.createDataFrame(
+        [
+            (1, t0 + datetime.timedelta(minutes=5), "widget"),   # in window
+            (2, t0 + datetime.timedelta(minutes=30), "gadget"),  # too late
+        ],
+        sch_r,
+    ).coalesce(1).write.parquet(rdir + "/b0")
+
+    joined = stream_interval_join(
+        spark.readStream.schema(sch_l).parquet(ldir + "/*"),
+        spark.readStream.schema(sch_r).parquet(rdir + "/*"),
+        key="user_id",
+    ).select("l.user_id", "page", "item")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ssj_out").collect()
+    assert [(r["user_id"], r["page"], r["item"]) for r in rows] == [
+        (1, "search", "widget")
+    ]
