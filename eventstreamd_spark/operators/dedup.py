@@ -130,21 +130,47 @@ def ngram_jaccard_pairs(
     engine-exact.
     """
     sh = with_shingles(docs, n)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+    # one pass: the inverted index carries each doc's shingle count, so
+    # pair sizes ride the shuffle instead of two extra size-join
+    # branches (each of which would recompute the shingling)
+    inv = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # group per shingle and emit the (sorted) i<j doc combinations
+    # directly — same pairs a self-join on shingle produces, but the
+    # inverted index is computed and shuffled ONCE.  Hot shingles cap
+    # the group size; at 100 TB add a document-frequency cutoff here
+    # (a shingle in >x% of docs carries no dedup signal anyway).
+    grouped = inv.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
+    ).filter(F.size("ds") > 1)
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            y["doc_id"].alias("doc_b"),
+                            x["n_sh"].alias("na"),
+                            y["n_sh"].alias("nb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_inter"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
         )
