@@ -1,0 +1,80 @@
+"""Skew-handling operators: salting and bucketed (shuffle-free) joins.
+
+AQE's skew-join splitting handles most skew automatically (enabled in
+session.py), but two situations need explicit treatment at 100 TB:
+
+- **Salted aggregation**: a groupBy where a handful of keys own most
+  rows (the power-law reality of subsystem/user keys).  One reducer
+  gets the heavy key and the stage runs at straggler speed.  Salting
+  splits each key into ``n_salts`` sub-keys for a parallel partial
+  aggregate, then re-aggregates the (tiny) per-salt results — two
+  shuffles, but the first is balanced and the second moves only
+  |keys| x n_salts rows.
+
+- **Bucketed join**: two big fact tables repeatedly joined on the same
+  key should be bucketed on disk (``bucketBy``) so every join is
+  co-located: no Exchange on either side, for every future query.
+  This is THE amortized-shuffle strategy for a 100 TB warehouse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """Two-phase salted count per key, robust to heavy-hitter keys.
+
+    Phase 1 groups on (key, salt) — the heavy key's rows spread over
+    ``n_salts`` reducers; phase 2 sums the per-salt partials.  The salt
+    is a deterministic hash of a uniqueness source (here: the row's
+    partition+offset via ``monotonically_increasing_id``), so results
+    are exact and reproducible.
+    """
+    salted = df.withColumn(
+        "__salt", (F.monotonically_increasing_id() % n_salts).cast("int")
+    )
+    partial = salted.groupBy(key, "__salt").agg(
+        F.count("*").alias("__partial")
+    )
+    return partial.groupBy(key).agg(F.sum("__partial").alias(count_alias))
+
+
+def bucketed_join_tables(
+    spark,
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_buckets: int = 8,
+    prefix: str = "bkt",
+):
+    """Write both sides bucketed on the join key, read back, and join —
+    the physical plan has NO Exchange on either side (asserted in
+    tests/test_plans.py).  At scale this is done once at ingest; every
+    subsequent join on the key is shuffle-free."""
+    import shutil
+    from urllib.parse import urlparse
+
+    lt, rt = f"{prefix}_left", f"{prefix}_right"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, df in ((lt, left), (rt, right)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a crashed prior run can leave the managed location behind with
+        # no catalog entry; clear it or saveAsTable refuses the name
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    # merge hint: at test scale AQE would broadcast the small side and
+    # never exercise the co-located path; at 100 TB (both sides far
+    # beyond the broadcast threshold) sort-merge is what AQE picks, and
+    # the buckets remove its Exchange on both sides
+    return spark.table(lt).hint("merge").join(spark.table(rt), key)

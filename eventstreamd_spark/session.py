@@ -72,6 +72,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # keep catalog state out of the repo: managed tables (bucketing)
+        # and the derby metastore live under /tmp locally; on a cluster
+        # these come from the real warehouse/metastore config
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/eventstreamd_spark_warehouse"
+            ),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/eventstreamd_spark_derby",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

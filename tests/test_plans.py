@@ -9,6 +9,7 @@ of a broadcastable dim, sort of the whole relation for a top-k)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from eventstreamd_spark import queries_registry as qr
 
@@ -65,3 +66,43 @@ def test_semi_join_stays_semi(plans) -> None:
     # EXISTS must compile to a semi join (no row duplication + dedup)
     plan = plans("semi_join_customers")
     assert "LeftSemi" in plan
+
+
+def test_salted_agg_exact_and_balanced(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators.skew import salted_agg
+    from eventstreamd_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    plain = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    salted = {
+        r["event_type"]: r["n_rows"]
+        for r in salted_agg(events, "event_type").collect()
+    }
+    assert salted == plain
+    # plan: two aggregation phases, first keyed by (key, salt)
+    plan = salted_agg(events, "event_type")._sc._jvm.PythonSQLUtils.explainString(
+        salted_agg(events, "event_type")._jdf.queryExecution(), "simple"
+    )
+    assert "__salt" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path) -> None:
+    from eventstreamd_spark.operators.skew import bucketed_join_tables
+    from eventstreamd_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "orderkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "orderkey"
+    )
+    joined = bucketed_join_tables(spark, orders, li, "orderkey")
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "simple"
+    )
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # co-located buckets
+    assert joined.count() == li.count()
