@@ -114,15 +114,23 @@ def parse_filter(string: str) -> FilterSpec:
     return FilterSpec(field=field, op=op, value=value, kind=kind, string=string)
 
 
-def compile_filter(spec: FilterSpec, payload: Column) -> Column:
-    """FilterSpec -> boolean Column over a JSON-string payload column.
+def compile_filter(
+    spec: FilterSpec, payload: Column, pre_parsed: bool = False
+) -> Column:
+    """FilterSpec -> boolean Column over a JSON-string payload column
+    (or, with ``pre_parsed=True``, an already-parsed variant column).
 
     NULL-safe: any missing path / wrong type / unparseable date collapses
     to False via the final coalesce, exactly the reference's
     ``except ValueError: return False`` (filters.py:25-26).
+
+    Callers applying more than one filter should parse once and pass the
+    variant (see filter_events) — each compiled predicate probes the
+    payload twice (type gate + typed get), so inlining the parse costs
+    2 x n_filters JSON parses per row.
     """
     path = json_path(spec.field)
-    v = F.try_parse_json(payload)
+    v = payload if pre_parsed else F.try_parse_json(payload)
     node_type = F.schema_of_variant(F.try_variant_get(v, path, "variant"))
     op = _SPARK_OPS[spec.op]
 
@@ -142,17 +150,31 @@ def compile_filter(spec: FilterSpec, payload: Column) -> Column:
     return F.coalesce(pred, F.lit(False))
 
 
-def compile_filters(specs: list[FilterSpec], payload: Column) -> Column:
+def compile_filters(
+    specs: list[FilterSpec], payload: Column, pre_parsed: bool = False
+) -> Column:
     """AND of all filters; empty list matches everything
     (reference listener.py:62: ``all(f(data) for f in self.filters)``)."""
     if not specs:
         return F.lit(True)
-    return reduce(lambda a, b: a & b, (compile_filter(s, payload) for s in specs))
+    return reduce(
+        lambda a, b: a & b,
+        (compile_filter(s, payload, pre_parsed) for s in specs),
+    )
 
 
 def filter_events(df, specs: list[FilterSpec], payload_col: str = "props"):
-    """Apply the compiled conjunction to a DataFrame."""
-    return df.filter(compile_filters(specs, F.col(payload_col)))
+    """Apply the compiled conjunction to a DataFrame.
+
+    Parses the payload into a variant column ONCE; every predicate
+    probes the parsed value (n_filters JSON parses per row otherwise).
+    """
+    if not specs:
+        return df
+    parsed = df.withColumn("__v", F.try_parse_json(F.col(payload_col)))
+    return parsed.filter(
+        compile_filters(specs, F.col("__v"), pre_parsed=True)
+    ).drop("__v")
 
 
 # ---------------------------------------------------------------------------

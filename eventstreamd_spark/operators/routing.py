@@ -45,11 +45,20 @@ class Listener:
 
 
 def listener_predicate(
-    listener: Listener, subsystem_col: str = "event_type", payload_col: str = "props"
+    listener: Listener,
+    subsystem_col: str = "event_type",
+    payload_col: str = "props",
+    parsed_payload: F.Column | None = None,
 ):
-    return (F.col(subsystem_col) == F.lit(listener.subsystem)) & compile_filters(
-        listener.specs(), F.col(payload_col)
-    )
+    """Subsystem gate AND the compiled filter conjunction.  Pass
+    ``parsed_payload`` (a variant column) when evaluating many
+    listeners over one relation so the JSON parses once, not once per
+    (listener, filter)."""
+    if parsed_payload is not None:
+        preds = compile_filters(listener.specs(), parsed_payload, pre_parsed=True)
+    else:
+        preds = compile_filters(listener.specs(), F.col(payload_col))
+    return (F.col(subsystem_col) == F.lit(listener.subsystem)) & preds
 
 
 def listener_view(
@@ -77,17 +86,20 @@ def deliveries(
         *[
             F.struct(
                 F.lit(li.name).alias("listener"),
-                listener_predicate(li, subsystem_col, payload_col).alias("matched"),
+                listener_predicate(
+                    li, subsystem_col, payload_col, parsed_payload=F.col("__v")
+                ).alias("matched"),
             )
             for li in listeners
         ]
     )
     matched = F.filter(tagged, lambda s: s["matched"])
     return (
-        df.withColumn("__m", matched)
+        df.withColumn("__v", F.try_parse_json(F.col(payload_col)))
+        .withColumn("__m", matched)
         .filter(F.size("__m") > 0)
         .withColumn("listener", F.explode(F.col("__m.listener")))
-        .drop("__m")
+        .drop("__m", "__v")
     )
 
 
