@@ -242,3 +242,117 @@ WITH scored AS (
 )
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# --- IVF-Flat ANN -----------------------------------------------------------
+
+N_CELLS = 16
+N_PROBE = 2
+
+
+def ivf_cells(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (IVF-Flat).
+
+    Centroids are the first ``n_cells`` corpus vectors by vec_id —
+    deterministic seeding (k-means iterations would sharpen the cells
+    but add nothing to the plan shape; swap in MLlib KMeans centroids
+    at scale).  Assignment = broadcast the 16 centroids, score with
+    cosine, keep the argmax per vector via a window — one narrow pass
+    over the corpus plus a 16x row blow-up that immediately collapses.
+    """
+    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    )
+    scored = fan_out(embeddings).join(F.broadcast(cents)).withColumn(
+        "ccos", cosine(F.col("embedding"), F.col("cvec"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-Flat ANN: probe the ``n_probe`` nearest cells per query,
+    exact cosine re-rank of the candidates.
+
+    At 100 TB the cell table is written partitioned BY cell_id, so each
+    query's candidate read is a partition-pruned scan of n_probe cells
+    (~n_probe/n_cells of the corpus) — this operator IS the partition
+    layout."""
+    cells = ivf_cells(embeddings, n_cells)
+    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    )
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    qscored = q.join(F.broadcast(cents)).withColumn(
+        "ccos", cosine(F.col("qvec"), F.col("cvec"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    probes = (
+        qscored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "qvec", "cell_id")
+    )
+    cand = cells.join(F.broadcast(probes), "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos", cosine(F.col("qvec"), F.col("embedding")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+def sql_ivf_topk(
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of ivf_topk (same seeding, scoring, tie order)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    cos_cell = sql_cosine("e.embedding", "c.embedding")
+    cos_q = sql_cosine("q.embedding", "c.embedding")
+    cos_re = sql_cosine("p.qvec", "cells.embedding")
+    return f"""
+WITH cents AS (SELECT vec_id AS cell_id, embedding FROM {table} WHERE vec_id < {n_cells}),
+cells AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_cell} DESC, c.cell_id) AS r
+    FROM {table} e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, qvec, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {cos_q} DESC, c.cell_id) AS r
+    FROM {table} q JOIN cents c ON TRUE
+    WHERE q.vec_id IN ({ids})
+  ) WHERE r <= {n_probe}
+),
+ranked AS (
+  SELECT p.query_id, cells.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY p.query_id
+           ORDER BY {cos_re} DESC, cells.vec_id) AS rank
+  FROM probes p JOIN cells ON cells.cell_id = p.cell_id
+  WHERE cells.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+"""

@@ -759,3 +759,15 @@ def approx_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish regex token counts per document."""
     return text_op.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "similarity_ivf_ann",
+    sim_op.sql_ivf_topk(_ANN_QUERY_IDS, k=5),
+)
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: seeded centroid cells, n_probe nearest cells per
+    query, exact cosine re-rank — the partition-pruned scale path."""
+    return sim_op.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    )

@@ -139,3 +139,20 @@ def test_approx_sketches_bounded_error(spark, sf_dir) -> None:
         a = aq[r["l_returnflag"]]
         for c in ("q25", "q50", "q75", "q95"):
             assert abs(a[c] - r[c]) <= 2.0, (r["l_returnflag"], c, r[c], a[c])
+
+
+def test_ivf_ann_recall_vs_exact(spark, sf_dir) -> None:
+    """IVF with n_probe=2/16 cells must recover most exact neighbors
+    (the recall/probes trade is the operator's contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, qids, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall {recall} too low for 2/16 probes"
