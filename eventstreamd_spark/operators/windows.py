@@ -83,3 +83,103 @@ def sessionize(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reached step k (each
+    step strictly after the previous one).
+
+    Per user, the earliest time step 1 occurred; then the earliest
+    step-2 event after that; and so on — min-over-filtered-window per
+    step, all computed in ONE groupBy(user) pass using conditional
+    aggregation on a collected (sorted) event list.  One shuffle on
+    user_id, state per user = its events of the funnel types only.
+
+    Output: step index + name + users reaching it (monotone declining).
+    """
+    from pyspark.sql import functions as F
+
+    typed = events.filter(F.col("event_type").isin(*steps)).select(
+        "user_id", "event_type", F.col(ts_col).alias("__ts")
+    )
+    evs = typed.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__ts").alias("ts"), "event_type"))
+        ).alias("evs")
+    )
+    # fold the sorted event list once: reached[k] = first ts of steps[k]
+    # strictly after reached[k-1].  NB: HOF lambdas must be unary —
+    # closures via factory functions, never defaulted params (Spark
+    # reads extra params as the element-index argument).
+    def first_match(step: str, after):
+        def pred(e):
+            cond = e["event_type"] == step
+            return cond if after is None else cond & (e["ts"] > after)
+
+        return F.array_min(
+            F.transform(F.filter(F.col("evs"), pred), lambda e: e["ts"])
+        )
+
+    reach_cols = []
+    prev = None
+    for k, step in enumerate(steps):
+        t = first_match(step, prev)
+        reach_cols.append(t.alias(f"t{k}"))
+        prev = t
+    reached = evs.select("user_id", *reach_cols)
+    counts = reached.agg(
+        *[
+            F.count(F.col(f"t{k}")).alias(f"n{k}")
+            for k in range(len(steps))
+        ]
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k + 1).alias("step"),
+                        F.lit(steps[k]).alias("event_type"),
+                        F.col(f"n{k}").alias("n_users"),
+                    )
+                    for k in range(len(steps))
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return rows
+
+
+def sql_funnel_counts(
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    table: str = "events",
+) -> str:
+    """DuckDB twin: same per-user fold via correlated min-filters."""
+    step_list = ", ".join(f"'{s}'" for s in steps)
+    # correlated references between aggregates need staged CTEs
+    ctes = ["SELECT user_id, min(ts) FILTER (event_type = "
+            f"'{steps[0]}') AS t0 FROM base GROUP BY user_id"]
+    for k in range(1, len(steps)):
+        ctes.append(
+            f"SELECT r{k-1}.user_id, t0"
+            + "".join(f", t{j}" for j in range(1, k))
+            + f", min(b.ts) FILTER (b.event_type = '{steps[k]}' AND b.ts > r{k-1}.t{k-1}) AS t{k} "
+            f"FROM r{k-1} LEFT JOIN base b ON b.user_id = r{k-1}.user_id "
+            f"GROUP BY ALL"
+        )
+    cte_sql = ",\n".join(
+        f"r{k} AS ({q})" for k, q in enumerate(ctes)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {k + 1} AS step, '{steps[k]}' AS event_type, "
+        f"count(t{k}) AS n_users FROM r{len(steps) - 1}"
+        for k in range(len(steps))
+    )
+    return (
+        f"WITH base AS (SELECT user_id, event_type, ts FROM {table} "
+        f"WHERE event_type IN ({step_list})),\n{cte_sql}\n{unions}"
+    )

@@ -771,3 +771,10 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.ivf_topk(
         load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
     )
+
+
+@register("funnel_counts", windows_op.sql_funnel_counts())
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users reaching view -> click -> purchase, each
+    step strictly after the previous."""
+    return windows_op.funnel_counts(load_table(spark, sf_dir, "events"))
