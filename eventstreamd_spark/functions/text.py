@@ -161,3 +161,75 @@ def sql_lang_id(toks_expr: str) -> str:
         lang_expr = f"CASE WHEN {s} > {score_expr} THEN '{lang}' ELSE {lang_expr} END"
         score_expr = f"CASE WHEN {s} > {score_expr} THEN {s} ELSE {score_expr} END"
     return lang_expr
+
+
+# second-level base for combining token hashes into shingle hashes;
+# (h1*B2 + h2)*B2 + h3 stays < 2^63 because each term < HASH_MOD < 2^30
+SHINGLE_BASE = 1_000_003
+
+
+def hashed_word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles as fixed-width BIGINT hashes.
+
+    Tokens are poly-hashed ONCE; each shingle hash folds the n token
+    hashes with a second-level polynomial — no shingle strings are ever
+    built, so downstream shuffles move 8-byte keys instead of multi-
+    byte text (the fixed-width-shuffle-keys rule).  Collisions are
+    ~|shingles|^2 / 2 / HASH_MOD — dedup on hashed shingles is the
+    standard production trade; the DuckDB twin replays the identical
+    construction so results stay oracle-exact.
+
+    Short docs (< n tokens) fold all their tokens into one shingle,
+    mirroring word_shingles' single-joined-shingle fallback.
+    """
+    return hashed_shingles_from(F.transform(toks, poly_hash), n)
+
+
+def hashed_shingles_from(th: Column, n: int = 3) -> Column:
+    """Shingle hashes from an ALREADY-HASHED token array.
+
+    Callers must bind the hashed-token array to a real column first
+    (one projection) — this expression references it ~n+2 times, and
+    every reference to an inline `transform(toks, poly_hash)` would
+    re-hash every token (catastrophic: O(tokens) per reference).
+
+    Windows come from zipping n shifted slices — each slice is O(m)
+    array copy, the zip_with folds are flat (no nested HOF per
+    position): ((h1*B + h2) % P * B + h3) % P per window.
+    """
+
+    def fold_all(arr: Column) -> Column:
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: (acc * SHINGLE_BASE + h) % HASH_MOD,
+        )
+
+    m = F.size(th) - (n - 1)
+    acc = F.slice(th, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(th, 1 + j, m),
+            lambda x, y: (x * SHINGLE_BASE + y) % HASH_MOD,
+        )
+    return F.array_distinct(
+        F.when(F.size(th) >= n, acc).otherwise(F.array(fold_all(th)))
+    )
+
+
+def sql_hashed_word_shingles(toks_expr: str, n: int = 3) -> str:
+    """DuckDB twin of hashed_word_shingles (same two-level fold)."""
+    th = f"list_transform({toks_expr}, t -> {sql_poly_hash('t')})"
+    fold_all = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), __th), "
+        f"(acc, h) -> (acc * {SHINGLE_BASE} + h) % {HASH_MOD})"
+    )
+    win = "__th[i + 1]"
+    for j in range(1, n):
+        win = f"(({win}) * {SHINGLE_BASE} + __th[i + {1 + j}]) % {HASH_MOD}"
+    return (
+        f"(SELECT list_distinct(CASE WHEN len(__th) >= {n} THEN "
+        f"list_transform(range(0, len(__th) - {n} + 1), i -> {win}) "
+        f"ELSE [{fold_all}] END) FROM (SELECT {th} AS __th))"
+    )

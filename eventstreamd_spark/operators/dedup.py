@@ -30,7 +30,9 @@ from pyspark.sql import DataFrame, functions as F
 
 from eventstreamd_spark.functions.text import (
     HASH_MOD,
+    hashed_shingles_from,
     poly_hash,
+    sql_hashed_word_shingles,
     sql_poly_hash,
     sql_tokens,
     sql_word_shingles,
@@ -97,9 +99,19 @@ def sql_planted_near_dups(table: str = "documents", every: int = 5) -> str:
 
 
 def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    # fan_out: shingling is the expensive per-row stage of every text
-    # tier; small local inputs arrive as one split and must be spread
-    # across cores first (no-op when the scan already has parallelism)
+    """doc_id + distinct n-word shingle strings.
+
+    String shingles are built with JVM concat (cheap); anything that
+    SHUFFLES shingles hashes them first (one poly_hash per distinct
+    shingle, ~8-byte keys) — see ngram_jaccard_pairs' inverted index
+    and minhash_lsh_candidates' signatures.  Hashing per TOKEN instead
+    (then folding windows) measures ~4x slower here: the portable
+    char-level hash runs in the interpreted HOF evaluator and docs have
+    ~6x more tokens than distinct shingles.
+    fan_out: shingling is the expensive per-row stage of every text
+    tier; small local inputs arrive as one split and must be spread
+    across cores first (no-op when the scan already has parallelism).
+    """
     return fan_out(docs).select(
         "doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles")
     )
@@ -132,11 +144,14 @@ def ngram_jaccard_pairs(
     sh = with_shingles(docs, n)
     # one pass: the inverted index carries each doc's shingle count, so
     # pair sizes ride the shuffle instead of two extra size-join
-    # branches (each of which would recompute the shingling)
+    # branches (each of which would recompute the shingling).  The
+    # index key is the shingle HASH: fixed-width 8-byte shuffle keys
+    # instead of multi-byte strings (collisions merge groups at
+    # ~|shingles|^2/2/HASH_MOD — the oracle replays the same hashing).
     inv = sh.select(
         "doc_id",
         F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
+        F.explode(F.transform("shingles", poly_hash)).alias("shingle"),
     )
     # group per shingle and emit the (sorted) i<j doc combinations
     # directly — same pairs a self-join on shingle produces, but the
@@ -180,12 +195,11 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(hashed_shingles: F.Column) -> list[F.Column]:
-    """K min-hash values over PRE-HASHED shingles (portable arithmetic).
+    """K min-hash values over hashed shingles (portable arithmetic).
 
-    Takes ``transform(shingles, poly_hash)`` — hashing must happen once
-    in its own projection: each of the K=16 permutations only applies
-    the cheap (h*a+b)%P map, instead of re-running the per-character
-    polynomial hash K times per shingle (measured ~6x slower).
+    Shingles arrive as BIGINT hashes (with_shingles), so each of the
+    K=16 permutations applies only the cheap (h*a+b)%P map — no
+    per-character hashing anywhere in the signature.
     """
     def perm(a: int, b: int):
         # unary lambda factory — HOF lambdas must not take extra params
@@ -381,7 +395,9 @@ def sql_ngram_jaccard_pairs(
 WITH base AS (SELECT * FROM {base_sql}),
 sh AS (SELECT doc_id, {shingles} AS shingles FROM base),
 sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inv AS (SELECT doc_id,
+               unnest(list_transform(shingles, s -> {sql_poly_hash('s')})) AS shingle
+        FROM sh),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -457,6 +473,7 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {hamming_max}
 
 
 def sql_minhash_signature_select(shingles_expr: str) -> str:
+    """Permutation minima over poly-hashed shingle strings."""
     cols = []
     for i in range(MINHASH_K):
         a, b = _MH_A[i], _MH_B[i]

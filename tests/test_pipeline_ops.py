@@ -156,3 +156,35 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir) -> None:
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"recall {recall} too low for 2/16 probes"
+
+
+def test_hashed_shingles_match_duckdb(spark, sf_dir) -> None:
+    """hashed_word_shingles (token-hash fold, no shingle strings) must
+    agree with its DuckDB twin bit-for-bit."""
+    import duckdb
+
+    from eventstreamd_spark.functions.text import (
+        hashed_word_shingles,
+        sql_hashed_word_shingles,
+        sql_tokens,
+        tokens,
+    )
+
+    sp = (
+        load_table(spark, sf_dir, "documents")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.array_sort(hashed_word_shingles(tokens(F.col("text")))).alias("hs"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    du = con.execute(
+        f"SELECT doc_id, list_sort({sql_hashed_word_shingles(sql_tokens('text'))}) AS hs "
+        f"FROM (SELECT * FROM '{sf_dir}/documents.parquet' ORDER BY doc_id LIMIT 50) "
+        f"ORDER BY doc_id"
+    ).df()
+    assert all(list(a) == list(b) for a, b in zip(sp["hs"], du["hs"]))
