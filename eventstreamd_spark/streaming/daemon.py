@@ -48,12 +48,17 @@ async def run_daemon(
     trigger_seconds: int | None = None,
     auth: AuthHook | None = None,
     stop_event: asyncio.Event | None = None,
+    ping_interval: float | None = None,
+    cert_file: str | None = None,
+    key_file: str | None = None,
 ) -> None:
     """Run ingest + Spark pipeline + SSE front-end until ``stop_event``.
 
     ``work_dir`` holds the spool and the streaming checkpoint (the two
     pieces of durable state; on a cluster both live on shared storage).
     """
+    from eventstreamd_spark.streaming.config import PING_INTERVAL
+
     spool_dir = os.path.join(work_dir, "spool")
     checkpoint = os.path.join(work_dir, "checkpoint")
     os.makedirs(spool_dir, exist_ok=True)
@@ -62,7 +67,15 @@ async def run_daemon(
     registry = ListenerRegistry(loop=loop)
 
     socket_server = await run_socket_server(socket_path, spool_dir)
-    http_server = await run_http_server(host, port, registry, auth=auth)
+    http_server = await run_http_server(
+        host,
+        port,
+        registry,
+        ping_interval=ping_interval or PING_INTERVAL,
+        auth=auth,
+        cert_file=cert_file,
+        key_file=key_file,
+    )
     query = pipeline.start_envelope_pipeline(
         spark,
         spool_dir,
@@ -85,16 +98,32 @@ def main() -> None:  # pragma: no cover - thin CLI shim
     import argparse
 
     from eventstreamd_spark.session import get_spark
+    from eventstreamd_spark.streaming.config import (
+        read_config,
+        read_default_config,
+    )
 
     ap = argparse.ArgumentParser(description="eventstreamd-on-Spark daemon")
-    ap.add_argument("--socket", default="/tmp/eventstreamd_spark.sock")
-    ap.add_argument("--work-dir", default="/tmp/eventstreamd_spark")
+    ap.add_argument("-c", "--config", help="INI config (reference format)")
+    ap.add_argument("--socket", help="unix socket path (overrides config)")
+    ap.add_argument("--work-dir", help="spool + checkpoint dir")
     ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=8888)
+    ap.add_argument("--port", type=int, help="HTTP port (overrides config)")
     args = ap.parse_args()
+    cfg = read_config(args.config) if args.config else read_default_config()
     spark = get_spark("eventstreamd-spark-daemon")
     asyncio.run(
-        run_daemon(spark, args.socket, args.work_dir, args.host, args.port)
+        run_daemon(
+            spark,
+            args.socket or cfg.socket_file,
+            args.work_dir or cfg.work_dir,
+            args.host,
+            args.port or cfg.http_port,
+            trigger_seconds=cfg.trigger_seconds,
+            ping_interval=cfg.ping_interval,
+            cert_file=cfg.cert_file or None,
+            key_file=cfg.key_file or None,
+        )
     )
 
 

@@ -243,9 +243,20 @@ async def handle_http(
             ),
         )
         cid = registry.add(conn)
+        # SSE handshake headers, reference http_server.py:126-139:
+        # keep-alive advertisement + CORS echo of the Origin header
+        extra = (
+            f"Connection: keep-alive{CRLF}Keep-Alive: timeout=5, max=100{CRLF}"
+        )
+        if "origin" in headers:
+            extra += (
+                f"Access-Control-Allow-Origin: {headers['origin']}{CRLF}"
+                f"Access-Control-Allow-Credentials: true{CRLF}"
+            )
         head = (
             f"HTTP/1.1 200 OK{CRLF}Content-Type: text/event-stream{CRLF}"
-            f"Transfer-Encoding: chunked{CRLF}Cache-Control: no-cache{CRLF}{CRLF}"
+            f"Transfer-Encoding: chunked{CRLF}Cache-Control: no-cache{CRLF}"
+            f"{extra}{CRLF}"
         )
         writer.write(head.encode())
         await writer.drain()
@@ -297,8 +308,19 @@ async def run_http_server(
     registry: ListenerRegistry,
     ping_interval: float = PING_INTERVAL,
     auth: AuthHook | None = None,
+    cert_file: str | None = None,
+    key_file: str | None = None,
 ) -> asyncio.AbstractServer:
+    """Start the SSE front-end; cert+key enable TLS (reference
+    http_server.py:49-56 wraps the socket the same way)."""
+    ssl_ctx = None
+    if cert_file and key_file:
+        import ssl
+
+        ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(cert_file, key_file)
+
     async def handler(r, w):
         await handle_http(r, w, registry, ping_interval, auth)
 
-    return await asyncio.start_server(handler, host, port)
+    return await asyncio.start_server(handler, host, port, ssl=ssl_ctx)

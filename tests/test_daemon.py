@@ -98,6 +98,7 @@ def test_daemon_end_to_end(spark, tmp_path) -> None:
         await lw.drain()
         head = await _read_headers(lr)
         assert "200 OK" in head and "text/event-stream" in head
+        assert "Keep-Alive: timeout=5, max=100" in head
 
         # EP1: produce over the unix socket — k=60 matches, k=10 filtered,
         # other-subsystem and garbage lines dropped
@@ -175,3 +176,33 @@ def test_expiry_logout(spark, tmp_path) -> None:
         await asyncio.wait_for(daemon, 60)
 
     asyncio.run(scenario())
+
+
+def test_config_parsing(tmp_path) -> None:
+    """INI config: same keys/fallbacks as the reference (config.py:31-54)."""
+    from eventstreamd_spark.streaming.config import Config, read_config
+
+    ini = tmp_path / "evt.conf"
+    ini.write_text(
+        "[General]\n"
+        "SocketFile = /tmp/custom.sock\n"
+        "SocketMode = 0644\n"
+        "HTTPPort = 9999\n"
+        "SSLCertificateFile = /tmp/cert.pem\n"
+        "SSLKeyFile = /tmp/key.pem\n"
+        "[Spark]\n"
+        "WorkDir = /tmp/wd\n"
+        "TriggerSeconds = 5\n"
+    )
+    cfg = read_config(str(ini))
+    assert cfg.socket_file == "/tmp/custom.sock"
+    assert cfg.socket_mode == 0o644
+    assert cfg.http_port == 9999
+    assert cfg.with_ssl
+    assert cfg.work_dir == "/tmp/wd" and cfg.trigger_seconds == 5
+    # defaults when keys absent
+    ini2 = tmp_path / "empty.conf"
+    ini2.write_text("[General]\n")
+    cfg2 = read_config(str(ini2))
+    assert cfg2.socket_file == Config().socket_file
+    assert cfg2.http_port == 8888 and not cfg2.with_ssl
