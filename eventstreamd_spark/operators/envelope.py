@@ -29,13 +29,20 @@ def _node_type(v: Column, path: str) -> Column:
     return F.schema_of_variant(F.try_variant_get(v, path, "variant"))
 
 
-def validate_envelope(raw: DataFrame, line_col: str = "value") -> DataFrame:
+def validate_envelope(
+    raw: DataFrame, line_col: str = "value", keep_parsed: bool = False
+) -> DataFrame:
     """Raw JSON-lines DataFrame -> validated envelope DataFrame.
 
     Output columns: subsystem STRING, event_type STRING, data STRING
     (canonical JSON of the payload object), id STRING.  Rows failing any
     reference check are dropped silently, mirroring the daemon's
     log-and-continue behavior.
+
+    ``keep_parsed=True`` adds ``data_v`` (the payload as a parsed
+    VARIANT) so downstream filter evaluation (``deliveries``) reuses
+    this operator's parse instead of re-parsing the serialized ``data``
+    string — JSON parsing is the hot path's dominant cost.
     """
     # Parse once into a real column; every gate and projection probes the
     # parsed variant.  (Building the filter from a fresh try_parse_json
@@ -55,15 +62,17 @@ def validate_envelope(raw: DataFrame, line_col: str = "value") -> DataFrame:
         & _node_type(v, "$.data").startswith("OBJECT")
         & (_node_type(v, "$.id") == "STRING")
     )
-    return (
-        parsed.filter(F.coalesce(action_ok & typed_ok, F.lit(False)))
-        .select(
-            F.try_variant_get(F.col("__v"), "$.subsystem", "string").alias("subsystem"),
-            F.try_variant_get(F.col("__v"), "$.event", "string").alias("event_type"),
-            F.to_json(F.try_variant_get(F.col("__v"), "$.data", "variant")).alias("data"),
-            F.try_variant_get(F.col("__v"), "$.id", "string").alias("id"),
+    cols = [
+        F.try_variant_get(F.col("__v"), "$.subsystem", "string").alias("subsystem"),
+        F.try_variant_get(F.col("__v"), "$.event", "string").alias("event_type"),
+        F.to_json(F.try_variant_get(F.col("__v"), "$.data", "variant")).alias("data"),
+        F.try_variant_get(F.col("__v"), "$.id", "string").alias("id"),
+    ]
+    if keep_parsed:
+        cols.append(
+            F.try_variant_get(F.col("__v"), "$.data", "variant").alias("data_v")
         )
-    )
+    return parsed.filter(F.coalesce(action_ok & typed_ok, F.lit(False))).select(*cols)
 
 
 def events_to_raw_lines(events: DataFrame, corrupt_every: int | None = None) -> DataFrame:

@@ -210,3 +210,39 @@ def oracle_filters_sql(specs: list[FilterSpec], payload_expr: str) -> str:
     if not specs:
         return "TRUE"
     return " AND ".join(oracle_filter_sql(s, payload_expr) for s in specs)
+
+
+def typed_extract(spec: FilterSpec, v: Column) -> Column:
+    """The type-gated value of ``spec.field`` as a typed column
+    (NULL on missing path / wrong JSON type / unparseable date).
+
+    Splitting extraction from comparison lets MANY predicates over the
+    same field share ONE variant probe: extract distinct (field, kind)
+    pairs once per row, then every listener's comparison is a plain
+    columnar op.  The reference evaluates each filter per (event,
+    listener) with no sharing (SURVEY §3 EP1.5) — this is the
+    corresponding optimization its architecture can't express.
+    """
+    path = json_path(spec.field)
+    node_type = F.schema_of_variant(F.try_variant_get(v, path, "variant"))
+    if spec.kind == "int":
+        return F.when(
+            node_type.isin("TINYINT", "SMALLINT", "INT", "BIGINT"),
+            F.try_variant_get(v, path, "bigint"),
+        )
+    raw = F.when(
+        node_type == "STRING", F.try_variant_get(v, path, "string")
+    )
+    if spec.kind == "string":
+        return raw
+    return iso_date_col(raw)
+
+
+def extract_key(spec: FilterSpec) -> str:
+    return f"__x_{spec.kind}_{spec.field.replace('.', '_')}"
+
+
+def compile_on_extracted(spec: FilterSpec, extracted: Column) -> Column:
+    """Comparison over a typed_extract column; NULL => no-match."""
+    op = _SPARK_OPS[spec.op]
+    return F.coalesce(op(extracted, F.lit(spec.value)), F.lit(False))

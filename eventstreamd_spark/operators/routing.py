@@ -21,10 +21,14 @@ reference's routing-table index).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
 from eventstreamd_spark.operators.filters import (
+    compile_on_extracted,
+    extract_key,
+    typed_extract,
     FilterSpec,
     compile_filters,
     oracle_filters_sql,
@@ -81,25 +85,75 @@ def deliveries(
 
     Equivalent to the reference's dispatch loop (dispatcher.py:93-95 +
     listener.py:62) but evaluated columnar in one scan.
+
+    ``payload_col`` may be a JSON string column or an already-parsed
+    VARIANT column (e.g. ``validate_envelope(keep_parsed=True)``'s
+    ``data_v``) — a variant input skips the re-parse.
     """
-    tagged = F.array(
-        *[
-            F.struct(
-                F.lit(li.name).alias("listener"),
-                listener_predicate(
-                    li, subsystem_col, payload_col, parsed_payload=F.col("__v")
-                ).alias("matched"),
+    # shared-work compilation: parse the payload once, extract each
+    # DISTINCT (field, kind) the listener population probes once, then
+    # every listener predicate is a plain columnar comparison — total
+    # per-row cost is O(distinct fields) + O(listeners) cheap compares,
+    # vs the reference's O(listeners x filters) dict probes (EP1.5)
+    specs_by_key: dict[str, object] = {}
+    for li in listeners:
+        for spec in li.specs():
+            specs_by_key.setdefault(extract_key(spec), spec)
+    extracts = [
+        typed_extract(spec, F.col("__v")).alias(key)
+        for key, spec in specs_by_key.items()
+    ]
+
+    def pred(li: Listener) -> F.Column:
+        subsystem_ok = F.col(subsystem_col) == F.lit(li.subsystem)
+        conj = F.lit(True)
+        for spec in li.specs():
+            conj = conj & compile_on_extracted(spec, F.col(extract_key(spec)))
+        return subsystem_ok & conj
+
+    # matched-listener BITMASKS (63 listeners per mask column, chunked):
+    # the hot per-row work is then pure codegen'd boolean+integer
+    # arithmetic; array construction happens only for rows that matched
+    # someone.  (An array-of-structs + HOF-filter formulation measured
+    # ~4x slower — per-row struct allocation for every listener.)
+    chunks = [listeners[i : i + 63] for i in range(0, len(listeners), 63)]
+    mask_cols = []
+    for c, chunk in enumerate(chunks):
+        mask = F.lit(0).cast("bigint")
+        for i, li in enumerate(chunk):
+            mask = mask + F.when(pred(li), F.lit(1 << i).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
             )
-            for li in listeners
-        ]
+        mask_cols.append(mask.alias(f"__mask{c}"))
+
+    def chunk_names(c: int, chunk: list[Listener]) -> F.Column:
+        pows = F.array(*[F.lit(1 << i).cast("bigint") for i in range(len(chunk))])
+        names = F.array(*[F.lit(li.name) for li in chunk])
+        m = F.col(f"__mask{c}")
+        return F.filter(
+            F.zip_with(
+                pows, names, lambda p, nm: F.when(m.bitwiseAND(p) > 0, nm)
+            ),
+            lambda x: x.isNotNull(),
+        )
+
+    is_variant = dict(df.dtypes).get(payload_col) == "variant"
+    parsed = (
+        F.col(payload_col) if is_variant else F.try_parse_json(F.col(payload_col))
     )
-    matched = F.filter(tagged, lambda s: s["matched"])
+    extracted = df.withColumn("__v", parsed).select("*", *extracts)
+    masked = extracted.select("*", *mask_cols).filter(
+        reduce(
+            lambda a, b: a | b,
+            [F.col(f"__mask{c}") > 0 for c in range(len(chunks))],
+        )
+    )
+    matched = F.concat(
+        *[chunk_names(c, chunk) for c, chunk in enumerate(chunks)]
+    )
     return (
-        df.withColumn("__v", F.try_parse_json(F.col(payload_col)))
-        .withColumn("__m", matched)
-        .filter(F.size("__m") > 0)
-        .withColumn("listener", F.explode(F.col("__m.listener")))
-        .drop("__m", "__v")
+        masked.withColumn("listener", F.explode(matched))
+        .drop("__v", *specs_by_key.keys(), *[f"__mask{c}" for c in range(len(chunks))])
     )
 
 

@@ -137,6 +137,20 @@ def register(spark) -> None:
     spark.dataSource.register(JsonLinesDataSource)
 
 
+def read_spool(spark, spool_dir: str):
+    """Bulk/batch spool read via the native text scan (column ``value``).
+
+    ``spark.read.text`` is the JVM path — splittable files, no Python in
+    the row loop — so bulk replay of a spool runs ~an order of magnitude
+    faster than the Python ``DataSourceReader`` above.  The custom
+    DataSource stays for the *streaming* reader (offset tracking) and as
+    the pyspark-4 DataSource API demonstration; Hadoop's default path
+    filter already hides the ``.``-prefixed staging files, matching
+    ``_list_spool_files``.
+    """
+    return spark.read.text(os.path.join(spool_dir, "*.jsonl"))
+
+
 def write_spool_file(spool_dir: str, messages: list[dict | str], seq: int) -> str:
     """Producer-side helper: atomically publish one spool file (stage +
     rename so the stream reader never sees a partial file)."""

@@ -112,24 +112,29 @@ class ListenerRegistry:
             groups.setdefault((conn.subsystem, conn.filters), []).append(conn)
         if not groups:
             return
-        batch_df.persist()
+        # parse payloads and render frames ONCE for the whole batch;
+        # per-group work is then a predicate over the parsed variant
+        # (otherwise every listener group re-parses every event's JSON)
+        parsed = batch_df.withColumn(
+            "__v", F.try_parse_json(F.col("data"))
+        ).withColumn(
+            "__frame",
+            sse_frame(F.col("event_type"), F.col("data"), F.col("id")),
+        )
+        parsed.persist()
         try:
             for (subsystem, filters), members in groups.items():
                 specs = [parse_filter(f) for f in filters]
-                matched = batch_df.filter(
+                matched = parsed.filter(
                     (F.col("subsystem") == subsystem)
-                    & compile_filters(specs, F.col("data"))
-                ).select(
-                    sse_frame(
-                        F.col("event_type"), F.col("data"), F.col("id")
-                    ).alias("frame")
-                )
+                    & compile_filters(specs, F.col("__v"), pre_parsed=True)
+                ).select(F.col("__frame").alias("frame"))
                 frames = [r["frame"] for r in matched.collect()]
                 for conn in members:
                     for frame in frames:
                         self._enqueue(conn, frame)
         finally:
-            batch_df.unpersist()
+            parsed.unpersist()
 
     def _enqueue(self, conn: Connection, frame: str) -> None:
         def put() -> None:
