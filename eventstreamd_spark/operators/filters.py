@@ -167,13 +167,19 @@ def filter_events(df, specs: list[FilterSpec], payload_col: str = "props"):
     """Apply the compiled conjunction to a DataFrame.
 
     Parses the payload into a variant column ONCE; every predicate
-    probes the parsed value (n_filters JSON parses per row otherwise).
+    probes the parsed value.  ``filter_once`` keeps it that way — a
+    plain ``.filter`` is pushed below the parse projection by the
+    optimizer, re-parsing the payload per predicate probe inside
+    FilterExec (which does no subexpression elimination); see
+    plans/barriers.py.
     """
+    from eventstreamd_spark.plans.barriers import filter_once
+
     if not specs:
         return df
     parsed = df.withColumn("__v", F.try_parse_json(F.col(payload_col)))
-    return parsed.filter(
-        compile_filters(specs, F.col("__v"), pre_parsed=True)
+    return filter_once(
+        parsed, compile_filters(specs, F.col("__v"), pre_parsed=True)
     ).drop("__v")
 
 

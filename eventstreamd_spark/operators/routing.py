@@ -34,6 +34,7 @@ from eventstreamd_spark.operators.filters import (
     oracle_filters_sql,
     parse_filter,
 )
+from eventstreamd_spark.plans.barriers import filter_once
 
 
 @dataclass(frozen=True)
@@ -71,8 +72,17 @@ def listener_view(
     subsystem_col: str = "event_type",
     payload_col: str = "props",
 ) -> DataFrame:
-    """The reference's per-listener delivery stream as a filtered view."""
-    return df.filter(listener_predicate(listener, subsystem_col, payload_col))
+    """The reference's per-listener delivery stream as a filtered view.
+
+    Split on purpose: the cheap subsystem equality goes through a plain
+    filter (pushable into the scan / usable for partition pruning — the
+    scale analog of the reference's routing-table index), while the
+    payload predicates go through filter_events' parse-once barrier.
+    """
+    from eventstreamd_spark.operators.filters import filter_events
+
+    sub = df.filter(F.col(subsystem_col) == F.lit(listener.subsystem))
+    return filter_events(sub, listener.specs(), payload_col)
 
 
 def deliveries(
@@ -142,11 +152,17 @@ def deliveries(
         F.col(payload_col) if is_variant else F.try_parse_json(F.col(payload_col))
     )
     extracted = df.withColumn("__v", parsed).select("*", *extracts)
-    masked = extracted.select("*", *mask_cols).filter(
+    # filter_once (plans/barriers.py): a plain .filter on the masks is
+    # pushed below BOTH projections by alias substitution, re-deriving
+    # every listener's predicate from raw variant probes inside
+    # FilterExec (no subexpression elimination there) — exactly the
+    # per-(event, listener) re-parse this operator exists to avoid.
+    masked = filter_once(
+        extracted.select("*", *mask_cols),
         reduce(
             lambda a, b: a | b,
             [F.col(f"__mask{c}") > 0 for c in range(len(chunks))],
-        )
+        ),
     )
     matched = F.concat(
         *[chunk_names(c, chunk) for c, chunk in enumerate(chunks)]
