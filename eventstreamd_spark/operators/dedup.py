@@ -331,13 +331,25 @@ def simhash(toks: F.Column) -> F.Column:
     )
 
 
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) via the narrow Column formulation — no shuffle.
+
+    An explode + 32-sum-aggregate alternative (codegen'd votes, map-side
+    partials) measured ~1.7x SLOWER at sf0.1: with token hashing now a
+    single md5 intrinsic, the HOF vote accumulator is cheap and the
+    aggregate's shuffle + row explosion dominate.  Narrow also wins at
+    100 TB: signatures stay embarrassingly parallel with zero exchange.
+    """
+    return fan_out(docs).select(
+        "doc_id", simhash(tokens(F.col("text"))).alias("sig")
+    )
+
+
 def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     """SimHash near-dup pairs: banded candidate generation + hamming
     verify.  4 bands x 8 bits; hamming <= 3 guarantees a band collision,
     so recall is exact for the distance bound."""
-    sig = fan_out(docs).select(
-        "doc_id", simhash(tokens(F.col("text"))).alias("sig")
-    )
+    sig = simhash_signatures(docs)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_width) - 1
     stacked = sig.select(
