@@ -30,14 +30,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from eventstreamd_spark.functions.text import (
     HASH_MOD,
-    hashed_shingles_from,
+    hashed_word_shingles,
     poly_hash,
     sql_hashed_word_shingles,
     sql_poly_hash,
     sql_tokens,
-    sql_word_shingles,
     tokens,
-    word_shingles,
 )
 from eventstreamd_spark.session import fan_out
 
@@ -98,22 +96,19 @@ def sql_planted_near_dups(table: str = "documents", every: int = 5) -> str:
     )
 
 
-def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id + distinct n-word shingle strings.
+def with_hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + distinct n-word shingle hashes (BIGINT).
 
-    String shingles are built with JVM concat (cheap); anything that
-    SHUFFLES shingles hashes them first (one poly_hash per distinct
-    shingle, ~8-byte keys) — see ngram_jaccard_pairs' inverted index
-    and minhash_lsh_candidates' signatures.  Hashing per TOKEN instead
-    (then folding windows) measures ~4x slower here: the portable
-    char-level hash runs in the interpreted HOF evaluator and docs have
-    ~6x more tokens than distinct shingles.
-    fan_out: shingling is the expensive per-row stage of every text
-    tier; small local inputs arrive as one split and must be spread
-    across cores first (no-op when the scan already has parallelism).
+    The near-dup tiers run on these: one md5 per TOKEN, windows folded
+    with cheap second-level arithmetic — no shingle strings are ever
+    built, shuffles move 8-byte keys, and set intersections compare
+    longs instead of text (the fixed-width-shuffle-keys rule).
+    Collisions merge shingles at ~|shingles|^2/2/HASH_MOD; the oracle
+    replays the identical construction so results stay engine-equal.
     """
     return fan_out(docs).select(
-        "doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles")
+        "doc_id",
+        hashed_word_shingles(tokens(F.col("text")), n).alias("shingles"),
     )
 
 
@@ -141,17 +136,15 @@ def ngram_jaccard_pairs(
     Outputs (doc_a < doc_b, jaccard).  Integer counts divide in double:
     engine-exact.
     """
-    sh = with_shingles(docs, n)
+    sh = with_hashed_shingles(docs, n)
     # one pass: the inverted index carries each doc's shingle count, so
     # pair sizes ride the shuffle instead of two extra size-join
     # branches (each of which would recompute the shingling).  The
-    # index key is the shingle HASH: fixed-width 8-byte shuffle keys
-    # instead of multi-byte strings (collisions merge groups at
-    # ~|shingles|^2/2/HASH_MOD — the oracle replays the same hashing).
+    # index key is the 8-byte shingle hash (with_hashed_shingles).
     inv = sh.select(
         "doc_id",
         F.size("shingles").alias("n_sh"),
-        F.explode(F.transform("shingles", poly_hash)).alias("shingle"),
+        F.explode("shingles").alias("shingle"),
     )
     # group per shingle and emit the (sorted) i<j doc combinations
     # directly — same pairs a self-join on shingle produces, but the
@@ -197,9 +190,9 @@ def ngram_jaccard_pairs(
 def minhash_signature(hashed_shingles: F.Column) -> list[F.Column]:
     """K min-hash values over hashed shingles (portable arithmetic).
 
-    Shingles arrive as BIGINT hashes (with_shingles), so each of the
-    K=16 permutations applies only the cheap (h*a+b)%P map — no
-    per-character hashing anywhere in the signature.
+    Shingles arrive as BIGINT hashes (with_hashed_shingles), so each of
+    the K=16 permutations applies only the cheap (h*a+b)%P map — no
+    string hashing anywhere in the signature.
     """
     def perm(a: int, b: int):
         # unary lambda factory — HOF lambdas must not take extra params
@@ -227,10 +220,7 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
     won't inline a non-cheap expression referenced 16 times, so each
     shingle is poly-hashed exactly once.
     """
-    sh = with_shingles(docs, n)
-    hashed = sh.select(
-        "doc_id", F.transform(F.col("shingles"), poly_hash).alias("hs")
-    )
+    hashed = with_hashed_shingles(docs, n).withColumnRenamed("shingles", "hs")
     sig = hashed.select("doc_id", *minhash_signature(F.col("hs")))
     bands = sig.select(
         "doc_id",
@@ -274,9 +264,11 @@ def minhash_lsh_dedup(
     docs: DataFrame, n: int = 3, threshold: float = 0.6
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: banded candidates -> exact-jaccard
-    verify (precision = exact; recall bounded by the banding curve)."""
+    verify (precision = exact; recall bounded by the banding curve).
+    Verification intersects hashed-shingle sets — long compares, and
+    the same arrays the candidate tier derives its signatures from."""
     cands = minhash_lsh_candidates(docs, n)
-    sh = with_shingles(docs, n)
+    sh = with_hashed_shingles(docs, n)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")
@@ -402,14 +394,12 @@ def sql_ngram_jaccard_pairs(
     base_sql: str, n: int = 3, threshold: float = 0.6
 ) -> str:
     """DuckDB twin of ngram_jaccard_pairs over a base relation."""
-    shingles = sql_word_shingles(sql_tokens("text"), n)
+    shingles = sql_hashed_word_shingles(sql_tokens("text"), n)
     return f"""
 WITH base AS (SELECT * FROM {base_sql}),
 sh AS (SELECT doc_id, {shingles} AS shingles FROM base),
 sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-inv AS (SELECT doc_id,
-               unnest(list_transform(shingles, s -> {sql_poly_hash('s')})) AS shingle
-        FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -426,8 +416,8 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
 
 def sql_minhash_lsh_dedup(base_sql: str, n: int = 3, threshold: float = 0.6) -> str:
     """DuckDB twin of minhash_lsh_dedup (same signature params, banding,
-    and exact-jaccard verify)."""
-    shingles = sql_word_shingles(sql_tokens("text"), n)
+    and exact-jaccard verify over hashed shingles)."""
+    shingles = sql_hashed_word_shingles(sql_tokens("text"), n)
     sig_select = sql_minhash_signature_select("shingles")
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -485,13 +475,13 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {hamming_max}
 
 
 def sql_minhash_signature_select(shingles_expr: str) -> str:
-    """Permutation minima over poly-hashed shingle strings."""
+    """Permutation minima over an already-hashed shingle list."""
     cols = []
     for i in range(MINHASH_K):
         a, b = _MH_A[i], _MH_B[i]
         cols.append(
             f"list_min(list_transform({shingles_expr}, "
-            f"s -> ({sql_poly_hash('s')} * {a} + {b}) % {_MH_P})) AS mh{i}"
+            f"h -> (h * {a} + {b}) % {_MH_P})) AS mh{i}"
         )
     return ", ".join(cols)
 
