@@ -125,6 +125,42 @@ def status_cube(lineitem: DataFrame) -> DataFrame:
     )
 
 
+ORDER_STATUSES = ("F", "O", "P")
+
+
+def priority_status_pivot(orders: DataFrame) -> DataFrame:
+    """PIVOT: order counts per priority, statuses spread into columns.
+
+    The pivot value list is EXPLICIT — with it Spark skips the extra
+    distinct-scan job it otherwise runs to discover the columns, and
+    the output schema is deterministic.  That is also the 100 TB rule:
+    a pivot over unbounded distinct values is a schema explosion;
+    bound it or use groupBy.  Absent combinations are coalesced to 0
+    (count semantics, matching conditional aggregation).
+    """
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"`{s}`"), F.lit(0)).alias(s)
+            for s in ORDER_STATUSES
+        ],
+    )
+
+
+def sql_priority_status_pivot(table: str = "orders") -> str:
+    """DuckDB twin: conditional aggregation (the pivot's definition)."""
+    cols = ", ".join(
+        f"count(*) FILTER (WHERE o_orderstatus = '{s}') AS \"{s}\""
+        for s in ORDER_STATUSES
+    )
+    return f"SELECT o_orderpriority, {cols} FROM {table} GROUP BY o_orderpriority"
+
+
 def topk_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     """Window top-k per group: row_number over (custkey, price desc).
 

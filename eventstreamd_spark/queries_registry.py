@@ -778,3 +778,38 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: users reaching view -> click -> purchase, each
     step strictly after the previous."""
     return windows_op.funnel_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "priority_status_pivot",
+    rel.sql_priority_status_pivot(),
+)
+def priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no distinct-discovery job)."""
+    return rel.priority_status_pivot(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "udtf_split_sentences",
+    "SELECT doc_id, "
+    "CAST(unnest(generate_series(1, len(s))) AS INT) AS pos, "
+    "unnest(s) AS sentence, "
+    "CAST(unnest(list_transform(s, x -> length(x))) AS INT) AS n_chars "
+    "FROM (SELECT doc_id, string_split(text, '. ') AS s FROM documents "
+    "WHERE doc_id % 10 = 0)",
+)
+def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface: LATERAL table function over documents (every 10th
+    doc — Python row-at-a-time is the slow path; the query pins the
+    mechanism, functions/udtfs.py documents the built-in twin)."""
+    from eventstreamd_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.pos, s.sentence, s.n_chars "
+        "FROM __udtf_docs, LATERAL split_sentences(text) s"
+    )

@@ -85,12 +85,28 @@ class JsonLinesBatchReader(DataSourceReader):
 
 
 class JsonLinesStreamReader(SimpleDataSourceStreamReader):
-    """Offset = {"n": <number of files fully consumed>}."""
+    """Offset = {"n": <number of fully consumed files>}.
+
+    ``maxFilesPerBatch`` (option, default unlimited) caps how many new
+    spool files one micro-batch admits — real backpressure, the
+    ``maxOffsetsPerTrigger`` idiom.  The reference has none: a slow
+    consumer buffers unboundedly in daemon memory
+    (/root/reference/evtstrd/http.py:114-118, writes never drain()'d).
+    Bounded admission keeps micro-batch memory flat no matter how far
+    the spool runs ahead; unconsumed files simply wait, durable on
+    disk, for the next trigger.
+    """
 
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonlines source requires a 'path' option")
+        # option keys may arrive lower-cased (CaseInsensitiveStringMap)
+        self.max_files = int(
+            options.get("maxFilesPerBatch")
+            or options.get("maxfilesperbatch")
+            or 0
+        )
 
     def initialOffset(self):
         return {"n": 0}
@@ -99,6 +115,8 @@ class JsonLinesStreamReader(SimpleDataSourceStreamReader):
         files = _list_spool_files(self.path)
         n0 = start.get("n", 0)
         new = files[n0:]
+        if self.max_files > 0:
+            new = new[: self.max_files]
         end = {"n": n0 + len(new)}
         # materialized up-front (the file set must be frozen at offset
         # time), returned as an iterator — the simple-reader runner

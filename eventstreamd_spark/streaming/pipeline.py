@@ -33,12 +33,19 @@ from eventstreamd_spark.operators.routing import Listener, deliveries
 from eventstreamd_spark.sources import jsonlines
 
 
-def read_event_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
-    """Unbounded raw-line DataFrame from the spool directory."""
+def read_event_stream(
+    spark: SparkSession, spool_dir: str, max_files_per_batch: int = 0
+) -> DataFrame:
+    """Unbounded raw-line DataFrame from the spool directory.
+
+    ``max_files_per_batch`` > 0 bounds per-trigger admission
+    (backpressure; see sources/jsonlines.py) — the knob the reference's
+    unbounded write buffer lacks."""
     jsonlines.register(spark)
-    return (
-        spark.readStream.format("jsonlines").option("path", spool_dir).load()
-    )
+    reader = spark.readStream.format("jsonlines").option("path", spool_dir)
+    if max_files_per_batch:
+        reader = reader.option("maxFilesPerBatch", str(max_files_per_batch))
+    return reader.load()
 
 
 def listener_frames(

@@ -348,3 +348,44 @@ def test_stream_stream_interval_join(spark, tmp_path) -> None:
     assert [(r["user_id"], r["page"], r["item"]) for r in rows] == [
         (1, "search", "widget")
     ]
+
+
+def test_bounded_admission_max_files_per_batch(spark, tmp_path) -> None:
+    """maxFilesPerBatch=1: four backlogged spool files must arrive over
+    >= four micro-batches, never more than one file's rows per batch
+    (backpressure the reference lacks — SURVEY §4, unbounded buffer)."""
+    spool = str(tmp_path / "spool")
+    for seq in range(4):
+        jsonlines.write_spool_file(
+            spool, [msg("s", i, f"f{seq}-{i}") for i in range(3)], seq
+        )
+    batches: list[int] = []
+    seen: list[str] = []
+
+    def sink(batch_df, epoch_id):
+        rows = [r["id"] for r in batch_df.collect()]
+        if rows:
+            batches.append(len(rows))
+            seen.extend(rows)
+
+    env = pipeline.validate_envelope(
+        pipeline.read_event_stream(spark, spool, max_files_per_batch=1)
+    )
+    q = (
+        env.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 90
+        while len(seen) < 12 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sorted(seen) == sorted(f"f{s}-{i}" for s in range(4) for i in range(3))
+    assert max(batches) <= 3  # one file (3 rows) per micro-batch
+    assert len(batches) >= 4
