@@ -124,13 +124,20 @@ def funnel_counts(
             F.transform(F.filter(F.col("evs"), pred), lambda e: e["ts"])
         )
 
-    reach_cols = []
-    prev = None
+    # One STACKED projection per step: t{k} is referenced both by the
+    # output and inside t{k+1}'s lambda, so CollapseProject's
+    # non-cheap-multi-reference guard keeps each reach time
+    # MATERIALIZED.  Building all steps in one select instead nests
+    # t0's whole min-filter-transform inside t1 inside t2 — the
+    # expression tree (and per-row work) grows geometrically with
+    # funnel depth, and codegen CSE cannot share across lambda scopes.
+    reached = evs
     for k, step in enumerate(steps):
-        t = first_match(step, prev)
-        reach_cols.append(t.alias(f"t{k}"))
-        prev = t
-    reached = evs.select("user_id", *reach_cols)
+        prev = F.col(f"t{k - 1}") if k else None
+        reached = reached.select(
+            "*", first_match(step, prev).alias(f"t{k}")
+        )
+    reached = reached.drop("evs")
     counts = reached.agg(
         *[
             F.count(F.col(f"t{k}")).alias(f"n{k}")
