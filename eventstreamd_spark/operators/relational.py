@@ -161,6 +161,34 @@ def sql_priority_status_pivot(table: str = "orders") -> str:
     return f"SELECT o_orderpriority, {cols} FROM {table} GROUP BY o_orderpriority"
 
 
+UNPIVOT_METRICS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def lineitem_metrics_unpivot(lineitem: DataFrame) -> DataFrame:
+    """UNPIVOT (melt): wide metric columns -> long (metric, value) rows.
+
+    Pure narrow projection+generate — no shuffle, row count is
+    len(values) x input, so at 100 TB unpivot ONLY the columns you need
+    (column pruning still reaches the scan for the id/value set).
+    """
+    return lineitem.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=list(UNPIVOT_METRICS),
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def sql_lineitem_metrics_unpivot(table: str = "lineitem") -> str:
+    """DuckDB twin: the UNION ALL that defines unpivot."""
+    parts = [
+        f"SELECT l_orderkey, l_linenumber, '{m}' AS metric, {m} AS value "
+        f"FROM {table}"
+        for m in UNPIVOT_METRICS
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def topk_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     """Window top-k per group: row_number over (custkey, price desc).
 

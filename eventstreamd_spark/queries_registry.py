@@ -813,3 +813,12 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.pos, s.sentence, s.n_chars "
         "FROM __udtf_docs, LATERAL split_sentences(text) s"
     )
+
+
+@register(
+    "lineitem_metrics_unpivot",
+    rel.sql_lineitem_metrics_unpivot(),
+)
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt to long form (narrow, no shuffle)."""
+    return rel.lineitem_metrics_unpivot(load_table(spark, sf_dir, "lineitem"))
