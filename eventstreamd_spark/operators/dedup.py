@@ -281,6 +281,84 @@ def minhash_lsh_dedup(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Canonical cluster assignment: (doc_id, cluster_id) for every doc,
+    cluster_id = min doc_id of its near-dup connected component
+    (singletons map to themselves).  This is the step that turns
+    pairwise near-dup output into an actionable keep/drop decision —
+    "keep one doc per cluster" — which is what a training-data pipeline
+    actually executes.
+
+    Algorithm: min-label propagation over the undirected pair graph to
+    convergence.  Each iteration is one join + one groupBy (labels are
+    8-byte longs); ``localCheckpoint`` truncates lineage so the plan
+    does not grow with iterations.  Near-dup components are tiny, flat
+    clusters in practice (dups of a common source), so this converges
+    in ~2 rounds; for adversarially long chains at 100 TB, swap the
+    propagation step for the alternating large-star/small-star
+    rewrite — same join shape, O(log n) rounds.
+    """
+    pairs = minhash_lsh_dedup(docs, n, threshold)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # materialize the (small) edge list once — every iteration joins
+    # against it, and without the checkpoint each join would re-run the
+    # whole MinHash pipeline through the edges' lineage
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def sql_dedup_clusters(base_sql: str, n: int = 3, threshold: float = 0.6) -> str:
+    """DuckDB twin: transitive closure by recursive CTE, min label."""
+    pairs = sql_minhash_lsh_dedup(base_sql, n, threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM (SELECT doc_id FROM {base_sql})
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
 def simhash(toks: F.Column) -> F.Column:
     """32-bit SimHash from portable token hashes.
 

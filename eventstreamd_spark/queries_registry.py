@@ -822,3 +822,15 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt to long form (narrow, no shuffle)."""
     return rel.lineitem_metrics_unpivot(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "dedup_clusters",
+    dedup_op.sql_dedup_clusters(dedup_op.sql_planted_near_dups()),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components -> canonical (doc_id, cluster_id);
+    the keep-one-per-cluster decision a training pipeline executes."""
+    return dedup_op.dedup_clusters(
+        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    )
