@@ -30,7 +30,10 @@ def _node_type(v: Column, path: str) -> Column:
 
 
 def validate_envelope(
-    raw: DataFrame, line_col: str = "value", keep_parsed: bool = False
+    raw: DataFrame,
+    line_col: str = "value",
+    keep_parsed: bool = False,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Raw JSON-lines DataFrame -> validated envelope DataFrame.
 
@@ -43,6 +46,8 @@ def validate_envelope(
     VARIANT) so downstream filter evaluation (``deliveries``) reuses
     this operator's parse instead of re-parsing the serialized ``data``
     string — JSON parsing is the hot path's dominant cost.
+    ``passthrough`` names input columns to carry into the output
+    unchanged (e.g. a spool position for replay ordering).
     """
     # Parse once into a real column; every gate and projection probes the
     # parsed variant.  (Building the filter from a fresh try_parse_json
@@ -74,6 +79,7 @@ def validate_envelope(
         cols.append(
             F.try_variant_get(v, "$.data", "variant").alias("data_v")
         )
+    cols.extend(F.col(c) for c in passthrough)
     # The gate is computed in the PROJECT — whole-stage codegen does
     # common-subexpression elimination there, so the line parses ONCE
     # across gate + all projections — and the filter tests only the

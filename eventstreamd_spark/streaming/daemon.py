@@ -17,7 +17,10 @@ the dispatcher's per-event Python loop with vectorized micro-batches.
 Delivery semantics: checkpointed source offsets give at-least-once into
 the registry (an upgrade over the reference's at-most-once); a listener
 that connects mid-stream starts at the next micro-batch, mirroring the
-reference's "whoever is subscribed now" routing (dispatcher.py:93-95).
+reference's "whoever is subscribed now" routing (dispatcher.py:93-95) —
+unless it reconnects with ``Last-Event-ID``, in which case the missed
+gap is replayed from the durable spool first (pipeline.make_replay_fn;
+the reference emits ids but never reads the header).
 """
 
 from __future__ import annotations
@@ -64,7 +67,9 @@ async def run_daemon(
     os.makedirs(spool_dir, exist_ok=True)
 
     loop = asyncio.get_running_loop()
-    registry = ListenerRegistry(loop=loop)
+    registry = ListenerRegistry(
+        loop=loop, replay_fn=pipeline.make_replay_fn(spark, spool_dir)
+    )
 
     socket_server = await run_socket_server(socket_path, spool_dir)
     http_server = await run_http_server(

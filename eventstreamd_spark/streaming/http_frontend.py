@@ -69,7 +69,11 @@ class ListenerRegistry:
     """The dispatcher's routing table (dict[subsystem, list[listener]])
     — here holding live connection queues instead of closures."""
 
-    def __init__(self, loop: asyncio.AbstractEventLoop | None = None) -> None:
+    def __init__(
+        self,
+        loop: asyncio.AbstractEventLoop | None = None,
+        replay_fn: Callable[[str, tuple[str, ...], str], list[str]] | None = None,
+    ) -> None:
         self.connections: dict[int, Connection] = {}
         self.total_connections = 0
         self.start_time = datetime.datetime.now()
@@ -77,6 +81,9 @@ class ListenerRegistry:
         # push_batch runs on Spark's streaming thread; asyncio.Queue is
         # not thread-safe, so deliveries hop through the event loop.
         self.loop = loop
+        # Last-Event-ID reconnect replay (pipeline.make_replay_fn);
+        # None => header ignored, matching the reference's behavior
+        self.replay_fn = replay_fn
 
     def add(self, conn: Connection) -> int:
         cid = self._next_id
@@ -265,6 +272,21 @@ async def handle_http(
         )
         writer.write(head.encode())
         await writer.drain()
+        # Last-Event-ID replay: close the reconnect gap from the durable
+        # spool BEFORE live frames (which start at the next micro-batch).
+        # At-least-once across the splice: an event can appear in both
+        # replay and the first live batch; dedup-by-id is the client's
+        # (or dedup_by_id's) job, per SSE convention.  The Spark batch
+        # job runs in a worker thread so the event loop keeps serving.
+        last_id = headers.get("last-event-id")
+        if last_id and registry.replay_fn is not None:
+            loop = asyncio.get_running_loop()
+            frames = await loop.run_in_executor(
+                None, registry.replay_fn, conn.subsystem, filters, last_id
+            )
+            for frame in frames:
+                writer.write(_chunk(frame))
+            await writer.drain()
         try:
             while True:
                 # O9: session expiry — wake at whichever comes first, the

@@ -62,6 +62,67 @@ def listener_frames(
     return fanned.select("listener", "subsystem", "id", frame.alias("frame"))
 
 
+def make_replay_fn(spark: SparkSession, spool_dir: str):
+    """Last-Event-ID reconnect replay — the SSE feature the reference
+    advertises but never implements (ids are emitted, events.py:30-31,
+    yet no handler reads the Last-Event-ID header; reconnecting clients
+    silently lose the gap).  The spool makes it possible here: ingest
+    is a durable ordered log, so "everything after id X" is a batch
+    query over it.
+
+    Returns ``replay(subsystem, filters, last_id) -> list[frame]``:
+    events strictly after the LAST validated occurrence of ``last_id``,
+    in spool order, matching the subscription — evaluated with the SAME
+    Spark operators as the live path (validate_envelope +
+    compile_filters + sse_frame), so replayed and live delivery
+    semantics are identical by construction.  Position comes from a
+    Python-side sequential read (a log tail is inherently ordered I/O);
+    all *semantics* stay Spark-side.  Unknown id => full-spool replay,
+    the SSE contract for an expired id.
+    """
+    import os
+
+    from eventstreamd_spark.operators.envelope import (
+        validate_envelope as _validate,
+    )
+    from eventstreamd_spark.operators.filters import (
+        filter_events,
+        parse_filter,
+    )
+    from eventstreamd_spark.sources.jsonlines import _list_spool_files
+
+    def replay(
+        subsystem: str, filters: tuple[str, ...], last_id: str
+    ) -> list[str]:
+        rows = []
+        pos = 0
+        for name in _list_spool_files(spool_dir):
+            with open(os.path.join(spool_dir, name), "rb") as f:
+                for raw_line in f:
+                    line = raw_line.decode("utf-8", errors="replace").rstrip("\n")
+                    if line:
+                        rows.append((pos, line))
+                        pos += 1
+        if not rows:
+            return []
+        df = spark.createDataFrame(rows, "pos long, value string")
+        env = _validate(df, passthrough=("pos",))
+        marker = (
+            env.filter(F.col("id") == last_id).agg(F.max("pos")).collect()[0][0]
+        )
+        after = env.filter(F.col("pos") > marker) if marker is not None else env
+        matched = filter_events(
+            after.filter(F.col("subsystem") == subsystem),
+            [parse_filter(f) for f in filters],
+            payload_col="data",
+        )
+        frame = sse_frame(F.col("event_type"), F.col("data"), F.col("id"))
+        out = matched.select("pos", frame.alias("frame")).orderBy("pos").collect()
+        return [r["frame"] for r in out]
+
+    return replay
+
+
 def dedup_by_id(env: DataFrame, ts_col: str = "ingest_ts", horizon: str = "10 minutes") -> DataFrame:
     """Effectively-once: drop redelivered envelope ids within the
     watermark horizon (state is bounded by the watermark — at 100 TB/day

@@ -206,3 +206,72 @@ def test_config_parsing(tmp_path) -> None:
     cfg2 = read_config(str(ini2))
     assert cfg2.socket_file == Config().socket_file
     assert cfg2.http_port == 8888 and not cfg2.with_ssl
+
+
+def test_last_event_id_replay(spark, tmp_path) -> None:
+    """Reconnect with Last-Event-ID replays the missed gap from the
+    spool, with the subscription's filters applied — the SSE feature
+    the reference emits ids for but never implements."""
+    sock = str(tmp_path / "evtd.sock")
+
+    async def scenario() -> None:
+        stop = asyncio.Event()
+        daemon = asyncio.create_task(
+            run_daemon(
+                spark,
+                sock,
+                str(tmp_path / "work"),
+                port=PORT + 2,
+                trigger_seconds=1,
+                stop_event=stop,
+            )
+        )
+        for _ in range(100):
+            if daemon.done():
+                daemon.result()
+            try:
+                r, w = await asyncio.open_unix_connection(sock)
+                break
+            except (FileNotFoundError, ConnectionRefusedError):
+                await asyncio.sleep(0.1)
+        else:
+            raise AssertionError("socket server never came up")
+
+        # first subscription sees e1 live
+        lr, lw = await asyncio.open_connection("127.0.0.1", PORT + 2)
+        lw.write(b"GET /events?subsystem=orders&filter=k>=50 HTTP/1.1\r\n\r\n")
+        await lw.drain()
+        await _read_headers(lr)
+        w.write((_msg("orders", 60, "e1") + "\n").encode())
+        await w.drain()
+        await _read_until(lr, "id: e1")
+        lw.close()  # client drops; events keep flowing
+
+        w.write(
+            (
+                _msg("orders", 70, "e2") + "\n"   # missed, matches filter
+                + _msg("orders", 10, "e3") + "\n"  # missed, filtered out
+                + _msg("other", 80, "e4") + "\n"   # missed, other subsystem
+            ).encode()
+        )
+        await w.drain()
+        await asyncio.sleep(2)  # let the spool land
+
+        # reconnect with Last-Event-ID: e1 -> replay must deliver e2
+        # only (filter + subsystem applied), never e1/e3/e4
+        rr, rw = await asyncio.open_connection("127.0.0.1", PORT + 2)
+        rw.write(
+            b"GET /events?subsystem=orders&filter=k>=50 HTTP/1.1\r\n"
+            b"Last-Event-ID: e1\r\n\r\n"
+        )
+        await rw.drain()
+        await _read_headers(rr)
+        got = await _read_until(rr, "id: e2")
+        assert "id: e1" not in got and "id: e3" not in got and "id: e4" not in got
+        assert '"k":70' in got.replace(" ", "")
+        rw.close()
+        w.close()
+        stop.set()
+        await asyncio.wait_for(daemon, 60)
+
+    asyncio.run(scenario())
