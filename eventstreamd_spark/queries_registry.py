@@ -834,3 +834,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.dedup_clusters(
         dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
     )
+
+
+from eventstreamd_spark.operators import sampling as sampling_op  # noqa: E402
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "deterministic_sample",
+    "SELECT doc_id, lang FROM documents WHERE "
+    + sampling_op.sql_hash_gate("doc_id", salt="s1") + " < 1000",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated 10% sample: reproducible across engines/partitionings
+    (df.sample's partition-seeded RNG is neither)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling_op.deterministic_sample(docs, "doc_id", 0.10, salt="s1")
+
+
+@register(
+    "dataset_split_counts",
+    "SELECT split, count(*) AS n_docs FROM (SELECT doc_id, "
+    + sampling_op.sql_dataset_split("doc_id", _SPLIT_WEIGHTS, salt="s2")
+    + " FROM documents) GROUP BY split",
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint train/val/test assignment by key hash, counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = sampling_op.dataset_split(docs, "doc_id", _SPLIT_WEIGHTS, salt="s2")
+    return split.groupBy("split").agg(F.count("*").alias("n_docs"))
