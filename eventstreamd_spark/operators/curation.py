@@ -1,0 +1,71 @@
+"""End-to-end curation decisions — the composition a training-data
+pipeline actually ships: quality gate + language ID + dedup clustering
+joined into one (doc_id, keep) verdict.
+
+Each ingredient is an existing operator (textops.quality_ok_col,
+textops/lang_id, dedup.dedup_clusters); this module only composes them,
+which is itself the point: every stage is a DataFrame -> DataFrame
+function, so the full pipeline is a plain expression Catalyst optimizes
+as one plan (feature extraction is a single narrow pass over the text —
+NOT one scan per feature — and only the cluster join shuffles).
+
+Keep rule (deliberately simple, the structure is what matters):
+keep = quality gate passes AND detected language is identifiable AND
+the doc is its near-dup cluster's canonical representative (min id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from eventstreamd_spark.functions.text import lang_id, sql_lang_id, sql_tokens, tokens
+from eventstreamd_spark.operators.dedup import dedup_clusters, sql_dedup_clusters
+from eventstreamd_spark.operators.textops import quality_ok_col, sql_quality_ok
+from eventstreamd_spark.session import fan_out
+
+
+def curation_decisions(docs: DataFrame) -> DataFrame:
+    """(doc_id, quality_ok, detected_lang, is_canonical, keep).
+
+    One narrow projection computes both text features (quality flag and
+    language) — tokenization is shared by codegen CSE; the only wide
+    operation is the join against the cluster assignment, on an 8-byte
+    key.  At 100 TB: features scale linearly with no shuffle; the join
+    shuffles (doc_id, 3 small columns), never the text.
+    """
+    feats = fan_out(docs).select(
+        "doc_id",
+        quality_ok_col(F.col("text")).cast("int").alias("quality_ok"),
+        lang_id(tokens(F.col("text"))).alias("detected_lang"),
+    )
+    clusters = dedup_clusters(docs)
+    joined = feats.join(clusters, "doc_id")
+    canonical = F.col("cluster_id") == F.col("doc_id")
+    keep = (
+        (F.col("quality_ok") == 1)
+        & canonical
+        & (F.col("detected_lang") != "und")
+    )
+    return joined.select(
+        "doc_id",
+        "quality_ok",
+        "detected_lang",
+        canonical.cast("int").alias("is_canonical"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def sql_curation_decisions(base_sql: str) -> str:
+    """DuckDB twin: same features, same cluster closure, same rule."""
+    quality = sql_quality_ok("text")
+    detected = sql_lang_id(sql_tokens("text"))
+    clusters = sql_dedup_clusters(base_sql)
+    return f"""
+SELECT f.doc_id, f.quality_ok, f.detected_lang,
+       CAST(c.cluster_id = f.doc_id AS INT) AS is_canonical,
+       CAST((f.quality_ok = 1 AND c.cluster_id = f.doc_id
+             AND f.detected_lang <> 'und') AS INT) AS keep
+FROM (SELECT doc_id, CAST({quality} AS INT) AS quality_ok,
+             {detected} AS detected_lang FROM {base_sql}) f
+JOIN ({clusters}) c ON c.doc_id = f.doc_id
+"""

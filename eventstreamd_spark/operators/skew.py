@@ -78,3 +78,20 @@ def bucketed_join_tables(
     # beyond the broadcast threshold) sort-merge is what AQE picks, and
     # the buckets remove its Exchange on both sides
     return spark.table(lt).hint("merge").join(spark.table(rt), key)
+
+
+def persist_partitioned(
+    df: DataFrame, path: str, partition_col: str = "event_type"
+) -> None:
+    """Write partitioned-by-key parquet — the at-scale materialization
+    of the reference's routing-table index (dispatcher.py:20: a dict
+    keyed by subsystem avoids scanning every listener; a directory
+    keyed by subsystem avoids scanning every byte).  A reader filtering
+    on the partition column touches only that partition's files
+    (PartitionFilters in the scan — asserted in tests/test_plans.py)."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def read_partition(spark, path: str, partition_col: str, value: str) -> DataFrame:
+    """Read one partition; the filter prunes at planning time."""
+    return spark.read.parquet(path).filter(F.col(partition_col) == value)

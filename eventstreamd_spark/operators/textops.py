@@ -25,6 +25,37 @@ from eventstreamd_spark.functions.text import (
 )
 
 
+def quality_ok_col(text: F.Column) -> F.Column:
+    """The composite keep/drop quality gate as a standalone boolean
+    Column (token floor + stopword + punctuation ratio caps) — reused
+    by text_metrics and the curation pipeline."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    stop_ratio = F.when(
+        n_tok > 0, stopword_count(toks).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, punct_count(text).cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    return (n_tok >= 5) & (stop_ratio <= F.lit(0.5)) & (punct_ratio <= F.lit(0.3))
+
+
+def sql_quality_ok(text_expr: str = "text") -> str:
+    toks = sql_tokens(text_expr)
+    n_tok = f"len({toks})"
+    n_stop = sql_stopword_count(toks)
+    n_punct = sql_punct_count(text_expr)
+    stop_ratio = (
+        f"CASE WHEN {n_tok} > 0 THEN CAST({n_stop} AS DOUBLE) / {n_tok} ELSE 0.0 END"
+    )
+    punct_ratio = (
+        f"CASE WHEN length({text_expr}) > 0 "
+        f"THEN CAST({n_punct} AS DOUBLE) / length({text_expr}) ELSE 0.0 END"
+    )
+    return f"({n_tok} >= 5 AND {stop_ratio} <= 0.5 AND {punct_ratio} <= 0.3)"
+
+
 def text_metrics(docs: DataFrame) -> DataFrame:
     """Quality-scoring features: lengths, token stats, punctuation and
     stopword ratios, plus a composite keep/drop quality flag of the kind

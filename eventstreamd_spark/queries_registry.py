@@ -864,3 +864,18 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     split = sampling_op.dataset_split(docs, "doc_id", _SPLIT_WEIGHTS, salt="s2")
     return split.groupBy("split").agg(F.count("*").alias("n_docs"))
+
+
+from eventstreamd_spark.operators import curation as curation_op  # noqa: E402
+
+
+@register(
+    "curation_decisions",
+    curation_op.sql_curation_decisions(dedup_op.sql_planted_near_dups()),
+)
+def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline: quality gate + language ID +
+    dedup clustering -> one keep/drop verdict per document."""
+    return curation_op.curation_decisions(
+        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    )

@@ -113,3 +113,27 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path) -> None:
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan  # co-located buckets
     assert joined.count() == li.count()
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path) -> None:
+    """Partition-by-subsystem layout: a subsystem filter becomes a
+    PartitionFilter — the scan plans only that directory's files (the
+    reference's routing-table index, materialized as storage layout)."""
+    from eventstreamd_spark.operators.skew import (
+        persist_partitioned,
+        read_partition,
+    )
+    from eventstreamd_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_subsystem")
+    persist_partitioned(events, path, "event_type")
+    one = read_partition(spark, path, "event_type", "purchase")
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    partition_filters = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "event_type" in partition_filters  # pruned at planning time
+    expected = events.filter(F.col("event_type") == "purchase").count()
+    assert one.count() == expected
