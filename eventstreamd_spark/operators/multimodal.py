@@ -100,3 +100,85 @@ def media_metadata_summary(media: DataFrame) -> DataFrame:
         F.max("byte_len").alias("max_bytes"),
         F.countDistinct("content_md5").alias("n_distinct_blobs"),
     )
+
+
+RESIZE_SCHEMA = "doc_id bigint, media_type string, blob binary, byte_len int"
+
+
+def _fake_resize(blob: bytes, target_bytes: int) -> bytes:
+    """STUB resize kernel — truncate/cycle-pad to a fixed byte budget.
+
+    Real implementation: PIL.Image.open -> .resize((w, h)) -> re-encode
+    (or ffmpeg -s for video).  Codecs are unavailable here; the fake is
+    deterministic and size-exact so the Spark-side contract (fixed
+    output budget per blob) is still meaningfully exercised.
+    """
+    if not blob:
+        return b"\x00" * target_bytes
+    reps = (target_bytes + len(blob) - 1) // len(blob)
+    return (blob * reps)[:target_bytes]
+
+
+def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize stage: every blob normalized to a fixed byte budget.
+
+    Same ``mapInPandas`` batch shape as extract_features; at scale this
+    is the stage that bounds downstream memory (a 100 MB original and a
+    10 KB thumbnail cost the same after it)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "blob": pdf["blob"].map(
+                        lambda b: _fake_resize(b, target_bytes)
+                    ),
+                }
+            )
+            out["byte_len"] = out["blob"].map(len).astype("int32")
+            yield out
+
+    return fan_out(media).mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_len int, frame_md5 string"
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, every_n: int = 2
+) -> DataFrame:
+    """Frame-sampling stage: one output row per sampled fixed-size
+    chunk ("frame") of each blob — a row-EXPANDING mapInPandas, the
+    batch shape of real video frame extraction (ffmpeg -> every n-th
+    frame).  Emits the frame fingerprint, not the bytes: at 100 TB the
+    frames themselves go straight to object storage / the next Arrow
+    stage, never into a shuffle as giant rows.
+    """
+    import hashlib
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, md5s = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = blob or b""
+                n_frames = (len(blob) + frame_bytes - 1) // frame_bytes
+                for k in range(0, n_frames, every_n):
+                    chunk = blob[k * frame_bytes : (k + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    lens.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return fan_out(media).mapInPandas(frame_batches, schema=FRAME_SCHEMA)

@@ -879,3 +879,11 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_op.curation_decisions(
         dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
     )
+
+
+@register("multimodal_frame_sample", None)  # Python kernel: rows-only check
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding frame-sampling stage over binary media blobs
+    (every 2nd 256-byte chunk; fingerprints out, bytes stay put)."""
+    media = mm_op.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return mm_op.sample_frames(media)

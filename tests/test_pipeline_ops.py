@@ -188,3 +188,32 @@ def test_hashed_shingles_match_duckdb(spark, sf_dir) -> None:
         f"ORDER BY doc_id"
     ).df()
     assert all(list(a) == list(b) for a, b in zip(sp["hs"], du["hs"]))
+
+
+def test_multimodal_resize_and_frame_sample(spark, sf_dir) -> None:
+    """Resize normalizes every blob to the byte budget; frame sampling
+    expands rows deterministically (every 2nd 256-byte chunk) and its
+    fingerprints match a direct Python re-computation."""
+    import hashlib
+
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    resized = multimodal.resize_media(media, target_bytes=64)
+    lens = {r["byte_len"] for r in resized.select("byte_len").distinct().collect()}
+    assert lens == {64}
+    assert resized.count() == media.count()
+
+    frames = multimodal.sample_frames(media, frame_bytes=256, every_n=2)
+    one = media.orderBy("doc_id").limit(1).collect()[0]
+    blob = one["blob"]
+    expect = []
+    n_frames = (len(blob) + 255) // 256
+    for k in range(0, n_frames, 2):
+        chunk = bytes(blob)[k * 256 : (k + 1) * 256]
+        expect.append((k, len(chunk), hashlib.md5(chunk).hexdigest()))
+    got = [
+        (r["frame_idx"], r["frame_len"], r["frame_md5"])
+        for r in frames.filter(F.col("doc_id") == one["doc_id"])
+        .orderBy("frame_idx")
+        .collect()
+    ]
+    assert got == expect
