@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from eventstreamd_spark.operators.routing import Listener
@@ -389,3 +391,37 @@ def test_bounded_admission_max_files_per_batch(spark, tmp_path) -> None:
     assert sorted(seen) == sorted(f"f{s}-{i}" for s in range(4) for i in range(3))
     assert max(batches) <= 3  # one file (3 rows) per micro-batch
     assert len(batches) >= 4
+
+
+def test_transform_with_state_running_counts(spark, tmp_path) -> None:
+    """Spark 4 transformWithState path (skips where the state server's
+    protobuf dependency is absent — applyInPandasWithState in
+    streaming/stateful.py is the always-runnable twin)."""
+    from eventstreamd_spark.streaming import stateful_v2
+
+    if not stateful_v2.protobuf_available():
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "state server cannot run in this container")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spool = str(tmp_path / "spool")
+    jsonlines.write_spool_file(
+        spool, [msg("a", 1, "x1"), msg("b", 2, "y1"), msg("a", 3, "x2")], 0
+    )
+    env = pipeline.validate_envelope(pipeline.read_event_stream(spark, spool))
+    counts = stateful_v2.subsystem_running_counts_v2(env)
+    got: list = []
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(lambda df, eid: got.extend(
+            (r["subsystem"], r["n_events"]) for r in df.collect()
+        ))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert dict(got) == {"a": 2, "b": 1}
