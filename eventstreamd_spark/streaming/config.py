@@ -32,6 +32,7 @@ class Config:
     ping_interval: float = PING_INTERVAL
     work_dir: str = "/tmp/eventstreamd_spark"
     trigger_seconds: int = 1
+    auth_plugin_file: str = ""
 
     @property
     def with_ssl(self) -> bool:
@@ -57,6 +58,11 @@ def read_config(filename: str) -> Config:
     )
     config.trigger_seconds = parser.getint(
         "Spark", "TriggerSeconds", fallback=config.trigger_seconds
+    )
+    # plugin-as-file: same check_auth contract as the reference's
+    # plugins/auth.py, location made explicit (streaming/plugins.py)
+    config.auth_plugin_file = parser.get(
+        "General", "AuthPlugin", fallback=""
     )
     return config
 

@@ -116,6 +116,8 @@ def main() -> None:  # pragma: no cover - thin CLI shim
     ap.add_argument("--port", type=int, help="HTTP port (overrides config)")
     args = ap.parse_args()
     cfg = read_config(args.config) if args.config else read_default_config()
+    from eventstreamd_spark.streaming.plugins import load_auth_plugin
+
     spark = get_spark("eventstreamd-spark-daemon")
     asyncio.run(
         run_daemon(
@@ -125,6 +127,7 @@ def main() -> None:  # pragma: no cover - thin CLI shim
             args.host,
             args.port or cfg.http_port,
             trigger_seconds=cfg.trigger_seconds,
+            auth=load_auth_plugin(cfg.auth_plugin_file),
             ping_interval=cfg.ping_interval,
             cert_file=cfg.cert_file or None,
             key_file=cfg.key_file or None,

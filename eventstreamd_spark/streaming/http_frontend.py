@@ -48,10 +48,16 @@ AuthHook = Callable[
 
 
 class AuthError(Exception):
-    def __init__(self, status: str, body: str = "") -> None:
+    def __init__(
+        self,
+        status: str,
+        body: str = "",
+        headers: list[tuple[str, str]] | None = None,
+    ) -> None:
         super().__init__(status)
         self.status = status
         self.body = body or status + "\n"
+        self.headers = headers or []
 
 
 @dataclass
@@ -181,11 +187,18 @@ def _chunk(data: str) -> bytes:
     return format(len(b), "x").encode() + b"\r\n" + b + b"\r\n"
 
 
-async def _write_response(w: asyncio.StreamWriter, status: str, body: str, ctype: str = "text/plain") -> None:
+async def _write_response(
+    w: asyncio.StreamWriter,
+    status: str,
+    body: str,
+    ctype: str = "text/plain",
+    extra_headers: list[tuple[str, str]] | None = None,
+) -> None:
     payload = body.encode()
+    extras = "".join(f"{k}: {v}{CRLF}" for k, v in (extra_headers or []))
     head = (
         f"HTTP/1.1 {status}{CRLF}Content-Type: {ctype}{CRLF}"
-        f"Content-Length: {len(payload)}{CRLF}Connection: close{CRLF}{CRLF}"
+        f"Content-Length: {len(payload)}{CRLF}{extras}Connection: close{CRLF}{CRLF}"
     )
     w.write(head.encode() + payload)
     await w.drain()
@@ -214,15 +227,38 @@ async def handle_http(
             if sep:  # header names lower-cased, reference http.py:78-84
                 headers[k.strip().lower()] = val.strip()
         url = urlsplit(target)
-        # O12: pluggable auth gate runs before any route work
-        expire: datetime.datetime | None = None
-        if auth is not None:
+
+        # O12: pluggable auth gate, called per route like the reference
+        # (http_server.py:125,158).  The events route passes subsystem
+        # as a kwarg (plugins/README.md:22-27); plain two-arg hooks
+        # keep working — extra kwargs go only to **kwargs-accepting
+        # hooks (signature-inspected, not TypeError-probed, so a
+        # TypeError raised inside a hook is never misread).
+        import inspect
+
+        async def run_auth(**kwargs) -> datetime.datetime | None:
+            if auth is None:
+                return None
             try:
+                params = inspect.signature(auth).parameters.values()
+                var_kw = any(p.kind == p.VAR_KEYWORD for p in params)
+            except (TypeError, ValueError):
+                var_kw = False
+            if kwargs and var_kw:
+                expire, _payload = await auth(url.path, headers, **kwargs)
+            else:
                 expire, _payload = await auth(url.path, headers)
-            except AuthError as exc:
-                await _write_response(writer, exc.status, exc.body)
-                return
+            return expire
+
+        expire: datetime.datetime | None = None
         if url.path == "/stats":
+            try:
+                await run_auth()
+            except AuthError as exc:
+                await _write_response(
+                    writer, exc.status, exc.body, extra_headers=exc.headers
+                )
+                return
             await _write_response(
                 writer, "200 OK", json.dumps(registry.stats_json()), "application/json"
             )
@@ -244,6 +280,13 @@ async def handle_http(
                 parse_filter(f)  # same grammar the Spark side compiles
         except ValueError as exc:
             await _write_response(writer, "400 Bad Request", f"{exc}\n")
+            return
+        try:
+            expire = await run_auth(subsystem=subsystems[0])
+        except AuthError as exc:
+            await _write_response(
+                writer, exc.status, exc.body, extra_headers=exc.headers
+            )
             return
 
         conn = Connection(

@@ -275,3 +275,69 @@ def test_last_event_id_replay(spark, tmp_path) -> None:
         await asyncio.wait_for(daemon, 60)
 
     asyncio.run(scenario())
+
+
+def test_auth_plugin_contract(spark, tmp_path) -> None:
+    """A file-loaded plugin speaking the reference's check_auth contract
+    (plugins/README.md): unauthorized => 401 + WWW-Authenticate header;
+    ok => stream proceeds; plugin sees route name + subsystem kwarg."""
+    plugin = tmp_path / "auth_plugin.py"
+    plugin.write_text(
+        "seen = []\n"
+        "async def check_auth(route, headers, **kwargs):\n"
+        "    seen.append((route, kwargs.get('subsystem')))\n"
+        "    if headers.get('x-token') != 'good':\n"
+        "        return {'status': 'unauthorized', 'authenticate': 'Bearer realm=\"evt\"'}\n"
+        "    return {'status': 'ok'}\n"
+    )
+    from eventstreamd_spark.streaming.plugins import load_auth_plugin
+
+    auth = load_auth_plugin(str(plugin))
+    assert auth is not None
+    assert load_auth_plugin(str(tmp_path / "missing.py")) is None  # allow-all
+
+    sock = str(tmp_path / "evtd.sock")
+
+    async def scenario() -> None:
+        stop = asyncio.Event()
+        daemon = asyncio.create_task(
+            run_daemon(
+                spark, sock, str(tmp_path / "work"),
+                port=PORT + 3, trigger_seconds=1, auth=auth, stop_event=stop,
+            )
+        )
+        for _ in range(100):
+            if daemon.done():
+                daemon.result()
+            try:
+                r, w = await asyncio.open_unix_connection(sock)
+                break
+            except (FileNotFoundError, ConnectionRefusedError):
+                await asyncio.sleep(0.1)
+        else:
+            raise AssertionError("socket server never came up")
+
+        dr, dw = await asyncio.open_connection("127.0.0.1", PORT + 3)
+        dw.write(b"GET /events?subsystem=orders HTTP/1.1\r\n\r\n")
+        await dw.drain()
+        head = await _read_headers(dr)
+        assert "401 Unauthorized" in head
+        assert 'WWW-Authenticate: Bearer realm="evt"' in head
+        dw.close()
+
+        lr, lw = await asyncio.open_connection("127.0.0.1", PORT + 3)
+        lw.write(
+            b"GET /events?subsystem=orders HTTP/1.1\r\nx-token: good\r\n\r\n"
+        )
+        await lw.drain()
+        head = await _read_headers(lr)
+        assert "200 OK" in head and "text/event-stream" in head
+        w.write((_msg("orders", 99, "p1") + "\n").encode())
+        await w.drain()
+        await _read_until(lr, "id: p1")
+        lw.close()
+        w.close()
+        stop.set()
+        await asyncio.wait_for(daemon, 60)
+
+    asyncio.run(scenario())
