@@ -227,6 +227,43 @@ def supplier_running_total(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def trailing_window_spend(orders: DataFrame, days: int = 7) -> DataFrame:
+    """Time-RANGE window frame: each order's trailing ``days``-day spend
+    for its customer (RANGE BETWEEN INTERVAL, not ROWS — the frame is
+    defined by event-time distance, so it is insensitive to tie order
+    and row count).  Decimal-exact sum (functions/exact.py) keeps the
+    result reproducible across engines and partitionings.  One shuffle
+    on the partition key; the sort is per-partition.
+    """
+    from eventstreamd_spark.functions.exact import DEC
+
+    # NTZ has no direct long cast; via TIMESTAMP with the session pinned
+    # to UTC the epoch matches DuckDB's epoch() of the same naive value
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-days * 86400, 0)
+    )
+    spend = (
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey", spend.alias("trailing_spend")
+    )
+
+
+def sql_trailing_window_spend(table: str = "orders", days: int = 7) -> str:
+    secs = days * 86400
+    return (
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER ("
+        "PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT) "
+        f"RANGE BETWEEN {secs} PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        f"AS trailing_spend FROM {table}"
+    )
+
+
 def lag_lead_order_gaps(orders: DataFrame) -> DataFrame:
     """lag/lead: per-customer inter-order gap in days."""
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")

@@ -887,3 +887,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 2nd 256-byte chunk; fingerprints out, bytes stay put)."""
     media = mm_op.documents_as_media(load_table(spark, sf_dir, "documents"))
     return mm_op.sample_frames(media)
+
+
+@register(
+    "trailing_window_spend",
+    rel.sql_trailing_window_spend(),
+)
+def trailing_window_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (trailing 7-day spend per customer)."""
+    return rel.trailing_window_spend(load_table(spark, sf_dir, "orders"))
