@@ -178,8 +178,12 @@ def hashed_word_shingles(toks: Column, n: int = 3) -> Column:
     return hashed_shingles_from(F.transform(toks, poly_hash), n)
 
 
-def hashed_shingles_from(th: Column, n: int = 3) -> Column:
-    """Shingle hashes from an ALREADY-HASHED token array.
+def rolling_window_hashes(th: Column, n: int = 3) -> Column:
+    """ORDERED rolling n-gram hashes from an already-hashed token array
+    (one entry per window position; shorter-than-n docs fold all their
+    tokens into one hash).  This is the rolling-hash primitive: shingle
+    sets are its distinct-ed form, winnowing fingerprints select minima
+    over it.
 
     Callers must bind the hashed-token array to a real column first
     (one projection) — this expression references it ~n+2 times, and
@@ -206,14 +210,16 @@ def hashed_shingles_from(th: Column, n: int = 3) -> Column:
             F.slice(th, 1 + j, m),
             lambda x, y: (x * SHINGLE_BASE + y) % HASH_MOD,
         )
-    return F.array_distinct(
-        F.when(F.size(th) >= n, acc).otherwise(F.array(fold_all(th)))
-    )
+    return F.when(F.size(th) >= n, acc).otherwise(F.array(fold_all(th)))
 
 
-def sql_hashed_word_shingles(toks_expr: str, n: int = 3) -> str:
-    """DuckDB twin of hashed_word_shingles (same two-level fold)."""
-    th = f"list_transform({toks_expr}, t -> {sql_poly_hash('t')})"
+def hashed_shingles_from(th: Column, n: int = 3) -> Column:
+    """Distinct shingle hashes = the rolling windows as a set."""
+    return F.array_distinct(rolling_window_hashes(th, n))
+
+
+def sql_rolling_window_hashes_body(n: int = 3) -> str:
+    """Body over a bound ``__th`` hashed-token list (DuckDB)."""
     fold_all = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), __th), "
         f"(acc, h) -> (acc * {SHINGLE_BASE} + h) % {HASH_MOD})"
@@ -222,7 +228,16 @@ def sql_hashed_word_shingles(toks_expr: str, n: int = 3) -> str:
     for j in range(1, n):
         win = f"(({win}) * {SHINGLE_BASE} + __th[i + {1 + j}]) % {HASH_MOD}"
     return (
-        f"(SELECT list_distinct(CASE WHEN len(__th) >= {n} THEN "
+        f"CASE WHEN len(__th) >= {n} THEN "
         f"list_transform(range(0, len(__th) - {n} + 1), i -> {win}) "
-        f"ELSE [{fold_all}] END) FROM (SELECT {th} AS __th))"
+        f"ELSE [{fold_all}] END"
+    )
+
+
+def sql_hashed_word_shingles(toks_expr: str, n: int = 3) -> str:
+    """DuckDB twin of hashed_word_shingles (same two-level fold)."""
+    th = f"list_transform({toks_expr}, t -> {sql_poly_hash('t')})"
+    return (
+        f"(SELECT list_distinct({sql_rolling_window_hashes_body(n)}) "
+        f"FROM (SELECT {th} AS __th))"
     )

@@ -131,8 +131,8 @@ FROM {table}
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:
-    """Rolling-hash document fingerprint (whole-doc polynomial hash) +
-    token count — the dedup-key primitive."""
+    """Whole-document content hash + token count — the exact-dup key
+    primitive (near-dup fingerprinting is ``winnowed_fingerprints``)."""
     return docs.select(
         "doc_id",
         poly_hash(F.col("text")).alias("fingerprint"),
@@ -145,6 +145,63 @@ def sql_fingerprints(table: str = "documents") -> str:
         f"SELECT doc_id, {sql_poly_hash('text')} AS fingerprint, "
         f"len({sql_tokens('text')}) AS n_tokens FROM {table}"
     )
+
+
+def winnowed_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): rolling k-gram hashes over token
+    hashes, then the MINIMUM of every w-consecutive-window pane,
+    deduplicated.  Output: one row per (doc_id, selected fingerprint).
+
+    Guarantee: any shared token run of length >= k + w - 1 yields at
+    least one shared fingerprint, while only ~2/(w+1) of positions are
+    kept — position-robust near-dup keys at a fraction of full shingle
+    volume.  All rolling arithmetic runs over PRE-HASHED tokens (one
+    md5 each), the pane minima over a bound window-hash column; narrow
+    until the final explode.
+    """
+    from eventstreamd_spark.functions.text import rolling_window_hashes
+
+    th = docs.select(
+        "doc_id", F.transform(tokens(F.col("text")), poly_hash).alias("__th")
+    )
+    g = th.select(
+        "doc_id", rolling_window_hashes(F.col("__th"), k).alias("__g")
+    )
+    m = F.size("__g") - (w - 1)
+    panes = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: F.array_min(F.slice(F.col("__g"), i + 1, w)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("__g"))))
+    return g.select(
+        "doc_id", F.explode(F.array_distinct(panes)).alias("fingerprint")
+    )
+
+
+def sql_winnowed_fingerprints(
+    table: str = "documents", k: int = 4, w: int = 4
+) -> str:
+    from eventstreamd_spark.functions.text import (
+        sql_rolling_window_hashes_body,
+    )
+
+    th = f"list_transform({sql_tokens('text')}, t -> {sql_poly_hash('t')})"
+    panes = (
+        f"CASE WHEN len(__g) - {w - 1} >= 1 THEN "
+        f"list_transform(range(0, len(__g) - {w - 1}), "
+        f"i -> list_min(list_slice(__g, i + 1, i + {w}))) "
+        f"ELSE [list_min(__g)] END"
+    )
+    return f"""
+SELECT doc_id, unnest(list_distinct({panes})) AS fingerprint
+FROM (SELECT doc_id, {sql_rolling_window_hashes_body(k)} AS __g
+      FROM (SELECT doc_id, {th} AS __th FROM {table}))
+"""
 
 
 # BPE-ish pre-tokenizer: word pieces, digit runs, and single punctuation

@@ -896,3 +896,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def trailing_window_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (trailing 7-day spend per customer)."""
     return rel.trailing_window_spend(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "doc_winnowed_fingerprints",
+    text_op.sql_winnowed_fingerprints(),
+)
+def doc_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints: min-of-pane selection
+    over k-gram rolling hashes; shared runs >= k+w-1 tokens guarantee a
+    shared fingerprint."""
+    return text_op.winnowed_fingerprints(load_table(spark, sf_dir, "documents"))

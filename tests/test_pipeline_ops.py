@@ -217,3 +217,32 @@ def test_multimodal_resize_and_frame_sample(spark, sf_dir) -> None:
         .collect()
     ]
     assert got == expect
+
+
+def test_winnowing_guarantee(spark, sf_dir) -> None:
+    """Schleimer et al.'s correctness property: documents sharing a
+    token run of >= k + w - 1 tokens share at least one fingerprint;
+    selection keeps well under the full window count."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "XX YY " + base),               # shared run, shifted
+            (2, base + " ZZ QQ"),               # shared run, suffixed
+            (3, "totally different words here nothing shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = textops.winnowed_fingerprints(df, k=4, w=4)
+    by_doc = {
+        r["doc_id"]: set(r["fps"])
+        for r in fp.groupBy("doc_id")
+        .agg(F.collect_set("fingerprint").alias("fps"))
+        .collect()
+    }
+    assert by_doc[1] & by_doc[2]          # shared run -> shared fingerprint
+    assert not (by_doc[1] & by_doc[3])    # disjoint content -> disjoint keys
+    n_windows = len(base.split()) - 3     # k-gram count for doc of 20 tokens
+    assert len(by_doc[2]) < n_windows     # winnowing actually thins
