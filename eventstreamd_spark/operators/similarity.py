@@ -138,12 +138,19 @@ def lsh_topk(
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "qvec", "neighbor_id", "nvec")
-        .distinct()
     )
+    # score BEFORE deduping multi-band collisions, then dedupe on the
+    # scalar triple — a .distinct() on the pair rows would shuffle both
+    # 64-float vectors per candidate; this shuffles 3 scalars.  The
+    # duplicate cosines (<= bands per pair, all identical) are narrow
+    # recomputation, strictly cheaper than moving vectors.
     scored = pairs.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+    dedup = scored.groupBy("query_id", "neighbor_id").agg(
+        F.first("cos").alias("cos")
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        dedup.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
