@@ -63,10 +63,16 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             cold[name] = round(time.perf_counter() - t0, 4)
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            # steady state = best of two passes: single-pass numbers
+            # swing ~20% run-to-run from GC/codegen-cache churn in the
+            # shared JVM; the minimum is the reproducible figure
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
         except Exception as exc:  # a broken query must not sink the run
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
