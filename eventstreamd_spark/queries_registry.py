@@ -907,3 +907,17 @@ def doc_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     over k-gram rolling hashes; shared runs >= k+w-1 tokens guarantee a
     shared fingerprint."""
     return text_op.winnowed_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "setop_except_all",
+    "SELECT user_id FROM events WHERE event_type = 'click' "
+    "EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'view'",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) difference — duplicates preserved with
+    multiplicity max(n_a - n_b, 0), vs setop_except's set semantics."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "click").select("user_id")
+    b = events.filter(F.col("event_type") == "view").select("user_id")
+    return a.exceptAll(b)
