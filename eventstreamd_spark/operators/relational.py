@@ -27,6 +27,7 @@ from eventstreamd_spark.functions.exact import (
     dsum,
     dsum_expr,
     one_minus,
+    sql_dsum,
 )
 
 
@@ -510,4 +511,172 @@ def approx_quantity_quantiles(lineitem: DataFrame, accuracy: int = 10000) -> Dat
     q = F.expr(f"approx_percentile(l_quantity, array({probs}), {accuracy})")
     return lineitem.groupBy("l_returnflag").agg(
         q[0].alias("q25"), q[1].alias("q50"), q[2].alias("q75"), q[3].alias("q95")
+    )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — the
+    distribution of per-customer order counts, including zero-order
+    customers (which only an outer join can surface).
+
+    Scale: orders groups to one row per customer *before* anything wide
+    happens downstream; the second aggregation runs over |customer| rows
+    keyed by a small-cardinality count, so its shuffle is trivial.  The
+    outer join shuffles on custkey once; AQE handles customer-side skew.
+    """
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy(customer.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def sql_customer_order_distribution(
+    customer: str = "customer", orders: str = "orders"
+) -> str:
+    return (
+        "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+        "SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count "
+        f"FROM {customer} c LEFT OUTER JOIN {orders} o "
+        "ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey"
+        ") GROUP BY c_count"
+    )
+
+
+def small_quantity_part_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#3", factor: float = 0.5
+) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity), decorrelated into aggregate + join — the rewrite Catalyst
+    would apply to the SQL form, stated explicitly in DataFrame ops.
+
+    Scale: the per-part threshold aggregate collapses lineitem to one
+    row per partkey (map-side partials), the brand dimension filter is
+    broadcast, and the final join shuffles lineitem once on l_partkey.
+    The threshold uses exact decimal avg so the `<` gate is
+    engine-portable (no float-boundary flakiness in the oracle compare).
+    """
+    thresholds = lineitem.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            (F.sum(F.col("l_quantity").cast("decimal(18,4)")) / F.count("l_quantity"))
+            * F.lit(factor).cast("decimal(18,4)")
+        ).alias("qty_threshold")
+    )
+    brand_parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    return (
+        lineitem.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity").cast("decimal(18,4)") < F.col("qty_threshold"))
+        .agg(
+            dsum("l_extendedprice", "total_extprice"),
+            F.count("*").alias("n_small_lineitems"),
+        )
+    )
+
+
+def sql_small_quantity_part_revenue(
+    brand: str = "Brand#3",
+    factor: float = 0.5,
+    lineitem: str = "lineitem",
+    part: str = "part",
+) -> str:
+    return (
+        f"SELECT {sql_dsum('l.l_extendedprice', 'total_extprice')}, "
+        "CAST(COUNT(*) AS BIGINT) AS n_small_lineitems "
+        f"FROM {lineitem} l JOIN {part} p ON l.l_partkey = p.p_partkey "
+        f"WHERE p.p_brand = '{brand}' AND CAST(l.l_quantity AS DECIMAL(18,4)) < ("
+        "SELECT (sum(CAST(l2.l_quantity AS DECIMAL(18,4))) / count(l2.l_quantity)) "
+        f"* CAST({factor} AS DECIMAL(18,4)) "
+        f"FROM {lineitem} l2 WHERE l2.l_partkey = l.l_partkey)"
+    )
+
+
+def rich_inactive_customers(
+    customer: DataFrame, orders: DataFrame, min_price: float = 300000.0
+) -> DataFrame:
+    """TPC-H Q22 shape: global scalar subquery (average positive account
+    balance) feeding a filter, then NOT EXISTS (anti join, here against
+    large orders only), then a group count — three classic subquery
+    patterns in one plan.
+
+    Scale: the scalar aggregate is one number — broadcast it via a
+    1-row cross join (Catalyst does exactly this for the SQL form).
+    The anti join shuffles on custkey (or broadcasts the filtered
+    customer side if it is the small one); the final per-nation
+    aggregate is tiny.  Exact decimal avg keeps the `>` gate portable.
+    """
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                / F.count("c_acctbal")
+            ).alias("avg_bal")
+        )
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal").cast("decimal(18,4)") > F.col("avg_bal")
+    )
+    big_orders = orders.filter(F.col("o_totalprice") > min_price)
+    inactive = rich.join(
+        big_orders, rich.c_custkey == big_orders.o_custkey, "left_anti"
+    )
+    return inactive.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_custs"),
+        dsum("c_acctbal", "total_bal"),
+    )
+
+
+def sql_rich_inactive_customers(
+    customer: str = "customer", orders: str = "orders", min_price: float = 300000.0
+) -> str:
+    return (
+        "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs, "
+        f"{sql_dsum('c_acctbal', 'total_bal')} "
+        f"FROM {customer} c WHERE CAST(c_acctbal AS DECIMAL(18,4)) > ("
+        "SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,4))) / count(c2.c_acctbal) "
+        f"FROM {customer} c2 WHERE c2.c_acctbal > 0) "
+        f"AND NOT EXISTS (SELECT 1 FROM {orders} o WHERE o.o_custkey = c.c_custkey "
+        f"AND o.o_totalprice > {min_price}) "
+        "GROUP BY c_nationkey"
+    )
+
+
+def customer_balance_ranks(customer: DataFrame, buckets: int = 4) -> DataFrame:
+    """Ranking-window suite: ntile / percent_rank / cume_dist /
+    first_value over one window — per-nation wealth ranking.
+
+    Scale: one shuffle on the partition key (nationkey), one sort within
+    partitions, then all four functions evaluate in a single Window
+    physical operator (same spec => no extra exchanges).  The ordering
+    is made total (acctbal DESC, custkey) so rank-family outputs are
+    deterministic and engine-portable.
+    """
+    w = (
+        W.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    )
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(buckets).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.first("c_custkey").over(w).alias("richest_cust"),
+    )
+
+
+def sql_customer_balance_ranks(buckets: int = 4, customer: str = "customer") -> str:
+    return (
+        "SELECT c_custkey, c_nationkey, c_acctbal, "
+        f"CAST(NTILE({buckets}) OVER w AS INT) AS bal_quartile, "
+        "PERCENT_RANK() OVER w AS bal_pct_rank, "
+        "CUME_DIST() OVER w AS bal_cume_dist, "
+        "FIRST_VALUE(c_custkey) OVER w AS richest_cust "
+        f"FROM {customer} WINDOW w AS "
+        "(PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)"
     )

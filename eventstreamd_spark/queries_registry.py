@@ -921,3 +921,48 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = events.filter(F.col("event_type") == "click").select("user_id")
     b = events.filter(F.col("event_type") == "view").select("user_id")
     return a.exceptAll(b)
+
+
+@register(
+    "setop_intersect_all",
+    "SELECT user_id FROM events WHERE event_type = 'click' "
+    "INTERSECT ALL SELECT user_id FROM events WHERE event_type = 'view'",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) intersection — duplicates kept with multiplicity
+    min(n_a, n_b); completes the set-op matrix (except/intersect/
+    except-all/intersect-all)."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "click").select("user_id")
+    b = events.filter(F.col("event_type") == "view").select("user_id")
+    return a.intersectAll(b)
+
+
+@register("q13_customer_distribution", rel.sql_customer_order_distribution())
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left OUTER join + double aggregation (TPC-H Q13 shape)."""
+    return rel.customer_order_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register("q17_small_qty_revenue", rel.sql_small_quantity_part_revenue())
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated (TPC-H Q17 shape)."""
+    return rel.small_quantity_part_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("q22_rich_inactive", rel.sql_rich_inactive_customers())
+def q22_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + NOT EXISTS anti join (TPC-H Q22 shape)."""
+    return rel.rich_inactive_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register("balance_ranks", rel.sql_customer_balance_ranks())
+def balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist/first_value ranking windows."""
+    return rel.customer_balance_ranks(load_table(spark, sf_dir, "customer"))
