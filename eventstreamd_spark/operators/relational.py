@@ -680,3 +680,17 @@ def sql_customer_balance_ranks(buckets: int = 4, customer: str = "customer") -> 
         f"FROM {customer} WINDOW w AS "
         "(PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)"
     )
+
+
+def global_sorted_orders(orders: DataFrame) -> DataFrame:
+    """Total ordering of a whole relation: range-partitioned sort.
+
+    Unlike top-k (TakeOrderedAndProject), a full sort must move data —
+    but it does so with ONE range-partitioning exchange driven by
+    reservoir-sampled split points, then sorts each partition locally;
+    output partitions are globally ordered end-to-end.  At 100 TB this
+    is how you lay data out for downstream merge consumers or sorted
+    parquet writes (paired with sortWithinPartitions when only
+    per-file order matters, which skips the global exchange entirely).
+    """
+    return orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))

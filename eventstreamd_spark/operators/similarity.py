@@ -368,3 +368,45 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label L2-norm statistics, computed entirely JVM-side with
+    higher-order array functions (transform/zip_with/aggregate) — no
+    Python in the loop.
+
+    The per-row norm is a sequential left-to-right double reduction
+    (functions/vectors.py), deterministic and engine-portable; the
+    group aggregates are chosen order-independent (count, min, max,
+    exact-decimal sum for the mean) so shuffling/partitioning cannot
+    change the answer.  Scale: one narrow pass + one tiny shuffle
+    keyed on label — the plan a 100 TB norm-audit job wants.
+    """
+    from eventstreamd_spark.functions.vectors import norm
+
+    nrm = norm(F.col("embedding")).alias("nrm")
+    return (
+        embeddings.select("label", nrm)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            (
+                F.sum(F.col("nrm").cast("decimal(18,4)")).cast("double")
+                / F.count("*")
+            ).alias("avg_norm"),
+        )
+    )
+
+
+def sql_embedding_norm_stats(table: str = "embeddings") -> str:
+    from eventstreamd_spark.functions.vectors import sql_dot
+
+    return (
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+        "MIN(nrm) AS min_norm, MAX(nrm) AS max_norm, "
+        "(CAST(sum(CAST(nrm AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) AS avg_norm "
+        f"FROM (SELECT label, sqrt({sql_dot('embedding', 'embedding')}) AS nrm "
+        f"FROM {table}) GROUP BY label"
+    )

@@ -966,3 +966,9 @@ def q22_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile/percent_rank/cume_dist/first_value ranking windows."""
     return rel.customer_balance_ranks(load_table(spark, sf_dir, "customer"))
+
+
+@register("embedding_norm_stats", sim_op.sql_embedding_norm_stats())
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM higher-order-function vector math (no UDFs)."""
+    return sim_op.embedding_norm_stats(load_table(spark, sf_dir, "embeddings"))

@@ -137,3 +137,15 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path) -> None:
     assert "event_type" in partition_filters  # pruned at planning time
     expected = events.filter(F.col("event_type") == "purchase").count()
     assert one.count() == expected
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir) -> None:
+    # a full sort must be ONE rangepartitioning exchange + per-partition
+    # sort — never a single-partition sort (the 100 TB killer)
+    from eventstreamd_spark.operators.relational import global_sorted_orders
+    from eventstreamd_spark.session import load_table
+
+    df = global_sorted_orders(load_table(spark, sf_dir, "orders"))
+    plan = explain_string(df, "extended")
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan

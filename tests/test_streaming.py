@@ -425,3 +425,48 @@ def test_transform_with_state_running_counts(spark, tmp_path) -> None:
     )
     q.awaitTermination(120)
     assert dict(got) == {"a": 2, "b": 1}
+
+
+def test_stream_static_broadcast_enrich(spark, sf_dir, tmp_path) -> None:
+    """Stream-static join: unbounded events enriched with a static
+    customer dimension; broadcast, stateless, no watermark required."""
+    import os
+    import shutil
+
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import stream_static_enrich
+
+    src = str(tmp_path / "events_stream")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(src)
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream_static_enrich(
+        stream.select("event_id", "user_id", "event_type"),
+        customer,
+        "user_id",
+        "c_custkey",
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(c_mktsegment) AS matched FROM enriched_out"
+    ).collect()[0]
+
+    events = load_table(spark, sf_dir, "events")
+    total = events.count()
+    expect_matched = events.join(
+        customer, events.user_id == customer.c_custkey, "left_semi"
+    ).count()
+    assert out["n"] == total  # left outer: every stream row survives
+    assert out["matched"] == expect_matched
