@@ -95,3 +95,34 @@ def persist_partitioned(
 def read_partition(spark, path: str, partition_col: str, value: str) -> DataFrame:
     """Read one partition; the filter prunes at planning time."""
     return spark.read.parquet(path).filter(F.col(partition_col) == value)
+
+
+def compact_small_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet dataset into
+    ceil(total_bytes / target) files.  Returns the file count written.
+
+    The small-files problem is a first-order 100 TB failure mode —
+    streaming jobs and over-parallel writers leave millions of KB-scale
+    files whose per-file open/footer cost dominates scans and whose
+    listing crushes the driver.  Sizing is measured through the Hadoop
+    FileSystem API (works on HDFS/S3/local alike, not just local
+    os.stat), and the rewrite is ONE round-robin repartition to the
+    computed width — no key shuffle, no skew sensitivity.
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(conf).getFileStatus(p).getLen()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

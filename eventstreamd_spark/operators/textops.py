@@ -238,3 +238,51 @@ def sql_token_counts(table: str = "documents") -> str:
         f"ELSE 0.0 END AS chars_per_token "
         f"FROM {table}"
     )
+
+
+# PII redaction patterns: each (label, regex, replacement).  Order
+# matters — more specific patterns run first so e.g. an email is masked
+# whole before the bare-number pass sees its digits.
+REDACT_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    ("number", r"\d+", "<NUM>"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing for training-data curation: masks emails, phone
+    numbers, and residual digit runs, reporting per-document match
+    counts so downstream filters can drop PII-dense documents.
+
+    Pure regexp_replace/regexp_count chains — JVM regex inside codegen,
+    no UDFs, so a 100 TB corpus scrub is a single narrow map stage with
+    nothing to shuffle.  Counts are taken per pattern BEFORE its
+    rewrite, on the text as left by the previous (more specific)
+    pattern, so an email's digits are never double-counted as numbers.
+    """
+    out = docs
+    cur = F.col(text_col)
+    for label, pat, repl in REDACT_PATTERNS:
+        out = out.withColumn(f"n_{label}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.withColumn("redacted", cur).select(
+        id_col, *[f"n_{label}" for label, _, _ in REDACT_PATTERNS], "redacted"
+    )
+
+
+def sql_redact_pii(
+    table: str, text_expr: str = "text", id_col: str = "doc_id"
+) -> str:
+    counts, cur = [], text_expr
+    for label, pat, repl in REDACT_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INT) AS n_{label}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return (
+        f"SELECT {id_col}, " + ", ".join(counts) + f", {cur} AS redacted "
+        f"FROM {table}"
+    )

@@ -972,3 +972,15 @@ def balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-JVM higher-order-function vector math (no UDFs)."""
     return sim_op.embedding_norm_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "pii_redaction",
+    text_op.sql_redact_pii("events", text_expr="props", id_col="event_id"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails/phones/numbers) with per-row match
+    counts — demonstrated on the JSON payload column, where numeric
+    values actually occur in the fixtures."""
+    events = load_table(spark, sf_dir, "events")
+    return text_op.redact_pii(events, text_col="props", id_col="event_id")

@@ -246,3 +246,21 @@ def test_winnowing_guarantee(spark, sf_dir) -> None:
     assert not (by_doc[1] & by_doc[3])    # disjoint content -> disjoint keys
     n_windows = len(base.split()) - 3     # k-gram count for doc of 20 tokens
     assert len(by_doc[2]) < n_windows     # winnowing actually thins
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path) -> None:
+    """64 tiny fragments -> a handful of target-sized files, same rows."""
+    from eventstreamd_spark.operators.skew import compact_small_files
+    from eventstreamd_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "fragmented")
+    events.repartition(64).write.parquet(frag)
+    n_frag = len(spark.read.parquet(frag).inputFiles())
+    assert n_frag >= 32
+
+    compacted = str(tmp_path / "compacted")
+    n = compact_small_files(spark, frag, compacted, target_file_bytes=512 * 1024)
+    out = spark.read.parquet(compacted)
+    assert out.count() == events.count()
+    assert len(out.inputFiles()) == n < n_frag / 4
