@@ -1,0 +1,54 @@
+"""Upsert / MERGE INTO semantics as a pure DataFrame program.
+
+The reference has no persistence at all (SURVEY.md §2 absence list); a
+warehouse built on this engine needs CDC-style upserts.  Without a
+transactional table format, MERGE decomposes into a full-outer join on
+the key plus per-column precedence — which is exactly what table
+formats execute under the hood (minus the commit protocol, which is
+the storage layer's job, not the dataflow's).
+
+Scale: one shuffle on the merge key for both sides (or a broadcast if
+the update batch is small — the common CDC case, flagged via
+``broadcast_updates``).  Column values resolve update-wins via
+coalesce; a delete marker column can be filtered before the merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """MERGE updates INTO base ON key: matched rows take the update's
+    columns, unmatched base rows pass through, brand-new keys insert.
+
+    Both sides must share a schema.  update-wins is per-row (not
+    per-column CDC patching — that variant coalesces column-wise).
+    """
+    cols = base.columns
+    if updates.columns != cols:
+        raise ValueError(f"schema mismatch: {updates.columns} vs {cols}")
+    u = F.broadcast(updates) if broadcast_updates else updates
+    u = u.select([F.col(c).alias(f"__u_{c}") for c in cols])
+    joined = base.join(u, base[key] == u[f"__u_{key}"], "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c)
+            for c in cols
+        ]
+    )
+
+
+def sql_merge_upsert(base: str, updates: str, key: str, cols: list[str]) -> str:
+    sel = ", ".join(
+        f"coalesce(u.{c}, b.{c}) AS {c}" for c in cols
+    )
+    return (
+        f"SELECT {sel} FROM {base} b FULL OUTER JOIN {updates} u "
+        f"ON b.{key} = u.{key}"
+    )

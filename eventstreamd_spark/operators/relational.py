@@ -694,3 +694,63 @@ def global_sorted_orders(orders: DataFrame) -> DataFrame:
     per-file order matters, which skips the global exchange entirely).
     """
     return orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+
+
+HIST_LO, HIST_WIDTH, HIST_BUCKETS = 0.0, 50000.0, 12
+
+
+def price_histogram(orders: DataFrame) -> DataFrame:
+    """Numeric binning: fixed-width histogram of order prices.
+
+    floor((x - lo) / width) with an upper clamp — portable arithmetic
+    (same IEEE division both engines), no width_bucket dialect
+    dependence.  One narrow map + a tiny shuffle on <= n_buckets keys;
+    at 100 TB the partial aggregation collapses each task to the bucket
+    count before anything moves.
+    """
+    b = F.floor((F.col("o_totalprice") - F.lit(HIST_LO)) / F.lit(HIST_WIDTH))
+    bucket = F.least(b, F.lit(HIST_BUCKETS - 1)).cast("int").alias("bucket")
+    return (
+        orders.select(bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .withColumn(
+            "lo", (F.lit(HIST_LO) + F.col("bucket") * F.lit(HIST_WIDTH))
+        )
+    )
+
+
+def sql_price_histogram(table: str = "orders") -> str:
+    return (
+        "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        f"({HIST_LO} + bucket * {HIST_WIDTH}) AS lo FROM ("
+        f"SELECT CAST(least(floor((o_totalprice - {HIST_LO}) / {HIST_WIDTH}), "
+        f"{HIST_BUCKETS - 1}) AS INT) AS bucket FROM {table}"
+        ") GROUP BY bucket"
+    )
+
+
+def hourly_event_rollup(events: DataFrame) -> DataFrame:
+    """Multi-grain time rollup (hypertable-style): counts at
+    (day, hour) with per-day subtotals and a grand total in one pass.
+
+    date_trunc + ROLLUP — the continuous-aggregate shape: grouping
+    sets expand map-side, so day totals don't need a second scan over
+    the hour rows.  At scale this feeds a downsampled serving table.
+    """
+    return (
+        events.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.hour(F.col("ts")).alias("hr"),
+        )
+        .rollup("day", "hr")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def sql_hourly_event_rollup(table: str = "events") -> str:
+    return (
+        "SELECT day, hr, CAST(COUNT(*) AS BIGINT) AS n_events FROM ("
+        "SELECT date_trunc('day', ts) AS day, CAST(hour(ts) AS INT) AS hr "
+        f"FROM {table}) GROUP BY ROLLUP (day, hr)"
+    )

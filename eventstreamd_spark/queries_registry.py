@@ -26,6 +26,7 @@ from eventstreamd_spark.functions.exact import (
 )
 from eventstreamd_spark.functions.sse import http_chunk, sse_frame, sse_frame_sql
 from eventstreamd_spark.operators import asof as asof_op
+from eventstreamd_spark.operators import merge as merge_op
 from eventstreamd_spark.operators import dedup as dedup_op
 from eventstreamd_spark.operators import multimodal as mm_op
 from eventstreamd_spark.operators import similarity as sim_op
@@ -984,3 +985,39 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     values actually occur in the fixtures."""
     events = load_table(spark, sf_dir, "events")
     return text_op.redact_pii(events, text_col="props", id_col="event_id")
+
+
+_MERGE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+_MERGE_UPDATES_SQL = (
+    "SELECT c_custkey, c_name, c_nationkey, "
+    "CAST(c_acctbal + 100.0 AS DOUBLE) AS c_acctbal, c_mktsegment "
+    "FROM customer WHERE c_custkey % 10 = 0"
+)
+
+
+@register(
+    "merge_upsert_customers",
+    merge_op.sql_merge_upsert(
+        "customer", f"({_MERGE_UPDATES_SQL})", "c_custkey", _MERGE_COLS
+    ),
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) semantics: a CDC batch (every 10th customer
+    with a credited balance) merged over the base dimension."""
+    customer = load_table(spark, sf_dir, "customer")
+    updates = customer.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", (F.col("c_acctbal") + F.lit(100.0)).cast("double")
+    ).select(*_MERGE_COLS)
+    return merge_op.merge_upsert(customer.select(*_MERGE_COLS), updates, "c_custkey")
+
+
+@register("price_histogram", rel.sql_price_histogram())
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram (engine-portable binning)."""
+    return rel.price_histogram(load_table(spark, sf_dir, "orders"))
+
+
+@register("hourly_event_rollup", rel.sql_hourly_event_rollup())
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup over event time (day, hour)."""
+    return rel.hourly_event_rollup(load_table(spark, sf_dir, "events"))
