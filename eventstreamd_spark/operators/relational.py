@@ -754,3 +754,28 @@ def sql_hourly_event_rollup(table: str = "events") -> str:
         "SELECT date_trunc('day', ts) AS day, CAST(hour(ts) AS INT) AS hr "
         f"FROM {table}) GROUP BY ROLLUP (day, hr)"
     )
+
+
+def heavy_hitter_users(events: DataFrame, min_events: int = 30) -> DataFrame:
+    """Heavy hitters, exact: users above an activity threshold (GROUP BY
+    + HAVING).
+
+    Exact heavy hitters at 100 TB are one shuffle on the key with
+    map-side partials — fine while the key space fits the shuffle; when
+    it doesn't, the sketch path (count-min / space-saving over a sample,
+    or approx_count_distinct-style mergeable state) trades exactness for
+    one narrow pass.  This is the exact baseline those sketches are
+    judged against.
+    """
+    return (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") >= min_events)
+    )
+
+
+def sql_heavy_hitter_users(min_events: int = 30, table: str = "events") -> str:
+    return (
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+        f"FROM {table} GROUP BY user_id HAVING COUNT(*) >= {min_events}"
+    )

@@ -1021,3 +1021,9 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain time rollup over event time (day, hour)."""
     return rel.hourly_event_rollup(load_table(spark, sf_dir, "events"))
+
+
+@register("heavy_hitter_users", rel.sql_heavy_hitter_users())
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (GROUP BY + HAVING threshold)."""
+    return rel.heavy_hitter_users(load_table(spark, sf_dir, "events"))

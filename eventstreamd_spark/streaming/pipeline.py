@@ -275,3 +275,34 @@ def stream_static_enrich(
     return stream.join(
         F.broadcast(dim), F.col(stream_key) == F.col(dim_key), how
     )
+
+
+def idempotent_parquet_writer(path: str):
+    """foreachBatch writer with replay-safe (effectively-once) output.
+
+    Spark's checkpoint gives at-least-once foreachBatch invocation: after
+    a crash the same epoch can run again.  Writing each micro-batch to a
+    batch-id-keyed directory with mode=overwrite makes the replay land on
+    the same files instead of appending duplicates — checkpoint
+    (at-least-once) + idempotent write = exactly-once table contents.
+    This is the delivery upgrade over the reference's at-most-once fan
+    -out (dispatcher.py:93-95 drops events with no live listener).
+
+    Readers see the result as a normal partitioned dataset
+    (``spark.read.parquet(path)`` with a ``batch_id`` partition column).
+    """
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return write_batch
+
+
+def start_exactly_once_sink(df: DataFrame, path: str, checkpoint: str):
+    """Wire a streaming DataFrame to the idempotent parquet sink."""
+    return (
+        df.writeStream.foreachBatch(idempotent_parquet_writer(path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
