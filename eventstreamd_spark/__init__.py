@@ -22,8 +22,14 @@ Layout:
     plans/       plan-inspection helpers (explain audits)
 """
 
-from eventstreamd_spark.session import get_spark, load_table, TABLES
+from eventstreamd_spark.session import (
+    TABLES,
+    get_spark,
+    load_table,
+    register_views,
+    sql,
+)
 
-__all__ = ["get_spark", "load_table", "TABLES"]
+__all__ = ["get_spark", "load_table", "register_views", "sql", "TABLES"]
 
 __version__ = "0.1.0"

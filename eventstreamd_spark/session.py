@@ -134,3 +134,24 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     except Exception:  # streaming plans can't expose an RDD; leave as-is
         return df
     return df.repartition(target) if current < target else df
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view, opening the full
+    Spark SQL surface (joins, subqueries, CTEs, window functions,
+    grouping sets — everything Catalyst parses) over the same data the
+    DataFrame operators use.
+
+    This is the engine's ad-hoc front door: the reference's only query
+    front-end is the filter mini-language (http_server.py:145-153);
+    here any ANSI SQL string becomes a distributed plan.  Temp views
+    are lazy — registering all ten costs nothing until queried.
+    """
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def sql(spark: SparkSession, query: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """One-call SQL entry point: ensure views exist, run the query."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

@@ -264,3 +264,42 @@ def test_compact_small_files(spark, sf_dir, tmp_path) -> None:
     out = spark.read.parquet(compacted)
     assert out.count() == events.count()
     assert len(out.inputFiles()) == n < n_frag / 4
+
+
+def test_sql_front_end(spark, sf_dir) -> None:
+    """Arbitrary ANSI SQL over registered views must agree with the
+    DataFrame path — a CTE + window + join in one statement."""
+    from eventstreamd_spark.session import load_table, sql
+
+    out = sql(
+        spark,
+        """
+        WITH big AS (
+          SELECT o_custkey, o_totalprice,
+                 RANK() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC) AS rk
+          FROM orders
+        )
+        SELECT c.c_mktsegment, COUNT(*) AS n
+        FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
+        WHERE b.rk = 1
+        GROUP BY c.c_mktsegment
+        """,
+        sf_dir,
+    ).collect()
+    got = {r["c_mktsegment"]: r["n"] for r in out}
+    # DataFrame twin
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    top = orders.withColumn("rk", F.rank().over(w)).filter("rk = 1")
+    expect = {
+        r["c_mktsegment"]: r["n"]
+        for r in top.join(customer, top.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect
