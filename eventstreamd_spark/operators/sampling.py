@@ -97,3 +97,46 @@ def sql_dataset_split(
         branches.append(f"WHEN {gate} < {hi} THEN '{name}'")
         lo = hi
     return f"CASE {' '.join(branches)} END AS {split_col}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    rate (e.g. downsample 'view' events hard, keep every 'purchase').
+
+    Same hash gate as deterministic_sample — so membership is still
+    append-stable and engine-replayable — but the threshold is chosen
+    per stratum via one CASE expression.  Still a pure narrow filter:
+    no shuffle, pushes past nothing, costs one md5 per row.  This is
+    the curation primitive for class rebalancing at corpus scale.
+    """
+    bp = F.lit(int(round(default_rate * RATE_DENOM)))
+    for name, rate in rates.items():
+        bp = (
+            F.when(F.col(stratum_col) == name, int(round(rate * RATE_DENOM)))
+            .otherwise(bp)
+        )
+    return df.filter(hash_gate(F.col(key), salt) < bp)
+
+
+def sql_stratified_sample_pred(
+    key_expr: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> str:
+    """WHERE-clause twin of the stratified gate."""
+    gate = sql_hash_gate(key_expr, salt)
+    branches = " ".join(
+        f"WHEN {stratum_col} = '{name}' THEN {int(round(rate * RATE_DENOM))}"
+        for name, rate in rates.items()
+    )
+    default_bp = int(round(default_rate * RATE_DENOM))
+    return f"({gate} < CASE {branches} ELSE {default_bp} END)"

@@ -1027,3 +1027,24 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters (GROUP BY + HAVING threshold)."""
     return rel.heavy_hitter_users(load_table(spark, sf_dir, "events"))
+
+
+_STRATA_RATES = {"view": 0.05, "click": 0.25, "purchase": 1.0}
+
+
+@register(
+    "stratified_sample_counts",
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE "
+    + sampling_op.sql_stratified_sample_pred(
+        "event_id", "event_type", _STRATA_RATES
+    )
+    + " GROUP BY event_type",
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (class rebalancing): hard
+    downsample of dominant classes, full retention of rare ones."""
+    events = load_table(spark, sf_dir, "events")
+    kept = sampling_op.stratified_sample(
+        events, "event_id", "event_type", _STRATA_RATES
+    )
+    return kept.groupBy("event_type").agg(F.count("*").alias("n"))
