@@ -102,3 +102,22 @@ class MetricsCollector:
 
     def detach(self, spark: SparkSession) -> None:
         spark.streams.removeListener(self._listener)
+
+
+def quality_observation(df: DataFrame, cols: list[str]):
+    """One-pass batch data-quality counters: total rows + per-column
+    null counts computed WHILE the main job runs (pyspark Observation —
+    same mechanism as with_observed_metrics, batch-flavored API).
+
+    At 100 TB a separate `df.filter(isnull).count()` audit is a second
+    full scan; an Observation rides the action the pipeline was already
+    doing for free.  Returns (observed_df, observation) — run any
+    action on observed_df, then read ``observation.get``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.isnull(c).cast("long")).alias(f"n_null_{c}") for c in cols
+    ]
+    return df.observe(obs, *metrics), obs

@@ -303,3 +303,17 @@ def test_sql_front_end(spark, sf_dir) -> None:
         .collect()
     }
     assert got == expect
+
+
+def test_quality_observation_single_pass(spark, sf_dir) -> None:
+    """Null-audit counters ride the main action — no second scan."""
+    from eventstreamd_spark.operators.stats import quality_observation
+    from eventstreamd_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    observed, obs = quality_observation(events, ["user_id", "props"])
+    n = observed.count()  # the "main job"
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["n_null_user_id"] == events.filter(F.col("user_id").isNull()).count()
+    assert got["n_null_props"] == events.filter(F.col("props").isNull()).count()
