@@ -190,3 +190,44 @@ def sql_funnel_counts(
         f"WITH base AS (SELECT user_id, event_type, ts FROM {table} "
         f"WHERE event_type IN ({step_list})),\n{cte_sql}\n{unions}"
     )
+
+
+def weekly_retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    per subsequent activity week — the product-analytics staple next to
+    funnel_counts.
+
+    Two shuffles total: (1) per-user min(ts) for the cohort label — a
+    map-side-partial aggregate on user_id; (2) the distinct-user count
+    per (cohort_week, activity_week) cell.  The cohort label joins back
+    to activity by user_id; at 100 TB both wide ops key on user_id, so
+    pre-partitioning the events table by user_id collapses them onto
+    one exchange.  week_offset counts whole weeks since cohort entry.
+    """
+    weekly = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohorts, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .withColumn(
+            "week_offset",
+            F.datediff(F.col("week"), F.col("cohort_week")) / 7,
+        )
+        .withColumn("week_offset", F.col("week_offset").cast("int"))
+        .select("cohort_week", "week_offset", "n_active")
+    )
+
+
+def sql_weekly_retention_cohorts(table: str = "events") -> str:
+    return """
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, w.week) / 7 AS INT) AS week_offset,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+FROM (SELECT user_id, date_trunc('week', ts) AS week FROM {t}) w
+JOIN (SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM {t} GROUP BY user_id) c USING (user_id)
+GROUP BY c.cohort_week, CAST(date_diff('day', c.cohort_week, w.week) / 7 AS INT)
+""".format(t=table)

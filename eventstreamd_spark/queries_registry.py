@@ -1048,3 +1048,11 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "event_id", "event_type", _STRATA_RATES
     )
     return kept.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "weekly_retention_cohorts", windows_op.sql_weekly_retention_cohorts()
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (first-activity week x week offset)."""
+    return windows_op.weekly_retention_cohorts(load_table(spark, sf_dir, "events"))
