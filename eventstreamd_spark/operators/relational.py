@@ -27,7 +27,9 @@ from eventstreamd_spark.functions.exact import (
     dsum,
     dsum_expr,
     one_minus,
+    sql_dmul,
     sql_dsum,
+    sql_one_minus,
 )
 
 
@@ -778,4 +780,192 @@ def sql_heavy_hitter_users(min_events: int = 30, table: str = "events") -> str:
     return (
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
         f"FROM {table} GROUP BY user_id HAVING COUNT(*) >= {min_events}"
+    )
+
+
+def shipping_priority_mix(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation — per linestatus,
+    how many lineitems belong to critical-priority orders vs not.
+
+    CASE-inside-SUM folds what would be two filtered scans into one
+    pass; the join shuffles on orderkey (or broadcasts orders' 2-column
+    projection when it fits).  The conditional never touches the plan
+    shape — it's a codegen expression in the aggregate.
+    """
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(crit).alias("n_critical"),
+            F.sum(F.lit(1) - crit).alias("n_normal"),
+        )
+    )
+
+
+def sql_shipping_priority_mix(
+    orders: str = "orders", lineitem: str = "lineitem"
+) -> str:
+    crit = "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"
+    return (
+        "SELECT l_linestatus, "
+        f"CAST(SUM({crit}) AS BIGINT) AS n_critical, "
+        f"CAST(SUM(1 - ({crit})) AS BIGINT) AS n_normal "
+        f"FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey "
+        "GROUP BY l_linestatus"
+    )
+
+
+def promo_revenue_ratio(
+    lineitem: DataFrame, part: DataFrame, month: str = "1997-06"
+) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue ratio — the share of one
+    month's discounted revenue coming from promo-class parts.
+
+    Both sums are exact decimal (order-independent); the single final
+    division runs in double on two bit-identical operands, so the ratio
+    is engine-exact.  The month filter prunes at the scan; part is a
+    broadcast dimension.
+    """
+    revenue = dmul(F.col("l_extendedprice"), one_minus(F.col("l_discount")))
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), revenue
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    start = f"{month}-01"
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (
+                F.col("l_shipdate")
+                < F.add_months(F.lit(start).cast("date"), 1).cast("timestamp")
+            )
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def sql_promo_revenue_ratio(
+    month: str = "1997-06", lineitem: str = "lineitem", part: str = "part"
+) -> str:
+    rev = sql_dmul("l_extendedprice", sql_one_minus("l_discount"))
+    promo = (
+        f"CASE WHEN p_type LIKE 'PROMO%' THEN {rev} "
+        "ELSE CAST(0 AS DECIMAL(18,4)) END"
+    )
+    return (
+        "SELECT (100.0 * CAST(SUM("
+        + promo
+        + ") AS DOUBLE) / CAST(SUM("
+        + rev
+        + ") AS DOUBLE)) AS promo_pct, CAST(COUNT(*) AS BIGINT) AS n_items "
+        f"FROM {lineitem} JOIN {part} ON l_partkey = p_partkey "
+        f"WHERE l_shipdate >= TIMESTAMP '{month}-01 00:00:00' "
+        f"AND l_shipdate < TIMESTAMP '{month}-01 00:00:00' + INTERVAL 1 MONTH"
+    )
+
+
+def disjunctive_band_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across join columns.
+
+    Catalyst extracts the common l_partkey=p_partkey conjunct so the
+    join stays an equi (hash) join, with the disjunction evaluated as a
+    post-join filter; the per-side sub-predicates (brand lists, size
+    and quantity bands) additionally push to their scans as ORs.  The
+    anti-pattern this guards against is a nested-loop join on the whole
+    disjunction.
+    """
+    j = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 35)
+    )
+    revenue = dmul(F.col("l_extendedprice"), one_minus(F.col("l_discount")))
+    return j.filter(band1 | band2).agg(
+        dsum_expr(revenue, "revenue"), F.count("*").alias("n_items")
+    )
+
+
+def sql_disjunctive_band_revenue(
+    lineitem: str = "lineitem", part: str = "part"
+) -> str:
+    rev = sql_dmul("l_extendedprice", sql_one_minus("l_discount"))
+    return (
+        f"SELECT CAST(SUM({rev}) AS DOUBLE) AS revenue, "
+        "CAST(COUNT(*) AS BIGINT) AS n_items "
+        f"FROM {lineitem} JOIN {part} ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 "
+        "AND l_quantity BETWEEN 1 AND 20) "
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 25 "
+        "AND l_quantity BETWEEN 10 AND 35)"
+    )
+
+
+def major_revenue_nations(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    fraction: float = 0.05,
+) -> DataFrame:
+    """TPC-H Q11 shape: group totals kept only if they exceed a fraction
+    of the GLOBAL total — HAVING against a scalar subquery.
+
+    The global total is one number: computed once and broadcast via a
+    1-row cross join, so the plan is two aggregations over one scan
+    lineage plus a broadcast — no re-scan for the threshold.  Exact
+    decimal keeps the > gate portable.
+    """
+    per_nation = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("nat_total"))
+    )
+    total = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            * F.lit(fraction).cast("decimal(18,4)")
+        ).alias("threshold")
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("nat_total") > F.col("threshold"))
+        .select("n_name", F.col("nat_total").cast("double").alias("revenue"))
+    )
+
+
+def sql_major_revenue_nations(
+    fraction: float = 0.05,
+    orders: str = "orders",
+    customer: str = "customer",
+    nation: str = "nation",
+) -> str:
+    return (
+        "SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) "
+        f"AS revenue FROM {orders} "
+        f"JOIN {customer} ON o_custkey = c_custkey "
+        f"JOIN {nation} ON c_nationkey = n_nationkey "
+        "GROUP BY n_name "
+        "HAVING SUM(CAST(o_totalprice AS DECIMAL(18,4))) > ("
+        f"SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) "
+        f"* CAST({fraction} AS DECIMAL(18,4)) FROM {orders})"
     )

@@ -1056,3 +1056,37 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (first-activity week x week offset)."""
     return windows_op.weekly_retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+@register("q12_priority_mix", rel.sql_shipping_priority_mix())
+def q12_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + conditional aggregation (TPC-H Q12 shape)."""
+    return rel.shipping_priority_mix(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register("q14_promo_revenue", rel.sql_promo_revenue_ratio())
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional revenue ratio over one ship month (TPC-H Q14 shape)."""
+    return rel.promo_revenue_ratio(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("q19_disjunctive_bands", rel.sql_disjunctive_band_revenue())
+def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate over an equi join (TPC-H Q19 shape)."""
+    return rel.disjunctive_band_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("q11_major_nations", rel.sql_major_revenue_nations())
+def q11_major_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING against a global scalar subquery (TPC-H Q11 shape)."""
+    return rel.major_revenue_nations(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
