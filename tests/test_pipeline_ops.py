@@ -317,3 +317,29 @@ def test_quality_observation_single_pass(spark, sf_dir) -> None:
     assert got["n_rows"] == n
     assert got["n_null_user_id"] == events.filter(F.col("user_id").isNull()).count()
     assert got["n_null_props"] == events.filter(F.col("props").isNull()).count()
+
+
+def test_multi_format_round_trip(spark, sf_dir, tmp_path) -> None:
+    """Same rows through parquet, csv, and json-lines — format choice
+    must not change query results (csv/json with explicit schema)."""
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.sources.files import read_table, write_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    expect_n = events.count()
+    expect_sum = events.agg(F.sum("user_id").alias("s")).collect()[0]["s"]
+    for fmt in ("parquet", "csv", "json"):
+        path = str(tmp_path / fmt)
+        write_table(events, path, fmt)
+        back = read_table(spark, path, fmt, schema=events.schema)
+        assert back.count() == expect_n, fmt
+        assert (
+            back.agg(F.sum("user_id").alias("s")).collect()[0]["s"] == expect_sum
+        ), fmt
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_table(spark, str(tmp_path / "csv"), "csv")  # schema required
