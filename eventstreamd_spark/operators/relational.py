@@ -969,3 +969,724 @@ def sql_major_revenue_nations(
         f"SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) "
         f"* CAST({fraction} AS DECIMAL(18,4)) FROM {orders})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H query shapes (adapted where the fixture schema lacks
+# partsupp / l_receiptdate / l_commitdate — see each docstring).
+# ---------------------------------------------------------------------------
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    disc_lo: float = 0.03,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins.
+
+    The canonical pushdown benchmark: every predicate (date range,
+    discount band, quantity cap) is parquet-stat prunable, the scan
+    reads 3 columns, and the whole plan is one codegen stage ending in
+    a single-row partial+final aggregate.  At 100 TB this query is I/O
+    bound by exactly the bytes of (shipdate, discount, quantity,
+    extendedprice) that survive row-group pruning — nothing else moves.
+    """
+    d = F.col("l_discount").cast("decimal(18,4)")
+    filtered = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        & (d >= F.lit(disc_lo).cast("decimal(18,4)"))
+        & (d <= F.lit(disc_hi).cast("decimal(18,4)"))
+        & (F.col("l_quantity") < max_qty)
+    )
+    return filtered.agg(
+        dsum_expr(dmul(F.col("l_extendedprice"), F.col("l_discount")), "revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def sql_forecast_revenue_change(
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    disc_lo: float = 0.03,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+    lineitem: str = "lineitem",
+) -> str:
+    return (
+        f"SELECT {sql_dsum(sql_dmul('l_extendedprice', 'l_discount'), 'revenue')}, "
+        "CAST(COUNT(*) AS BIGINT) AS n_items "
+        f"FROM {lineitem} WHERE l_shipdate >= TIMESTAMP '{start}' "
+        f"AND l_shipdate < TIMESTAMP '{end}' "
+        f"AND CAST(l_discount AS DECIMAL(18,4)) >= CAST({disc_lo} AS DECIMAL(18,4)) "
+        f"AND CAST(l_discount AS DECIMAL(18,4)) <= CAST({disc_hi} AS DECIMAL(18,4)) "
+        f"AND l_quantity < {max_qty}"
+    )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume by year.
+
+    Five-way join where every dimension chain (supplier->nation,
+    customer->nation) collapses to a broadcast; only lineitem⨝orders
+    shuffles (on orderkey).  The disjunctive nation pair filter is
+    applied AFTER both nation names are attached — Catalyst still pushes
+    the single-nation IN (a,b) parts down each broadcast side, so the
+    fact join only carries rows from the two nations of interest.
+    """
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(nation_a, nation_b))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(nation_a, nation_b))
+    supp = supplier.join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    ).select("c_custkey", "cust_nation")
+    revenue = dmul(F.col("l_extendedprice"), one_minus(F.col("l_discount")))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum_expr(revenue, "revenue"))
+    )
+
+
+def sql_volume_shipping(
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+) -> str:
+    rev = sql_dmul("l_extendedprice", sql_one_minus("l_discount"))
+    return (
+        "SELECT supp_nation, cust_nation, l_year, "
+        f"{sql_dsum('volume', 'revenue')} FROM ("
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year, "
+        f"{rev} AS volume "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        f"WHERE l_shipdate >= TIMESTAMP '{start}' AND l_shipdate < TIMESTAMP '{end}' "
+        f"AND ((n1.n_name = '{nation_a}' AND n2.n_name = '{nation_b}') "
+        f"OR (n1.n_name = '{nation_b}' AND n2.n_name = '{nation_a}'))"
+        ") GROUP BY supp_nation, cust_nation, l_year"
+    )
+
+
+def national_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+    target_region: str = "ASIA",
+    part_type: str = "PROMO",
+    start: str = "1995-01-01",
+    end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: market-share ratio — conditional sum over a
+    six-way join, grouped by order year.
+
+    Scale plan: part (filtered on type) broadcasts into lineitem FIRST —
+    it is the most selective gate, so the orderkey shuffle that follows
+    carries only matching lineitems.  Customer-side region restriction
+    broadcasts (region->nation->customer chain folds into one small
+    build side).  The share division happens on two exact decimal sums,
+    cast to double at the very end — engine-portable bits.
+    """
+    promo_parts = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    cust_region = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == target_region)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    ).select("c_custkey")
+    supp_nation = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    volume = dmul(F.col("l_extendedprice"), one_minus(F.col("l_discount")))
+    base = (
+        lineitem.join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    target_vol = F.sum(
+        F.when(F.col("supp_nation") == target_nation, F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,8)")
+        )
+    )
+    return base.groupBy("o_year").agg(
+        (target_vol.cast("double") / F.sum("volume").cast("double")).alias("mkt_share"),
+        target_vol.cast("double").alias("nation_volume"),
+        F.sum("volume").cast("double").alias("total_volume"),
+    )
+
+
+def sql_national_market_share(
+    target_nation: str = "NATION_3",
+    target_region: str = "ASIA",
+    part_type: str = "PROMO",
+    start: str = "1995-01-01",
+    end: str = "1997-01-01",
+) -> str:
+    vol = sql_dmul("l_extendedprice", sql_one_minus("l_discount"))
+    return (
+        "SELECT o_year, "
+        "(CAST(SUM(CASE WHEN supp_nation = '" + target_nation + "' THEN volume "
+        "ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE)) "
+        "AS mkt_share, "
+        "CAST(SUM(CASE WHEN supp_nation = '" + target_nation + "' THEN volume "
+        "ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE) AS nation_volume, "
+        "CAST(SUM(volume) AS DOUBLE) AS total_volume FROM ("
+        "SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year, "
+        f"{vol} AS volume, n1.n_name AS supp_nation "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "JOIN region ON n2.n_regionkey = r_regionkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        f"WHERE p_type = '{part_type}' AND r_name = '{target_region}' "
+        f"AND o_orderdate >= TIMESTAMP '{start}' AND o_orderdate < TIMESTAMP '{end}'"
+        ") GROUP BY o_year"
+    )
+
+
+def product_line_profit(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_fragment: str = "red",
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted): profit by supplier nation x year for a
+    part-name substring match.
+
+    Adaptation: the fixture has no partsupp table, so profit is revenue
+    (extendedprice x (1-discount)) rather than revenue minus
+    supplycost x quantity — the plan shape (substring-filtered part dim
+    broadcast into the fact, supplier->nation broadcast chain, two-key
+    group) is the one Q9 exercises.  The LIKE filter cannot use parquet
+    min/max stats, so at 100 TB this is the query where a part-name
+    bloom/dictionary filter on the broadcast side pays for itself.
+    """
+    red_parts = part.filter(F.col("p_name").contains(name_fragment)).select("p_partkey")
+    supp_nation = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "nation")
+    profit = dmul(F.col("l_extendedprice"), one_minus(F.col("l_discount")))
+    return (
+        lineitem.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(dsum_expr(profit, "sum_profit"))
+    )
+
+
+def sql_product_line_profit(name_fragment: str = "red") -> str:
+    profit = sql_dmul("l_extendedprice", sql_one_minus("l_discount"))
+    return (
+        "SELECT nation, o_year, "
+        f"{sql_dsum('amount', 'sum_profit')} FROM ("
+        "SELECT n_name AS nation, "
+        "CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year, "
+        f"{profit} AS amount "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        f"WHERE p_name LIKE '%{name_fragment}%'"
+        ") GROUP BY nation, o_year"
+    )
+
+
+def returned_item_report(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns in a
+    quarter.
+
+    Scale plan: orders carries the date filter (pushdown), lineitem the
+    returnflag filter; their join shuffles on orderkey, then ONE more
+    shuffle groups by custkey before customer/nation attributes are
+    broadcast-joined onto the (small) aggregate — joining dims after the
+    group-by, not before, keeps the wide customer row out of both
+    shuffles.  Top-k is TakeOrderedAndProject over per-customer rows.
+    """
+    revenue = dmul(F.col("l_extendedprice"), one_minus(F.col("l_discount")))
+    per_cust = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(dsum_expr(revenue, "revenue"))
+    )
+    enriched = per_cust.join(
+        F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return enriched.select(
+        "c_custkey", "c_name", "revenue", "c_acctbal", F.col("n_name").alias("nation")
+    ).orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(k)
+
+
+def sql_returned_item_report(
+    start: str = "1996-01-01", end: str = "1996-04-01", k: int = 20
+) -> str:
+    rev = sql_dmul("l_extendedprice", sql_one_minus("l_discount"))
+    return (
+        "SELECT c_custkey, c_name, revenue, c_acctbal, nation FROM ("
+        "SELECT c_custkey, c_name, "
+        f"CAST(SUM({rev}) AS DOUBLE) AS revenue, "
+        "c_acctbal, n_name AS nation "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        f"WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '{start}' "
+        f"AND o_orderdate < TIMESTAMP '{end}' "
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name"
+        f") ORDER BY revenue DESC, c_custkey LIMIT {k}"
+    )
+
+
+def top_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: suppliers achieving the maximum quarterly
+    revenue (view + scalar-max subquery).
+
+    The revenue "view" is computed once and reused for both the max and
+    the final filter — in Spark that is a single aggregated DataFrame
+    referenced twice; the 1-row max broadcasts into the filter, so the
+    plan re-reads the tiny aggregate, never the fact.  Exact decimal
+    revenue makes `= max` portable (double equality would be flaky).
+    """
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                dmul(F.col("l_extendedprice"), one_minus(F.col("l_discount")))
+            ).alias("total_revenue_dec")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue_dec").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue_dec") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def sql_top_suppliers(start: str = "1996-01-01", end: str = "1996-04-01") -> str:
+    rev = sql_dmul("l_extendedprice", sql_one_minus("l_discount"))
+    view = (
+        f"SELECT l_suppkey AS supplier_no, SUM({rev}) AS total_revenue_dec "
+        f"FROM lineitem WHERE l_shipdate >= TIMESTAMP '{start}' "
+        f"AND l_shipdate < TIMESTAMP '{end}' GROUP BY l_suppkey"
+    )
+    return (
+        f"WITH revenue AS ({view}) "
+        "SELECT s_suppkey, s_name, "
+        "CAST(total_revenue_dec AS DOUBLE) AS total_revenue "
+        "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+        "WHERE total_revenue_dec = (SELECT MAX(total_revenue_dec) FROM revenue)"
+    )
+
+
+def large_volume_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: float = 220.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders above a total-quantity
+    threshold (aggregated IN-subquery -> join -> top-k).
+
+    The orderkey HAVING aggregate is computed once over lineitem and
+    used as a semi-filter via an inner join back to orders — at scale
+    both the aggregate and the join shuffle on the same key (orderkey),
+    so AQE coalesces them into one exchange reuse.  Customer attaches
+    by broadcast AFTER the selective gate (few hundred orders survive).
+    """
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > F.lit(min_qty).cast("decimal(18,4)"))
+    )
+    return (
+        orders.join(big_orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def sql_large_volume_customers(min_qty: float = 220.0, k: int = 100) -> str:
+    return (
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+        "CAST(sum_qty_dec AS DOUBLE) AS sum_qty FROM orders "
+        "JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty_dec "
+        "FROM lineitem GROUP BY l_orderkey "
+        f"HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > CAST({min_qty} AS DECIMAL(18,4))) "
+        "ON o_orderkey = l_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        f"ORDER BY o_totalprice DESC, o_orderkey LIMIT {k}"
+    )
+
+
+def lonely_return_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, k: int = 100
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted): suppliers who were the SOLE supplier
+    with returned items on a multi-supplier order.
+
+    Adaptation: the fixture lacks l_commitdate/l_receiptdate, so "kept
+    orders waiting" becomes "had returns" (l_returnflag = 'R') — the
+    plan shape is identical: a fact self-join expressing EXISTS (another
+    supplier on the same order) and NOT EXISTS (another supplier with a
+    return on the same order).
+
+    Scale plan: all three legs (base, exists-side, not-exists-side) are
+    projections of the SAME lineitem scan keyed on orderkey — they
+    shuffle once each on orderkey and sort-merge; no broadcast (fact x
+    fact).  The final per-supplier count is a second, tiny shuffle.
+    Left-semi + left-anti express the quantifiers without exploding
+    duplicates (a plain inner join would double-count on multi-match).
+    """
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).dropDuplicates()
+    others = lineitem.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    ).dropDuplicates()
+    other_returns = returned.select(
+        F.col("l_orderkey").alias("r2_orderkey"), F.col("l_suppkey").alias("r2_suppkey")
+    )
+    with_other_supplier = returned.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    sole_returner = with_other_supplier.join(
+        other_returns,
+        (F.col("l_orderkey") == F.col("r2_orderkey"))
+        & (F.col("l_suppkey") != F.col("r2_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_returner.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "s_suppkey", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(k)
+    )
+
+
+def sql_lonely_return_suppliers(k: int = 100) -> str:
+    return (
+        "SELECT s_name, s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait FROM ("
+        "SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'"
+        ") l1 JOIN supplier ON l1.l_suppkey = s_suppkey "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+        "GROUP BY s_name, s_suppkey "
+        f"ORDER BY numwait DESC, s_suppkey LIMIT {k}"
+    )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_region: str = "EUROPE",
+    size: int = 15,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape (adapted): per-part minimum-cost supplier within a
+    region (correlated-min subquery -> equality join back).
+
+    Adaptation: no partsupp table, so "supply cost" is the supplier's
+    best observed unit price (min extendedprice/quantity over their
+    lineitems for that part) — the correlated `= (SELECT min ...)`
+    structure is preserved.  Unit price is a double division of
+    identical inputs on both engines, and min() is order-independent,
+    so equality is portable.
+
+    Scale plan: region->nation->supplier folds to one broadcast gate;
+    the per-(part,supplier) aggregate and the per-part min are two
+    groupBys over the same shuffled (partkey-keyed) data; the min
+    broadcasts back (one row per part after filtering on p_size).
+    """
+    sized_parts = part.filter(F.col("p_size") == size).select("p_partkey", "p_name")
+    region_suppliers = supplier.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == target_region)),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey", F.col("n_name").alias("nation"))
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "nation")
+    unit_costs = (
+        lineitem.join(F.broadcast(sized_parts.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(region_suppliers.select(F.col("s_suppkey").alias("rs_suppkey"))),
+            F.col("l_suppkey") == F.col("rs_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = unit_costs.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        unit_costs.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(region_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sized_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "nation", F.col("l_partkey").alias("p_partkey"),
+            "p_name", "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
+        .limit(k)
+    )
+
+
+def sql_min_cost_supplier(
+    target_region: str = "EUROPE", size: int = 15, k: int = 100
+) -> str:
+    return (
+        "WITH region_supp AS ("
+        "SELECT s_suppkey, s_name, s_acctbal, n_name AS nation FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        f"WHERE r_name = '{target_region}'), "
+        "unit_costs AS ("
+        "SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost "
+        "FROM lineitem "
+        f"JOIN (SELECT p_partkey FROM part WHERE p_size = {size}) p ON l_partkey = p_partkey "
+        "JOIN region_supp rs ON l_suppkey = rs.s_suppkey "
+        "GROUP BY l_partkey, l_suppkey) "
+        "SELECT s_acctbal, s_name, nation, l_partkey AS p_partkey, p_name, unit_cost "
+        "FROM unit_costs uc "
+        "JOIN region_supp ON uc.l_suppkey = region_supp.s_suppkey "
+        "JOIN part ON uc.l_partkey = part.p_partkey "
+        "WHERE unit_cost = (SELECT MIN(uc2.unit_cost) FROM unit_costs uc2 "
+        "WHERE uc2.l_partkey = uc.l_partkey) "
+        f"ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT {k}"
+    )
+
+
+def supplier_part_counts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    excluded_brand: str = "Brand#1",
+    sizes: tuple = (5, 10, 15, 20, 25, 30, 35, 40),
+) -> DataFrame:
+    """TPC-H Q16 shape (adapted): distinct-supplier counts per part
+    attribute group, with a NOT-IN supplier exclusion.
+
+    Adaptation: the (part, supplier) relationship comes from observed
+    lineitems instead of partsupp, and "customer complaints" becomes a
+    negative account balance.  Shape preserved: anti-join exclusion
+    feeding a count(DISTINCT) over a grouped join.
+
+    Scale plan: the excluded-supplier set is tiny -> broadcast anti
+    join on the fact BEFORE the distinct aggregation; count(DISTINCT
+    suppkey) expands to a two-stage aggregate (partial distinct by
+    (group, suppkey), then count) — Spark does this automatically.
+    """
+    bad_suppliers = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    wanted_parts = part.filter(
+        (F.col("p_brand") != excluded_brand) & (F.col("p_size").isin(*sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_suppliers), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(wanted_parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def sql_supplier_part_counts(
+    excluded_brand: str = "Brand#1",
+    sizes: tuple = (5, 10, 15, 20, 25, 30, 35, 40),
+) -> str:
+    size_list = ", ".join(str(s) for s in sizes)
+    return (
+        "SELECT p_brand, p_type, p_size, "
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE p_brand <> '{excluded_brand}' AND p_size IN ({size_list}) "
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY p_brand, p_type, p_size"
+    )
+
+
+def promotable_part_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_fragment: str = "gear",
+    target_nation: str = "NATION_5",
+    min_qty: float = 50.0,
+) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers in one nation who moved more
+    than a threshold quantity of matching parts (nested semi-join
+    chain: name-filtered parts -> per-supplier quantity aggregate ->
+    threshold gate -> semi join into supplier).
+
+    Adaptation: no partsupp/availqty, so the 50%%-of-available gate is a
+    fixed shipped-quantity threshold; the nesting (subquery feeding a
+    subquery feeding IN) is preserved.
+
+    Scale: the part filter broadcasts into lineitem; the per-suppkey
+    aggregate is the only fact shuffle; its surviving keys (few)
+    broadcast as a semi join into the supplier dim.
+    """
+    green_parts = part.filter(F.col("p_name").contains(name_fragment)).select("p_partkey")
+    heavy_suppliers = (
+        lineitem.join(F.broadcast(green_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+        .filter(F.col("qty") > F.lit(min_qty).cast("decimal(18,4)"))
+        .select("l_suppkey")
+    )
+    nation_key = nation.filter(F.col("n_name") == target_nation).select("n_nationkey")
+    return (
+        supplier.join(F.broadcast(nation_key), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(F.broadcast(heavy_suppliers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def sql_promotable_part_suppliers(
+    name_fragment: str = "gear",
+    target_nation: str = "NATION_5",
+    min_qty: float = 50.0,
+) -> str:
+    return (
+        "SELECT s_suppkey, s_name, s_acctbal FROM supplier "
+        "WHERE s_nationkey IN (SELECT n_nationkey FROM nation "
+        f"WHERE n_name = '{target_nation}') "
+        "AND s_suppkey IN ("
+        "SELECT l_suppkey FROM lineitem "
+        "WHERE l_partkey IN (SELECT p_partkey FROM part "
+        f"WHERE p_name LIKE '%{name_fragment}%') "
+        "GROUP BY l_suppkey "
+        f"HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > CAST({min_qty} AS DECIMAL(18,4)))"
+    )

@@ -1090,3 +1090,121 @@ def q11_major_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+@register("q6_forecast_revenue", rel.sql_forecast_revenue_change())
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-filter-aggregate, fully pushdown-prunable (TPC-H Q6)."""
+    return rel.forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("q7_volume_shipping", rel.sql_volume_shipping())
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional two-nation trade volume by year (TPC-H Q7 shape)."""
+    return rel.volume_shipping(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("q8_market_share", rel.sql_national_market_share())
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-sum market-share ratio over a 6-way join (TPC-H Q8)."""
+    return rel.national_market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register("q9_product_profit", rel.sql_product_line_profit())
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring part filter -> nation x year profit (TPC-H Q9 shape,
+    adapted: no partsupp in fixture, profit = discounted revenue)."""
+    return rel.product_line_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register("q10_returned_items", rel.sql_returned_item_report())
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k customers by returned revenue in a quarter (TPC-H Q10)."""
+    return rel.returned_item_report(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("q15_top_supplier", rel.sql_top_suppliers())
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers achieving the max quarterly revenue (TPC-H Q15)."""
+    return rel.top_suppliers(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@register("q18_large_volume_customers", rel.sql_large_volume_customers())
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated IN-subquery + top-k (TPC-H Q18 shape)."""
+    return rel.large_volume_customers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register("q21_lonely_return_suppliers", rel.sql_lonely_return_suppliers())
+def q21_lonely_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS fact self-join (TPC-H Q21 shape, adapted:
+    returns instead of late receipts — fixture has no receiptdate)."""
+    return rel.lonely_return_suppliers(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@register("q2_min_cost_supplier", rel.sql_min_cost_supplier())
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-min subquery joined back per part (TPC-H Q2 shape,
+    adapted: unit price from lineitems stands in for partsupp cost)."""
+    return rel.min_cost_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register("q16_supplier_part_counts", rel.sql_supplier_part_counts())
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-IN exclusion + count(DISTINCT) per part group (TPC-H Q16
+    shape, adapted: lineitem association, negative balance = complaint)."""
+    return rel.supplier_part_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register("q20_promotable_suppliers", rel.sql_promotable_part_suppliers())
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN-subquery chain gating a dimension (TPC-H Q20 shape,
+    adapted: shipped-quantity threshold stands in for availqty)."""
+    return rel.promotable_part_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "part"),
+    )

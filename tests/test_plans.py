@@ -149,3 +149,35 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir) -> None:
     plan = explain_string(df, "extended")
     assert "rangepartitioning" in plan
     assert "SinglePartition" not in plan
+
+
+def test_q6_fully_pushed_scan(plans) -> None:
+    # Q6: every predicate is pushdown-eligible and the scan must read
+    # only the 4 referenced columns — at 100 TB this IS the query cost.
+    plan = plans("q6_forecast_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "l_comment" not in plan
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in plan.split("ReadSchema")[-1]
+
+
+def test_q10_topk_and_dims_after_aggregate(plans) -> None:
+    # Q10: top-k via heap, customer/nation broadcast onto the aggregate
+    plan = plans("q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_quantifiers_stay_semi_anti(plans) -> None:
+    # EXISTS/NOT EXISTS must compile to semi/anti joins, never inner
+    # joins that duplicate rows before a distinct
+    plan = plans("q21_lonely_return_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q18_no_broadcast_of_fact_aggregate(plans) -> None:
+    # the orderkey HAVING aggregate joins orders on the shuffle key; the
+    # only broadcast should be the customer dim
+    plan = plans("q18_large_volume_customers")
+    assert "TakeOrderedAndProject" in plan
