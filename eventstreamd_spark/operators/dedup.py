@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from eventstreamd_spark.functions.text import (
     HASH_MOD,
-    hashed_word_shingles,
+    hashed_shingles_from,
     poly_hash,
     sql_hashed_word_shingles,
     sql_poly_hash,
@@ -106,9 +106,16 @@ def with_hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     Collisions merge shingles at ~|shingles|^2/2/HASH_MOD; the oracle
     replays the identical construction so results stay engine-equal.
     """
-    return fan_out(docs).select(
-        "doc_id",
-        hashed_word_shingles(tokens(F.col("text")), n).alias("shingles"),
+    return (
+        fan_out(docs)
+        # Bind the hashed-token array to a real column BEFORE the window
+        # fold: rolling_window_hashes references it n+1 times, and
+        # CollapseProject will not re-inline a non-cheap HOF, so the
+        # per-token md5 runs exactly once.  Inlining it (the previous
+        # form) re-tokenized and re-hashed every document ~4x — measured
+        # 4x slower on the sf0.1 dedup tier.
+        .select("doc_id", F.transform(tokens(F.col("text")), poly_hash).alias("__th"))
+        .select("doc_id", hashed_shingles_from(F.col("__th"), n).alias("shingles"))
     )
 
 
@@ -146,32 +153,29 @@ def ngram_jaccard_pairs(
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     )
-    # group per shingle and emit the (sorted) i<j doc combinations
-    # directly — same pairs a self-join on shingle produces, but the
-    # inverted index is computed and shuffled ONCE.  Hot shingles cap
-    # the group size; at 100 TB add a document-frequency cutoff here
-    # (a shingle in >x% of docs carries no dedup signal anyway).
-    grouped = inv.groupBy("shingle").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
-    ).filter(F.size("ds") > 1)
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ds"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                        lambda y: F.struct(
-                            x["doc_id"].alias("doc_a"),
-                            y["doc_id"].alias("doc_b"),
-                            x["n_sh"].alias("na"),
-                            y["n_sh"].alias("nb"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.*")
+    # classic inverted-index SELF-JOIN on shingle with doc_a < doc_b.
+    # Both join legs are the identical sub-plan, so the shingle-keyed
+    # exchange is computed once and read twice (ReusedExchange — the
+    # shingling does NOT run twice), and the whole pair expansion stays
+    # inside whole-stage codegen.  The previous collect_list +
+    # nested-transform combination expansion produced the same pairs
+    # but ran as interpreted HOF expressions with per-element array
+    # slices — measured 4-10x slower at sf0.1 and swinging wildly with
+    # AQE's byte-based stage sizing.  Hot shingles cap the fan-out; at
+    # 100 TB add a document-frequency cutoff here (a shingle in >x% of
+    # docs carries no dedup signal anyway).
+    right = inv.select(
+        F.col("shingle").alias("shingle_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    pairs = inv.select(
+        "shingle", F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    ).join(
+        right,
+        (F.col("shingle") == F.col("shingle_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
     inter = pairs.groupBy("doc_a", "doc_b").agg(
         F.count("*").alias("n_inter"),
         F.first("na").alias("na"),

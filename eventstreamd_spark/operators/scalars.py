@@ -1,0 +1,106 @@
+"""Scalar function suites: timestamp parts and array accessors.
+
+Round out the layer-B function library (the reference's scalar surface
+is JSON access + ISO dates only — SURVEY.md §2 functions table).  Both
+suites are single narrow codegen'd projections — no shuffle, no UDF;
+at 100 TB they run at scan speed and exist mostly to pin
+engine-portable semantics for the awkward corners (day-of-week
+numbering, 1-based array indexing, float->double widening).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def time_function_suite(events: DataFrame) -> DataFrame:
+    """Timestamp-part extraction and date arithmetic over event times.
+
+    Portability notes pinned by the oracle: Spark ``dayofweek`` is
+    1=Sunday..7=Saturday (DuckDB's is 0-based — oracle adds 1);
+    ``weekofyear`` is ISO on both; date_add / datediff compare against
+    interval arithmetic.  Session TZ is pinned UTC (session.py) so
+    hour extraction agrees.
+    """
+    ts = F.col("ts")
+    return events.select(
+        "event_id",
+        F.year(ts).alias("y"),
+        F.month(ts).alias("m"),
+        F.dayofmonth(ts).alias("d"),
+        F.hour(ts).alias("h"),
+        F.minute(ts).alias("mi"),
+        F.dayofweek(ts).alias("dow"),
+        F.weekofyear(ts).alias("iso_week"),
+        F.quarter(ts).alias("q"),
+        # date-typed results go out as TIMESTAMP (repo convention —
+        # pandas renders Spark DATE and DuckDB DATE incompatibly)
+        F.to_date(ts).cast("timestamp").alias("day"),
+        F.date_add(F.to_date(ts), 30).cast("timestamp").alias("day_plus_30"),
+        F.datediff(F.lit("2024-03-01").cast("date"), F.to_date(ts)).alias(
+            "days_to_march"
+        ),
+        F.date_trunc("week", ts).alias("week_start"),
+    )
+
+
+def sql_time_function_suite(events: str = "events") -> str:
+    return (
+        "SELECT event_id, "
+        "CAST(EXTRACT(year FROM ts) AS INT) AS y, "
+        "CAST(EXTRACT(month FROM ts) AS INT) AS m, "
+        "CAST(EXTRACT(day FROM ts) AS INT) AS d, "
+        "CAST(EXTRACT(hour FROM ts) AS INT) AS h, "
+        "CAST(EXTRACT(minute FROM ts) AS INT) AS mi, "
+        "CAST(dayofweek(ts) + 1 AS INT) AS dow, "
+        "CAST(weekofyear(ts) AS INT) AS iso_week, "
+        "CAST(EXTRACT(quarter FROM ts) AS INT) AS q, "
+        "CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, "
+        "CAST(CAST(ts AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS day_plus_30, "
+        "CAST(datediff('day', CAST(ts AS DATE), DATE '2024-03-01') AS INT) "
+        "AS days_to_march, "
+        "CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start "
+        f"FROM {events}"
+    )
+
+
+def array_function_suite(embeddings: DataFrame) -> DataFrame:
+    """Array accessors over ``array<float>`` without exploding:
+    size / element_at (1-based, like SQL) / array_min / array_max plus
+    explicit element arithmetic.
+
+    Element sums are written as explicit ``element_at`` chains (not a
+    fold) so the double addition order is part of the query text and
+    therefore bit-identical on any engine — the same discipline the
+    exact-decimal helpers apply to aggregates.
+    """
+    e = F.col("embedding")
+
+    def el(i: int) -> F.Column:
+        return F.element_at(e, i).cast("double")
+
+    return embeddings.select(
+        "vec_id",
+        F.size(e).alias("n_dims"),
+        el(1).alias("first_val"),
+        F.array_max(e).cast("double").alias("max_val"),
+        F.array_min(e).cast("double").alias("min_val"),
+        (el(1) + el(2) + el(3) + el(4)).alias("head4_sum"),
+        (el(1) * el(1) + el(2) * el(2) + el(3) * el(3)).alias("head3_sqsum"),
+    )
+
+
+def sql_array_function_suite(embeddings: str = "embeddings") -> str:
+    def el(i: int) -> str:
+        return f"CAST(embedding[{i}] AS DOUBLE)"
+
+    return (
+        "SELECT vec_id, "
+        "CAST(len(embedding) AS INT) AS n_dims, "
+        f"{el(1)} AS first_val, "
+        "CAST(list_max(embedding) AS DOUBLE) AS max_val, "
+        "CAST(list_min(embedding) AS DOUBLE) AS min_val, "
+        f"({el(1)} + {el(2)} + {el(3)} + {el(4)}) AS head4_sum, "
+        f"({el(1)} * {el(1)} + {el(2)} * {el(2)} + {el(3)} * {el(3)}) AS head3_sqsum "
+        f"FROM {embeddings}"
+    )

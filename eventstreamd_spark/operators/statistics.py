@@ -1,0 +1,189 @@
+"""Second-moment statistical aggregates, engine-portable.
+
+The reference has no aggregation over event data at all (SURVEY.md §2
+absence list); this module adds the variance/stddev/correlation family
+a real analytics engine needs — implemented the *portable* way.
+
+Spark's built-in ``stddev``/``var_samp``/``corr`` accumulate doubles in
+partition order, so two runs with different partitionings (or Spark vs
+DuckDB) disagree in the last ULPs and a value-hash oracle comparison
+fails.  Instead we aggregate exact decimal POWER SUMS (sum x, sum x²,
+sum xy — associative, commutative, order-independent) and apply the
+closed-form moment formulas in DOUBLE at the very end.  Both engines
+then execute the identical IEEE expression on bit-identical inputs.
+
+At 100 TB this is also the cheaper plan: power sums keep map-side
+partial aggregation fully associative (one decimal add per row per
+moment), and the double math runs once per group, not per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+D4 = "decimal(28,4)"
+D8 = "decimal(38,8)"
+
+
+def _power_sums(x: F.Column, y: F.Column) -> list[F.Column]:
+    """Exact power sums for two 2-dp metric columns."""
+    xd = x.cast(D4)
+    yd = y.cast(D4)
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum((xd * xd).cast(D8)).cast("double").alias("sxx"),
+        F.sum((yd * yd).cast(D8)).cast("double").alias("syy"),
+        F.sum((xd * yd).cast(D8)).cast("double").alias("sxy"),
+    ]
+
+
+def price_quantity_moments(lineitem: DataFrame) -> DataFrame:
+    """Per-returnflag variance, stddev, and quantity/price correlation.
+
+    One shuffle on a 3-value key; six decimal partial aggregates
+    collapse map-side, then the moment formulas run on six numbers per
+    group.  Formula structure is mirrored exactly in the SQL oracle so
+    the double bits agree.
+    """
+    g = lineitem.groupBy("l_returnflag").agg(
+        *_power_sums(F.col("l_quantity"), F.col("l_extendedprice"))
+    )
+    n = F.col("n").cast("double")
+    var_q = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
+    var_p = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - F.lit(1.0))
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - F.lit(1.0))
+    return g.select(
+        "l_returnflag",
+        F.col("n"),
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        var_p.alias("var_price"),
+        F.sqrt(var_p).alias("stddev_price"),
+        (cov / (F.sqrt(var_q) * F.sqrt(var_p))).alias("corr_qty_price"),
+    )
+
+
+def sql_price_quantity_moments(lineitem: str = "lineitem") -> str:
+    sums = (
+        "SELECT l_returnflag, CAST(COUNT(1) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy, "
+        "CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,4)) "
+        "* CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx, "
+        "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) "
+        "* CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS syy, "
+        "CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,4)) "
+        "* CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy "
+        f"FROM {lineitem} GROUP BY l_returnflag"
+    )
+    var_q = "((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+    var_p = "((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+    cov = "((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+    return (
+        "SELECT l_returnflag, n, "
+        f"{var_q} AS var_qty, sqrt({var_q}) AS stddev_qty, "
+        f"{var_p} AS var_price, sqrt({var_p}) AS stddev_price, "
+        f"({cov} / (sqrt({var_q}) * sqrt({var_p}))) AS corr_qty_price "
+        f"FROM ({sums})"
+    )
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension range audit of an embedding column: lateral
+    explode (posexplode) -> group by dimension index.
+
+    Uses only order-independent exact aggregates (min/max/count) —
+    float32 values carry full mantissas, so decimal-rounded sums would
+    not be portable, but float->double widening is exact and min/max
+    compare identically everywhere.
+
+    Scale: the explode multiplies rows by the dimension count BUT
+    map-side partial aggregation collapses each task back to n_dims
+    rows before the (tiny, n_dims-key) shuffle — the wide intermediate
+    never hits the wire.
+    """
+    exploded = embeddings.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select("dim", F.col("val").cast("double").alias("val"))
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        (F.max("val") - F.min("val")).alias("val_range"),
+    )
+
+
+def sql_embedding_dim_stats(embeddings: str = "embeddings") -> str:
+    return (
+        "SELECT dim, CAST(COUNT(1) AS BIGINT) AS n, "
+        "MIN(val) AS min_val, MAX(val) AS max_val, "
+        "(MAX(val) - MIN(val)) AS val_range FROM ("
+        "SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim, "
+        "CAST(UNNEST(embedding) AS DOUBLE) AS val "
+        f"FROM {embeddings}"
+        ") GROUP BY dim"
+    )
+
+
+def daily_event_spine(
+    spark,
+    events: DataFrame,
+    event_type: str = "purchase",
+    start: str = "2024-01-01",
+    end: str = "2024-02-14",
+) -> DataFrame:
+    """Gap-filled daily counts: a generated date spine LEFT JOINed to
+    per-day aggregates, zeros where no events occurred.
+
+    The spine is `sequence()` + explode — generated on the driver-side
+    literal bounds, a few hundred rows, broadcast free.  The aggregate
+    side shuffles once on day.  This is the canonical reporting shape
+    the raw groupBy can't produce (it silently drops empty days).
+    """
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"),
+                F.lit(end).cast("date"),
+            )
+        ).alias("day")
+    )
+    per_day = (
+        events.filter(F.col("event_type") == event_type)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+        )
+    )
+    # day goes out as TIMESTAMP: Spark DATE arrives in pandas as
+    # python-date objects while DuckDB DATE arrives as datetime64 —
+    # the hash compare then disagrees on identical values.  Timestamps
+    # canonicalize identically on both engines (repo convention).
+    return spine.join(per_day, "day", "left").select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+    )
+
+
+def sql_daily_event_spine(
+    event_type: str = "purchase",
+    start: str = "2024-01-01",
+    end: str = "2024-02-14",
+    events: str = "events",
+) -> str:
+    return (
+        "SELECT CAST(day AS TIMESTAMP) AS day, "
+        "COALESCE(n_events, CAST(0 AS BIGINT)) AS n_events, "
+        "COALESCE(total_value, 0.0) AS total_value FROM ("
+        f"SELECT CAST(UNNEST(generate_series(DATE '{start}', DATE '{end}', "
+        "INTERVAL 1 DAY)) AS DATE) AS day) spine "
+        "LEFT JOIN ("
+        "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(1) AS BIGINT) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value "
+        f"FROM {events} WHERE event_type = '{event_type}' GROUP BY CAST(ts AS DATE)"
+        ") agg USING (day)"
+    )

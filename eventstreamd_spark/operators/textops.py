@@ -286,3 +286,43 @@ def sql_redact_pii(
         f"SELECT {id_col}, " + ", ".join(counts) + f", {cur} AS redacted "
         f"FROM {table}"
     )
+
+
+def string_function_suite(docs: DataFrame) -> DataFrame:
+    """Scalar string-function coverage in one narrow pass: regexp
+    extraction, case mapping, substring, reverse, padding, split-count,
+    position search.  All JVM-side built-ins — a single codegen'd
+    project over the scan, no UDFs, no shuffle; at 100 TB this runs at
+    parquet-read speed.
+
+    The reference's entire scalar function surface is JSON access + ISO
+    dates (SURVEY.md §2 functions table); this is part of the layer-B
+    library a query engine is expected to ship.
+    """
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(t, r"^(\S+)", 1).alias("first_word"),
+        F.size(F.split(F.trim(t), r"\s+")).alias("n_words"),
+        F.upper(F.col("lang")).alias("lang_uc"),
+        F.substring(t, 1, 20).alias("head20"),
+        F.reverse(F.substring(t, 1, 10)).alias("rev_head"),
+        F.lpad(F.col("source"), 12, "_").alias("padded_source"),
+        F.instr(t, "the").alias("pos_the"),
+        F.translate(F.col("lang"), "aeiou", "AEIOU").alias("lang_vowels_uc"),
+    )
+
+
+def sql_string_function_suite(table: str = "documents") -> str:
+    return (
+        "SELECT doc_id, "
+        "regexp_extract(text, '^(\\S+)', 1) AS first_word, "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_words, "
+        "upper(lang) AS lang_uc, "
+        "substring(text, 1, 20) AS head20, "
+        "reverse(substring(text, 1, 10)) AS rev_head, "
+        "lpad(source, 12, '_') AS padded_source, "
+        "CAST(instr(text, 'the') AS INT) AS pos_the, "
+        "translate(lang, 'aeiou', 'AEIOU') AS lang_vowels_uc "
+        f"FROM {table}"
+    )

@@ -1208,3 +1208,46 @@ def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "part"),
     )
+
+
+from eventstreamd_spark.operators import statistics as stats_mod  # noqa: E402
+
+
+@register("price_quantity_moments", stats_mod.sql_price_quantity_moments())
+def price_quantity_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable variance/stddev/correlation via exact decimal power
+    sums (order-independent) + closed-form double math."""
+    return stats_mod.price_quantity_moments(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("embedding_dim_stats", stats_mod.sql_embedding_dim_stats())
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral posexplode over array<float> -> per-dimension ranges."""
+    return stats_mod.embedding_dim_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("daily_event_spine", stats_mod.sql_daily_event_spine())
+def daily_event_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date spine LEFT JOIN daily aggregates, gap-filled."""
+    return stats_mod.daily_event_spine(spark, load_table(spark, sf_dir, "events"))
+
+
+@register("string_function_suite", text_op.sql_string_function_suite())
+def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function library in one codegen'd narrow pass."""
+    return text_op.string_function_suite(load_table(spark, sf_dir, "documents"))
+
+
+from eventstreamd_spark.operators import scalars as scalars_mod  # noqa: E402
+
+
+@register("time_function_suite", scalars_mod.sql_time_function_suite())
+def time_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-part extraction + date arithmetic, portability-pinned."""
+    return scalars_mod.time_function_suite(load_table(spark, sf_dir, "events"))
+
+
+@register("array_function_suite", scalars_mod.sql_array_function_suite())
+def array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array accessors over array<float> without exploding."""
+    return scalars_mod.array_function_suite(load_table(spark, sf_dir, "embeddings"))

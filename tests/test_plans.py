@@ -181,3 +181,80 @@ def test_q18_no_broadcast_of_fact_aggregate(plans) -> None:
     # only broadcast should be the customer dim
     plan = plans("q18_large_volume_customers")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path) -> None:
+    # Z-ordered files must cover small rectangles of BOTH key
+    # dimensions; a linear sort on one key leaves the other dimension's
+    # per-file span at ~100% of the global range.
+    from eventstreamd_spark.operators.layout import (
+        file_clustering_spans,
+        write_zordered,
+    )
+    from eventstreamd_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("o_epoch"),
+    )
+    bounds = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("o_epoch"), F.max("o_epoch")
+    ).collect()[0]
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(
+        orders, zpath, "o_custkey", "o_epoch",
+        (bounds[0], bounds[1]), (bounds[2], bounds[3]), n_files=8,
+    )
+    lpath = str(tmp_path / "linear")
+    orders.repartitionByRange(8, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.mode("overwrite").parquet(lpath)
+
+    z_spans = file_clustering_spans(spark, zpath, "o_custkey", "o_epoch")
+    l_spans = file_clustering_spans(spark, lpath, "o_custkey", "o_epoch")
+    z_avg_y = sum(s[1] for s in z_spans) / len(z_spans)
+    l_avg_y = sum(s[1] for s in l_spans) / len(l_spans)
+    z_avg_x = sum(s[0] for s in z_spans) / len(z_spans)
+
+    # linear sort: second dimension unclustered (span ~1.0 per file)
+    assert l_avg_y > 0.9
+    # z-order: both dimensions clustered well below the global range
+    assert z_avg_y < 0.7, z_spans
+    assert z_avg_x < 0.7, z_spans
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir) -> None:
+    # At 100 TB a selective dim filter should prune the fact side of a
+    # shuffle join BEFORE the exchange: Spark's runtime bloom filter
+    # injects might_contain(l_orderkey) into the lineitem scan.  The
+    # size thresholds are lowered because the fixture is tiny; on a
+    # real cluster the defaults (10 GB application side) take over.
+    from eventstreamd_spark.session import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000.0
+        )
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        joined = lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).select("l_orderkey", "l_quantity", "o_totalprice")
+        plan = explain_string(joined, "extended")
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
