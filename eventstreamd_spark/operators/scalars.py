@@ -104,3 +104,72 @@ def sql_array_function_suite(embeddings: str = "embeddings") -> str:
         f"({el(1)} * {el(1)} + {el(2)} * {el(2)} + {el(3)} * {el(3)}) AS head3_sqsum "
         f"FROM {embeddings}"
     )
+
+
+def conditional_aggregate_suite(orders: DataFrame) -> DataFrame:
+    """count_if / bool_and / bool_or / median per group — the
+    predicate-aggregate family.
+
+    median is an EXACT percentile here (not approx): Spark sorts within
+    the aggregation buffer; at 100 TB prefer approx_percentile for the
+    fixed-size-sketch merge unless exactness is contractual
+    (quantity_quantiles covers that trade).  Interpolated midpoints of
+    2-dp doubles are the same IEEE expression on both engines.
+    """
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("o_totalprice") > 200000.0).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.median("o_totalprice").alias("median_price"),
+    )
+
+
+def sql_conditional_aggregate_suite(orders: str = "orders") -> str:
+    return (
+        "SELECT o_orderstatus, CAST(COUNT(1) AS BIGINT) AS n, "
+        "CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big, "
+        "bool_and(o_totalprice > 0.0) AS all_positive, "
+        "bool_or(o_orderpriority = '1-URGENT') AS any_urgent, "
+        "median(o_totalprice) AS median_price "
+        f"FROM {orders} GROUP BY o_orderstatus"
+    )
+
+
+def error_safe_suite(lineitem: DataFrame) -> DataFrame:
+    """try_* error-safe semantics: malformed input -> NULL, never a
+    task failure.  The reference's whole error philosophy is
+    skip-and-continue (SURVEY.md §4: bad input never kills the loop);
+    in SQL that discipline is try_divide / try_cast / try_to_date —
+    a failed row yields NULL and the 100 TB job keeps running, instead
+    of one poison value killing a 10-hour query.
+    """
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "unit_price"
+        ),
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        ).alias("div_by_zero"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.try_to_date(F.concat(F.lit("junk-"), F.col("l_returnflag")))
+        .cast("timestamp")
+        .alias("bad_date"),
+        F.concat(F.lit("9"), F.col("l_linestatus")).try_cast("int").alias(
+            "mixed_cast"
+        ),
+    )
+
+
+def sql_error_safe_suite(lineitem: str = "lineitem") -> str:
+    return (
+        "SELECT l_orderkey, l_linenumber, "
+        "(l_extendedprice / NULLIF(l_quantity, 0.0)) AS unit_price, "
+        "(l_extendedprice / NULLIF(l_quantity - l_quantity, 0.0)) AS div_by_zero, "
+        "TRY_CAST(l_returnflag AS INT) AS flag_as_int, "
+        "CAST(TRY_CAST(('junk-' || l_returnflag) AS DATE) AS TIMESTAMP) AS bad_date, "
+        "TRY_CAST(('9' || l_linestatus) AS INT) AS mixed_cast "
+        f"FROM {lineitem}"
+    )

@@ -66,16 +66,35 @@ def price_quantity_moments(lineitem: DataFrame) -> DataFrame:
 
 
 def sql_price_quantity_moments(lineitem: str = "lineitem") -> str:
+    # decimal -> double goes through VARCHAR: DuckDB's direct
+    # DECIMAL(38,8)->DOUBLE cast divides two separately-rounded doubles
+    # (int128 value, 10^scale) and lands 1 ULP off correctly-rounded for
+    # some sums; the string round-trip is correctly rounded, matching
+    # Spark's BigDecimal.doubleValue().
+    def d2d(expr: str) -> str:
+        return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
     sums = (
         "SELECT l_returnflag, CAST(COUNT(1) AS BIGINT) AS n, "
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx, "
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy, "
-        "CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,4)) "
-        "* CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx, "
-        "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) "
-        "* CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS syy, "
-        "CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,4)) "
-        "* CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy "
+        + d2d("SUM(CAST(l_quantity AS DECIMAL(28,4)))")
+        + " AS sx, "
+        + d2d("SUM(CAST(l_extendedprice AS DECIMAL(28,4)))")
+        + " AS sy, "
+        + d2d(
+            "SUM(CAST(CAST(l_quantity AS DECIMAL(28,4)) "
+            "* CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8)))"
+        )
+        + " AS sxx, "
+        + d2d(
+            "SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) "
+            "* CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8)))"
+        )
+        + " AS syy, "
+        + d2d(
+            "SUM(CAST(CAST(l_quantity AS DECIMAL(28,4)) "
+            "* CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8)))"
+        )
+        + " AS sxy "
         f"FROM {lineitem} GROUP BY l_returnflag"
     )
     var_q = "((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"

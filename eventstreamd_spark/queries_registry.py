@@ -1251,3 +1251,15 @@ def time_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array accessors over array<float> without exploding."""
     return scalars_mod.array_function_suite(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("conditional_aggregate_suite", scalars_mod.sql_conditional_aggregate_suite())
+def conditional_aggregate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or / exact median per group."""
+    return scalars_mod.conditional_aggregate_suite(load_table(spark, sf_dir, "orders"))
+
+
+@register("error_safe_suite", scalars_mod.sql_error_safe_suite())
+def error_safe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* error-safe scalar semantics: malformed input -> NULL."""
+    return scalars_mod.error_safe_suite(load_table(spark, sf_dir, "lineitem"))
