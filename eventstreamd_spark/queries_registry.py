@@ -1263,3 +1263,29 @@ def conditional_aggregate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def error_safe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """try_* error-safe scalar semantics: malformed input -> NULL."""
     return scalars_mod.error_safe_suite(load_table(spark, sf_dir, "lineitem"))
+
+
+_LATERAL_SQL = (
+    "SELECT n_name, c_custkey, c_acctbal "
+    "FROM nation, LATERAL ("
+    "  SELECT c_custkey, c_acctbal FROM customer "
+    "  WHERE c_nationkey = n_nationkey "
+    "  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c"
+)
+
+
+@register("lateral_top_customers", _LATERAL_SQL)
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
+    top-2 customers, expressed through the SQL front door.
+
+    Catalyst decorrelates the correlated limit into a ranking window
+    over a single join — the same physical plan topk_orders_per_customer
+    builds by hand; here the point is the FRONT-END shape (lateral
+    correlation), which the reference's filter mini-language could
+    never express.  The identical SQL text runs on DuckDB as the
+    oracle.
+    """
+    from eventstreamd_spark.session import sql as run_sql
+
+    return run_sql(spark, _LATERAL_SQL, sf_dir)
