@@ -1690,3 +1690,57 @@ def sql_promotable_part_suppliers(
         "GROUP BY l_suppkey "
         f"HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > CAST({min_qty} AS DECIMAL(18,4)))"
     )
+
+
+def nation_segment_rollcall(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """listagg/string_agg + deterministic mode in one pass: per nation,
+    the sorted comma-joined list of market segments present, how many,
+    the customer count, and the modal segment (most customers,
+    lexicographic min on ties).
+
+    Spark has no string_agg aggregate; ``array_sort(collect_list(...))
+    -> array_join`` expresses it exactly AND deterministically (the
+    bare collect_list order is partition-dependent; sorting makes the
+    result engine-stable).  The mode-with-tiebreak is min(struct(-c,
+    seg)) — a single struct-min aggregate, no second window pass.  Plan
+    at scale: broadcast nation (25 rows), one shuffle keyed n_name for
+    the (nation, segment) counts — segment cardinality is tiny so the
+    collect_list state is bounded (<=5 elements per nation, NOT per
+    customer), then a final 25-group aggregate.
+    """
+    per_seg = (
+        customer.join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("c"))
+    )
+    neg = F.struct((-F.col("c")).alias("negc"), F.col("c_mktsegment").alias("seg"))
+    return (
+        per_seg.groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("c_mktsegment")), ","
+            ).alias("segments"),
+            F.count("*").alias("n_segments"),
+            F.sum("c").alias("n_customers"),
+            F.min(neg).getField("seg").alias("top_segment"),
+        )
+        .select("n_name", "segments", "n_segments", "n_customers", "top_segment")
+    )
+
+
+def sql_nation_segment_rollcall() -> str:
+    return (
+        "WITH per AS ("
+        "  SELECT n_name, c_mktsegment AS seg, count(*) AS c "
+        "  FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "  GROUP BY n_name, c_mktsegment) "
+        "SELECT n_name, "
+        "string_agg(seg, ',' ORDER BY seg) AS segments, "
+        "CAST(count(*) AS BIGINT) AS n_segments, "
+        "CAST(sum(c) AS BIGINT) AS n_customers, "
+        "first(seg ORDER BY c DESC, seg ASC) AS top_segment "
+        "FROM per GROUP BY n_name"
+    )

@@ -349,3 +349,221 @@ def sql_string_function_suite(table: str = "documents") -> str:
         "translate(lang, 'aeiou', 'AEIOU') AS lang_vowels_uc "
         f"FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — the context-window splitter of a training pipeline
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 512
+CHUNK_OVERLAP = 64
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with
+    overlap (stride = size - overlap), the standard pre-tokenization
+    window splitter of a training-data pipeline.
+
+    Declarative row expansion: ``sequence`` builds the chunk-start
+    offsets JVM-side, ``posexplode`` turns them into rows, and
+    ``substr`` slices — a narrow scan->generate->project plan with NO
+    shuffle.  At 100 TB this runs at parquet-scan speed and parallelism
+    follows input splits; the ~size/stride row-expansion factor (~1.14
+    at 512/64) is absorbed map-side.  The reference has no document
+    model at all (SURVEY.md §2 absence list).
+    """
+    stride = size - overlap
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(stride)
+    )
+    exploded = docs.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_id", "chunk_start")
+    )
+    chunk = F.col("text").substr(F.col("chunk_start"), F.lit(size))
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_len"),
+    )
+
+
+def sql_chunk_documents(
+    table: str = "documents", size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> str:
+    stride = size - overlap
+    return (
+        "WITH offs AS ("
+        "  SELECT doc_id, text, "
+        f"    unnest(generate_series(1, greatest(length(text), 1), {stride})) AS o"
+        f"  FROM {table}) "
+        "SELECT doc_id, "
+        f"CAST((o - 1) / {stride} AS INT) AS chunk_id, "
+        "CAST(o AS INT) AS chunk_start, "
+        f"substring(text, CAST(o AS INT), {size}) AS chunk, "
+        f"CAST(length(substring(text, CAST(o AS INT), {size})) AS INT) AS chunk_len "
+        "FROM offs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics — Gopher-style repetitive-document detection
+# ---------------------------------------------------------------------------
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-line
+    fraction, duplicate-word fraction, and the frequency share of the
+    single most common word, plus the composite ``repetitive`` flag
+    (Rae et al. 2021, arXiv:2112.11446 §A1.1 — thresholds adapted).
+
+    Scale shape: the line metric is a narrow array computation fused
+    into the scan; the word metrics go explode -> two cascaded
+    aggregations BOTH keyed by doc_id (map-side partials collapse the
+    per-(doc, word) counts before either shuffle), and no join is
+    needed because the narrow metric rides along as a grouping key.
+    An O(tokens^2) per-row array variant would avoid the shuffle but
+    dies on long documents; this plan is linear in corpus size.
+    Documents with zero tokens drop out (no text to judge).
+    """
+    lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    dup_line_frac = F.when(
+        F.size(lines) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
+    ).otherwise(F.lit(0.0))
+    base = docs.select(
+        "doc_id",
+        dup_line_frac.alias("dup_line_frac"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    )
+    wc = base.groupBy("doc_id", "dup_line_frac", "w").agg(
+        F.count("*").alias("c")
+    )
+    stats = wc.groupBy("doc_id", "dup_line_frac").agg(
+        F.max("c").alias("max_wc"),
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+    )
+    top_word_frac = F.col("max_wc").cast("double") / F.col("n_tokens")
+    dup_word_frac = (
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    )
+    return stats.select(
+        "doc_id",
+        "dup_line_frac",
+        top_word_frac.alias("top_word_frac"),
+        dup_word_frac.alias("dup_word_frac"),
+        F.col("n_tokens").alias("n_tokens"),
+        (
+            (top_word_frac > 0.3)
+            | (F.col("dup_line_frac") > 0.3)
+            | (dup_word_frac > 0.6)
+        ).alias("repetitive"),
+    )
+
+
+def sql_repetition_metrics(table: str = "documents") -> str:
+    toks = sql_tokens("text")
+    return (
+        "WITH base AS ("
+        "  SELECT doc_id, "
+        "    CASE WHEN len(lines) > 0 THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) ELSE 0.0 END AS dup_line_frac, "
+        "    unnest(toks) AS w "
+        "  FROM (SELECT doc_id, "
+        "          list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines, "
+        f"         {toks} AS toks "
+        f"        FROM {table})), "
+        "wc AS (SELECT doc_id, dup_line_frac, w, count(*) AS c "
+        "       FROM base GROUP BY doc_id, dup_line_frac, w), "
+        "stats AS (SELECT doc_id, dup_line_frac, max(c) AS max_wc, "
+        "            sum(c) AS n_tokens, count(*) AS n_distinct "
+        "          FROM wc GROUP BY doc_id, dup_line_frac) "
+        "SELECT doc_id, dup_line_frac, "
+        "CAST(max_wc AS DOUBLE) / n_tokens AS top_word_frac, "
+        "1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_word_frac, "
+        "CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "(CAST(max_wc AS DOUBLE) / n_tokens > 0.3 "
+        " OR dup_line_frac > 0.3 "
+        " OR 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens > 0.6) AS repetitive "
+        "FROM stats"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms — corpus-level term weighting
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (score = tf * (ln((N+1)/(df+1)) + 1), sklearn's smooth_idf).
+
+    Plan at scale: explode -> (doc_id, term) count [shuffle 1, map-side
+    partials], term -> df aggregate [shuffle 2 over the vocabulary,
+    tiny], a shuffle join tf⋈df on term (vocabulary follows Heaps' law
+    so at 100 TB the df side may still broadcast; Catalyst/AQE decides
+    from stats), the corpus size N as a broadcast 1-row cross join, and
+    one ranking window per doc_id.  The float score is used ONLY for
+    ordering and deliberately not emitted: Java's Math.log and DuckDB's
+    libm may differ in the last ulp, and ties among mathematically
+    equal scores share (tf, df) so both engines order identically via
+    the (score DESC, term ASC) tiebreak.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+def sql_tfidf_top_terms(table: str = "documents", k: int = TFIDF_TOP_K) -> str:
+    toks = sql_tokens("text")
+    return (
+        "WITH tf AS ("
+        f"  SELECT doc_id, unnest({toks}) AS term FROM {table}"
+        "), tfc AS ("
+        "  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term"
+        "), dfc AS ("
+        "  SELECT term, count(*) AS df FROM tfc GROUP BY term"
+        "), scored AS ("
+        "  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df, "
+        f"    tfc.tf * (ln(CAST((SELECT count(*) FROM {table}) + 1 AS DOUBLE) / (dfc.df + 1)) + 1.0) AS score "
+        "  FROM tfc JOIN dfc USING (term)"
+        "), ranked AS ("
+        "  SELECT doc_id, term, tf, df, "
+        "    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank "
+        "  FROM scored) "
+        f"SELECT doc_id, term, tf, df, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}"
+    )

@@ -1289,3 +1289,32 @@ def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstreamd_spark.session import sql as run_sql
 
     return run_sql(spark, _LATERAL_SQL, sf_dir)
+
+
+@register("doc_chunks", text_op.sql_chunk_documents())
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapping chunking — the pre-tokenization splitter
+    of a training pipeline, as a shuffle-free generate plan."""
+    return text_op.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register("repetition_metrics", text_op.sql_repetition_metrics())
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetitive-document signals (dup-line/dup-word/
+    top-word fractions + keep/drop flag)."""
+    return text_op.repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@register("tfidf_top_terms", text_op.sql_tfidf_top_terms())
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: top-3 characteristic terms per document with a
+    deterministic (score DESC, term ASC) ranking."""
+    return text_op.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+@register("nation_segment_rollcall", rel.sql_nation_segment_rollcall())
+def nation_segment_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_agg/listagg + deterministic-mode aggregates per nation."""
+    return rel.nation_segment_rollcall(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "nation")
+    )

@@ -343,3 +343,75 @@ def test_multi_format_round_trip(spark, sf_dir, tmp_path) -> None:
 
     with _pytest.raises(ValueError):
         read_table(spark, str(tmp_path / "csv"), "csv")  # schema required
+
+
+def test_chunking_reconstructs_documents(spark, sf_dir) -> None:
+    """Stride-prefix concatenation of chunks must reproduce the exact
+    original text, and overlap means consecutive chunks share their
+    boundary characters."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = textops.chunk_documents(docs)
+    stride = textops.CHUNK_SIZE - textops.CHUNK_OVERLAP
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk"))
+                    ),
+                    lambda s: s["chunk"].substr(F.lit(1), F.lit(stride)),
+                ),
+            ).alias("rebuilt")
+        )
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    # substr(1, stride) of the LAST chunk may drop its tail only if the
+    # final chunk is longer than stride; reconstruct handles that case
+    # by comparing prefixes of equal length.
+    mismatches = rebuilt.filter(
+        ~F.col("text").startswith(F.col("rebuilt"))
+        | (F.length("rebuilt") < F.length("text") - textops.CHUNK_OVERLAP)
+    ).count()
+    assert mismatches == 0
+    # overlap property on a doc with >1 chunk
+    two = (
+        chunks.filter(F.col("chunk_id") <= 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.collect_list(F.struct("chunk_id", "chunk")).alias("cs"))
+        .filter(F.col("n") == 2)
+        .limit(1)
+        .collect()
+    )
+    if two:
+        cs = sorted(two[0]["cs"], key=lambda s: s["chunk_id"])
+        assert cs[0]["chunk"][stride:] == cs[1]["chunk"][: textops.CHUNK_OVERLAP]
+
+
+def test_repetition_metrics_flags_planted_loop(spark) -> None:
+    data = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "a genuinely varied sentence with many distinct interesting words here"),
+        (3, "line one\nline one\nline one\nline two"),
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in textops.repetition_metrics(df).collect()}
+    assert rows[1]["repetitive"] and rows[1]["top_word_frac"] == 1.0
+    assert not rows[2]["repetitive"]
+    assert rows[3]["repetitive"] and abs(rows[3]["dup_line_frac"] - 0.5) < 1e-9
+    assert rows[2]["dup_word_frac"] == 0.0
+
+
+def test_tfidf_prefers_rare_terms(spark) -> None:
+    data = [
+        (1, "common zebra"),
+        (2, "common words common words"),
+        (3, "common common common words"),
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    top = textops.tfidf_top_terms(df, k=1)
+    by_doc = {r["doc_id"]: r["term"] for r in top.collect()}
+    # 'zebra' appears once in one doc; idf beats the frequent 'common'
+    assert by_doc[1] == "zebra"
+    assert all(r["rank"] == 1 for r in top.collect())
