@@ -581,3 +581,77 @@ def sql_simhash(toks_expr: str) -> str:
         )
     total = " + ".join(bit_terms)
     return f"(SELECT {total} FROM (SELECT {h} AS __h))"
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — eval-set n-gram overlap
+# ---------------------------------------------------------------------------
+
+EVAL_MOD = 100
+
+
+def contamination_check(
+    docs: DataFrame, n: int = 3, eval_mod: int = EVAL_MOD
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose n-gram
+    shingles overlap a held-out eval set (here the deterministic
+    doc_id % eval_mod == 0 slice stands in for the benchmark suite).
+
+    The scale shape is the asymmetry: the eval side is filtered BEFORE
+    shingling (predicate reaches the scan, ~1% of the corpus pays the
+    hash cost twice), its distinct shingle set is tiny and broadcast,
+    and the corpus side is one explode -> broadcast LEFT join -> one
+    doc_id-keyed aggregation.  No shuffle ever carries text — only
+    8-byte shingle hashes.  LEFT join (not semi) so zero-hit documents
+    survive with n_hits = 0 and the output is a total verdict over the
+    corpus.  At 100 TB the eval set is a real benchmark table and the
+    broadcast is a few MB of hashes.
+    """
+    is_eval = F.col("doc_id") % eval_mod == 0
+    eval_shingles = (
+        with_hashed_shingles(docs.filter(is_eval), n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = with_hashed_shingles(docs.filter(~is_eval), n).select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    return (
+        corpus.join(F.broadcast(eval_shingles), "shingle", "left")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_shingles")).alias(
+                "contam_frac"
+            ),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+def sql_contamination_check(
+    table: str = "documents", n: int = 3, eval_mod: int = EVAL_MOD
+) -> str:
+    shingles = sql_hashed_word_shingles(sql_tokens("text"), n)
+    return f"""
+WITH sh AS (SELECT doc_id, {shingles} AS shingles FROM {table}),
+ev AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+       WHERE doc_id % {eval_mod} = 0),
+corpus AS (SELECT doc_id, len(shingles) AS n_shingles,
+                  unnest(shingles) AS shingle
+           FROM sh WHERE doc_id % {eval_mod} <> 0),
+hits AS (SELECT c.doc_id, c.n_shingles, count(e.shingle) AS n_hits
+         FROM corpus c LEFT JOIN ev e ON c.shingle = e.shingle
+         GROUP BY c.doc_id, c.n_shingles)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / n_shingles AS contam_frac,
+       n_hits > 0 AS contaminated
+FROM hits
+"""

@@ -99,3 +99,93 @@ def file_clustering_spans(
         )
         spans.append((float(r[1] - r[0]) / gx, float(r[3] - r[2]) / gy))
     return spans
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing — distributed prefix sum
+# ---------------------------------------------------------------------------
+
+SHARD_TOKENS = 4096
+BUCKET_WIDTH = 64
+
+
+def token_shard_assignments(
+    docs: DataFrame,
+    shard_tokens: int = SHARD_TOKENS,
+    bucket_width: int = BUCKET_WIDTH,
+) -> DataFrame:
+    """Pack documents (in doc_id order) into contiguous training shards
+    of ~shard_tokens tokens: shard_id = exclusive-prefix-sum(tokens)
+    div shard_tokens — the writer-sharding step of a training pipeline.
+
+    The naive plan is ``sum() OVER (ORDER BY doc_id)`` — an UNPARTITIONED
+    window that drags the whole corpus through one task.  This is the
+    scalable two-phase prefix sum instead:
+
+      1. within-bucket cumsum, window partitioned by
+         bucket = doc_id div bucket_width  (fully parallel),
+      2. per-bucket totals (tiny aggregate) -> exclusive bucket offsets
+         via a window over ONLY the bucket rows (corpus/bucket_width
+         rows — the single-partition window runs over KB, not TB),
+      3. broadcast-join offsets back, add.
+
+    Same trick scales any order-dependent computation (row numbering,
+    cumulative anything) past the single-task window limit.  All
+    arithmetic is BIGINT; the floor division is exact.
+    """
+    from pyspark.sql import Window
+
+    from eventstreamd_spark.functions.text import tokens
+
+    toked = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        (F.col("doc_id") - F.col("doc_id") % bucket_width).alias("bucket"),
+    )
+    within = Window.partitionBy("bucket").orderBy("doc_id")
+    cum_in_bucket = toked.withColumn(
+        "bucket_cum", F.sum("n_tokens").over(within)
+    )
+    bucket_w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        toked.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .withColumn(
+            "bucket_offset", F.coalesce(F.sum("bucket_total").over(bucket_w), F.lit(0))
+        )
+        .select("bucket", "bucket_offset")
+    )
+    cum = F.col("bucket_offset") + F.col("bucket_cum")
+    excl = cum - F.col("n_tokens")
+    return (
+        cum_in_bucket.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(excl / shard_tokens).alias("shard_id"),
+            excl.alias("shard_start_token"),
+        )
+    )
+
+
+def sql_token_shard_assignments(
+    table: str = "documents", shard_tokens: int = SHARD_TOKENS
+) -> str:
+    from eventstreamd_spark.functions.text import sql_tokens
+
+    toks = sql_tokens("text")
+    return (
+        "WITH t AS ("
+        f"  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM {table}"
+        "), c AS ("
+        "  SELECT doc_id, n_tokens, "
+        "    sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS excl "
+        "  FROM t) "
+        "SELECT doc_id, n_tokens, "
+        f"CAST(floor(CAST(excl AS DOUBLE) / {shard_tokens}) AS BIGINT) AS shard_id, "
+        "excl AS shard_start_token "
+        "FROM c"
+    )

@@ -35,6 +35,7 @@ from eventstreamd_spark.operators import envelope as envelope_op
 from eventstreamd_spark.operators import relational as rel
 from eventstreamd_spark.operators import routing as routing_op
 from eventstreamd_spark.operators import stats as stats_op
+from eventstreamd_spark.operators import layout as layout_mod
 from eventstreamd_spark.operators import windows as windows_op
 from eventstreamd_spark.operators.filters import (
     filter_events,
@@ -1318,3 +1319,17 @@ def nation_segment_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.nation_segment_rollcall(
         load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "nation")
     )
+
+
+@register("contamination_check", dedup_op.sql_contamination_check())
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval-set shingle overlap per corpus
+    document (broadcast eval hashes, LEFT join keeps zero-hit docs)."""
+    return dedup_op.contamination_check(load_table(spark, sf_dir, "documents"))
+
+
+@register("token_shards", layout_mod.sql_token_shard_assignments())
+def token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing via the scalable two-phase prefix sum
+    (the oracle states it as the naive global window)."""
+    return layout_mod.token_shard_assignments(load_table(spark, sf_dir, "documents"))

@@ -415,3 +415,49 @@ def test_tfidf_prefers_rare_terms(spark) -> None:
     # 'zebra' appears once in one doc; idf beats the frequent 'common'
     assert by_doc[1] == "zebra"
     assert all(r["rank"] == 1 for r in top.collect())
+
+
+def test_contamination_flags_planted_eval_copy(spark) -> None:
+    # doc 100 is in the eval slice (doc_id % 100 == 0); doc 1 copies it
+    # verbatim, doc 2 is unrelated.
+    data = [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely different words about gardening and carpentry skills"),
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in dedup.contamination_check(df).collect()}
+    assert set(rows) == {1, 2}  # eval doc itself excluded from the verdict
+    assert rows[1]["contaminated"] and rows[1]["contam_frac"] == 1.0
+    assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
+
+
+def test_token_shards_match_naive_global_window(spark, sf_dir) -> None:
+    """The scalable two-phase prefix sum must agree EXACTLY with the
+    naive unpartitioned-window formulation."""
+    from pyspark.sql import Window
+
+    from eventstreamd_spark.functions.text import tokens
+    from eventstreamd_spark.operators import layout
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast = layout.token_shard_assignments(docs)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = (
+        docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+        )
+        .withColumn("excl", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("excl") / layout.SHARD_TOKENS).alias("shard_id"),
+            F.col("excl").alias("shard_start_token"),
+        )
+    )
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+    # shards are contiguous runs: shard_id is monotone in doc_id
+    rows = fast.orderBy("doc_id").select("shard_id").collect()
+    ids = [r[0] for r in rows]
+    assert ids == sorted(ids)
