@@ -1333,3 +1333,10 @@ def token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing via the scalable two-phase prefix sum
     (the oracle states it as the naive global window)."""
     return layout_mod.token_shard_assignments(load_table(spark, sf_dir, "documents"))
+
+
+@register("weighted_median_quantity", stats_op.sql_weighted_median_quantity())
+def weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas_udf GROUPED_AGG custom aggregate (weighted median),
+    oracle-stated as a RANGE-framed cumulative window."""
+    return stats_op.weighted_median_quantity(load_table(spark, sf_dir, "lineitem"))
