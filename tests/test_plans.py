@@ -258,3 +258,40 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir) -> None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_doc_chunks_has_no_shuffle(plans) -> None:
+    # chunking is scan -> generate -> project; any Exchange means the
+    # row expansion stopped being free
+    plan = plans("doc_chunks")
+    assert "Exchange" not in plan
+    assert "Generate posexplode" in plan or "Generate" in plan
+
+
+def test_contamination_broadcasts_eval_hashes(plans) -> None:
+    # the eval shingle set must broadcast; a sort-merge join here would
+    # shuffle the full corpus explode on a hash key
+    plan = plans("contamination_check")
+    assert "BroadcastHashJoin" in plan
+    # LEFT join so zero-hit documents survive
+    assert "LeftOuter" in plan
+
+
+def test_tfidf_broadcasts_corpus_count(plans) -> None:
+    # N (1-row aggregate) must arrive via broadcast, not a shuffle join
+    plan = plans("tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_token_shards_offsets_window_is_tiny(plans) -> None:
+    # the unpartitioned window must run over per-bucket totals (an
+    # aggregate), never the raw documents: assert the single-partition
+    # exchange feeds from a HashAggregate
+    plan = plans("token_shards")
+    assert "SinglePartition" in plan
+    import re
+    # the SinglePartition exchange's subtree must contain the bucket
+    # aggregate, i.e. appear AFTER a HashAggregate on bucket_total
+    pos_sp = plan.find("Exchange SinglePartition")
+    assert pos_sp != -1
+    assert "bucket_total" in plan[pos_sp:]
