@@ -1340,3 +1340,36 @@ def weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas_udf GROUPED_AGG custom aggregate (weighted median),
     oracle-stated as a RANGE-framed cumulative window."""
     return stats_op.weighted_median_quantity(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "salted_heavy_hitter_counts",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows "
+    "FROM events GROUP BY event_type",
+)
+def salted_heavy_hitter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase count — the oracle is the UNSALTED GROUP
+    BY, so the hash match proves salting is exact, not approximate."""
+    from eventstreamd_spark.operators.skew import salted_agg
+
+    return salted_agg(load_table(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "global_sorted_orders",
+    "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders",
+)
+def global_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned global sort (the driver's compare is order-
+    insensitive; test_plans pins the range-exchange plan property)."""
+    return rel.global_sorted_orders(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+@register("multimodal_resize", None)  # Python kernel: rows-only check
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget media resize stage (stubbed kernel, real Arrow
+    batch plumbing); output drops blobs, keeps verifiable lengths."""
+    media = mm_op.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return mm_op.resize_media(media).select("doc_id", "media_type", "byte_len")
