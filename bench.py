@@ -35,6 +35,15 @@ def sf_from_dir(path: str) -> float:
 
 
 def main() -> None:
+    # The driver parses stdout as JSON; Spark's JVM writes banners (e.g.
+    # "WARNING: Using incubator modules") straight to fd 1, drowning the
+    # result line.  Point fd 1 at stderr before the JVM launches (child
+    # processes inherit the fd), keeping a private dup of the real stdout
+    # for the single JSON line at the end.
+    real_stdout_fd = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+
     from eventstreamd_spark.session import get_spark
 
     spark = get_spark(app_name="eventstreamd-spark-bench", cpus=int(CPUS))
@@ -87,7 +96,10 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
-    print(json.dumps(out))
+    # fd 1 currently points at stderr (see top of main); the JSON line goes
+    # to the preserved real stdout so the driver sees exactly one line.
+    os.write(real_stdout_fd, (json.dumps(out) + "\n").encode())
+    os.close(real_stdout_fd)
     spark.stop()
 
 

@@ -650,7 +650,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_metadata",
     """
-SELECT media_type, count(*) AS n_blobs, sum(byte_len) AS total_bytes,
+SELECT media_type, count(*) AS n_blobs,
+       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
        min(byte_len) AS min_bytes, max(byte_len) AS max_bytes,
        count(DISTINCT content_md5) AS n_distinct_blobs
 FROM (
@@ -673,9 +674,19 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_features", None)  # Pandas-UDF decode: rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature stage over binary blobs (stubbed
-    kernel, real Arrow-batch plumbing) — not SQL-expressible."""
+    kernel, real Arrow-batch plumbing) — not SQL-expressible.
+
+    Driver-facing projection: the harness canonicalizes results with a
+    pandas sort/hash that chokes on list cells, so the array<float>
+    feature column is exploded to fixed per-dim double columns (rounded
+    for cross-arch float stability)."""
     media = mm_op.documents_as_media(load_table(spark, sf_dir, "documents"))
-    return mm_op.extract_features(media)
+    feats = mm_op.extract_features(media)
+    dims = [
+        F.round(F.col("feature")[i].cast("double"), 6).alias(f"f{i}")
+        for i in range(mm_op.FEATURE_DIM)
+    ]
+    return feats.select("doc_id", "media_type", "byte_len", *dims)
 
 
 # ---------------------------------------------------------------------------

@@ -99,6 +99,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Self-contained under a foreign SparkSession (driver harness, notebook):
+    # the fixture parquet stores INT64 TIMESTAMP(NANOS), which Spark's reader
+    # rejects unless the legacy nanos-as-long escape hatch is on.  The conf is
+    # runtime-settable, so set it here rather than relying on get_spark()
+    # having built the session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC for the same reason: timestamp semantics (ntz->ltz casts,
+    # date_trunc, window()) must match the DuckDB oracle regardless of the
+    # host session's timezone.  Both confs are runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     dtypes = dict(df.dtypes)
     for c in _TIMESTAMP_COLS.get(name, []):
@@ -109,6 +119,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # 2^53 ns). Cheap narrow projection — no shuffle, stays in codegen.
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # Some scale factors store plain micros, which surface as
+            # TIMESTAMP_NTZ; normalize to TimestampType so downstream
+            # operators (unix_micros, window()) see one type everywhere.
+            # Session tz is UTC, so the instant is unchanged.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -134,8 +134,13 @@ def test_streaming_tumbling_and_session_windows(spark, sf_dir, tmp_path) -> None
     # same ts rebuild load_table does for batch
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).format("parquet").load(src)
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"] == "bigint":
+    raw_ts = dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"]
+    if raw_ts == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif raw_ts == "timestamp_ntz":
+        # micros stored without UTC adjustment surface as NTZ; watermarks
+        # require TimestampType (session tz is UTC, instant unchanged)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = pipeline.streaming_tumbling_counts(stream)
     q = (
         agg.writeStream.outputMode("append")
