@@ -435,6 +435,73 @@ def approx_distinct_parts(lineitem: DataFrame, rsd: float = 0.02) -> DataFrame:
     )
 
 
+def approx_distinct_parts_checked(lineitem: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Driver-checkable HLL twin: exact distinct count + a Spark-computed
+    ``approx_ok`` flag asserting the sketch landed within 5*rsd of exact.
+
+    The raw sketch estimate is engine-specific (DuckDB cannot reproduce
+    Spark's HLL++ value bit-for-bit), so it feeds the bound check but is
+    not projected; the oracle recomputes the exact columns and asserts
+    the flag TRUE — turning the former rows-only row into a full
+    value-hash row."""
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.approx_count_distinct("l_partkey", rsd).alias("_approx"),
+        F.count("*").alias("n_rows"),
+    )
+    bound = F.abs(F.col("_approx") - F.col("n_parts_exact")) <= (
+        F.col("n_parts_exact") * (5 * rsd)
+    )
+    return agg.select(
+        "l_returnflag", "n_parts_exact", "n_rows", bound.alias("approx_ok")
+    )
+
+
+def sql_approx_distinct_parts_checked(table: str = "lineitem") -> str:
+    return (
+        f"SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts_exact, "
+        f"count(*) AS n_rows, TRUE AS approx_ok FROM {table} GROUP BY l_returnflag"
+    )
+
+
+def approx_quantity_quantiles_checked(
+    lineitem: DataFrame, accuracy: int = 10000, tol: float = 2.0
+) -> DataFrame:
+    """Driver-checkable sketch-percentile twin: exact per-group medians/
+    quartiles + ``approx_ok`` asserting every approx_percentile is within
+    ``tol`` of its exact counterpart (l_quantity spans 1..50; accuracy
+    10000 bounds rank error far below that).  Same rationale as
+    approx_distinct_parts_checked."""
+    probs = ", ".join(str(p) for p in QUANTILE_PROBS)
+    exact = F.expr(f"percentile(l_quantity, array({probs}))")
+    approx = F.expr(f"approx_percentile(l_quantity, array({probs}), {accuracy})")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        exact.alias("_e"), approx.alias("_a")
+    )
+    ok = F.lit(True)
+    for i in range(len(QUANTILE_PROBS)):
+        ok = ok & (F.abs(F.col("_a")[i] - F.col("_e")[i]) <= tol)
+    return agg.select(
+        "l_returnflag",
+        F.col("_e")[0].alias("q25"),
+        F.col("_e")[1].alias("q50"),
+        F.col("_e")[2].alias("q75"),
+        F.col("_e")[3].alias("q95"),
+        ok.alias("approx_ok"),
+    )
+
+
+def sql_approx_quantity_quantiles_checked(table: str = "lineitem") -> str:
+    cols = ", ".join(
+        f"quantile_cont(l_quantity, {p}) AS q{int(p * 100)}"
+        for p in QUANTILE_PROBS
+    )
+    return (
+        f"SELECT l_returnflag, {cols}, TRUE AS approx_ok "
+        f"FROM {table} GROUP BY l_returnflag"
+    )
+
+
 PRICE_BANDS = [
     (0, "budget", 0.0, 20000.0),
     (1, "mid", 20000.0, 45000.0),
