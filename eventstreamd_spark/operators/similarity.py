@@ -162,49 +162,89 @@ def lsh_topk(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_rows: int = 4096,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine >= threshold, exact all-pairs.
 
-    Block-matrix execution: the corpus is L2-normalized once, broadcast,
-    and each partition of rows scores itself against the full corpus
-    with one BLAS matmul inside an Arrow-batched ``mapInPandas`` —
-    O(n^2 * d) FLOPs in vectorized kernels instead of a JVM nested-loop
-    join evaluating an interpreted array-aggregate per pair (~30x).
+    Tiled block-matrix execution — NOTHING transits the driver:
 
-    Scale: at 100 TB one side no longer fits a broadcast; the same
-    kernel then tiles (corpus split into broadcastable column blocks,
-    one pass per block — still exact), or the LSH-bucketed variant
-    prunes candidates first (approximate).  The per-partition matmul
-    shape is identical either way, which is why this is written as
-    mapInPandas over row blocks rather than a crossJoin.
+    1. one distributed write spills the slim (vec_id, embedding)
+       projection to parquet, hash-partitioned into ~``block_rows``-row
+       block files (executor-side write; at 100 TB this is an
+       object-store prefix, and usually already exists as the source
+       layout);
+    2. one ``mapInPandas`` pass: each task materializes its own input
+       split, then streams the block files one at a time — load block,
+       BLAS-matmul it against the split in bounded row chunks, emit
+       pairs, drop the block.  Peak memory per task is
+       O(split + one block + chunk x block sims), independent of corpus
+       size; FLOPs are the exact O(n^2 d) in vectorized kernels instead
+       of a JVM nested-loop join evaluating an interpreted
+       array-aggregate per pair (~30x).
+
+    Each unordered pair (a < b) is emitted exactly once: a's split sees
+    b's block, and the a < b guard kills the mirror when b's split sees
+    a's block — so no distinct/groupBy shuffle afterwards.
+
+    At 100 TB the corpus outgrows any single broadcast, but never this
+    shape; the LSH-bucketed variant remains the sub-quadratic
+    alternative when approximate recall is acceptable.
     """
+    import glob
+    import math
+    import os
+    import tempfile
+    import uuid
+
     import numpy as np
     import pandas as pd
 
-    spark = embeddings.sparkSession
-    slim = fan_out(embeddings.select("vec_id", "embedding"))
-    corpus = slim.toPandas()
-    ids = corpus["vec_id"].to_numpy(dtype=np.int64)
-    M = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, M))
+    slim = embeddings.select("vec_id", "embedding")
+    n = slim.count()
+    n_blocks = max(1, math.ceil(n / block_rows))
+    path = os.path.join(
+        work_dir or tempfile.gettempdir(), f"emb_blocks_{uuid.uuid4().hex}"
+    )
+    (
+        slim.withColumn(
+            "block", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks))
+        )
+        .repartition(n_blocks, "block")
+        .write.partitionBy("block")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+    chunk_rows = block_rows  # bounds the sims matrix at block_rows^2 doubles
 
     def score(batches):
-        bids, B = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            aids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            sims = A @ B.T
-            ai, bj = np.nonzero(sims >= threshold)
-            va, vb = aids[ai], bids[bj]
-            keep = va < vb
-            yield pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep]})
+        import pyarrow.parquet as pq
 
-    return slim.mapInPandas(score, "vec_a long, vec_b long")
+        files = sorted(glob.glob(os.path.join(path, "block=*", "*.parquet")))
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        part = pd.concat(pdfs, ignore_index=True)
+        A = np.stack(part["embedding"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        aids = part["vec_id"].to_numpy(dtype=np.int64)
+        for f in files:
+            tb = pq.read_table(f, columns=["vec_id", "embedding"]).to_pandas()
+            B = np.stack(tb["embedding"].to_numpy()).astype(np.float64)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            bids = tb["vec_id"].to_numpy(dtype=np.int64)
+            for lo in range(0, len(A), chunk_rows):
+                sims = A[lo : lo + chunk_rows] @ B.T
+                ai, bj = np.nonzero(sims >= threshold)
+                va, vb = aids[lo + ai], bids[bj]
+                keep = va < vb
+                if keep.any():
+                    yield pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep]})
+
+    return fan_out(slim).mapInPandas(score, "vec_a long, vec_b long")
 
 
 def embedding_near_dup_pairs_jvm(

@@ -33,6 +33,9 @@ class Config:
     work_dir: str = "/tmp/eventstreamd_spark"
     trigger_seconds: int = 1
     auth_plugin_file: str = ""
+    # CLI-set debug mode (reference config.py:24, cmdargs.py:16,23 —
+    # the reference never reads it from the INI either)
+    debug: bool = False
 
     @property
     def with_ssl(self) -> bool:

@@ -114,8 +114,17 @@ def main() -> None:  # pragma: no cover - thin CLI shim
     ap.add_argument("--work-dir", help="spool + checkpoint dir")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, help="HTTP port (overrides config)")
+    ap.add_argument(
+        "-d", "--debug", action="store_true", help="enable debug mode"
+    )  # reference cmdargs.py:16
     args = ap.parse_args()
     cfg = read_config(args.config) if args.config else read_default_config()
+    cfg.debug = args.debug
+    # reference main.py:10-14: debug gates log level + asyncio logger
+    logging.basicConfig(
+        level=logging.DEBUG if cfg.debug else logging.INFO
+    )
+    logging.getLogger("asyncio").disabled = not cfg.debug
     from eventstreamd_spark.streaming.plugins import load_auth_plugin
 
     spark = get_spark("eventstreamd-spark-daemon")

@@ -69,6 +69,9 @@ class Connection:
         default_factory=datetime.datetime.now
     )
     remote_host: str | None = None
+    # Referer request header, surfaced in /stats when present
+    # (reference stats.py:23,41-42)
+    referer: str | None = None
 
 
 class ListenerRegistry:
@@ -163,19 +166,32 @@ class ListenerRegistry:
             put()
 
     def stats_json(self) -> dict:
+        def one(c: Connection) -> dict:
+            d = {
+                "subsystem": c.subsystem,
+                "filters": list(c.filters),
+                "connection-time": c.connected_at.isoformat(),
+                "remote-host": c.remote_host,
+            }
+            if c.referer:  # NotRequired field, reference stats.py:41-42
+                d["referer"] = c.referer
+            return d
+
         return {
             "start-time": self.start_time.isoformat(),
             "total-connections": self.total_connections,
-            "connections": [
-                {
-                    "subsystem": c.subsystem,
-                    "filters": list(c.filters),
-                    "connection-time": c.connected_at.isoformat(),
-                    "remote-host": c.remote_host,
-                }
-                for c in self.connections.values()
-            ],
+            "connections": [one(c) for c in self.connections.values()],
         }
+
+    def dispatch_frame(
+        self, subsystem: str, filters: tuple[str, ...], frame: str
+    ) -> None:
+        """Deliver one rendered frame to every connection subscribed as
+        (subsystem, filters).  Called from the frame-ingest server (on
+        the event loop) or any thread (hops through the loop)."""
+        for conn in list(self.connections.values()):
+            if conn.subsystem == subsystem and conn.filters == filters:
+                self._enqueue(conn, frame)
 
 
 def listener_key(subsystem: str, filters: tuple[str, ...]) -> str:
@@ -296,6 +312,7 @@ async def handle_http(
             remote_host=writer.get_extra_info("peername") and str(
                 writer.get_extra_info("peername")
             ),
+            referer=headers.get("referer"),
         )
         cid = registry.add(conn)
         # SSE handshake headers, reference http_server.py:126-139:
@@ -370,6 +387,135 @@ async def handle_http(
             writer.close()
         except Exception:
             pass
+
+
+async def run_frame_ingest(
+    host: str, port: int, registry: ListenerRegistry
+) -> asyncio.AbstractServer:
+    """Frame-ingest endpoint for EXECUTOR-SIDE fan-out.
+
+    Accepts newline-delimited JSON ``{"subsystem": .., "filters": [..],
+    "frame": ..}`` from Spark tasks and dispatches to subscribed
+    connection queues.  This is the listener-tier half of the
+    100x-scale push path: at cluster scale one of these runs per
+    listener-tier node (executors write to whichever node owns the
+    subscription, e.g. via consistent hashing on the group key); in
+    local mode it shares the event loop with the SSE server.
+
+    Use ``server.sockets[0].getsockname()[1]`` for the bound port when
+    started with port 0.
+    """
+
+    async def handler(
+        reader: asyncio.StreamReader, writer: asyncio.StreamWriter
+    ) -> None:
+        try:
+            while True:
+                line = await reader.readline()
+                if not line:
+                    break
+                try:
+                    msg = json.loads(line)
+                    registry.dispatch_frame(
+                        msg["subsystem"], tuple(msg["filters"]), msg["frame"]
+                    )
+                except (ValueError, KeyError, TypeError):
+                    logger.warning("frame-ingest: dropping malformed line")
+        finally:
+            try:
+                writer.close()
+            except Exception:
+                pass
+
+    return await asyncio.start_server(handler, host, port)
+
+
+class DistributedPusher:
+    """Executor-side SSE fan-out: the ``foreachBatch`` sink for clusters.
+
+    ``ListenerRegistry.push_batch`` collects matched frames to the
+    driver — faithful to the reference's single-process design and fine
+    at daemon scale, but at 1000 executors every delivered frame would
+    transit one Python driver thread.  This pusher keeps delivery on
+    the executors: per micro-batch it builds ONE tagged union plan
+    (each live (subsystem, filters) group's predicate over the
+    shared parsed/framed projection) and ships it with
+    ``foreachPartition`` — every task opens a socket to the frame-
+    ingest tier and writes its partition's frames directly.  The
+    driver only reads the (tiny) subscription table; frames never
+    leave the executors until the listener tier.
+
+    SCALE.md documents the cutover: in-process ``push_batch`` below
+    ~10^4 frames/batch on one node, DistributedPusher beyond.
+    """
+
+    def __init__(
+        self, registry: ListenerRegistry, ingest_host: str, ingest_port: int
+    ) -> None:
+        self.registry = registry
+        self.ingest_host = ingest_host
+        self.ingest_port = ingest_port
+
+    def push_batch(self, batch_df, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from eventstreamd_spark.functions.sse import sse_frame
+        from eventstreamd_spark.operators.filters import (
+            compile_filters,
+            parse_filter,
+        )
+
+        groups = sorted(
+            {
+                (c.subsystem, c.filters)
+                for c in self.registry.connections.values()
+            }
+        )
+        if not groups:
+            return
+        parsed = batch_df.withColumn(
+            "__v", F.try_parse_json(F.col("data"))
+        ).withColumn(
+            "__frame",
+            sse_frame(F.col("event_type"), F.col("data"), F.col("id")),
+        )
+        parts = []
+        for subsystem, filters in groups:
+            specs = [parse_filter(f) for f in filters]
+            tag = json.dumps(
+                {"subsystem": subsystem, "filters": list(filters)}
+            )
+            parts.append(
+                parsed.filter(
+                    (F.col("subsystem") == subsystem)
+                    & compile_filters(specs, F.col("__v"), pre_parsed=True)
+                ).select(
+                    F.lit(tag).alias("tag"), F.col("__frame").alias("frame")
+                )
+            )
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+
+        host, port = self.ingest_host, self.ingest_port
+
+        def send(rows) -> None:  # runs on executors
+            import json as _json
+            import socket
+
+            sock = None
+            try:
+                for row in rows:
+                    if sock is None:  # connect lazily: empty partitions free
+                        sock = socket.create_connection((host, port))
+                    msg = _json.loads(row.tag)
+                    msg["frame"] = row.frame
+                    sock.sendall((_json.dumps(msg) + "\n").encode())
+            finally:
+                if sock is not None:
+                    sock.close()
+
+        union.foreachPartition(send)
 
 
 async def run_http_server(

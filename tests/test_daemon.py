@@ -178,6 +178,71 @@ def test_expiry_logout(spark, tmp_path) -> None:
     asyncio.run(scenario())
 
 
+def test_distributed_push_executor_side(spark) -> None:
+    """The cluster-scale fan-out path: frames travel task -> frame-ingest
+    socket -> connection queues, never through a driver collect()."""
+    from eventstreamd_spark.streaming.http_frontend import (
+        Connection,
+        DistributedPusher,
+        ListenerRegistry,
+        run_frame_ingest,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            ("orders", "add", '{"k": 60}', "e1"),   # matches k>=50
+            ("orders", "add", '{"k": 10}', "e2"),   # filtered out
+            ("other", "add", '{"k": 99}', "e3"),    # wrong subsystem
+        ],
+        "subsystem string, event_type string, data string, id string",
+    )
+
+    async def scenario() -> None:
+        loop = asyncio.get_running_loop()
+        registry = ListenerRegistry(loop=loop)
+        server = await run_frame_ingest("127.0.0.1", 0, registry)
+        port = server.sockets[0].getsockname()[1]
+
+        match = Connection("orders", ("k>=50",), asyncio.Queue())
+        loose = Connection("orders", (), asyncio.Queue())
+        registry.add(match)
+        registry.add(loose)
+
+        pusher = DistributedPusher(registry, "127.0.0.1", port)
+        # the Spark action blocks; keep the loop free to serve ingest
+        await loop.run_in_executor(None, pusher.push_batch, batch, 0)
+
+        frame = await asyncio.wait_for(match.queue.get(), 10)
+        assert "id: e1" in frame and '"k": 60' in frame
+        assert match.queue.empty()  # e2/e3 never delivered to the filtered sub
+
+        got = set()
+        for _ in range(2):  # unfiltered orders sub sees e1 AND e2, not e3
+            got.add(await asyncio.wait_for(loose.queue.get(), 10))
+        assert any("id: e1" in f for f in got) and any("id: e2" in f for f in got)
+        assert not any("id: e3" in f for f in got)
+
+        server.close()
+        await server.wait_closed()
+
+    asyncio.run(scenario())
+
+
+def test_stats_referer_field() -> None:
+    """/stats mirrors the reference's NotRequired referer (stats.py:23)."""
+    from eventstreamd_spark.streaming.http_frontend import (
+        Connection,
+        ListenerRegistry,
+    )
+
+    reg = ListenerRegistry()
+    reg.add(Connection("orders", (), asyncio.Queue(), referer="http://ui/"))
+    reg.add(Connection("orders", (), asyncio.Queue()))
+    conns = reg.stats_json()["connections"]
+    assert conns[0]["referer"] == "http://ui/"
+    assert "referer" not in conns[1]  # absent, not null, when unset
+
+
 def test_config_parsing(tmp_path) -> None:
     """INI config: same keys/fallbacks as the reference (config.py:31-54)."""
     from eventstreamd_spark.streaming.config import Config, read_config

@@ -66,6 +66,25 @@ def test_embedding_near_dup_planted_scaled_copies(spark, sf_dir) -> None:
     assert got == expected  # scaled copies and nothing else at 0.95
 
 
+def test_embedding_near_dup_never_materializes_on_driver(
+    spark, sf_dir, monkeypatch
+) -> None:
+    """The tiled kernel must ship corpus blocks executor-side — any
+    toPandas/collect of the corpus through the driver is the 100 TB
+    OOM this test pins closed."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("driver-side materialization in near-dup path")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = similarity.embedding_near_dup_pairs(emb, block_rows=128)
+    monkeypatch.undo()
+    assert df.count() >= 0  # executes the full tiled plan
+
+
 def test_brute_force_topk_shape(spark, sf_dir) -> None:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.brute_force_topk(emb, [0, 1], k=5).collect()
