@@ -125,6 +125,95 @@ def stratified_sample(
     return df.filter(hash_gate(F.col(key), salt) < bp)
 
 
+def rebalance_to_mix(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    targets: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Resample to a TARGET group mix — the domain-reweighting primitive
+    of training-data pipelines ("web 50%, code 30%, papers 20%"), with
+    per-group rates derived FROM the data rather than fixed up front
+    (contrast ``stratified_sample``).
+
+    Largest feasible downsample-only plan: N = min_g(count_g/target_g)
+    is the biggest corpus whose mix can hit every target without
+    upsampling; each group then keeps rate_g = N*target_g/count_g via
+    the same append-stable hash gate as every sampler here.  Groups
+    absent from ``targets`` are dropped.
+
+    Plan shape at 100 TB: one tiny groupBy count (map-side partials),
+    a scalar min, a broadcast of |groups| thresholds back onto the
+    fact table, then a narrow filter — no fact-side shuffle at all.
+    """
+    t_expr: Column | None = None
+    for name, share in targets.items():
+        t_expr = (
+            F.when(F.col(group_col) == name, F.lit(float(share)))
+            if t_expr is None
+            else t_expr.when(F.col(group_col) == name, F.lit(float(share)))
+        )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_t", t_expr)
+        .filter(F.col("_t").isNotNull())
+    )
+    feasible = counts.agg(F.min(F.col("_n") / F.col("_t")).alias("_cap"))
+    rates = (
+        counts.crossJoin(F.broadcast(feasible))
+        .withColumn(
+            "_bp",
+            F.floor(
+                F.least(
+                    F.lit(float(RATE_DENOM)),
+                    F.lit(RATE_DENOM) * F.col("_cap") * F.col("_t") / F.col("_n"),
+                )
+            ).cast("bigint"),
+        )
+        .select(group_col, "_bp")
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_gate(F.col(key), salt) < F.col("_bp"))
+        .drop("_bp")
+    )
+
+
+def sql_rebalance_to_mix(
+    key_expr: str,
+    group_col: str,
+    targets: dict[str, float],
+    salt: str = "",
+    table: str = "events",
+    select: str = "*",
+) -> str:
+    """CTE twin of ``rebalance_to_mix`` (same double arithmetic ops in
+    the same order, so thresholds agree bit-for-bit)."""
+    t_case = " ".join(
+        f"WHEN '{name}' THEN CAST({float(share)} AS DOUBLE)"
+        for name, share in targets.items()
+    )
+    gate = sql_hash_gate(key_expr, salt)
+    return f"""
+WITH counts AS (
+  SELECT {group_col}, count(*) AS _n,
+         CASE {group_col} {t_case} END AS _t
+  FROM {table} GROUP BY {group_col}
+), feasible AS (
+  SELECT min(_n / _t) AS _cap FROM counts WHERE _t IS NOT NULL
+), rates AS (
+  SELECT {group_col},
+         CAST(floor(least(CAST({RATE_DENOM} AS DOUBLE),
+                          {RATE_DENOM} * _cap * _t / _n)) AS BIGINT) AS _bp
+  FROM counts, feasible WHERE _t IS NOT NULL
+)
+SELECT {select} FROM {table} JOIN rates USING ({group_col})
+WHERE {gate} < _bp
+"""
+
+
 def sql_stratified_sample_pred(
     key_expr: str,
     stratum_col: str,

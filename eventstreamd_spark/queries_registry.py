@@ -1401,6 +1401,28 @@ def ping_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live_op.ping_spine(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "domain_mix_rebalance",
+    sampling_op.sql_rebalance_to_mix(
+        "event_id",
+        "event_type",
+        {"click": 0.5, "view": 0.3, "purchase": 0.2},
+        select="event_id, event_type, user_id",
+    ),
+)
+def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to a 50/30/20 click/view/purchase mix — the
+    domain-reweighting primitive; rates derived from the data, applied
+    via the append-stable hash gate (broadcast thresholds, narrow
+    filter, no fact-side shuffle)."""
+    return sampling_op.rebalance_to_mix(
+        load_table(spark, sf_dir, "events"),
+        "event_id",
+        "event_type",
+        {"click": 0.5, "view": 0.3, "purchase": 0.2},
+    ).select("event_id", "event_type", "user_id")
+
+
 @register("expiry_logouts", live_op.sql_expiry_logouts())
 def expiry_logouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9 batch twin: expiry/logout verdicts (reference
@@ -1464,6 +1486,7 @@ _PRIORITY = [
     "deterministic_sample",
     "dataset_split_counts",
     "stratified_sample_counts",
+    "domain_mix_rebalance",
     "curation_decisions",
     "pii_redaction",
     "merge_upsert_customers",
@@ -1478,10 +1501,9 @@ _PRIORITY = [
     "sliding_window_counts",
     "sessionization",
     "funnel_counts",
-    # sketches + one relational representative
+    # sketches
     "approx_distinct_parts",
     "approx_quantity_quantiles",
-    "q1_pricing_summary",
 ]
 
 

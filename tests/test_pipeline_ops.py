@@ -238,6 +238,33 @@ def test_multimodal_resize_and_frame_sample(spark, sf_dir) -> None:
     assert got == expect
 
 
+def test_rebalance_to_mix_hits_targets(spark, sf_dir) -> None:
+    """The kept corpus's group shares approximate the target mix, no
+    group is upsampled, and membership is key-deterministic."""
+    from eventstreamd_spark.operators import sampling
+
+    events = load_table(spark, sf_dir, "events")
+    targets = {"click": 0.5, "view": 0.3, "purchase": 0.2}
+    kept = sampling.rebalance_to_mix(events, "event_id", "event_type", targets)
+    shares = {
+        r["event_type"]: r["n"]
+        for r in kept.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(shares) <= set(targets)  # untargeted groups dropped
+    total = sum(shares.values())
+    orig = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for g, t in targets.items():
+        assert shares[g] <= orig[g]  # downsample-only
+        # hash-gate sampling is approximate: ±20% relative at sf0.001 sizes
+        assert abs(shares[g] / total - t) <= 0.2 * t
+    # deterministic: same inputs -> identical membership
+    again = sampling.rebalance_to_mix(events, "event_id", "event_type", targets)
+    assert kept.select("event_id").exceptAll(again.select("event_id")).count() == 0
+
+
 def test_winnowing_guarantee(spark, sf_dir) -> None:
     """Schleimer et al.'s correctness property: documents sharing a
     token run of >= k + w - 1 tokens share at least one fingerprint;
