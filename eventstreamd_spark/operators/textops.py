@@ -548,6 +548,52 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     )
 
 
+def token_freq_quality(docs: DataFrame) -> DataFrame:
+    """Corpus-frequency document quality — the perplexity-filter
+    stand-in (a real LM scorer drops into the same plan): docs whose
+    tokens are rare corpus-wide (low median term frequency, many
+    hapaxes) are gibberish/OCR-noise candidates; docs of only
+    ultra-common tokens are boilerplate candidates.
+
+    Deliberately integer-exact: instead of sum-of-ln(p) (whose last-ulp
+    differs between JVM and libm, breaking the value-hash oracle), the
+    score surface is (n_tokens, hapax_tokens, median corpus term
+    frequency) — same signal, exact arithmetic (percentile interpolates
+    halves of integers, exact in binary).
+
+    Plan at scale: explode -> vocab count [one shuffle over the
+    vocabulary, map-side partials], tokens ⋈ vocab on term (Heaps' law
+    keeps vocab small relative to the corpus; AQE broadcasts when it
+    fits), then one doc_id-keyed aggregation.  Same two-pass shape as a
+    real unigram LM scorer: train pass = vocab, score pass = join+agg.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("ctf"))
+    return (
+        tok.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("ctf") == 1).cast("bigint")).alias("hapax_tokens"),
+            F.expr("percentile(ctf, 0.5)").alias("median_term_freq"),
+        )
+    )
+
+
+def sql_token_freq_quality(table: str = "documents") -> str:
+    toks = sql_tokens("text")
+    return (
+        "WITH tok AS ("
+        f"  SELECT doc_id, unnest({toks}) AS term FROM {table}"
+        "), vocab AS ("
+        "  SELECT term, count(*) AS ctf FROM tok GROUP BY term) "
+        "SELECT doc_id, count(*) AS n_tokens, "
+        "  CAST(sum(CASE WHEN ctf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens, "
+        "  quantile_cont(ctf, 0.5) AS median_term_freq "
+        "FROM tok JOIN vocab USING (term) GROUP BY doc_id"
+    )
+
+
 def sql_tfidf_top_terms(table: str = "documents", k: int = TFIDF_TOP_K) -> str:
     toks = sql_tokens("text")
     return (

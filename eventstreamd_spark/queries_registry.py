@@ -1401,6 +1401,13 @@ def ping_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live_op.ping_spine(load_table(spark, sf_dir, "events"))
 
 
+@register("token_freq_quality", text_op.sql_token_freq_quality())
+def token_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality scoring (perplexity-filter stand-in,
+    integer-exact score surface)."""
+    return text_op.token_freq_quality(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "domain_mix_rebalance",
     sampling_op.sql_rebalance_to_mix(

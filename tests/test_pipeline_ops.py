@@ -265,6 +265,27 @@ def test_rebalance_to_mix_hits_targets(spark, sf_dir) -> None:
     assert kept.select("event_id").exceptAll(again.select("event_id")).count() == 0
 
 
+def test_token_freq_quality_flags_gibberish(spark, sf_dir) -> None:
+    """A planted all-hapax doc gets median_term_freq 1 and full hapax
+    count; corpus docs (shared vocabulary) score far higher."""
+    from eventstreamd_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(999999, "zxqv qqwx vvbn mmzzk ppoeir ttyyu")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.token_freq_quality(docs.unionByName(planted)).collect()
+    }
+    g = out[999999]
+    assert g["hapax_tokens"] == g["n_tokens"] == 6
+    assert g["median_term_freq"] == 1.0
+    normal = [r["median_term_freq"] for d, r in out.items() if d != 999999]
+    assert sorted(normal)[len(normal) // 2] > 10  # shared corpus vocab
+
+
 def test_winnowing_guarantee(spark, sf_dir) -> None:
     """Schleimer et al.'s correctness property: documents sharing a
     token run of >= k + w - 1 tokens share at least one fingerprint;
