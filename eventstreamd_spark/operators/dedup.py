@@ -285,11 +285,84 @@ def minhash_lsh_dedup(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its LARGER neighbors to
+    the minimum of its neighborhood.  Input must be symmetric; output
+    edges point larger -> smaller.  One groupBy + one self-join, both
+    on 8-byte keys."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("mn"))
+    return (
+        edges.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(
+            F.col("dst").alias("src"),
+            F.least(F.col("src"), F.col("mn")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its SMALLER neighbors
+    (and itself) to the minimum of that set.  Input edges must point
+    larger -> smaller (large-star output); output likewise."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("mn"))
+    moved = (
+        edges.join(mins, "src")
+        .filter(F.col("dst") != F.col("mn"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+    kept = mins.filter(F.col("src") != F.col("mn")).select(
+        "src", F.col("mn").alias("dst")
+    )
+    return moved.union(kept).distinct()
+
+
+def connected_components(edges: DataFrame, max_iters: int = 16) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``, the
+    component id being the minimum node id — via alternating
+    large-star/small-star rewrites, which converge in O(log n) rounds
+    REGARDLESS of component diameter (min-label propagation needs
+    O(diameter) rounds — the difference between 5 and 50 shuffles on an
+    adversarial chain at 100 TB).
+
+    ``edges`` is an undirected pair list (src, dst); symmetrization
+    happens here.  Each round is two groupBy+join passes over the
+    current edge set with ``localCheckpoint`` truncating lineage; the
+    convergence probe compares consecutive edge sets, a cheap anti-join
+    on 16-byte rows.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    cur = _small_star(_large_star(sym)).localCheckpoint()
+    for _ in range(max_iters):
+        nxt = _small_star(_large_star(cur.union(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ))).localCheckpoint()
+        if nxt.exceptAll(cur).limit(1).count() == 0 and cur.exceptAll(
+            nxt
+        ).limit(1).count() == 0:
+            cur = nxt
+            break
+        cur = nxt
+    # at convergence the edge set is a star forest: src -> component min;
+    # roots only appear as dst, so add their self-rows for a total map
+    stars = cur.select(
+        F.col("src").alias("node"), F.col("dst").alias("component")
+    )
+    roots = stars.select("component").distinct().select(
+        F.col("component").alias("node"), "component"
+    )
+    return stars.union(roots)
+
+
 def dedup_clusters(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.6,
-    max_iters: int = 10,
+    max_iters: int = 16,
 ) -> DataFrame:
     """Canonical cluster assignment: (doc_id, cluster_id) for every doc,
     cluster_id = min doc_id of its near-dup connected component
@@ -298,50 +371,25 @@ def dedup_clusters(
     "keep one doc per cluster" — which is what a training-data pipeline
     actually executes.
 
-    Algorithm: min-label propagation over the undirected pair graph to
-    convergence.  Each iteration is one join + one groupBy (labels are
-    8-byte longs); ``localCheckpoint`` truncates lineage so the plan
-    does not grow with iterations.  Near-dup components are tiny, flat
-    clusters in practice (dups of a common source), so this converges
-    in ~2 rounds; for adversarially long chains at 100 TB, swap the
-    propagation step for the alternating large-star/small-star
-    rewrite — same join shape, O(log n) rounds.
+    Components come from ``connected_components`` (alternating
+    large-star/small-star, O(log n) rounds independent of chain
+    length); singletons are restored with one left join against the
+    full doc list.
     """
     pairs = minhash_lsh_dedup(docs, n, threshold)
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    # materialize the (small) edge list once — every iteration joins
-    # against it, and without the checkpoint each join would re-run the
-    # whole MinHash pipeline through the edges' lineage
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # materialize the (small) edge list once — the iteration joins
+    # against it, and without the checkpoint every round would re-run
+    # the whole MinHash pipeline through the edges' lineage
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(max_iters):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    comp = connected_components(edges, max_iters)
+    return docs.select("doc_id").join(
+        comp, F.col("doc_id") == F.col("node"), "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )
 
 
 def sql_dedup_clusters(base_sql: str, n: int = 3, threshold: float = 0.6) -> str:

@@ -238,6 +238,25 @@ def test_multimodal_resize_and_frame_sample(spark, sf_dir) -> None:
     assert got == expect
 
 
+def test_connected_components_star_on_adversarial_chain(spark) -> None:
+    """A 64-node path graph (worst case for label propagation: diameter
+    63) plus disjoint pairs and a singleton-free gap — star rounds must
+    label every component by its min node well inside the O(log n)
+    iteration budget."""
+    from eventstreamd_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 163)]          # one long path
+    pairs = [(1000, 2000), (3000, 2500)]                   # two 2-cliques
+    edges = spark.createDataFrame(chain + pairs, "src bigint, dst bigint")
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iters=8).collect()
+    }
+    assert all(comp[i] == 100 for i in range(100, 164))
+    assert comp[1000] == comp[2000] == 1000
+    assert comp[2500] == comp[3000] == 2500
+
+
 def test_rebalance_to_mix_hits_targets(spark, sf_dir) -> None:
     """The kept corpus's group shares approximate the target mix, no
     group is upsampled, and membership is key-deterministic."""
