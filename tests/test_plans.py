@@ -295,3 +295,39 @@ def test_token_shards_offsets_window_is_tiny(plans) -> None:
     pos_sp = plan.find("Exchange SinglePartition")
     assert pos_sp != -1
     assert "bucket_total" in plan[pos_sp:]
+
+
+def test_rebalance_broadcasts_thresholds_no_fact_shuffle(plans) -> None:
+    # per-group rate thresholds (|groups| rows) must reach the fact
+    # table via broadcast; any fact-side Exchange before the filter
+    # means the sampler stopped being a narrow map
+    plan = plans("domain_mix_rebalance")
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges allowed are for the tiny counts/min aggregates
+    # and broadcasts — the events scan itself must not hash-partition
+    import re
+    assert not re.search(r"Exchange hashpartitioning\(event_id", plan)
+
+
+def test_token_freq_quality_single_vocab_join(plans) -> None:
+    # two-pass unigram shape: explode -> vocab agg -> join back -> doc
+    # agg.  The join key must be the term, and doc aggregation must be
+    # partial (map-side) before its exchange.
+    plan = plans("token_freq_quality")
+    assert "HashAggregate" in plan
+    assert plan.count("FileScan") <= 2  # one logical source, <=2 physical reads
+
+
+def test_ping_spine_generate_no_join(plans) -> None:
+    # span agg + sequence explode; a join would mean the spine stopped
+    # being generated in place
+    plan = plans("ping_spine")
+    assert "Generate" in plan
+    assert "Join" not in plan
+
+
+def test_expiry_logouts_single_window_exchange(plans) -> None:
+    # one user_id hash exchange feeding the lead() window, nothing else
+    plan = plans("expiry_logouts")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
