@@ -191,6 +191,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def span_duplication_coverage(
+    docs: DataFrame, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Substring-level duplication signal, the span-dedup precursor
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): for every document, the fraction of its n-token
+    spans that also occur in at least ``min_docs - 1`` other documents.
+    Doc-level tiers miss this entirely — two distinct articles sharing
+    one boilerplate paragraph are invisible to MinHash at 0.6 Jaccard
+    but show up here as partial dup_frac; a pipeline drops or trims
+    docs above a coverage threshold.
+
+    Plan: the spans ARE the hashed rolling windows the near-dup tiers
+    already use (8-byte keys, one md5 per token).  explode -> span
+    occurrence count [one shuffle over the span vocabulary, map-side
+    partials] -> join back [same key, exchange reused] -> per-doc agg.
+    Nothing wider than the vocabulary ever shuffles; at 100 TB this is
+    the same shape as the TF-IDF pass.
+    """
+    sh = with_hashed_shingles(docs, n)
+    # per-doc spans are distinct (array_distinct), so count(*) per span
+    # IS the number of containing docs — no countDistinct shuffle
+    inv = sh.select("doc_id", F.explode("shingles").alias("span"))
+    span_docs = inv.groupBy("span").agg(F.count("*").alias("nd"))
+    return (
+        inv.join(span_docs, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("nd") >= min_docs).cast("bigint")).alias(
+                "shared_spans"
+            ),
+        )
+        .withColumn("dup_frac", F.col("shared_spans") / F.col("n_spans"))
+    )
+
+
+def sql_span_duplication_coverage(
+    table: str = "documents", n: int = 8, min_docs: int = 2
+) -> str:
+    shingles = sql_hashed_word_shingles(sql_tokens("text"), n)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingles}) AS span FROM {table}
+), span_docs AS (
+  SELECT span, count(*) AS nd FROM sh GROUP BY span
+)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN nd >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_spans,
+       CAST(sum(CASE WHEN nd >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS dup_frac
+FROM sh JOIN span_docs USING (span)
+GROUP BY doc_id
+"""
+
+
 def minhash_signature(hashed_shingles: F.Column) -> list[F.Column]:
     """K min-hash values over hashed shingles (portable arithmetic).
 

@@ -1401,6 +1401,16 @@ def ping_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live_op.ping_spine(load_table(spark, sf_dir, "events"))
 
 
+@register("span_dup_coverage", dedup_op.sql_span_duplication_coverage())
+def span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication coverage per document (Lee et al.
+    2022 span-dedup signal): fraction of 8-token spans shared with
+    other docs — catches boilerplate paragraphs doc-level tiers miss."""
+    return dedup_op.span_duplication_coverage(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("token_freq_quality", text_op.sql_token_freq_quality())
 def token_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency quality scoring (perplexity-filter stand-in,

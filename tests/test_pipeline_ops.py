@@ -284,6 +284,29 @@ def test_rebalance_to_mix_hits_targets(spark, sf_dir) -> None:
     assert kept.select("event_id").exceptAll(again.select("event_id")).count() == 0
 
 
+def test_span_coverage_catches_shared_paragraph(spark) -> None:
+    """Two otherwise-unrelated docs sharing one long paragraph get
+    partial dup_frac; a fully unique doc gets zero."""
+    from eventstreamd_spark.operators.dedup import span_duplication_coverage
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, boiler + " one two three four five six seven eight nine"),
+            (3, "completely unrelated words nowhere else repeated at all ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in span_duplication_coverage(docs, n=8).collect()
+    }
+    assert out[3]["shared_spans"] == 0 and out[3]["dup_frac"] == 0.0
+    for d in (1, 2):
+        assert 0 < out[d]["shared_spans"] < out[d]["n_spans"]
+        assert 0.0 < out[d]["dup_frac"] < 1.0
+
+
 def test_token_freq_quality_flags_gibberish(spark, sf_dir) -> None:
     """A planted all-hapax doc gets median_term_freq 1 and full hapax
     count; corpus docs (shared vocabulary) score far higher."""
