@@ -54,6 +54,9 @@ async def run_daemon(
     ping_interval: float | None = None,
     cert_file: str | None = None,
     key_file: str | None = None,
+    socket_mode: int = 0o600,
+    socket_owner: str | None = None,
+    socket_group: str | None = None,
 ) -> None:
     """Run ingest + Spark pipeline + SSE front-end until ``stop_event``.
 
@@ -71,7 +74,13 @@ async def run_daemon(
         loop=loop, replay_fn=pipeline.make_replay_fn(spark, spool_dir)
     )
 
-    socket_server = await run_socket_server(socket_path, spool_dir)
+    socket_server = await run_socket_server(
+        socket_path,
+        spool_dir,
+        socket_mode=socket_mode,
+        socket_owner=socket_owner,
+        socket_group=socket_group,
+    )
     http_server = await run_http_server(
         host,
         port,
@@ -140,6 +149,9 @@ def main() -> None:  # pragma: no cover - thin CLI shim
             ping_interval=cfg.ping_interval,
             cert_file=cfg.cert_file or None,
             key_file=cfg.key_file or None,
+            socket_mode=cfg.socket_mode,
+            socket_owner=cfg.socket_owner or None,
+            socket_group=cfg.socket_group or None,
         )
     )
 

@@ -88,8 +88,40 @@ async def handle_producer(
     writer.close()
 
 
-async def run_socket_server(socket_path: str, spool_dir: str) -> asyncio.AbstractServer:
-    """Start the Unix-socket ingest server; caller owns the loop."""
+class ServerAlreadyRunningError(Exception):
+    """Another daemon owns the socket (reference socket_server.py:52)."""
+
+
+async def _remove_stale_socket(socket_path: str) -> None:
+    """Reference socket_server.py:44-53: a leftover socket file from a
+    crashed daemon is removed iff nothing answers on it; a live peer
+    means another instance is running."""
+    if not os.path.exists(socket_path):
+        return
+    try:
+        _, w = await asyncio.open_unix_connection(socket_path)
+    except (ConnectionRefusedError, FileNotFoundError):
+        os.remove(socket_path)
+        logger.warning("removed stale socket file %s", socket_path)
+    else:
+        w.close()
+        raise ServerAlreadyRunningError()
+
+
+async def run_socket_server(
+    socket_path: str,
+    spool_dir: str,
+    socket_mode: int = 0o600,
+    socket_owner: str | None = None,
+    socket_group: str | None = None,
+) -> asyncio.AbstractServer:
+    """Start the Unix-socket ingest server; caller owns the loop.
+
+    Mode/owner/group mirror the reference's socket permission handling
+    (socket_server.py:59-70, config SocketMode/SocketOwner/SocketGroup);
+    owner/group are names resolved via pwd/grp, skipped when unset.
+    """
+    await _remove_stale_socket(socket_path)
     spool = SpoolWriter(spool_dir)
     asyncio.create_task(spool.flush_loop())
 
@@ -97,5 +129,16 @@ async def run_socket_server(socket_path: str, spool_dir: str) -> asyncio.Abstrac
         await handle_producer(r, w, spool)
 
     server = await asyncio.start_unix_server(handler, path=socket_path)
-    os.chmod(socket_path, 0o600)  # reference default socket mode (config.py:8)
+    os.chmod(socket_path, socket_mode)
+    uid = gid = -1
+    if socket_owner:
+        from pwd import getpwnam
+
+        uid = getpwnam(socket_owner).pw_uid
+    if socket_group:
+        from grp import getgrnam
+
+        gid = getgrnam(socket_group).gr_gid
+    if uid != -1 or gid != -1:
+        os.chown(socket_path, uid, gid)
     return server

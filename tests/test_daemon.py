@@ -228,6 +228,38 @@ def test_distributed_push_executor_side(spark) -> None:
     asyncio.run(scenario())
 
 
+def test_stale_socket_removed_live_socket_refused(tmp_path) -> None:
+    """Reference socket_server.py:44-53: a dead socket file is cleaned
+    up and bind proceeds; a live one raises ServerAlreadyRunningError.
+    Also checks the configured mode lands on the socket file."""
+    import os
+    import stat
+
+    from eventstreamd_spark.streaming.socket_spool import (
+        ServerAlreadyRunningError,
+        run_socket_server,
+    )
+
+    sock = str(tmp_path / "evt.sock")
+    spool = str(tmp_path / "spool")
+
+    async def scenario() -> None:
+        # stale file (not a live server) -> removed, bind succeeds
+        open(sock, "w").close()
+        s1 = await run_socket_server(sock, spool, socket_mode=0o640)
+        assert stat.S_IMODE(os.stat(sock).st_mode) == 0o640
+        # live server on the path -> second instance refuses to start
+        try:
+            await run_socket_server(sock, spool)
+            raise AssertionError("expected ServerAlreadyRunningError")
+        except ServerAlreadyRunningError:
+            pass
+        s1.close()
+        await s1.wait_closed()
+
+    asyncio.run(scenario())
+
+
 def test_stats_referer_field() -> None:
     """/stats mirrors the reference's NotRequired referer (stats.py:23)."""
     from eventstreamd_spark.streaming.http_frontend import (
