@@ -204,19 +204,24 @@ def span_duplication_coverage(
     docs above a coverage threshold.
 
     Plan: the spans ARE the hashed rolling windows the near-dup tiers
-    already use (8-byte keys, one md5 per token).  explode -> span
-    occurrence count [one shuffle over the span vocabulary, map-side
-    partials] -> join back [same key, exchange reused] -> per-doc agg.
-    Nothing wider than the vocabulary ever shuffles; at 100 TB this is
-    the same shape as the TF-IDF pass.
+    already use (8-byte keys, one md5 per token).  explode -> per-span
+    occurrence count as a WINDOW over the exploded rows (not an
+    agg+self-join: that plan scans and re-shingles the corpus twice
+    because the two join legs differ past the exchange — measured 2x) ->
+    per-doc aggregation.  One scan, two keyed exchanges (span, then
+    doc_id), no join; at 100 TB the only care is a universal boilerplate
+    span making one window partition hot — the same hot-key exposure the
+    join formulation had, minus the join's row re-expansion.
     """
+    from pyspark.sql import Window
+
     sh = with_hashed_shingles(docs, n)
     # per-doc spans are distinct (array_distinct), so count(*) per span
     # IS the number of containing docs — no countDistinct shuffle
     inv = sh.select("doc_id", F.explode("shingles").alias("span"))
-    span_docs = inv.groupBy("span").agg(F.count("*").alias("nd"))
+    nd = F.count("*").over(Window.partitionBy("span"))
     return (
-        inv.join(span_docs, "span")
+        inv.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
