@@ -148,10 +148,17 @@ def ngram_jaccard_pairs(
     # pair sizes ride the shuffle instead of two extra size-join
     # branches (each of which would recompute the shingling).  The
     # index key is the 8-byte shingle hash (with_hashed_shingles).
+    # explode_outer, NOT explode: an inner explode of a bound alias lets
+    # InferFiltersFromGenerate add `size(shingles) > 0`, which pushdown
+    # inlines at the SCAN — the whole shingling expression then runs
+    # twice per row, serialized on the scan's few input partitions
+    # (measured 12x on this tier).  Shingle arrays are non-empty by
+    # construction (short docs fold to one shingle), so outer explode is
+    # semantically identical and infers no filter.
     inv = sh.select(
         "doc_id",
         F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
+        F.explode_outer("shingles").alias("shingle"),
     )
     # classic inverted-index SELF-JOIN on shingle with doc_a < doc_b.
     # Both join legs are the identical sub-plan, so the shingle-keyed
@@ -218,7 +225,9 @@ def span_duplication_coverage(
     sh = with_hashed_shingles(docs, n)
     # per-doc spans are distinct (array_distinct), so count(*) per span
     # IS the number of containing docs — no countDistinct shuffle
-    inv = sh.select("doc_id", F.explode("shingles").alias("span"))
+    # explode_outer: see ngram_jaccard_pairs — inner explode would infer
+    # a size() filter that re-runs the shingling at the scan
+    inv = sh.select("doc_id", F.explode_outer("shingles").alias("span"))
     nd = F.count("*").over(Window.partitionBy("span"))
     return (
         inv.withColumn("nd", nd)
@@ -718,16 +727,19 @@ def contamination_check(
     broadcast is a few MB of hashes.
     """
     is_eval = F.col("doc_id") % eval_mod == 0
+    # explode_outer on both legs: see ngram_jaccard_pairs — inner
+    # explode would infer a size() filter that re-runs the shingling
+    # at the scan
     eval_shingles = (
         with_hashed_shingles(docs.filter(is_eval), n)
-        .select(F.explode("shingles").alias("shingle"))
+        .select(F.explode_outer("shingles").alias("shingle"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     corpus = with_hashed_shingles(docs.filter(~is_eval), n).select(
         "doc_id",
         F.size("shingles").alias("n_shingles"),
-        F.explode("shingles").alias("shingle"),
+        F.explode_outer("shingles").alias("shingle"),
     )
     return (
         corpus.join(F.broadcast(eval_shingles), "shingle", "left")

@@ -331,3 +331,16 @@ def test_expiry_logouts_single_window_exchange(plans) -> None:
     plan = plans("expiry_logouts")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_shingle_explodes_infer_no_scan_filter(plans) -> None:
+    # An inner explode of a bound shingle alias lets
+    # InferFiltersFromGenerate add size(shingles) > 0, which pushdown
+    # inlines at the parquet scan — the whole shingle fold then runs
+    # twice per row, serialized on the scan's input splits (measured
+    # 12x on the tier).  explode_outer at the explode sites keeps the
+    # fold out of every Filter; this pins it.
+    for q in ("dedup_ngram_jaccard", "span_dup_coverage", "contamination_check"):
+        plan = plans(q)
+        assert "Filter (size(array_distinct" not in plan, q
+        assert "DataFilters: [(size(array_distinct" not in plan, q
