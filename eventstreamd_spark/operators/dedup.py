@@ -532,9 +532,18 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     single md5 intrinsic, the HOF vote accumulator is cheap and the
     aggregate's shuffle + row explosion dominate.  Narrow also wins at
     100 TB: signatures stay embarrassingly parallel with zero exchange.
+
+    The coalesce makes the signature provably non-nullable: downstream
+    equi-joins on band hashes otherwise get an inferred
+    isnotnull(bhash) constraint that pushdown inlines as the FULL
+    signature expression in the scan filter — the whole simhash then
+    evaluates twice per row per join leg (the same
+    inferred-predicate-past-a-non-cheap-alias trap audit_plan flags;
+    SCALE.md §5).  Null text never occurs, and sig 0 for it is sound.
     """
     return fan_out(docs).select(
-        "doc_id", simhash(tokens(F.col("text"))).alias("sig")
+        "doc_id",
+        F.coalesce(simhash(tokens(F.col("text"))), F.lit(0)).alias("sig"),
     )
 
 

@@ -33,11 +33,26 @@ def audit_plan(df: DataFrame) -> list[str]:
       phase means every raw row crosses the shuffle.
     - InMemoryTableScan under a streaming plan: accidental caching of
       an unbounded source.
+    - expensive expression inside a Filter/scan DataFilter: an inferred
+      predicate (e.g. InferFiltersFromGenerate's ``size(col) > 0`` over
+      an exploded alias) that pushdown inlined past the alias — the
+      expression then evaluates twice per row, once serialized at the
+      scan (measured 12x on the shingle tier; SCALE.md §5).
     """
     plan = explain_string(df, "formatted")
     warnings: list[str] = []
     if "CartesianProduct" in plan:
         warnings.append("CartesianProduct: unbounded cross join")
+    for m in re.finditer(r"(?:DataFilters: \[|Condition : )([^\n]*)", plan):
+        pred = m.group(1)
+        # HOF/array-fold markers have no business inside a filter: their
+        # presence means a non-cheap alias was inlined into a predicate
+        if any(k in pred for k in ("zip_with(", "aggregate(", "transform(")):
+            warnings.append(
+                "expensive expression inlined into a filter "
+                "(inferred-predicate pushdown past a non-cheap alias?)"
+            )
+            break
     for scan in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         n_cols = scan.group(1).count(":")
         if n_cols > 24:
