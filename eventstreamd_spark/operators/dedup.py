@@ -198,6 +198,145 @@ def ngram_jaccard_pairs(
     )
 
 
+# Document-frequency cutoff for the inverted-index tier: a shingle that
+# appears in more than MAX_SHINGLE_DF documents is corpus boilerplate —
+# it carries no dedup signal but contributes O(df^2) candidate pairs to
+# the self-join (the quadratic hot-key blowup that kills tier 2 first
+# at scale; CCNet and the BigQuery dedup pipelines apply the same
+# cutoff).  At sf0.1 this drops ~74% of shingle postings and with them
+# the bulk of the pair fan-out; the planted near-dup pairs survive
+# because their shared shingles are document-specific (low df).
+MAX_SHINGLE_DF = 8
+
+
+def ngram_jaccard_pairs_df_cutoff(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs with a document-frequency cutoff
+    on the inverted index — the form of tier 2 you actually run at
+    100 TB.
+
+    Same inverted-index self-join as ngram_jaccard_pairs, but shingle
+    postings with df > max_df are dropped BEFORE pair generation.  The
+    df count is a window over the shingle key, i.e. the exact same
+    shingle-keyed exchange the pair join needs anyway — the cutoff
+    costs no extra shuffle, it only shrinks the quadratic fan-out.
+    Intersections are counted in the filtered shingle universe while
+    the union keeps the original set sizes, so the reported jaccard is
+    a conservative lower bound (a true near-dup loses at most its
+    boilerplate shingles from the numerator).
+    """
+    sh = with_hashed_shingles(docs, n)
+    # explode_outer, not explode — see ngram_jaccard_pairs: an inner
+    # explode lets InferFiltersFromGenerate inline the shingling into
+    # the scan filter (measured 12x on this tier).
+    inv = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode_outer("shingles").alias("shingle"),
+    )
+    from pyspark.sql.window import Window
+
+    cold = (
+        inv.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    right = cold.select(
+        F.col("shingle").alias("shingle_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    pairs = cold.select(
+        "shingle", F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    ).join(
+        right,
+        (F.col("shingle") == F.col("shingle_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_inter"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def sql_ngram_jaccard_pairs_df_cutoff(
+    base_sql: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = MAX_SHINGLE_DF,
+) -> str:
+    """DuckDB twin of ngram_jaccard_pairs_df_cutoff."""
+    shingles = sql_hashed_word_shingles(sql_tokens("text"), n)
+    return f"""
+WITH base AS (SELECT * FROM {base_sql}),
+sh AS (SELECT doc_id, {shingles} AS shingles FROM base),
+inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+cold AS (
+  SELECT doc_id, n_sh, shingle FROM (
+    SELECT doc_id, n_sh, shingle,
+           count(*) OVER (PARTITION BY shingle) AS df
+    FROM inv) WHERE df <= {max_df}
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {threshold}
+"""
+
+
+def minhash_keep_corpus(
+    docs: DataFrame, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """The dedup output users actually consume: the kept corpus after
+    MinHash-LSH near-dup removal.
+
+    Drop rule is pair-local, not transitive: a document is dropped iff
+    some near-duplicate with a smaller doc_id exists (it appears as
+    doc_b in a pair).  The minimum of every duplicate chain always
+    survives; the rule needs no connected-components iteration, so the
+    whole operator is one LSH pass plus an anti-join.  At 100 TB the
+    drop set is a small fraction of the corpus, so the anti-join
+    broadcasts (AQE) and the kept corpus is produced in a single scan
+    of the input.  Use dedup_clusters when cluster-exact retention
+    (exactly one doc per transitive cluster) is required.
+    """
+    pairs = minhash_lsh_dedup(docs, n=n, threshold=threshold)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def sql_minhash_keep_corpus(
+    base_sql: str, n: int = 3, threshold: float = 0.6
+) -> str:
+    """DuckDB twin of minhash_keep_corpus (nests the LSH pair query)."""
+    pairs = sql_minhash_lsh_dedup(base_sql, n=n, threshold=threshold)
+    return f"""
+SELECT doc_id, source, n_chars FROM {base_sql} base
+WHERE doc_id NOT IN (SELECT doc_b FROM ({pairs}) p)
+"""
+
+
 def span_duplication_coverage(
     docs: DataFrame, n: int = 8, min_docs: int = 2
 ) -> DataFrame:

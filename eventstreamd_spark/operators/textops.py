@@ -613,3 +613,138 @@ def sql_tfidf_top_terms(table: str = "documents", k: int = TFIDF_TOP_K) -> str:
         "  FROM scored) "
         f"SELECT doc_id, term, tf, df, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language model — the real-LM upgrade of token_freq_quality
+# ---------------------------------------------------------------------------
+
+
+def doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per token bigram.
+
+    Declarative construction: the token array is bound to a real column
+    first (CollapseProject will not re-inline the tokenization HOF, so
+    the split/filter runs once), then a transform over an index
+    sequence builds the bigram structs and explode_outer flattens them.
+    explode_outer, not explode — an inner explode of a bound alias lets
+    InferFiltersFromGenerate push `size(...) > 0` into the parquet scan
+    where the whole tokenization re-runs per row (the 12x shingle-tier
+    trap, SCALE.md §5).  Documents with fewer than two tokens have no
+    bigrams and drop out.
+    """
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("w1"),
+                F.element_at("toks", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        t.select("doc_id", F.explode_outer(bigrams).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def sql_doc_bigrams(table: str = "documents") -> str:
+    """DuckDB twin of doc_bigrams (lateral range over 1-based lists)."""
+    toks = sql_tokens("text")
+    return (
+        f"(SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM "
+        f" (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i "
+        f"  FROM (SELECT doc_id, {toks} AS toks FROM {table}) t) u)"
+    )
+
+
+def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """Bigram-LM document scoring — the perplexity filter with a real
+    conditional model (CCNet's KenLM gate reduced to exact arithmetic).
+
+    Train pass: corpus bigram counts c(w1,w2) in one (w1,w2)-keyed
+    aggregation; context counts c(w1,*) derive from the bigram table
+    (vocab^2-sized, tiny next to the corpus) rather than a second
+    corpus scan.  Score pass: bigram stream joins the count tables —
+    both are Heaps'-law small, so AQE broadcasts them and the score
+    pass is a single narrow scan — then one doc_id-keyed aggregation.
+
+    The score surface is deliberately integer-exact (the sum-of-ln(p)
+    a float LM emits differs in the last ulp between JVM and libm,
+    breaking the value-hash oracle): n_bigrams, hapax_bigrams (count
+    of corpus-unique bigrams — the novelty/gibberish signal),
+    sum_bigram_freq and sum_ctx_freq (the numerator/denominator mass
+    of prod P(w2|w1) before division), and min_bigram_freq (the
+    rarest transition).  A float LM score drops into the same plan by
+    replacing the final aggregates.
+    """
+    bg = doc_bigrams(docs)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("bg_count"))
+    c1 = c2.groupBy("w1").agg(F.sum("bg_count").alias("ctx_count"))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum((F.col("bg_count") == 1).cast("bigint")).alias(
+                "hapax_bigrams"
+            ),
+            F.sum("bg_count").alias("sum_bigram_freq"),
+            F.sum("ctx_count").alias("sum_ctx_freq"),
+            F.min("bg_count").alias("min_bigram_freq"),
+        )
+    )
+
+
+def sql_bigram_lm_scores(table: str = "documents") -> str:
+    bg = sql_doc_bigrams(table)
+    return (
+        f"WITH bg AS (SELECT * FROM {bg} b), "
+        "c2 AS (SELECT w1, w2, count(*) AS bg_count FROM bg GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, sum(bg_count) AS ctx_count FROM c2 GROUP BY w1) "
+        "SELECT doc_id, count(*) AS n_bigrams, "
+        "  CAST(sum(CASE WHEN bg_count = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_bigrams, "
+        "  CAST(sum(bg_count) AS BIGINT) AS sum_bigram_freq, "
+        "  CAST(sum(ctx_count) AS BIGINT) AS sum_ctx_freq, "
+        "  CAST(min(bg_count) AS BIGINT) AS min_bigram_freq "
+        "FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) "
+        "GROUP BY doc_id"
+    )
+
+
+CORPUS_NGRAM_TOP_K = 20
+
+
+def corpus_bigram_topk(docs: DataFrame, k: int = CORPUS_NGRAM_TOP_K) -> DataFrame:
+    """Corpus-level top-k bigrams — the corpus-statistics primitive
+    behind boilerplate mining and contamination screens.
+
+    One explode + one (w1,w2)-keyed aggregation (map-side partials
+    collapse per-partition repeats before the shuffle), then a global
+    sort of the vocab^2-sized count table — the sort input is tiny
+    relative to the corpus, so the final orderBy is not a scale
+    hazard.  Ties break lexicographically so the result is total-order
+    deterministic for the value-hash oracle.
+    """
+    return (
+        doc_bigrams(docs)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("bg_count"))
+        .orderBy(F.desc("bg_count"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def sql_corpus_bigram_topk(
+    table: str = "documents", k: int = CORPUS_NGRAM_TOP_K
+) -> str:
+    bg = sql_doc_bigrams(table)
+    return (
+        f"SELECT w1, w2, count(*) AS bg_count FROM {bg} b "
+        "GROUP BY w1, w2 "
+        f"ORDER BY bg_count DESC, w1 ASC, w2 ASC LIMIT {k}"
+    )

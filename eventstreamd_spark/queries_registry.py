@@ -1448,6 +1448,44 @@ def expiry_logouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live_op.expiry_logouts(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "dedup_ngram_df_cutoff",
+    dedup_op.sql_ngram_jaccard_pairs_df_cutoff(dedup_op.sql_planted_near_dups()),
+)
+def dedup_ngram_df_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-2 near-dup pairs with the document-frequency cutoff on the
+    inverted index — the hot-shingle pair-blowup guard you run at
+    100 TB (drops ~74% of shingle postings at sf0.1)."""
+    docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    return dedup_op.ngram_jaccard_pairs_df_cutoff(docs)
+
+
+@register(
+    "dedup_keep_corpus",
+    dedup_op.sql_minhash_keep_corpus(dedup_op.sql_planted_near_dups()),
+)
+def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept corpus after MinHash-LSH dedup (pair-local min-id drop
+    rule; one LSH pass + broadcast anti-join, no CC iteration)."""
+    docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    return dedup_op.minhash_keep_corpus(docs)
+
+
+@register("bigram_lm_scores", text_op.sql_bigram_lm_scores())
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring (CCNet's KenLM perplexity gate with
+    exact integer surface): train pass = corpus bigram counts, score
+    pass = broadcast joins + one doc-keyed agg."""
+    return text_op.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_bigram_topk", text_op.sql_corpus_bigram_topk())
+def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k bigram counts (boilerplate mining /
+    contamination screens), total-order deterministic."""
+    return text_op.corpus_bigram_topk(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -1521,6 +1559,14 @@ _PRIORITY = [
     # sketches
     "approx_distinct_parts",
     "approx_quantity_quantiles",
+    # positions 51+: first checked if the driver window is wider than 50
+    "dedup_ngram_df_cutoff",
+    "dedup_keep_corpus",
+    "bigram_lm_scores",
+    "corpus_bigram_topk",
+    "span_dup_coverage",
+    "token_freq_quality",
+    "domain_mix_rebalance",
 ]
 
 

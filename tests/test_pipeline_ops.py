@@ -570,3 +570,75 @@ def test_token_shards_match_naive_global_window(spark, sf_dir) -> None:
     rows = fast.orderBy("doc_id").select("shard_id").collect()
     ids = [r[0] for r in rows]
     assert ids == sorted(ids)
+
+
+def test_df_cutoff_kills_hot_shingle_pairs_keeps_cold(spark) -> None:
+    # 12 docs share one boilerplate sentence (every shared shingle has
+    # df=12 > MAX_SHINGLE_DF) plus unique tails -> plain tier reports
+    # the boilerplate cluster as near-dups, the cutoff tier drops every
+    # such pair.  One genuinely duplicated doc pair (unique text, df=2
+    # shingles) must survive the cutoff.
+    boiler = "the quick brown fox jumps over the lazy sleeping dog again"
+    rows = [(i, f"{boiler} u{i} v{i}") for i in range(12)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta theta iota")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    cut = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs_df_cutoff(docs, threshold=0.6).collect()
+    }
+    assert (100, 101) in plain and (100, 101) in cut
+    boiler_pairs = {p for p in plain if p[0] < 100}
+    assert boiler_pairs  # the blowup the cutoff exists to kill
+    assert not (cut & boiler_pairs)
+
+
+def test_minhash_keep_corpus_keeps_originals_drops_plants(spark, sf_dir) -> None:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = dedup.with_planted_near_dups(docs)
+    kept = dedup.minhash_keep_corpus(planted)
+    n_docs = docs.count()
+    n_planted = planted.count() - n_docs
+    # drop rule is exactly "appears as doc_b in some LSH pair" — the
+    # corpus itself contains near-dup originals, so assert consistency
+    # with the pair list rather than "all originals survive"
+    drop = {r["doc_b"] for r in dedup.minhash_lsh_dedup(planted).collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    all_ids = {r["doc_id"] for r in planted.select("doc_id").collect()}
+    assert kept_ids == all_ids - drop
+    # every duplicate chain keeps its minimum
+    assert min(all_ids) in kept_ids
+    # LSH recall >= 80%: at most 20% of plants slip through
+    n_kept_plants = sum(1 for d in kept_ids if d >= dedup.PLANT_OFFSET)
+    assert n_kept_plants <= 0.2 * n_planted
+
+
+def test_bigram_lm_scores_hand_checked(spark) -> None:
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.bigram_lm_scores(docs).collect()}
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1; c1: a->3, b->2
+    assert set(out) == {1, 2}  # single-token doc has no bigrams
+    r1 = out[1]
+    assert (r1["n_bigrams"], r1["hapax_bigrams"], r1["sum_bigram_freq"],
+            r1["sum_ctx_freq"], r1["min_bigram_freq"]) == (3, 1, 7, 8, 1)
+    r2 = out[2]
+    assert (r2["n_bigrams"], r2["hapax_bigrams"], r2["sum_bigram_freq"],
+            r2["sum_ctx_freq"], r2["min_bigram_freq"]) == (2, 1, 4, 5, 1)
+
+
+def test_corpus_bigram_topk_order_and_ties(spark) -> None:
+    docs = spark.createDataFrame(
+        [(1, "p q p q"), (2, "m n"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    got = [(r["w1"], r["w2"], r["bg_count"])
+           for r in textops.corpus_bigram_topk(docs, k=3).collect()]
+    # (p,q)x2 first; then count-1 ties lexicographic: (a,b) < (m,n)
+    assert got == [("p", "q", 2), ("a", "b", 1), ("m", "n", 1)]
