@@ -450,3 +450,67 @@ def sql_embedding_norm_stats(table: str = "embeddings") -> str:
         f"FROM (SELECT label, sqrt({sql_dot('embedding', 'embedding')}) AS nrm "
         f"FROM {table}) GROUP BY label"
     )
+
+
+# --- SemDeDup — semantic dedup via cluster-bounded pairwise cosine ---------
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-dup pairs found by clustering the corpus and comparing
+    pairwise cosine ONLY within each cluster.
+
+    This is the scale answer to embedding_near_dup's tiled all-pairs
+    sweep: the intra-cell self-join is quadratic only in cell size, so
+    with k ~ sqrt(N) cells the candidate volume is O(N^1.5) instead of
+    O(N^2), and the join legs are the identical cell-keyed sub-plan
+    (one exchange, read twice).  Recall is bounded by cell assignment:
+    scaled copies have identical centroid cosines, so true duplicates
+    land in the same cell by construction; borderline pairs split
+    across cell boundaries are the documented SemDeDup trade.
+    Deterministic seeding (ivf_cells) keeps the whole operator
+    oracle-checkable; floats stay out of the output (threshold in the
+    predicate only).
+    """
+    cells = ivf_cells(embeddings, n_cells)
+    a = cells.select(
+        "cell_id", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+    )
+    b = cells.select(
+        "cell_id", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("cell_id", "vec_a", "vec_b")
+    )
+
+
+def sql_semantic_dedup_pairs(
+    base_sql: str, threshold: float = 0.95, n_cells: int = N_CELLS
+) -> str:
+    """DuckDB twin of semantic_dedup_pairs (same seeding/tie order)."""
+    cos_cell = sql_cosine("e.embedding", "c.embedding")
+    cos_pair = sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH base AS (SELECT * FROM {base_sql}),
+cents AS (SELECT vec_id AS cell_id, embedding FROM base WHERE vec_id < {n_cells}),
+cells AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_cell} DESC, c.cell_id) AS r
+    FROM base e CROSS JOIN cents c
+  ) WHERE r = 1
+)
+SELECT a.cell_id, a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM cells a JOIN cells b
+  ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+WHERE {cos_pair} >= {threshold}
+"""

@@ -1479,6 +1479,17 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "semantic_dedup",
+    sim_op.sql_semantic_dedup_pairs(_EMB_PLANT),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-bounded semantic near-dup pairs — the
+    O(N^1.5) scale path vs the all-pairs embedding sweep (planted
+    scaled copies land intra-cell by construction)."""
+    return sim_op.semantic_dedup_pairs(_emb_planted(spark, sf_dir))
+
+
 @register("corpus_bigram_topk", text_op.sql_corpus_bigram_topk())
 def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-k bigram counts (boilerplate mining /
@@ -1562,6 +1573,7 @@ _PRIORITY = [
     # positions 51+: first checked if the driver window is wider than 50
     "dedup_ngram_df_cutoff",
     "dedup_keep_corpus",
+    "semantic_dedup",
     "bigram_lm_scores",
     "corpus_bigram_topk",
     "span_dup_coverage",

@@ -642,3 +642,31 @@ def test_corpus_bigram_topk_order_and_ties(spark) -> None:
            for r in textops.corpus_bigram_topk(docs, k=3).collect()]
     # (p,q)x2 first; then count-1 ties lexicographic: (a,b) < (m,n)
     assert got == [("p", "q", 2), ("a", "b", 1), ("m", "n", 1)]
+
+
+def test_semantic_dedup_finds_planted_copies_intra_cell(spark, sf_dir) -> None:
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter("vec_id % 50 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+        "label",
+    )
+    planted = emb.unionByName(copies)
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.semantic_dedup_pairs(planted).collect()
+    }
+    expected = {
+        (r["vec_id"], r["vec_id"] + 100000)
+        for r in emb.filter("vec_id % 50 = 0").select("vec_id").collect()
+    }
+    # scaled copies have identical centroid cosines -> same cell ->
+    # every planted pair is found despite the cluster bound
+    assert expected <= got
+    # cluster bound holds: every reported pair is a subset of the
+    # all-pairs sweep at the same threshold
+    allpairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_pairs(planted).collect()
+    }
+    assert got <= allpairs
