@@ -229,3 +229,36 @@ def sql_stratified_sample_pred(
     )
     default_bp = int(round(default_rate * RATE_DENOM))
     return f"({gate} < CASE {branches} ELSE {default_bp} END)"
+
+
+def seeded_shuffle_keys(
+    df: DataFrame, key: str, seed: str = "epoch0"
+) -> DataFrame:
+    """Seed-stable global shuffle for training export: attach the
+    portable-hash shuffle key a writer sorts by.
+
+    Training pipelines need a reproducible corpus permutation per
+    epoch (so a resumed/rescaled job reads the same order) without a
+    global row_number — at 100 TB you never materialize positions.
+    The shuffle_key is the scalable form: write with
+    ``repartitionByRange(n, "shuffle_key").sortWithinPartitions`` and
+    readers stream the permutation; changing the seed string is a new
+    epoch permutation.  Same append-stable property as hash_gate:
+    rows added later do not perturb existing keys.  Distinct-key
+    caveat: ties hash-collide at ~n²/2/HASH_MOD and are broken by the
+    row key downstream, which keeps the order total.
+    """
+    return df.select(
+        F.col(key),
+        poly_hash(F.concat(F.col(key).cast("string"), F.lit(":" + seed))).alias(
+            "shuffle_key"
+        ),
+    )
+
+
+def sql_seeded_shuffle_keys(
+    table: str, key: str, seed: str = "epoch0"
+) -> str:
+    quoted = (":" + seed).replace("'", "''")
+    h = sql_poly_hash(f"(CAST({key} AS VARCHAR) || '{quoted}')")
+    return f"SELECT {key}, {h} AS shuffle_key FROM {table}"

@@ -1490,6 +1490,19 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.semantic_dedup_pairs(_emb_planted(spark, sf_dir))
 
 
+@register(
+    "seeded_shuffle",
+    sampling_op.sql_seeded_shuffle_keys("documents", "doc_id"),
+)
+def seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-stable epoch-shuffle keys for training export (the
+    scalable permutation: sort-by-key on write, no global
+    row_number)."""
+    return sampling_op.seeded_shuffle_keys(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+
+
 @register("corpus_bigram_topk", text_op.sql_corpus_bigram_topk())
 def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-k bigram counts (boilerplate mining /
@@ -1579,6 +1592,7 @@ _PRIORITY = [
     "span_dup_coverage",
     "token_freq_quality",
     "domain_mix_rebalance",
+    "seeded_shuffle",
 ]
 
 

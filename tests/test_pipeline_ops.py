@@ -670,3 +670,22 @@ def test_semantic_dedup_finds_planted_copies_intra_cell(spark, sf_dir) -> None:
         for r in similarity.embedding_near_dup_pairs(planted).collect()
     }
     assert got <= allpairs
+
+
+def test_seeded_shuffle_keys_stable_and_epoch_varying(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    e0 = {r["doc_id"]: r["shuffle_key"]
+          for r in sampling.seeded_shuffle_keys(docs, "doc_id").collect()}
+    # append-stable: a subset corpus assigns identical keys
+    sub = {r["doc_id"]: r["shuffle_key"]
+           for r in sampling.seeded_shuffle_keys(
+               docs.filter("doc_id % 2 = 0"), "doc_id").collect()}
+    assert all(e0[k] == v for k, v in sub.items())
+    # a new seed is a different permutation
+    e1 = {r["doc_id"]: r["shuffle_key"]
+          for r in sampling.seeded_shuffle_keys(docs, "doc_id", "epoch1").collect()}
+    order0 = sorted(e0, key=lambda k: (e0[k], k))
+    order1 = sorted(e1, key=lambda k: (e1[k], k))
+    assert order0 != order1
