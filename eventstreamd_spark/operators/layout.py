@@ -109,21 +109,24 @@ SHARD_TOKENS = 4096
 BUCKET_WIDTH = 64
 
 
-def token_shard_assignments(
-    docs: DataFrame,
-    shard_tokens: int = SHARD_TOKENS,
+def weighted_shard_assignments(
+    df: DataFrame,
+    key: str,
+    weight: str,
+    budget: int,
     bucket_width: int = BUCKET_WIDTH,
 ) -> DataFrame:
-    """Pack documents (in doc_id order) into contiguous training shards
-    of ~shard_tokens tokens: shard_id = exclusive-prefix-sum(tokens)
-    div shard_tokens — the writer-sharding step of a training pipeline.
+    """Pack rows (in ``key`` order) into contiguous shards of ~``budget``
+    total ``weight``: shard_id = exclusive-prefix-sum(weight) div budget
+    — the writer-sharding step of a training pipeline, generic over the
+    weight (tokens, bytes, samples).
 
-    The naive plan is ``sum() OVER (ORDER BY doc_id)`` — an UNPARTITIONED
+    The naive plan is ``sum() OVER (ORDER BY key)`` — an UNPARTITIONED
     window that drags the whole corpus through one task.  This is the
     scalable two-phase prefix sum instead:
 
       1. within-bucket cumsum, window partitioned by
-         bucket = doc_id div bucket_width  (fully parallel),
+         bucket = key div bucket_width  (fully parallel),
       2. per-bucket totals (tiny aggregate) -> exclusive bucket offsets
          via a window over ONLY the bucket rows (corpus/bucket_width
          rows — the single-partition window runs over KB, not TB),
@@ -131,44 +134,78 @@ def token_shard_assignments(
 
     Same trick scales any order-dependent computation (row numbering,
     cumulative anything) past the single-task window limit.  All
-    arithmetic is BIGINT; the floor division is exact.
+    arithmetic is BIGINT; the floor division is exact.  Returns the
+    input key + weight plus ``shard_id`` and ``shard_start`` (the
+    exclusive prefix sum).
     """
     from pyspark.sql import Window
 
-    from eventstreamd_spark.functions.text import tokens
-
-    toked = docs.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        (F.col("doc_id") - F.col("doc_id") % bucket_width).alias("bucket"),
+    based = df.select(
+        key,
+        F.col(weight).cast("long").alias(weight),
+        (F.col(key) - F.col(key) % bucket_width).alias("bucket"),
     )
-    within = Window.partitionBy("bucket").orderBy("doc_id")
-    cum_in_bucket = toked.withColumn(
-        "bucket_cum", F.sum("n_tokens").over(within)
+    within = Window.partitionBy("bucket").orderBy(key)
+    cum_in_bucket = based.withColumn(
+        "bucket_cum", F.sum(weight).over(within)
     )
     bucket_w = (
         Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        toked.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("bucket_total"))
+        based.groupBy("bucket")
+        .agg(F.sum(weight).alias("bucket_total"))
         .withColumn(
             "bucket_offset", F.coalesce(F.sum("bucket_total").over(bucket_w), F.lit(0))
         )
         .select("bucket", "bucket_offset")
     )
     cum = F.col("bucket_offset") + F.col("bucket_cum")
-    excl = cum - F.col("n_tokens")
+    excl = cum - F.col(weight)
     return (
         cum_in_bucket.join(F.broadcast(offsets), "bucket")
         .select(
-            "doc_id",
-            "n_tokens",
-            F.floor(excl / shard_tokens).alias("shard_id"),
-            excl.alias("shard_start_token"),
+            key,
+            weight,
+            F.floor(excl / budget).alias("shard_id"),
+            excl.alias("shard_start"),
         )
     )
+
+
+def token_shard_assignments(
+    docs: DataFrame,
+    shard_tokens: int = SHARD_TOKENS,
+    bucket_width: int = BUCKET_WIDTH,
+) -> DataFrame:
+    """Token-budget shard packing (see weighted_shard_assignments for
+    the two-phase prefix-sum plan)."""
+    from eventstreamd_spark.functions.text import tokens
+
+    toked = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return weighted_shard_assignments(
+        toked, "doc_id", "n_tokens", shard_tokens, bucket_width
+    ).withColumnRenamed("shard_start", "shard_start_token")
+
+
+SHARD_BYTES = 16_384
+
+
+def media_shard_assignments(
+    media: DataFrame,
+    shard_bytes: int = SHARD_BYTES,
+    bucket_width: int = BUCKET_WIDTH,
+) -> DataFrame:
+    """Byte-budget shard packing for binary media blobs — the same
+    two-phase prefix sum over ``byte_len`` (a media table's tar-shard
+    writer, WebDataset-style)."""
+    sized = media.select("doc_id", F.col("byte_len").cast("long").alias("n_bytes"))
+    return weighted_shard_assignments(
+        sized, "doc_id", "n_bytes", shard_bytes, bucket_width
+    ).withColumnRenamed("shard_start", "shard_start_byte")
 
 
 def sql_token_shard_assignments(
@@ -187,5 +224,22 @@ def sql_token_shard_assignments(
         "SELECT doc_id, n_tokens, "
         f"CAST(floor(CAST(excl AS DOUBLE) / {shard_tokens}) AS BIGINT) AS shard_id, "
         "excl AS shard_start_token "
+        "FROM c"
+    )
+
+
+def sql_media_shard_assignments(
+    table: str = "documents", shard_bytes: int = SHARD_BYTES
+) -> str:
+    return (
+        "WITH t AS ("
+        f"  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM {table}"
+        "), c AS ("
+        "  SELECT doc_id, n_bytes, "
+        "    sum(n_bytes) OVER (ORDER BY doc_id) - n_bytes AS excl "
+        "  FROM t) "
+        "SELECT doc_id, n_bytes, "
+        f"CAST(floor(CAST(excl AS DOUBLE) / {shard_bytes}) AS BIGINT) AS shard_id, "
+        "excl AS shard_start_byte "
         "FROM c"
     )

@@ -1490,6 +1490,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.semantic_dedup_pairs(_emb_planted(spark, sf_dir))
 
 
+@register("media_shards", layout_mod.sql_media_shard_assignments())
+def media_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget media shard packing (WebDataset-style tar-shard
+    writer) via the generic two-phase distributed prefix sum."""
+    media = mm_op.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return layout_mod.media_shard_assignments(media)
+
+
 @register(
     "seeded_shuffle",
     sampling_op.sql_seeded_shuffle_keys("documents", "doc_id"),
@@ -1593,6 +1601,7 @@ _PRIORITY = [
     "token_freq_quality",
     "domain_mix_rebalance",
     "seeded_shuffle",
+    "media_shards",
 ]
 
 
