@@ -32,8 +32,10 @@ from eventstreamd_spark.functions.text import (
     HASH_MOD,
     hashed_shingles_from,
     poly_hash,
+    rolling_window_hashes,
     sql_hashed_word_shingles,
     sql_poly_hash,
+    sql_rolling_window_hashes_body,
     sql_tokens,
     tokens,
 )
@@ -398,6 +400,112 @@ SELECT doc_id, count(*) AS n_spans,
          / count(*) AS dup_frac
 FROM sh JOIN span_docs USING (span)
 GROUP BY doc_id
+"""
+
+
+def span_dedup_trim(
+    docs: DataFrame, n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Span-level dedup TRIMMING (Lee et al. 2022 §4 "ExactSubstr"):
+    rewrite each document with every duplicated n-token span removed —
+    the operator span_duplication_coverage is the measurement for.
+
+    A span is duplicated when its rolling hash occurs >= min_count
+    times corpus-wide (across documents OR repeated inside one — the
+    suffix-array formulation removes both).  A token is dropped iff
+    some duplicated span covers it; remaining tokens are re-joined.
+
+    Plan (linear in corpus tokens, two scans):
+      1. spans branch — positional rolling hashes (posexplode), span
+         occurrence count as a window over the span key, duplicated
+         positions collapse per doc into one covered-index array
+         (flatten of [p, p+n) sequences; spans overlap, array_distinct
+         dedupes).
+      2. rebuild branch — the token array joins the (small) covered
+         sets on doc_id; an indexed filter drops covered tokens.  Only
+         docs containing duplicated spans carry a covered array, so at
+         100 TB the join's right side is boilerplate-bearing docs only
+         and AQE broadcasts it when it fits.
+    No token strings cross a shuffle: the spans branch moves 8-byte
+    hashes; the rebuild branch's exchange is doc_id + int arrays.
+    """
+    from pyspark.sql import Window
+
+    t = fan_out(docs).select("doc_id", tokens(F.col("text")).alias("__t"))
+    th = t.select(
+        "doc_id", "__t", F.transform("__t", poly_hash).alias("__th")
+    )
+    # posexplode_outer, not posexplode: the inner generator would infer
+    # size()>0 and pushdown would inline the rolling fold into the scan
+    # filter (the 12x shingle-tier trap — SCALE.md §5)
+    sp = th.select(
+        "doc_id",
+        F.posexplode_outer(
+            rolling_window_hashes(F.col("__th"), n)
+        ).alias("pos", "span"),
+    )
+    nd = F.count("*").over(Window.partitionBy("span"))
+    covered = (
+        sp.withColumn("nd", nd)
+        .filter(F.col("nd") >= min_count)
+        .groupBy("doc_id")
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+                    )
+                )
+            ).alias("covered")
+        )
+    )
+    cov = F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__t"), lambda tok, i: ~F.array_contains(cov, i)
+    )
+    return (
+        th.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", kept).alias("trimmed_text"),
+            F.size("__t").alias("n_tokens"),
+            (F.size("__t") - F.size(kept)).alias("n_tokens_removed"),
+        )
+    )
+
+
+def sql_span_dedup_trim(
+    table: str = "documents", n: int = 8, min_count: int = 2
+) -> str:
+    """DuckDB twin of span_dedup_trim (1-based indexed list_filter)."""
+    toks = sql_tokens("text")
+    th = f"list_transform(__t, tk -> {sql_poly_hash('tk')})"
+    windows = sql_rolling_window_hashes_body(n)
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS __t FROM {table}),
+th AS (SELECT doc_id, __t, {th} AS __th FROM t),
+w AS (SELECT doc_id, __t, ({windows}) AS ws FROM th),
+sp AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS span
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w) u
+),
+cnt AS (SELECT span, count(*) AS nd FROM sp GROUP BY span),
+cov AS (
+  SELECT doc_id,
+         list_distinct(flatten(list(range(pos, pos + {n})))) AS covered
+  FROM sp JOIN cnt USING (span)
+  WHERE nd >= {min_count}
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       coalesce(array_to_string(
+         list_filter(__t, (tk, i) ->
+           NOT list_contains(coalesce(covered, []), i - 1)), ' '), '')
+         AS trimmed_text,
+       len(__t) AS n_tokens,
+       len(__t) - len(list_filter(__t, (tk, i) ->
+           NOT list_contains(coalesce(covered, []), i - 1))) AS n_tokens_removed
+FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
 """
 
 

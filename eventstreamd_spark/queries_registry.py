@@ -1490,6 +1490,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.semantic_dedup_pairs(_emb_planted(spark, sf_dir))
 
 
+@register("span_dedup_trim", dedup_op.sql_span_dedup_trim())
+def span_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. ExactSubstr span-dedup TRIM: documents rewritten with
+    every corpus-duplicated 8-token span removed (the action
+    span_dup_coverage measures)."""
+    return dedup_op.span_dedup_trim(load_table(spark, sf_dir, "documents"))
+
+
 @register("media_shards", layout_mod.sql_media_shard_assignments())
 def media_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-budget media shard packing (WebDataset-style tar-shard
@@ -1602,6 +1610,7 @@ _PRIORITY = [
     "domain_mix_rebalance",
     "seeded_shuffle",
     "media_shards",
+    "span_dedup_trim",
 ]
 
 

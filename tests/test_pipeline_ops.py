@@ -689,3 +689,26 @@ def test_seeded_shuffle_keys_stable_and_epoch_varying(spark, sf_dir) -> None:
     order0 = sorted(e0, key=lambda k: (e0[k], k))
     order1 = sorted(e1, key=lambda k: (e1[k], k))
     assert order0 != order1
+
+
+def test_span_dedup_trim_removes_shared_and_internal_spans(spark) -> None:
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (1, f"u1 u2 u3 {boiler} u4 u5 u6"),
+        (2, f"v1 v2 v3 {boiler} v4 v5 v6"),
+        (3, f"{boiler} x1 x2 x3 {boiler}"),  # internal repetition
+        (4, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),  # clean doc untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.span_dedup_trim(docs).collect()}
+    # the shared span is excised from both docs, unique tokens survive
+    for d in (1, 2, 3):
+        assert "b1" not in out[d]["trimmed_text"]
+        assert out[d]["n_tokens_removed"] >= 8
+    assert "u1" in out[1]["trimmed_text"] and "u4" in out[1]["trimmed_text"]
+    assert "v1" in out[2]["trimmed_text"] and "v4" in out[2]["trimmed_text"]
+    # internal repetition: both occurrences removed
+    assert "b8" not in out[3]["trimmed_text"]
+    # clean doc passes through verbatim
+    assert out[4]["trimmed_text"] == rows[3][1]
+    assert out[4]["n_tokens_removed"] == 0
