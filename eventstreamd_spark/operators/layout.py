@@ -243,3 +243,64 @@ def sql_media_shard_assignments(
         "excl AS shard_start_byte "
         "FROM c"
     )
+
+
+N_LENGTH_BUCKETS = 8
+
+
+def length_bucket_assignments(
+    docs: DataFrame, n_buckets: int = N_LENGTH_BUCKETS
+) -> DataFrame:
+    """Length-grouped batching: assign every document to a token-length
+    bucket so a training loader can batch similar lengths together
+    (padding waste on mixed-length batches is pure lost FLOPs).
+
+    The naive form is ``ntile(n) OVER (ORDER BY n_tokens)`` — an
+    unpartitioned global window (single task, the same trap the shard
+    packer avoids).  Scalable form: exact quantile boundaries from one
+    tiny aggregation (n_buckets-1 doubles), broadcast them, and assign
+    by comparison in a narrow pass — bucket_id = #(boundaries <
+    n_tokens).  Unlike ntile, equal lengths always land in the same
+    bucket (boundary ties don't split), which is what a batcher wants
+    anyway.  percentile() interpolation halves integers — exact in
+    binary, so the DuckDB twin (quantile_cont) matches bit-for-bit.
+    """
+    from eventstreamd_spark.functions.text import tokens
+
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sized.agg(
+        F.expr(
+            "percentile(n_tokens, array("
+            + ", ".join(f"{f!r}" for f in fracs)
+            + "))"
+        ).alias("bounds")
+    )
+    assigned = sized.join(F.broadcast(bounds))
+    n_below = F.size(
+        F.filter("bounds", lambda b: b < F.col("n_tokens").cast("double"))
+    )
+    return assigned.select(
+        "doc_id", "n_tokens", n_below.cast("int").alias("length_bucket")
+    )
+
+
+def sql_length_bucket_assignments(
+    table: str = "documents", n_buckets: int = N_LENGTH_BUCKETS
+) -> str:
+    from eventstreamd_spark.functions.text import sql_tokens
+
+    toks = sql_tokens("text")
+    fracs = ", ".join(repr(i / n_buckets) for i in range(1, n_buckets))
+    return (
+        "WITH sized AS ("
+        f"  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM {table}"
+        "), b AS ("
+        f"  SELECT quantile_cont(n_tokens, [{fracs}]) AS bounds FROM sized) "
+        "SELECT doc_id, n_tokens, "
+        "  CAST(len(list_filter(bounds, x -> x < CAST(n_tokens AS DOUBLE))) AS INT) "
+        "    AS length_bucket "
+        "FROM sized, b"
+    )

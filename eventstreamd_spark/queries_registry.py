@@ -1490,6 +1490,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.semantic_dedup_pairs(_emb_planted(spark, sf_dir))
 
 
+@register("length_buckets", layout_mod.sql_length_bucket_assignments())
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching buckets via broadcast quantile
+    boundaries (the scalable ntile: no unpartitioned window)."""
+    return layout_mod.length_bucket_assignments(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("span_dedup_trim", dedup_op.sql_span_dedup_trim())
 def span_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. ExactSubstr span-dedup TRIM: documents rewritten with
@@ -1611,6 +1620,7 @@ _PRIORITY = [
     "seeded_shuffle",
     "media_shards",
     "span_dedup_trim",
+    "length_buckets",
 ]
 
 

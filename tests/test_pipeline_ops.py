@@ -712,3 +712,23 @@ def test_span_dedup_trim_removes_shared_and_internal_spans(spark) -> None:
     # clean doc passes through verbatim
     assert out[4]["trimmed_text"] == rows[3][1]
     assert out[4]["n_tokens_removed"] == 0
+
+
+def test_length_buckets_monotone_and_balanced(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import layout
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = layout.length_bucket_assignments(docs).collect()
+    # monotone: longer docs never land in a lower bucket
+    by_len = sorted(out, key=lambda r: r["n_tokens"])
+    buckets = [r["length_bucket"] for r in by_len]
+    assert buckets == sorted(buckets)
+    # equal lengths share a bucket
+    seen = {}
+    for r in out:
+        assert seen.setdefault(r["n_tokens"], r["length_bucket"]) == r["length_bucket"]
+    # roughly balanced: no bucket holds more than 3x its fair share
+    # (ties collapse into one bucket, so exact eighths aren't expected)
+    from collections import Counter
+    c = Counter(buckets)
+    assert max(c.values()) <= 3 * len(out) / layout.N_LENGTH_BUCKETS
