@@ -748,3 +748,113 @@ def sql_corpus_bigram_topk(
         "GROUP BY w1, w2 "
         f"ORDER BY bg_count DESC, w1 ASC, w2 ASC LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter ensemble — the composed keep/drop gate
+# ---------------------------------------------------------------------------
+
+ENSEMBLE_HAPAX_MAX = 0.8
+ENSEMBLE_MEDIAN_TF_MIN = 2.0
+
+
+def quality_ensemble(docs: DataFrame) -> DataFrame:
+    """The composed document-quality gate a production pipeline runs:
+    heuristic quality (token floor, stopword/punctuation ratios),
+    Gopher repetition signals, and corpus-frequency statistics, voted
+    into one keep verdict with per-rule reason flags (so dropped docs
+    are auditable by cause, not just gone).
+
+    Plan: the heuristic gate and the repetition metrics share ONE
+    explode — quality_ok rides the doc-keyed aggregations as a grouping
+    key (zero extra shuffle, the dup_line_frac trick).  The
+    corpus-frequency branch needs its vocabulary join (Heaps-small,
+    AQE broadcasts); one final doc_id join assembles the verdict.
+    Three reasons, three booleans — the output is narrow and the whole
+    ensemble is two corpus scans.
+    """
+    lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    dup_line_frac = F.when(
+        F.size(lines) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
+    ).otherwise(F.lit(0.0))
+    base = docs.select(
+        "doc_id",
+        quality_ok_col(F.col("text")).alias("quality_ok"),
+        dup_line_frac.alias("dup_line_frac"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    )
+    wc = base.groupBy("doc_id", "quality_ok", "dup_line_frac", "w").agg(
+        F.count("*").alias("c")
+    )
+    rep = wc.groupBy("doc_id", "quality_ok", "dup_line_frac").agg(
+        F.max("c").alias("max_wc"),
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+    )
+    top_word_frac = F.col("max_wc").cast("double") / F.col("n_tokens")
+    dup_word_frac = (
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    )
+    repetitive = (
+        (top_word_frac > 0.3)
+        | (F.col("dup_line_frac") > 0.3)
+        | (dup_word_frac > 0.6)
+    )
+    rep_flags = rep.select(
+        "doc_id", "quality_ok", repetitive.alias("repetitive")
+    )
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("ctf"))
+    freq = (
+        tok.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("ctf") == 1).cast("bigint")).alias("hapax_tokens"),
+            F.expr("percentile(ctf, 0.5)").alias("median_term_freq"),
+        )
+    )
+    oov_like = (
+        F.col("hapax_tokens").cast("double") / F.col("n_tokens")
+        > ENSEMBLE_HAPAX_MAX
+    ) | (F.col("median_term_freq") < ENSEMBLE_MEDIAN_TF_MIN)
+    return (
+        rep_flags.join(freq, "doc_id")
+        .select(
+            "doc_id",
+            "quality_ok",
+            "repetitive",
+            oov_like.alias("oov_like"),
+            (
+                F.col("quality_ok")
+                & ~F.col("repetitive")
+                & ~oov_like
+            ).alias("keep"),
+        )
+    )
+
+
+def sql_quality_ensemble(table: str = "documents") -> str:
+    rep = sql_repetition_metrics(table)
+    freq = sql_token_freq_quality(table)
+    q_ok = sql_quality_ok("text")
+    return f"""
+WITH rep AS ({rep}),
+freq AS ({freq}),
+qual AS (SELECT doc_id, {q_ok} AS quality_ok FROM {table})
+SELECT rep.doc_id, qual.quality_ok, rep.repetitive,
+       ((CAST(freq.hapax_tokens AS DOUBLE) / freq.n_tokens
+           > {ENSEMBLE_HAPAX_MAX})
+        OR (freq.median_term_freq < {ENSEMBLE_MEDIAN_TF_MIN})) AS oov_like,
+       (qual.quality_ok AND NOT rep.repetitive
+        AND NOT ((CAST(freq.hapax_tokens AS DOUBLE) / freq.n_tokens
+                    > {ENSEMBLE_HAPAX_MAX})
+                 OR (freq.median_term_freq < {ENSEMBLE_MEDIAN_TF_MIN})))
+         AS keep
+FROM rep JOIN freq ON rep.doc_id = freq.doc_id
+JOIN qual ON rep.doc_id = qual.doc_id
+"""

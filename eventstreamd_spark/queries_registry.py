@@ -1490,6 +1490,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.semantic_dedup_pairs(_emb_planted(spark, sf_dir))
 
 
+@register("quality_ensemble", text_op.sql_quality_ensemble())
+def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality gate: heuristic + Gopher repetition +
+    corpus-frequency votes with per-rule reason flags."""
+    return text_op.quality_ensemble(load_table(spark, sf_dir, "documents"))
+
+
 @register("length_buckets", layout_mod.sql_length_bucket_assignments())
 def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-grouped batching buckets via broadcast quantile
@@ -1621,6 +1628,7 @@ _PRIORITY = [
     "media_shards",
     "span_dedup_trim",
     "length_buckets",
+    "quality_ensemble",
 ]
 
 

@@ -732,3 +732,20 @@ def test_length_buckets_monotone_and_balanced(spark, sf_dir) -> None:
     from collections import Counter
     c = Counter(buckets)
     assert max(c.values()) <= 3 * len(out) / layout.N_LENGTH_BUCKETS
+
+
+def test_quality_ensemble_reasons_and_verdict(spark) -> None:
+    rows = [
+        (1, "the quick brown fox a jumps over the lazy dog daily news today"),
+        (2, "spam spam spam spam spam spam spam spam spam spam"),  # repetitive
+        (3, "!!! ??? ... ;;; ::: @@@ ###"),  # punctuation soup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.quality_ensemble(docs).collect()}
+    assert out[2]["repetitive"] and not out[2]["keep"]
+    assert not out[3]["quality_ok"] and not out[3]["keep"]
+    # verdict is exactly the conjunction of its reasons
+    for r in out.values():
+        assert r["keep"] == (
+            r["quality_ok"] and not r["repetitive"] and not r["oov_like"]
+        )
