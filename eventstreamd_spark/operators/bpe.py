@@ -1,0 +1,197 @@
+"""BPE merge-table induction — distributed tokenizer training.
+
+The second iterative operator in the engine (next to the
+large-star/small-star connected components in dedup.py): byte-pair
+encoding learns its merge table greedily — count adjacent symbol pairs
+over the vocabulary, fuse the most frequent pair, repeat.  Real BPE
+trainers (Sennrich et al. 2016, arXiv:1508.07909) run exactly this loop
+over a WORD-COUNT table, not the raw corpus: the corpus collapses to
+(word, count) once — one corpus-sized shuffle — and every merge round
+then touches only the vocabulary, which Heaps' law keeps tiny relative
+to a 100 TB corpus.  That is the scale story: the iteration cost is
+O(vocab x rounds), independent of corpus size.
+
+Plan per round: explode adjacent pairs weighted by word count -> one
+(a, b)-keyed aggregation (map-side partials over the small vocab) ->
+deterministic argmax (total DESC, then lexicographic) via a 1-row
+limit -> apply the merge with a greedy left-to-right fold
+(F.aggregate with a struct accumulator — the skip flag makes
+overlapping matches like "a a a" fold exactly as a sequential scanner
+would).  The vocab is localCheckpoint-ed each round so the fold
+lineage stays flat instead of nesting n_merges interpreted HOFs deep
+(the same lineage-truncation discipline as connected components).
+
+The driver holds only the n_merges winning pairs (the merge table IS
+the output and is tiny by definition); the pair counting never leaves
+the cluster.  The DuckDB oracle unrolls the same rounds as nested CTEs
+— DuckDB 1.0's list_reduce corrupts LIST fields inside struct
+accumulators, so its fold encodes the skip state as an uppercase
+sentinel element ('<SKIP>') instead; tokens() lowercases, so the
+sentinel cannot collide with a real symbol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from eventstreamd_spark.functions.text import sql_tokens, tokens
+
+N_MERGES = 8
+
+
+def _char_syms(term: F.Column) -> F.Column:
+    """Word -> array of single-character symbols (explicit substring
+    transform; portable, no regex-split edge cases)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(term)),
+        lambda i: term.substr(i, F.lit(1)),
+    )
+
+
+def _adjacent_pairs(syms: F.Column) -> F.Column:
+    """Array of (a, b) structs for adjacent symbol pairs (empty when
+    fewer than two symbols)."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("a"),
+                F.element_at(syms, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def _apply_merge(syms: F.Column, a: str, b: str) -> F.Column:
+    """Greedy left-to-right merge of adjacent (a, b) -> a||b.
+
+    Struct-accumulator fold: the skip flag consumes the right symbol of
+    a fused pair, so overlapping candidates ("a a a" under merge (a,a))
+    fold to [aa, a] exactly like a sequential scanner.
+    """
+    merged = F.lit(a + b)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(False).alias("skip"),
+    )
+
+    def step(acc, i):
+        take = (
+            (i < F.size(syms))
+            & (F.element_at(syms, i) == F.lit(a))
+            & (F.element_at(syms, i + 1) == F.lit(b))
+        )
+        return (
+            F.when(
+                acc["skip"],
+                F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+            )
+            .when(
+                take,
+                F.struct(
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(F.element_at(syms, i))).alias(
+                        "out"
+                    ),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size(syms)),
+        init,
+        step,
+        lambda acc: acc["out"],
+    )
+
+
+def bpe_merge_table(
+    docs: DataFrame, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus
+    vocabulary; returns (merge_rank, lhs, rhs, pair_count)."""
+    spark = docs.sparkSession
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .select("term", "cnt", _char_syms(F.col("term")).alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select("cnt", F.explode_outer(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("total"))
+        )
+        best = pairs.orderBy(F.desc("total"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not best:
+            break
+        a, b, total = best[0]["a"], best[0]["b"], best[0]["total"]
+        merges.append((rank, a, b, int(total)))
+        vocab = vocab.select(
+            "term", "cnt", _apply_merge(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def sql_bpe_merge_table(
+    table: str = "documents", n_merges: int = N_MERGES
+) -> str:
+    """DuckDB twin: the same rounds unrolled as CTE levels, greedy
+    fold with the sentinel-encoded skip state."""
+    toks = sql_tokens("text")
+    fold = (
+        "list_reduce("
+        "list_prepend(CAST([] AS VARCHAR[]), "
+        "list_transform(range(1, len(syms) + 1), x -> [CAST(x AS VARCHAR)])), "
+        "(acc, e) -> CASE "
+        "WHEN len(acc) > 0 AND acc[len(acc)] = '<SKIP>' "
+        "  THEN list_slice(acc, 1, len(acc) - 1) "
+        "WHEN CAST(e[1] AS INT) < len(syms) "
+        "  AND syms[CAST(e[1] AS INT)] = a AND syms[CAST(e[1] AS INT) + 1] = b "
+        "  THEN list_append(list_append(acc, a || b), '<SKIP>') "
+        "ELSE list_append(acc, syms[CAST(e[1] AS INT)]) END)"
+    )
+    parts = [
+        "WITH v0 AS ("
+        "  SELECT term, cnt, "
+        "    list_transform(range(1, length(term) + 1), i -> term[i:i]) AS syms "
+        "  FROM (SELECT term, count(*) AS cnt FROM ("
+        f"    SELECT unnest({toks}) AS term FROM {table}) GROUP BY term))"
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"p{k} AS ("
+            f"  SELECT s.syms[i] AS a, s.syms[i + 1] AS b, "
+            f"    CAST(sum(s.cnt) AS BIGINT) AS total "
+            f"  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i "
+            f"        FROM v{k - 1}) s "
+            f"  GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"best{k} AS (SELECT a, b, total FROM p{k} "
+            f"ORDER BY total DESC, a, b LIMIT 1)"
+        )
+        if k < n_merges:
+            parts.append(
+                f"v{k} AS (SELECT term, cnt, {fold} AS syms "
+                f"FROM v{k - 1}, best{k})"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, total AS pair_count "
+        f"FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + "\nSELECT * FROM (" + union + ") ORDER BY merge_rank"

@@ -26,6 +26,7 @@ from eventstreamd_spark.functions.exact import (
 )
 from eventstreamd_spark.functions.sse import http_chunk, sse_frame, sse_frame_sql
 from eventstreamd_spark.operators import asof as asof_op
+from eventstreamd_spark.operators import bpe as bpe_op
 from eventstreamd_spark.operators import merge as merge_op
 from eventstreamd_spark.operators import dedup as dedup_op
 from eventstreamd_spark.operators import multimodal as mm_op
@@ -1490,6 +1491,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.semantic_dedup_pairs(_emb_planted(spark, sf_dir))
 
 
+@register("bpe_merges", bpe_op.sql_bpe_merge_table())
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table induction (Sennrich et al. 2016):
+    iterative greedy pair fusion over the word-count vocabulary —
+    per-round cost O(vocab), independent of corpus size."""
+    return bpe_op.bpe_merge_table(load_table(spark, sf_dir, "documents"))
+
+
 @register("quality_ensemble", text_op.sql_quality_ensemble())
 def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed quality gate: heuristic + Gopher repetition +
@@ -1629,6 +1638,7 @@ _PRIORITY = [
     "span_dedup_trim",
     "length_buckets",
     "quality_ensemble",
+    "bpe_merges",
 ]
 
 

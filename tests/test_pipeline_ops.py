@@ -749,3 +749,21 @@ def test_quality_ensemble_reasons_and_verdict(spark) -> None:
         assert r["keep"] == (
             r["quality_ok"] and not r["repetitive"] and not r["oov_like"]
         )
+
+
+def test_bpe_merges_hand_checked_with_overlaps(spark) -> None:
+    from eventstreamd_spark.operators import bpe
+
+    # corpus: "aaab" x3, "ab" x2 -> pair counts: (a,a)=6, (a,b)=5
+    # round 1 fuses (a,a) GREEDILY: "aaab" -> [aa, a, b] (overlap: the
+    # second candidate at position 2 is consumed by the first match)
+    # round 2 counts: (aa,a)=3, (a,b)=5 -> fuses (a,b)
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    )
+    out = [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+           for r in bpe.bpe_merge_table(docs, n_merges=3).collect()]
+    assert out[0] == (1, "a", "a", 6)
+    assert out[1] == (2, "a", "b", 5)
+    # round 3: vocab is {[aa, ab] x3, [ab] x2} -> (aa, ab)=3
+    assert out[2] == (3, "aa", "ab", 3)
