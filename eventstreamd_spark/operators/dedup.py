@@ -1,15 +1,24 @@
 """Deduplication suite over the ``documents`` table — the operators a
 large-scale training-data pipeline runs before anything else.
 
-Five tiers, cheapest first (this is also the production cascade):
+The tier cascade, cheapest first (this is also the production order):
 
 1. exact         — hash-groupBy on content (or sha256 for wide rows)
 2. ngram-jaccard — exact set similarity on word shingles, candidate
-                   pairs via an inverted-index self-join
+                   pairs via an inverted-index self-join; the
+                   df-cutoff variant guards the hot-shingle blowup
 3. minhash-LSH   — sketch + banding: candidates without the full
                    inverted-index join; the 100 TB path
+                   (minhash_keep_corpus materializes the kept corpus)
 4. simhash       — bitwise near-dup fingerprint, banded for candidates
 5. embedding     — semantic near-dup via cosine over vectors
+                   (all-pairs baseline in similarity.py; SemDeDup is
+                   the cluster-bounded scale path)
+
+Below the document grain: span_duplication_coverage measures
+substring-level duplication and span_dedup_trim excises it (Lee et
+al. 2022); above it, connected components (dedup_clusters) give
+cluster-exact retention and contamination_check screens eval sets.
 
 All hashes use the portable polynomial hash (functions/text.py) so every
 tier is DuckDB-oracle-checkable — including minhash and simhash, whose

@@ -1,6 +1,11 @@
 """Similarity search over the ``embeddings`` table.
 
-Two paths:
+The ANN ladder (exact baseline -> pruned candidates): brute-force
+top-k, hyperplane-LSH buckets, IVF-Flat cells (ivf_topk), plus the
+semantic-dedup pair (embedding_near_dup_pairs = tiled all-pairs exact
+baseline, semantic_dedup_pairs = SemDeDup cluster-bounded scale path).
+
+The two core retrieval paths in detail:
 
 - ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
   set against all vectors, window top-k per query.  The correctness
