@@ -437,11 +437,21 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
         F.lit(1.0)
         - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
     ).otherwise(F.lit(0.0))
-    base = docs.select(
+    # Bind the per-document expressions BEFORE the explode: a non-cheap
+    # sibling of a generator is re-evaluated per EXPLODED row (per
+    # token, not per doc — measured ~8x on this op; the same trap as
+    # inferred-filter inlining, SCALE.md §5).  After binding they are
+    # plain attributes the Generate repeats by reference.
+    bound = docs.select(
         "doc_id",
         dup_line_frac.alias("dup_line_frac"),
-        F.explode(tokens(F.col("text"))).alias("w"),
+        tokens(F.col("text")).alias("__toks"),
     )
+    base = bound.select(
+        "doc_id",
+        "dup_line_frac",
+        F.explode_outer("__toks").alias("w"),
+    ).filter(F.col("w").isNotNull())
     wc = base.groupBy("doc_id", "dup_line_frac", "w").agg(
         F.count("*").alias("c")
     )
@@ -781,12 +791,21 @@ def quality_ensemble(docs: DataFrame) -> DataFrame:
         F.lit(1.0)
         - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
     ).otherwise(F.lit(0.0))
-    base = docs.select(
+    # Per-doc expressions bound BEFORE the explode — a non-cheap
+    # generator sibling is re-evaluated per exploded row (measured 8x
+    # on this op at sf0.1; see repetition_metrics / SCALE.md §5).
+    bound = docs.select(
         "doc_id",
         quality_ok_col(F.col("text")).alias("quality_ok"),
         dup_line_frac.alias("dup_line_frac"),
-        F.explode(tokens(F.col("text"))).alias("w"),
+        tokens(F.col("text")).alias("__toks"),
     )
+    base = bound.select(
+        "doc_id",
+        "quality_ok",
+        "dup_line_frac",
+        F.explode_outer("__toks").alias("w"),
+    ).filter(F.col("w").isNotNull())
     wc = base.groupBy("doc_id", "quality_ok", "dup_line_frac", "w").agg(
         F.count("*").alias("c")
     )

@@ -67,4 +67,41 @@ def audit_plan(df: DataFrame) -> list[str]:
                                          # are still two-phase
     ):
         warnings.append("aggregate without map-side partial phase")
+    warnings += _generate_sibling_warnings(df)
     return warnings
+
+
+# Markers of non-cheap expressions that must never sit in a Project
+# evaluated per EXPLODED row: HOF lambdas and regex/tokenization.
+_EXPENSIVE = ("filter(", "transform(", "aggregate(", "zip_with(", "regexp")
+
+
+def _generate_sibling_warnings(df: DataFrame) -> list[str]:
+    """Flag expensive expressions in a Project DIRECTLY ABOVE a
+    Generate in the optimized logical plan.
+
+    A non-cheap sibling of a generator ends up there and is then
+    re-evaluated once per OUTPUT row — per token instead of per
+    document (measured 22x on the quality ensemble at sf0.1).  The fix
+    is always the same: bind the expression to a real column in a
+    projection BELOW the explode, so the Generate repeats a plain
+    attribute by reference.
+    """
+    try:
+        plan = explain_string(df, "extended")
+        opt = plan.split("== Optimized Logical Plan ==")[1].split(
+            "== Physical Plan =="
+        )[0]
+    except Exception:  # streaming plans or split mismatch: skip
+        return []
+    lines = opt.splitlines()
+    for i, line in enumerate(lines):
+        if "Generate " not in line:
+            continue
+        parent = lines[i - 1] if i else ""
+        if "Project" in parent and any(m in parent for m in _EXPENSIVE):
+            return [
+                "expensive expression in Project above Generate "
+                "(re-evaluated per exploded row — bind it below the explode)"
+            ]
+    return []
