@@ -32,7 +32,7 @@ sentinel cannot collide with a real symbol.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from eventstreamd_spark.functions.text import sql_tokens, tokens
 
