@@ -90,6 +90,7 @@ def main() -> None:
     # 1.2 s and 93 s across runs).  Queries whose best-of-two is far off
     # the pack get one more pass at the end, when the burst has usually
     # passed; min() keeps the reproducible figure.
+    remeasured: list[str] = []
     if timings:
         med = sorted(timings.values())[len(timings) // 2]
         for name, t in list(timings.items()):
@@ -101,23 +102,53 @@ def main() -> None:
                     timings[name] = round(
                         min(t, time.perf_counter() - t0), 4
                     )
+                    remeasured.append(name)
                 except Exception:
                     pass
 
-    out = {
+    # The driver's stdout capture keeps only the tail 2,000 chars, so the
+    # full per-query map (124 queries ~ 3.8 KB) beheads the JSON line.
+    # stdout gets a compact summary (headline metric + the slowest queries);
+    # the complete per-query map goes to a sidecar file next to this script.
+    detail = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "cold_queries": cold,
         "sf": sf_from_dir(SF_DIR),
         "n_queries": len(timings),
         "cold_total_sec": round(sum(cold.values()), 4),
+        "remeasured": remeasured,
+        "failures": failures,
     }
-    if failures:
-        out["failures"] = failures
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+        "cold_total_sec": round(sum(cold.values()), 4),
+        "n_failures": len(failures),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(out)
+    if len(line) > 1900:  # belt-and-braces: never exceed the capture window
+        out.pop("queries", None)
+        line = json.dumps(out)
     # fd 1 currently points at stderr (see top of main); the JSON line goes
     # to the preserved real stdout so the driver sees exactly one line.
-    os.write(real_stdout_fd, (json.dumps(out) + "\n").encode())
+    os.write(real_stdout_fd, (line + "\n").encode())
     os.close(real_stdout_fd)
     spark.stop()
 

@@ -77,10 +77,13 @@ def _apply_merge(syms: F.Column, a: str, b: str) -> F.Column:
     )
 
     def step(acc, i):
+        # F.get is 0-based and null-safe: at i == size(syms) the lookahead
+        # returns NULL (!= b) instead of depending on AND short-circuit to
+        # dodge an ANSI INVALID_ARRAY_INDEX.
         take = (
             (i < F.size(syms))
             & (F.element_at(syms, i) == F.lit(a))
-            & (F.element_at(syms, i + 1) == F.lit(b))
+            & (F.get(syms, i) == F.lit(b))
         )
         return (
             F.when(

@@ -163,13 +163,17 @@ def weighted_shard_assignments(
     )
     cum = F.col("bucket_offset") + F.col("bucket_cum")
     excl = cum - F.col(weight)
+    # `div` is Spark's integral division (long div long -> long), so the
+    # shard id stays exact past 2^53 total weight where float64 floor
+    # division would silently round.
     return (
         cum_in_bucket.join(F.broadcast(offsets), "bucket")
+        .withColumn("_excl", excl)
         .select(
             key,
             weight,
-            F.floor(excl / budget).alias("shard_id"),
-            excl.alias("shard_start"),
+            F.expr(f"_excl div {int(budget)}").alias("shard_id"),
+            F.col("_excl").alias("shard_start"),
         )
     )
 
@@ -222,8 +226,8 @@ def sql_token_shard_assignments(
         "    sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS excl "
         "  FROM t) "
         "SELECT doc_id, n_tokens, "
-        f"CAST(floor(CAST(excl AS DOUBLE) / {shard_tokens}) AS BIGINT) AS shard_id, "
-        "excl AS shard_start_token "
+        f"CAST(excl // {shard_tokens} AS BIGINT) AS shard_id, "
+        "CAST(excl AS BIGINT) AS shard_start_token "
         "FROM c"
     )
 
@@ -239,8 +243,8 @@ def sql_media_shard_assignments(
         "    sum(n_bytes) OVER (ORDER BY doc_id) - n_bytes AS excl "
         "  FROM t) "
         "SELECT doc_id, n_bytes, "
-        f"CAST(floor(CAST(excl AS DOUBLE) / {shard_bytes}) AS BIGINT) AS shard_id, "
-        "excl AS shard_start_byte "
+        f"CAST(excl // {shard_bytes} AS BIGINT) AS shard_id, "
+        "CAST(excl AS BIGINT) AS shard_start_byte "
         "FROM c"
     )
 

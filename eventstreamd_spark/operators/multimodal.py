@@ -31,8 +31,11 @@ FEATURE_DIM = 8
 MEDIA_SCHEMA = (
     "doc_id bigint, media_type string, blob binary, byte_len int, content_md5 string"
 )
+# float64 features: the fake decode is an exact integer-sum / length, and
+# float32 truncation would make the 6-dp driver projection un-matchable
+# against an exact SQL oracle.
 FEATURE_SCHEMA = (
-    "doc_id bigint, media_type string, byte_len int, feature array<float>"
+    "doc_id bigint, media_type string, byte_len int, feature array<double>"
 )
 
 

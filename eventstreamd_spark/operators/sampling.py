@@ -147,6 +147,8 @@ def rebalance_to_mix(
     a scalar min, a broadcast of |groups| thresholds back onto the
     fact table, then a narrow filter — no fact-side shuffle at all.
     """
+    if not targets:
+        raise ValueError("targets must be non-empty")
     t_expr: Column | None = None
     for name, share in targets.items():
         t_expr = (
@@ -191,8 +193,12 @@ def sql_rebalance_to_mix(
 ) -> str:
     """CTE twin of ``rebalance_to_mix`` (same double arithmetic ops in
     the same order, so thresholds agree bit-for-bit)."""
+    if not targets:
+        raise ValueError("targets must be non-empty")
     t_case = " ".join(
-        f"WHEN '{name}' THEN CAST({float(share)} AS DOUBLE)"
+        "WHEN '{}' THEN CAST({} AS DOUBLE)".format(
+            name.replace("'", "''"), float(share)
+        )
         for name, share in targets.items()
     )
     gate = sql_hash_gate(key_expr, salt)

@@ -166,6 +166,60 @@ def lsh_topk(
     )
 
 
+_SPILL_DIRS: list[str] = []
+_ATEXIT_REGISTERED = False
+
+
+def _resolve_spill_dir(spark, work_dir: str | None) -> str:
+    """Resolve the block-spill directory for the tiled near-dup kernel.
+
+    The spill MUST be visible to every executor: the block files one
+    task writes are read by every other task's ``mapInPandas`` pass.
+    Resolution order: explicit ``work_dir`` (the operator trusts the
+    caller to pass an object-store / shared-FS prefix on a cluster) >
+    the session's checkpoint dir (already required to be cluster-shared
+    by Spark) > node-local tmp, which is ONLY correct in local mode —
+    on any non-local master we fail fast instead of silently
+    under-reporting pairs."""
+    import tempfile
+
+    if work_dir is not None:
+        return work_dir
+    ckpt = spark.sparkContext.getCheckpointDir()
+    if ckpt:
+        # strip scheme for local-path use; object-store URIs pass through
+        return ckpt[len("file:"):] if ckpt.startswith("file:") else ckpt
+    if not spark.sparkContext.master.startswith("local"):
+        raise ValueError(
+            "embedding_near_dup_pairs needs a cluster-shared work_dir "
+            "(object store / shared FS) on a non-local master; the "
+            "node-local tmp default would hide other executors' blocks"
+        )
+    return tempfile.gettempdir()
+
+
+def _register_spill_dir(path: str) -> None:
+    """Track spill dirs and clean them at interpreter exit; also prune
+    all but the most recent two on each new invocation so repeated runs
+    (e.g. bench passes) don't accumulate parquet indefinitely.  Keeping
+    two covers a still-unconsumed previous DataFrame's lazy read."""
+    global _ATEXIT_REGISTERED
+    import atexit
+    import shutil
+
+    while len(_SPILL_DIRS) >= 2:
+        shutil.rmtree(_SPILL_DIRS.pop(0), ignore_errors=True)
+    _SPILL_DIRS.append(path)
+    if not _ATEXIT_REGISTERED:
+        _ATEXIT_REGISTERED = True
+
+        def _cleanup() -> None:
+            for p in _SPILL_DIRS:
+                shutil.rmtree(p, ignore_errors=True)
+
+        atexit.register(_cleanup)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -201,7 +255,6 @@ def embedding_near_dup_pairs(
     import glob
     import math
     import os
-    import tempfile
     import uuid
 
     import numpy as np
@@ -210,9 +263,9 @@ def embedding_near_dup_pairs(
     slim = embeddings.select("vec_id", "embedding")
     n = slim.count()
     n_blocks = max(1, math.ceil(n / block_rows))
-    path = os.path.join(
-        work_dir or tempfile.gettempdir(), f"emb_blocks_{uuid.uuid4().hex}"
-    )
+    base = _resolve_spill_dir(embeddings.sparkSession, work_dir)
+    path = os.path.join(base, f"emb_blocks_{uuid.uuid4().hex}")
+    _register_spill_dir(path)
     (
         slim.withColumn(
             "block", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks))
@@ -481,19 +534,50 @@ def semantic_dedup_pairs(
     oracle-checkable; floats stay out of the output (threshold in the
     predicate only).
     """
+    import numpy as np
+    import pandas as pd
+
     cells = ivf_cells(embeddings, n_cells)
-    a = cells.select(
-        "cell_id", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
-    )
-    b = cells.select(
-        "cell_id", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
-    )
-    return (
-        a.join(b, "cell_id")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= threshold)
-        .select("cell_id", "vec_a", "vec_b")
+
+    # Intra-cell scoring is one BLAS matmul per cell via applyInPandas
+    # (one exchange on cell_id — same shuffle count as the self-join
+    # formulation, but the O(cell^2) cosines run vectorized instead of
+    # as an interpreted JVM higher-order function per pair: measured
+    # ~30x on the identical pattern in embedding_near_dup_pairs).
+    # Peak memory per task is O(cell rows x dim + chunk x cell sims);
+    # with k ~ sqrt(N) cells a cell is sqrt(N) rows, the documented
+    # SemDeDup working set.
+    chunk_rows = 4096
+
+    def pairs_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cell_id": pd.Series(dtype="int64"),
+                 "vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64")}
+            )
+        A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        outs_a, outs_b = [], []
+        for lo in range(0, len(A), chunk_rows):
+            sims = A[lo : lo + chunk_rows] @ A.T
+            ai, bj = np.nonzero(sims >= threshold)
+            va, vb = ids[lo + ai], ids[bj]
+            keep = va < vb
+            outs_a.append(va[keep])
+            outs_b.append(vb[keep])
+        va = np.concatenate(outs_a)
+        return pd.DataFrame(
+            {
+                "cell_id": np.full(len(va), pdf["cell_id"].iloc[0], np.int64),
+                "vec_a": va,
+                "vec_b": np.concatenate(outs_b),
+            }
+        )
+
+    return cells.groupBy("cell_id").applyInPandas(
+        pairs_in_cell, "cell_id long, vec_a long, vec_b long"
     )
 
 

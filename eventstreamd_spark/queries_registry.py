@@ -446,7 +446,8 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tumbling_window_counts",
-    "SELECT to_timestamp((epoch_us(ts) // 300000000) * 300) AS bucket, "
+    "SELECT CAST(to_timestamp((epoch_us(ts) // 300000000) * 300) AS TIMESTAMP)"
+    " AS bucket, "
     "event_type, count(*) AS n_events, "
     + sql_dsum("value", "sum_value")
     + " FROM events GROUP BY bucket, event_type",
@@ -458,7 +459,8 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sliding_window_counts",
-    "SELECT to_timestamp(s.start) AS window_start, event_type, "
+    "SELECT CAST(to_timestamp(s.start) AS TIMESTAMP) AS window_start, "
+    "event_type, "
     "count(*) AS n_events FROM events, LATERAL ("
     "SELECT unnest(range((epoch_us(ts) // 300000000) * 300 - 300, "
     "(epoch_us(ts) // 300000000) * 300 + 1, 300)) AS start) s "
@@ -479,9 +481,9 @@ WITH g AS (
               THEN 1 ELSE 0 END AS is_new
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), n AS (
-  SELECT user_id, ts, sum(is_new) OVER
+  SELECT user_id, ts, CAST(sum(is_new) OVER
     (PARTITION BY user_id ORDER BY ts, event_id
-     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM g
 )
 SELECT user_id, session_seq, count(*) AS n_events,
@@ -672,13 +674,47 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_op.media_metadata_summary(media)
 
 
-@register("multimodal_features", None)  # Pandas-UDF decode: rows-only check
+def _sql_multimodal_features() -> str:
+    """DuckDB twin of the stubbed byte-histogram decode: dim i of the
+    feature vector is (sum of bytes at 0-based positions j with j%8==i)
+    / byte_len.  The corpus is pure ASCII at every SF (checked), so
+    VARCHAR substr/ord are byte-exact; the Python kernel's integer
+    accumulate + one float64 division is bit-identical to DuckDB's
+    HUGEINT sum / INT division."""
+    dims = ",\n       ".join(
+        "round(coalesce(s.s{i}, 0) / greatest(m.n, 1), 6) AS f{i}".format(i=i)
+        for i in range(8)
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN j % 8 = {i} THEN byte END) AS s{i}" for i in range(8)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         text, length(text) AS n
+  FROM documents
+), e AS (
+  SELECT doc_id, j, ord(substr(text, j + 1, 1)) AS byte
+  FROM m, LATERAL (SELECT unnest(range(0, n)) AS j) u
+), s AS (
+  SELECT doc_id, {sums} FROM e GROUP BY doc_id
+)
+SELECT m.doc_id, m.media_type, CAST(m.n AS INT) AS byte_len,
+       {dims}
+FROM m LEFT JOIN s ON m.doc_id = s.doc_id
+"""
+
+
+@register("multimodal_features", _sql_multimodal_features())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature stage over binary blobs (stubbed
-    kernel, real Arrow-batch plumbing) — not SQL-expressible.
+    kernel, real Arrow-batch plumbing).
 
     Driver-facing projection: the harness canonicalizes results with a
-    pandas sort/hash that chokes on list cells, so the array<float>
+    pandas sort/hash that chokes on list cells, so the array<double>
     feature column is exploded to fixed per-dim double columns (rounded
     for cross-arch float stability)."""
     media = mm_op.documents_as_media(load_table(spark, sf_dir, "documents"))
@@ -898,10 +934,27 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample", None)  # Python kernel: rows-only check
+@register(
+    "multimodal_frame_sample",
+    """
+WITH m AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), f AS (
+  SELECT doc_id, text, n, k
+  FROM m, LATERAL (
+    SELECT unnest(range(0, (n + 255) // 256, 2)) AS k) u
+)
+SELECT doc_id, CAST(k AS INT) AS frame_idx,
+       CAST(least(256, n - k * 256) AS INT) AS frame_len,
+       md5(substr(text, k * 256 + 1, 256)) AS frame_md5
+FROM f
+""",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-expanding frame-sampling stage over binary media blobs
-    (every 2nd 256-byte chunk; fingerprints out, bytes stay put)."""
+    (every 2nd 256-byte chunk; fingerprints out, bytes stay put).
+    Oracle: the ASCII corpus makes DuckDB VARCHAR substr/md5 byte-exact
+    twins of the Python chunking kernel."""
     media = mm_op.documents_as_media(load_table(spark, sf_dir, "documents"))
     return mm_op.sample_frames(media)
 
@@ -1382,12 +1435,32 @@ def global_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize", None)  # Python kernel: rows-only check
+@register(
+    "multimodal_resize",
+    """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         text, length(text) AS n
+  FROM documents
+)
+SELECT doc_id, media_type, CAST(64 AS INT) AS byte_len,
+       md5(substr(repeat(text, CAST(ceil(64.0 / n) AS INT)), 1, 64)) AS blob_md5
+FROM m
+""",
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-budget media resize stage (stubbed kernel, real Arrow
-    batch plumbing); output drops blobs, keeps verifiable lengths."""
+    """Byte-budget media resize stage (stubbed cycle-pad/truncate
+    kernel, real Arrow batch plumbing).  The driver projection drops the
+    blob bytes but keeps a content md5, so the oracle verifies the
+    resized payload, not just its length (ASCII corpus => DuckDB VARCHAR
+    repeat/substr/md5 are byte-exact twins of the Python kernel)."""
     media = mm_op.documents_as_media(load_table(spark, sf_dir, "documents"))
-    return mm_op.resize_media(media).select("doc_id", "media_type", "byte_len")
+    return mm_op.resize_media(media).select(
+        "doc_id", "media_type", "byte_len", F.md5("blob").alias("blob_md5")
+    )
 
 
 from eventstreamd_spark.operators import liveness as live_op  # noqa: E402
@@ -1632,7 +1705,6 @@ _PRIORITY = [
     "corpus_bigram_topk",
     "span_dup_coverage",
     "token_freq_quality",
-    "domain_mix_rebalance",
     "seeded_shuffle",
     "media_shards",
     "span_dedup_trim",
@@ -1645,6 +1717,7 @@ _PRIORITY = [
 def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"priority list references unknown queries: {missing}"
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate in _PRIORITY"
     rest = [n for n in QUERIES if n not in set(_PRIORITY)]
     ordered = _PRIORITY + rest
     for registry in (QUERIES, ORACLES):

@@ -767,3 +767,57 @@ def test_bpe_merges_hand_checked_with_overlaps(spark) -> None:
     assert out[1] == (2, "a", "b", 5)
     # round 3: vocab is {[aa, ab] x3, [ab] x2} -> (aa, ab)=3
     assert out[2] == (3, "aa", "ab", 3)
+
+
+def test_shard_packing_integer_exact_past_2_53(spark) -> None:
+    from eventstreamd_spark.operators import layout
+
+    # weights so large the running total exceeds 2^53, where float64
+    # floor division silently rounds; shard_id must use integral `div`
+    w = (1 << 53) + 1
+    rows = [(k, w) for k in range(8)]
+    df = spark.createDataFrame(rows, "key long, wt long")
+    budget = (1 << 53) - 1
+    out = {
+        r["key"]: (r["shard_id"], r["shard_start"])
+        for r in layout.weighted_shard_assignments(
+            df, "key", "wt", budget, bucket_width=2
+        ).collect()
+    }
+    for k in range(8):
+        excl = k * w  # exact python int prefix sum
+        assert out[k] == (excl // budget, excl), (
+            f"key {k}: got {out[k]}, want {(excl // budget, excl)}"
+        )
+
+
+def test_near_dup_spill_dir_rejects_node_local_on_cluster() -> None:
+    import pytest
+
+    from eventstreamd_spark.operators.similarity import _resolve_spill_dir
+
+    class _Ctx:
+        def __init__(self, master, ckpt):
+            self.master = master
+            self._ckpt = ckpt
+
+        def getCheckpointDir(self):
+            return self._ckpt
+
+    class _Spark:
+        def __init__(self, master, ckpt=None):
+            self.sparkContext = _Ctx(master, ckpt)
+
+    # explicit work_dir always wins
+    assert _resolve_spill_dir(_Spark("spark://host:7077"), "/mnt/shared") == "/mnt/shared"
+    # cluster-shared checkpoint dir is an acceptable default
+    assert (
+        _resolve_spill_dir(_Spark("yarn", "hdfs://nn/ckpt"), None)
+        == "hdfs://nn/ckpt"
+    )
+    # node-local tmp on a non-local master must fail fast, not
+    # silently under-report pairs
+    with pytest.raises(ValueError, match="cluster-shared"):
+        _resolve_spill_dir(_Spark("spark://host:7077"), None)
+    # local mode may fall back to tmp
+    assert _resolve_spill_dir(_Spark("local[32]"), None)
