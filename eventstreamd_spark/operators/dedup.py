@@ -314,6 +314,108 @@ WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {threshold}
 """
 
 
+MAX_SHINGLE_DF_FRAC = 0.02
+
+
+def ngram_jaccard_pairs_df_frac_cutoff(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df_frac: float = MAX_SHINGLE_DF_FRAC,
+) -> DataFrame:
+    """DF-cutoff dedup tier with the cutoff as a FRACTION of corpus
+    size instead of an absolute count.
+
+    An absolute max_df tuned at one scale silently changes meaning at
+    another: df=8 is boilerplate in a 500-doc corpus and vanishingly
+    rare at 5 B docs.  The fraction form keeps the cutoff's semantics
+    ("a shingle present in >2% of documents is boilerplate") invariant
+    under corpus growth — the setting you actually deploy, while the
+    absolute form stays useful for pinning exact postings budgets.
+
+    Extra cost over the absolute variant: one tiny count aggregate
+    broadcast onto the posting rows (a 1-row crossJoin, the repo's
+    standard scalar-broadcast shape) — the df window still rides the
+    shingle-keyed exchange the pair join needs anyway.
+    """
+    sh = with_hashed_shingles(docs, n)
+    n_docs = docs.agg(F.count("*").alias("_n_docs"))
+    inv = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode_outer("shingles").alias("shingle"),
+    )
+    from pyspark.sql.window import Window
+
+    cold = (
+        inv.crossJoin(F.broadcast(n_docs))
+        .withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(
+            F.col("df")
+            <= F.ceil(F.lit(float(max_df_frac)) * F.col("_n_docs"))
+        )
+        .drop("df", "_n_docs")
+    )
+    right = cold.select(
+        F.col("shingle").alias("shingle_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    pairs = cold.select(
+        "shingle", F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    ).join(
+        right,
+        (F.col("shingle") == F.col("shingle_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_inter"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def sql_ngram_jaccard_pairs_df_frac_cutoff(
+    base_sql: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df_frac: float = MAX_SHINGLE_DF_FRAC,
+) -> str:
+    """DuckDB twin of ngram_jaccard_pairs_df_frac_cutoff."""
+    shingles = sql_hashed_word_shingles(sql_tokens("text"), n)
+    return f"""
+WITH base AS (SELECT * FROM {base_sql}),
+nd AS (SELECT count(*) AS _n_docs FROM base),
+sh AS (SELECT doc_id, {shingles} AS shingles FROM base),
+inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+cold AS (
+  SELECT doc_id, n_sh, shingle FROM (
+    SELECT doc_id, n_sh, shingle,
+           count(*) OVER (PARTITION BY shingle) AS df
+    FROM inv), nd
+  WHERE df <= ceil({float(max_df_frac)} * _n_docs)
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {threshold}
+"""
+
+
 def minhash_keep_corpus(
     docs: DataFrame, n: int = 3, threshold: float = 0.6
 ) -> DataFrame:

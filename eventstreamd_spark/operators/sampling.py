@@ -220,6 +220,78 @@ WHERE {gate} < _bp
 """
 
 
+def temperature_mix(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based domain mixing at tau=2 (the multilingual-
+    sampling smoother of Conneau & Lample 2019: sample group g with
+    probability proportional to n_g^(1/tau), flattening the head
+    without drowning the tail).
+
+    Downsample-only closed form: with target share t_g proportional to
+    sqrt(n_g), the largest feasible corpus keeps the smallest group
+    whole and every other group at rate_g = sqrt(n_min)/sqrt(n_g) —
+    the normalizing constant T = sum sqrt(n_g) cancels out of the rate,
+    which is what makes this engine-portable: no cross-group float SUM
+    whose accumulation order could differ between engines, only sqrt
+    (IEEE correctly-rounded in both) and one division.  tau=2 is pinned
+    for exactly that reason; arbitrary tau needs pow(), whose rounding
+    is implementation-defined.
+
+    Plan shape at 100 TB: identical to rebalance_to_mix — one tiny
+    groupBy count, a scalar min, broadcast |groups| thresholds, narrow
+    hash-gate filter; no fact-side shuffle.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .withColumn(
+            "_bp",
+            F.floor(
+                F.lit(float(RATE_DENOM))
+                * F.sqrt(F.col("_n_min").cast("double"))
+                / F.sqrt(F.col("_n").cast("double"))
+            ).cast("bigint"),
+        )
+        .select(group_col, "_bp")
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_gate(F.col(key), salt) < F.col("_bp"))
+        .drop("_bp")
+    )
+
+
+def sql_temperature_mix(
+    key_expr: str,
+    group_col: str,
+    salt: str = "",
+    table: str = "events",
+    select: str = "*",
+) -> str:
+    """CTE twin of ``temperature_mix`` (same double ops, same order)."""
+    gate = sql_hash_gate(key_expr, salt)
+    return f"""
+WITH counts AS (
+  SELECT {group_col}, count(*) AS _n FROM {table} GROUP BY {group_col}
+), m AS (
+  SELECT min(_n) AS _n_min FROM counts
+), rates AS (
+  SELECT {group_col},
+         CAST(floor(CAST({RATE_DENOM} AS DOUBLE)
+                    * sqrt(CAST(_n_min AS DOUBLE))
+                    / sqrt(CAST(_n AS DOUBLE))) AS BIGINT) AS _bp
+  FROM counts, m
+)
+SELECT {select} FROM {table} JOIN rates USING ({group_col})
+WHERE {gate} < _bp
+"""
+
+
 def sql_stratified_sample_pred(
     key_expr: str,
     stratum_col: str,

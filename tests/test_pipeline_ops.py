@@ -821,3 +821,55 @@ def test_near_dup_spill_dir_rejects_node_local_on_cluster() -> None:
         _resolve_spill_dir(_Spark("spark://host:7077"), None)
     # local mode may fall back to tmp
     assert _resolve_spill_dir(_Spark("local[32]"), None)
+
+
+def test_temperature_mix_flattens_head_keeps_tail(spark) -> None:
+    from eventstreamd_spark.operators import sampling
+
+    # 3 groups with 1600/400/100 rows: tau=2 rates are sqrt(100/n_g)
+    # -> tail kept whole, head kept at sqrt(1/16)=25%
+    rows = (
+        [(i, "head") for i in range(1600)]
+        + [(10_000 + i, "mid") for i in range(400)]
+        + [(20_000 + i, "tail") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "key long, grp string")
+    out = sampling.temperature_mix(df, "key", "grp")
+    got = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+        F.count("*").alias("n")).collect()}
+    assert got["tail"] == 100  # smallest group is never downsampled
+    # hash gate is uniform-ish: expect ~400 head (rate .25), ~200 mid
+    # (rate .5); allow generous slack for the md5 gate's variance
+    assert 300 <= got["head"] <= 500
+    assert 150 <= got["mid"] <= 250
+
+
+def test_df_frac_cutoff_matches_absolute_at_equivalent_setting(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import dedup
+
+    docs = dedup.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    frac = dedup.MAX_SHINGLE_DF_FRAC
+    import math
+
+    equiv_abs = math.ceil(frac * n_docs)
+    frac_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs_df_frac_cutoff(docs).collect()
+    }
+    abs_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs_df_cutoff(
+            docs, max_df=equiv_abs
+        ).collect()
+    }
+    # the fraction form IS the absolute form at ceil(frac * corpus)
+    assert frac_pairs == abs_pairs
+    # and the planted pairs survive the cutoff
+    planted = {
+        (r["doc_id"], r["doc_id"] + dedup.PLANT_OFFSET)
+        for r in docs.filter(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < dedup.PLANT_OFFSET)
+        ).select("doc_id").collect()
+    }
+    assert planted <= frac_pairs
