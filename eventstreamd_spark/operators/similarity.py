@@ -603,3 +603,208 @@ FROM cells a JOIN cells b
   ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
 WHERE {cos_pair} >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-embedding ANN tier
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces
+PQ_K = 16         # centroids per subspace
+PQ_SUB = 8        # dims per subspace (PQ_M * PQ_SUB = 64 = corpus dim)
+
+
+def _sub_l2(a_expr, b_expr, m: int):
+    """Squared L2 between subspace ``m`` of two vector Columns, as one
+    explicit left-associative float64 sum — the SQL twin builds the
+    byte-identical expression, so argmin codes are engine-exact.
+    Elements are cast to double BEFORE subtraction (the parquet arrays
+    are float32; float arithmetic would round differently)."""
+    terms = None
+    for j in range(m * PQ_SUB + 1, (m + 1) * PQ_SUB + 1):  # 1-based
+        d = F.element_at(a_expr, j).cast("double") - F.element_at(
+            b_expr, j
+        ).cast("double")
+        t = d * d
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def _sql_sub_l2(a: str, b: str, m: int) -> str:
+    return " + ".join(
+        f"(CAST({a}[{j}] AS DOUBLE) - CAST({b}[{j}] AS DOUBLE)) * "
+        f"(CAST({a}[{j}] AS DOUBLE) - CAST({b}[{j}] AS DOUBLE))"
+        for j in range(m * PQ_SUB + 1, (m + 1) * PQ_SUB + 1)
+    )
+
+
+def pq_codes(embeddings: DataFrame) -> DataFrame:
+    """PQ-encode the corpus: per vector, per subspace m, the index of
+    the nearest of PQ_K centroid subvectors (squared L2, ties to the
+    smallest centroid id).
+
+    Codebook = the first PQ_K corpus vectors by vec_id — the same
+    deterministic seeding as ivf_cells (k-means sharpens centroids at
+    scale without changing this plan; swap in MLlib KMeans).  64 floats
+    compress to 8 nibbles: a 1000-executor corpus scan of PQ codes
+    reads 64x less than raw vectors, which is the entire point of the
+    tier — the ADC query path (pq_topk) never touches raw corpus
+    vectors again.
+
+    Plan: one broadcast join against the PQ_K codebook rows (16x row
+    blow-up that collapses immediately — the ivf_cells shape), argmin
+    per subspace via min(struct(dist, k)): struct ordering compares
+    dist first, then k, which IS the tie rule.  Output is all-integer,
+    so the oracle check is exact.
+    """
+    cents = embeddings.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("embedding").alias("cvec")
+    )
+    scored = fan_out(embeddings).join(F.broadcast(cents))
+    aggs = []
+    for m in range(PQ_M):
+        dist = _sub_l2(F.col("embedding"), F.col("cvec"), m)
+        aggs.append(
+            F.min(F.struct(dist.alias("d"), F.col("k").alias("k")))
+            .getField("k")
+            .alias(f"c{m}")
+        )
+    return scored.groupBy("vec_id").agg(*aggs)
+
+
+def _sql_pq_codes_body(table: str) -> str:
+    """Codes SELECT assuming a ``cents(k, cvec)`` CTE is in scope."""
+    cols = []
+    for m in range(PQ_M):
+        d = _sql_sub_l2("e.embedding", "c.cvec", m)
+        cols.append(
+            f"CAST(min([{d}, CAST(c.k AS DOUBLE)])[2] AS BIGINT) AS c{m}"
+        )
+    sel = ",\n       ".join(cols)
+    return (
+        f"SELECT e.vec_id, {sel} "
+        f"FROM {table} e CROSS JOIN cents c GROUP BY e.vec_id"
+    )
+
+
+def sql_pq_codes(table: str = "embeddings") -> str:
+    """DuckDB twin of pq_codes: min over the [dist, k] pair-list is the
+    lexicographic (dist, then k) minimum — the same ordering Spark's
+    min(struct(dist, k)) uses, so codes and ties agree exactly (k < 16
+    is exactly representable as double)."""
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS k, embedding AS cvec FROM {table} WHERE vec_id < {PQ_K}
+)
+{_sql_pq_codes_body(table)}
+"""
+
+
+def pq_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """PQ-ANN via asymmetric distance computation (ADC): score every
+    corpus vector against each query using ONLY its 8 PQ codes — the
+    query stays exact, the corpus side is its quantized reconstruction.
+
+    approx_dist(q, x) = sum_m  l2(q_sub_m, centroid[m][code_m(x)])
+
+    Plan at 100 TB: the corpus leg reads (vec_id, 8 tinyint codes) —
+    64x narrower than raw vectors; the per-query lookup tables
+    (|Q| x PQ_M x PQ_K doubles) broadcast.  Here the LUT join is
+    expressed as PQ_M broadcast joins of a PQ_K-row dim each, keeping
+    the per-subspace distances in FIXED column order so the total is
+    one explicit left-associative sum (no float-sum accumulation-order
+    nondeterminism), which keeps ranks oracle-exact.  Ties (two corpus
+    vectors sharing all 8 codes) break on vec_id.
+    """
+    codes = pq_codes(embeddings)
+    cents = embeddings.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("embedding").alias("cvec")
+    )
+    q = embeddings.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+    # per-query, per-subspace, per-centroid LUT: |Q| x 8 x 16 rows
+    lut_parts = []
+    for m in range(PQ_M):
+        lut_parts.append(
+            q.join(F.broadcast(cents)).select(
+                F.col("vec_id").alias("query_id"),
+                F.lit(m).alias("m"),
+                F.col("k"),
+                _sub_l2(F.col("embedding"), F.col("cvec"), m).alias("d"),
+            )
+        )
+    lut = lut_parts[0]
+    for p in lut_parts[1:]:
+        lut = lut.unionByName(p)
+    scored = codes
+    for m in range(PQ_M):
+        lut_m = lut.filter(F.col("m") == m).select(
+            "query_id", F.col("k").alias(f"c{m}"), F.col("d").alias(f"d{m}")
+        )
+        join_keys = [f"c{m}"] if m == 0 else ["query_id", f"c{m}"]
+        scored = scored.join(F.broadcast(lut_m), join_keys)
+    total = None
+    for m in range(PQ_M):
+        t = F.col(f"d{m}")
+        total = t if total is None else total + t
+    scored = scored.filter(F.col("vec_id") != F.col("query_id")).withColumn(
+        "approx_dist", total
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+def sql_pq_topk(
+    query_ids: list[int], k: int = 5, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of pq_topk (materialized codes + one wide per-query
+    LUT row with the same fixed-order distance total; MATERIALIZED
+    stops DuckDB from inlining the expensive code expressions into the
+    8-way join, which blows planning/execution up ~50x)."""
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    lut_cols = ",\n         ".join(
+        f"c.k AS k{m}, {_sql_sub_l2('q.embedding', 'c.cvec', m)} AS d{m}"
+        for m in range(PQ_M)
+    )
+    joins = " ".join(
+        f"JOIN lut{m} ON lut{m}.k{m} = codes.c{m}"
+        + ("" if m == 0 else f" AND lut{m}.query_id = lut0.query_id")
+        for m in range(PQ_M)
+    )
+    lut_views = ",\n".join(
+        f"lut{m} AS (SELECT query_id, k{m}, d{m} FROM lut)"
+        for m in range(PQ_M)
+    )
+    total = " + ".join(f"lut{m}.d{m}" for m in range(PQ_M))
+    return f"""
+WITH cents AS MATERIALIZED (
+  SELECT vec_id AS k, embedding AS cvec FROM {table} WHERE vec_id < {PQ_K}
+),
+qs AS MATERIALIZED (
+  SELECT vec_id, embedding FROM {table} WHERE vec_id IN ({ids})
+),
+codes AS MATERIALIZED ({_sql_pq_codes_body(table)}),
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id,
+         {lut_cols}
+  FROM qs q CROSS JOIN cents c
+),
+{lut_views},
+scored AS (
+  SELECT lut0.query_id, codes.vec_id, {total} AS approx_dist
+  FROM codes {joins}
+  WHERE codes.vec_id != lut0.query_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY approx_dist, vec_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -1563,6 +1563,24 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "user_id")
 
 
+_PQ_QUERY_IDS = [100, 200, 300, 400, 450]  # all present at every SF
+
+
+@register("pq_codes", sim_op.sql_pq_codes())
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: 64 floats -> 8 centroid codes per
+    vector (64x narrower corpus reads for the ADC query path);
+    all-integer output, exact oracle."""
+    return sim_op.pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("pq_ann", sim_op.sql_pq_topk(_PQ_QUERY_IDS))
+def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ANN top-k via asymmetric distance (query exact, corpus
+    quantized): broadcast per-query LUTs against the code table."""
+    return sim_op.pq_topk(load_table(spark, sf_dir, "embeddings"), _PQ_QUERY_IDS)
+
+
 @register(
     "dedup_keep_corpus",
     dedup_op.sql_minhash_keep_corpus(dedup_op.sql_planted_near_dups()),
@@ -1730,6 +1748,8 @@ _PRIORITY = [
     "dedup_ngram_df_cutoff",
     "dedup_ngram_df_frac_cutoff",
     "temperature_mix",
+    "pq_codes",
+    "pq_ann",
     "dedup_keep_corpus",
     "semantic_dedup",
     "bigram_lm_scores",

@@ -873,3 +873,47 @@ def test_df_frac_cutoff_matches_absolute_at_equivalent_setting(spark, sf_dir) ->
         ).select("doc_id").collect()
     }
     assert planted <= frac_pairs
+
+
+def test_pq_codes_and_ann_recall(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = similarity.pq_codes(emb)
+    n = emb.count()
+    assert codes.count() == n  # one code row per vector
+    row = codes.filter("vec_id = 7").collect()[0]
+    for m in range(similarity.PQ_M):
+        assert 0 <= row[f"c{m}"] < similarity.PQ_K
+    # a codebook vector quantizes to itself in every subspace
+    self_row = codes.filter("vec_id = 3").collect()[0]
+    assert all(self_row[f"c{m}"] == 3 for m in range(similarity.PQ_M))
+    # ADC ranking with a 16-word codebook is coarse on random 64-d
+    # data; assert against exact L2 (PQ's own metric, not cosine):
+    # some top-10 overlap plus a clear distance signal — PQ picks must
+    # be materially closer than the corpus average for every query.
+    import numpy as np
+
+    qids = [100, 200, 300]
+    V = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    exact = {
+        (q, i)
+        for q in qids
+        for _, i in sorted(
+            (float(np.sum((V[q] - V[i]) ** 2)), i) for i in V if i != q
+        )[:10]
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk(emb, qids, k=10).collect()
+    }
+    overlap = len(exact & pq) / len(exact)
+    assert overlap >= 0.05, f"PQ recall vs exact L2 too low: {overlap}"
+    for q in qids:
+        picks = [i for (qq, i) in pq if qq == q]
+        d_pq = np.mean([np.sum((V[q] - V[i]) ** 2) for i in picks])
+        d_all = np.mean([np.sum((V[q] - V[i]) ** 2) for i in V if i != q])
+        assert d_pq < 0.92 * d_all, (q, d_pq, d_all)
