@@ -877,3 +877,112 @@ SELECT rep.doc_id, qual.quality_ok, rep.repetitive,
 FROM rep JOIN freq ON rep.doc_id = freq.doc_id
 JOIN qual ON rep.doc_id = qual.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_importance(
+    docs: DataFrame, target_lang: str = "en", n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Data Selection via Importance Resampling, hashed-feature form:
+    score every raw document by how much its (hashed-unigram) feature
+    profile looks like a TARGET corpus relative to the raw corpus, and
+    keep docs whose target affinity dominates.
+
+    DSIR proper computes log p_target(x) - log p_raw(x) under hashed
+    bag-of-ngram models and keeps the best-scoring docs.  Log
+    arithmetic is last-ulp engine-dependent, so the score surface here
+    is integer-exact: per doc, the smoothed bucket-count affinities
+    aff_t = sum(c_t[b]+1) and aff_r = sum(c_r[b]+1), with the keep
+    decision self-calibrated against the corpus — keep iff the doc's
+    target-affinity share beats the corpus-average share:
+
+        aff_t * TOT_r  >  aff_r * TOT_t      (TOT = corpus sums)
+
+    — one BIGINT cross-multiplication instead of a float log-sum (the
+    repo-wide integer-score discipline; see token_freq_quality).  The
+    self-calibration matters when target and raw vocabularies overlap
+    heavily (an absolute likelihood threshold then keeps nothing or
+    everything); relative-to-corpus is also how DSIR is used in
+    practice (resample the top of the score distribution, not above an
+    absolute likelihood).  The emitted affinities are the exact integer
+    sums, so the oracle check is bit-exact.  At extreme scale the
+    products approach 2^63; the cross-multiply then moves to
+    DECIMAL(38,0) unchanged.
+
+    Plan at 100 TB: the bucket table is n_buckets rows — one explode
+    pass builds it (map-side partials), then it BROADCASTS back onto
+    the token stream (vs token_freq_quality's vocab join, which can
+    only broadcast under Heaps' law: hashing fixes the feature
+    cardinality by construction, the reason DSIR hashes at all).  The
+    scalar totals ride the same broadcast.  One shuffle total (the
+    per-doc aggregation).
+    """
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(poly_hash(F.col("term")), n_buckets).alias("bucket"),
+    )
+    bucket_stats = tok.groupBy("bucket").agg(
+        F.sum((F.col("lang") == target_lang).cast("bigint")).alias("c_t"),
+        F.count("*").alias("c_r"),
+    )
+    docaff = (
+        tok.join(F.broadcast(bucket_stats), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c_t") + 1).alias("aff_target"),
+            F.sum(F.col("c_r") + 1).alias("aff_raw"),
+        )
+    )
+    corpus = docaff.agg(
+        F.sum("aff_target").alias("tot_t"), F.sum("aff_raw").alias("tot_r")
+    )
+    return docaff.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "aff_target",
+        "aff_raw",
+        (F.col("aff_target") * F.col("tot_r")
+         > F.col("aff_raw") * F.col("tot_t")).alias("keep"),
+    )
+
+
+def sql_dsir_importance(
+    table: str = "documents",
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+) -> str:
+    """DuckDB twin of dsir_importance (same smoothing, same integer
+    cross-multiplication)."""
+    h = sql_poly_hash("term")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, ({h}) % {n_buckets} AS bucket
+  FROM (SELECT doc_id, lang, unnest({sql_tokens('text')}) AS term FROM {table})
+), bucket_stats AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         count(*) AS c_r
+  FROM tok GROUP BY bucket
+), docaff AS (
+  SELECT doc_id,
+         CAST(sum(c_t + 1) AS BIGINT) AS aff_target,
+         CAST(sum(c_r + 1) AS BIGINT) AS aff_raw
+  FROM tok JOIN bucket_stats USING (bucket)
+  GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(sum(aff_target) AS BIGINT) AS tot_t,
+         CAST(sum(aff_raw) AS BIGINT) AS tot_r
+  FROM docaff
+)
+SELECT doc_id, aff_target, aff_raw,
+       aff_target * tot_r > aff_raw * tot_t AS keep
+FROM docaff, corpus
+"""

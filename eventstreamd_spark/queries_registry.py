@@ -1581,6 +1581,14 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.pq_topk(load_table(spark, sf_dir, "embeddings"), _PQ_QUERY_IDS)
 
 
+@register("dsir_importance", text_op.sql_dsir_importance())
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-feature importance resampling vs the English
+    slice as target corpus — integer-exact cross-multiplied decision
+    instead of float log-likelihood ratios."""
+    return text_op.dsir_importance(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "dedup_keep_corpus",
     dedup_op.sql_minhash_keep_corpus(dedup_op.sql_planted_near_dups()),
@@ -1750,6 +1758,7 @@ _PRIORITY = [
     "temperature_mix",
     "pq_codes",
     "pq_ann",
+    "dsir_importance",
     "dedup_keep_corpus",
     "semantic_dedup",
     "bigram_lm_scores",

@@ -917,3 +917,25 @@ def test_pq_codes_and_ann_recall(spark, sf_dir) -> None:
         d_pq = np.mean([np.sum((V[q] - V[i]) ** 2) for i in picks])
         d_all = np.mean([np.sum((V[q] - V[i]) ** 2) for i in V if i != q])
         assert d_pq < 0.92 * d_all, (q, d_pq, d_all)
+
+
+def test_dsir_importance_prefers_target_like_docs(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.dsir_importance(docs, target_lang="en")
+    joined = out.join(docs.select("doc_id", "lang"), "doc_id")
+    rates = {
+        r["lang"]: r["keep_rate"]
+        for r in joined.groupBy("lang")
+        .agg(F.avg(F.col("keep").cast("double")).alias("keep_rate"))
+        .collect()
+    }
+    # English docs (the target corpus) must be kept at a strictly
+    # higher rate than every non-target language
+    for lang, rate in rates.items():
+        if lang != "en":
+            assert rates["en"] > rate, (lang, rates)
+    # affinities are positive integers; keep is the exact cross-multiply
+    row = out.first()
+    assert row["aff_target"] > 0 and row["aff_raw"] >= row["aff_target"]
