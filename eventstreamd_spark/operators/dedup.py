@@ -1144,3 +1144,219 @@ SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
        n_hits > 0 AS contaminated
 FROM hits
 """
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.9
+) -> DataFrame:
+    """Asymmetric near-dup pairs by CONTAINMENT: |A ∩ B| / min(|A|,|B|).
+
+    Jaccard misses doc-in-doc duplication — a short article embedded in
+    a long page scores |A|/|B| « threshold on Jaccard but 1.0 on
+    containment of the smaller side.  Same inverted-index self-join and
+    single shingle-keyed exchange as ngram_jaccard_pairs; only the
+    scoring expression differs, so every scale property (fixed-width
+    keys, ReusedExchange legs, DF-cutoff composability) carries over.
+    """
+    sh = with_hashed_shingles(docs, n)
+    inv = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode_outer("shingles").alias("shingle"),
+    )
+    right = inv.select(
+        F.col("shingle").alias("shingle_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    pairs = inv.select(
+        "shingle", F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    ).join(
+        right,
+        (F.col("shingle") == F.col("shingle_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_inter"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    return (
+        inter.withColumn(
+            "containment", F.col("n_inter") / F.least("na", "nb")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+def sql_ngram_containment_pairs(
+    base_sql: str, n: int = 3, threshold: float = 0.9
+) -> str:
+    """DuckDB twin of ngram_containment_pairs."""
+    shingles = sql_hashed_word_shingles(sql_tokens("text"), n)
+    return f"""
+WITH base AS (SELECT * FROM {base_sql}),
+sh AS (SELECT doc_id, {shingles} AS shingles FROM base),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= {threshold}
+"""
+
+
+def with_incremental_batch(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic ingest batch for the incremental-dedup
+    tier: exact copies (doc_id%10=0), near copies (+' zz', %10=5), and
+    genuinely fresh docs (word-reversed text, %10=1)."""
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    fresh = docs.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return exact.unionByName(near).unionByName(fresh)
+
+
+def sql_incremental_batch(table: str = "documents") -> str:
+    return f"""(
+SELECT doc_id + {PLANT_OFFSET} AS doc_id, text, lang, source, n_chars
+FROM {table} WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + {PLANT_OFFSET} AS doc_id, text || ' zz' AS text,
+       lang, source, n_chars
+FROM {table} WHERE doc_id % 10 = 5
+UNION ALL
+SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+       array_to_string(list_reverse(str_split(text, ' ')), ' ') AS text,
+       lang, source, n_chars
+FROM {table} WHERE doc_id % 10 = 1
+)"""
+
+
+def incremental_dedup_decisions(
+    corpus: DataFrame, batch: DataFrame, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Incremental-ingest dedup: admit a NEW batch against an EXISTING
+    kept corpus — the operator an append-only 100 TB pipeline actually
+    runs daily (re-deduping the full corpus per ingest is O(corpus);
+    this is O(batch x corpus-index)).
+
+    Two tiers, both restricted to cross-corpus candidates only:
+      exact — batch content-hash anti-joined against the corpus hash
+        index (fixed-width sha256 keys; at scale the corpus side is a
+        pre-built bucketed hash table, so the join co-locates without
+        reshuffling the corpus);
+      near — the inverted-index join keyed on shingles, but corpus legs
+        join only BATCH legs (no corpus x corpus, no batch x batch):
+        candidate volume scales with |batch|, not |corpus|^2.
+    Emits one decision row per batch doc: exact_dup, near_dup, keep.
+    """
+    c_sh = with_hashed_shingles(corpus, n)
+    b_sh = with_hashed_shingles(batch, n)
+    c_hash = corpus.select(F.sha2(F.col("text"), 256).alias("h")).distinct()
+    b_hash = batch.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    exact = b_hash.join(c_hash, "h").select("doc_id").distinct().withColumn(
+        "exact_dup", F.lit(True)
+    )
+    # pair identity is (batch doc, corpus doc): grouping must key on the
+    # corpus doc_id, not its shingle count (two corpus docs with equal
+    # counts would merge and inflate the intersection).  Sizes travel
+    # as first() aggregates, NOT grouping keys — a grouping key feeding
+    # the jaccard comparison lets constraint propagation push an
+    # isnotnull(size(<entire shingling HOF>)) filter down to the scan,
+    # re-evaluating the shingling per row (the audit's 12x trap).
+    c_inv = c_sh.select(
+        F.col("doc_id").alias("c_doc"),
+        F.size("shingles").alias("nc"),
+        F.explode_outer("shingles").alias("shingle"),
+    )
+    b_inv = b_sh.select(
+        "doc_id",
+        F.size("shingles").alias("nb"),
+        F.explode_outer("shingles").alias("shingle"),
+    )
+    inter = (
+        b_inv.join(c_inv, "shingle")
+        .groupBy("doc_id", "c_doc")
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("nb").alias("nb"),
+            F.first("nc").alias("nc"),
+        )
+    )
+    near = (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("nb") + F.col("nc") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            (~F.coalesce("exact_dup", F.lit(False))
+             & ~F.coalesce("near_dup", F.lit(False))).alias("keep"),
+        )
+    )
+
+
+def sql_incremental_dedup_decisions(
+    corpus_sql: str, batch_sql: str, n: int = 3, threshold: float = 0.6
+) -> str:
+    """DuckDB twin of incremental_dedup_decisions."""
+    shingles = sql_hashed_word_shingles(sql_tokens("text"), n)
+    return f"""
+WITH corpus AS (SELECT * FROM {corpus_sql}),
+batch AS (SELECT * FROM {batch_sql}),
+c_sh AS (SELECT doc_id, {shingles} AS shingles FROM corpus),
+b_sh AS (SELECT doc_id, {shingles} AS shingles FROM batch),
+c_hash AS (SELECT DISTINCT sha256(text) AS h FROM corpus),
+b_hash AS (SELECT doc_id, sha256(text) AS h FROM batch),
+exact AS (SELECT DISTINCT b.doc_id FROM b_hash b JOIN c_hash c USING (h)),
+c_inv AS (SELECT doc_id AS c_doc, len(shingles) AS nc,
+                 unnest(shingles) AS shingle FROM c_sh),
+b_inv AS (SELECT doc_id, len(shingles) AS nb, unnest(shingles) AS shingle
+          FROM b_sh),
+inter AS (
+  SELECT b.doc_id, c.c_doc, count(*) AS n_inter,
+         any_value(b.nb) AS nb, any_value(c.nc) AS nc
+  FROM b_inv b JOIN c_inv c USING (shingle)
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT DISTINCT doc_id FROM inter
+  WHERE CAST(n_inter AS DOUBLE) / (nb + nc - n_inter) >= {threshold}
+)
+SELECT batch.doc_id,
+       batch.doc_id IN (SELECT doc_id FROM exact) AS exact_dup,
+       batch.doc_id IN (SELECT doc_id FROM near) AS near_dup,
+       NOT (batch.doc_id IN (SELECT doc_id FROM exact))
+         AND NOT (batch.doc_id IN (SELECT doc_id FROM near)) AS keep
+FROM batch
+"""

@@ -340,3 +340,150 @@ def sql_seeded_shuffle_keys(
     quoted = (":" + seed).replace("'", "''")
     h = sql_poly_hash(f"(CAST({key} AS VARCHAR) || '{quoted}')")
     return f"SELECT {key}, {h} AS shuffle_key FROM {table}"
+
+
+def rebalance_to_token_mix(
+    docs: DataFrame,
+    key: str,
+    group_col: str,
+    targets: dict[str, float],
+    weight_col: str = "n_chars",
+    salt: str = "",
+) -> DataFrame:
+    """Domain rebalancing where the target mix is a WEIGHT share (token
+    or byte budget), not a document share — what a training run
+    actually specifies ("30% of TOKENS from code"), since domains have
+    very different document lengths.
+
+    Same largest-feasible downsample-only closed form as
+    rebalance_to_mix, with per-group WEIGHT totals in place of counts:
+    N = min_g(w_g / t_g), rate_g = N * t_g / w_g.  The hash gate stays
+    per-document (docs are kept or dropped whole), so the achieved
+    weight share concentrates around the target by sampling, exact in
+    expectation.  Plan: tiny weighted groupBy, scalar min, broadcast
+    thresholds, narrow filter — still no fact-side shuffle.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    t_expr: Column | None = None
+    for name, share in targets.items():
+        t_expr = (
+            F.when(F.col(group_col) == name, F.lit(float(share)))
+            if t_expr is None
+            else t_expr.when(F.col(group_col) == name, F.lit(float(share)))
+        )
+    counts = (
+        docs.groupBy(group_col)
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("_w"))
+        .withColumn("_t", t_expr)
+        .filter(F.col("_t").isNotNull())
+    )
+    feasible = counts.agg(F.min(F.col("_w") / F.col("_t")).alias("_cap"))
+    rates = (
+        counts.crossJoin(F.broadcast(feasible))
+        .withColumn(
+            "_bp",
+            F.floor(
+                F.least(
+                    F.lit(float(RATE_DENOM)),
+                    F.lit(RATE_DENOM) * F.col("_cap") * F.col("_t") / F.col("_w"),
+                )
+            ).cast("bigint"),
+        )
+        .select(group_col, "_bp")
+    )
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(hash_gate(F.col(key), salt) < F.col("_bp"))
+        .drop("_bp")
+    )
+
+
+def sql_rebalance_to_token_mix(
+    key_expr: str,
+    group_col: str,
+    targets: dict[str, float],
+    weight_col: str = "n_chars",
+    salt: str = "",
+    table: str = "documents",
+    select: str = "*",
+) -> str:
+    """CTE twin of ``rebalance_to_token_mix``."""
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    t_case = " ".join(
+        "WHEN '{}' THEN CAST({} AS DOUBLE)".format(
+            name.replace("'", "''"), float(share)
+        )
+        for name, share in targets.items()
+    )
+    gate = sql_hash_gate(key_expr, salt)
+    return f"""
+WITH counts AS (
+  SELECT {group_col}, CAST(sum({weight_col}) AS BIGINT) AS _w,
+         CASE {group_col} {t_case} END AS _t
+  FROM {table} GROUP BY {group_col}
+), feasible AS (
+  SELECT min(_w / _t) AS _cap FROM counts WHERE _t IS NOT NULL
+), rates AS (
+  SELECT {group_col},
+         CAST(floor(least(CAST({RATE_DENOM} AS DOUBLE),
+                          {RATE_DENOM} * _cap * _t / _w)) AS BIGINT) AS _bp
+  FROM counts, feasible WHERE _t IS NOT NULL
+)
+SELECT {select} FROM {table} JOIN rates USING ({group_col})
+WHERE {gate} < _bp
+"""
+
+
+def per_group_cap(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    hash order — the per-domain quota of crawl pipelines (no single
+    host may contribute more than K documents), replayable across
+    engines.
+
+    Pick rule: the ``cap`` smallest (hash_gate, key) pairs per group —
+    a uniform "random" quota that any engine reproduces exactly.  Not
+    append-stable (an exact quota can't be: a new doc can displace one)
+    — use stratified_sample when append stability matters more than the
+    hard cap.
+
+    Plan: one window over the group-keyed exchange.  At 100 TB with a
+    skewed group this is rank-then-filter on the hot key; the physical
+    fix Spark applies for LIMIT-like windows (WindowGroupLimit pushes
+    the rank filter into a per-partition pre-pass before the exchange)
+    keeps the shuffle bounded at cap rows per group per map task.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_gate(F.col(key), salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def sql_per_group_cap(
+    key_expr: str,
+    group_col: str,
+    cap: int,
+    salt: str = "",
+    table: str = "documents",
+    select: str = "*",
+) -> str:
+    """QUALIFY twin of ``per_group_cap``."""
+    gate = sql_hash_gate(key_expr, salt)
+    return f"""
+SELECT {select} FROM {table}
+QUALIFY row_number() OVER (
+  PARTITION BY {group_col} ORDER BY {gate}, {key_expr}) <= {cap}
+"""

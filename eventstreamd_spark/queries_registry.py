@@ -1581,6 +1581,68 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.pq_topk(load_table(spark, sf_dir, "embeddings"), _PQ_QUERY_IDS)
 
 
+@register(
+    "dedup_containment",
+    dedup_op.sql_ngram_containment_pairs(dedup_op.sql_planted_near_dups()),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (doc-in-doc duplication
+    that Jaccard misses); same inverted-index exchange as the Jaccard
+    tier, different score."""
+    docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    return dedup_op.ngram_containment_pairs(docs)
+
+
+@register(
+    "incremental_dedup",
+    dedup_op.sql_incremental_dedup_decisions(
+        "documents", dedup_op.sql_incremental_batch()
+    ),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: admit a new batch against the existing
+    corpus (exact-hash + cross-corpus near-dup tiers only — candidate
+    volume scales with the batch, not the corpus squared)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_op.incremental_dedup_decisions(
+        docs, dedup_op.with_incremental_batch(docs)
+    )
+
+
+_TOKEN_MIX_TARGETS = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+
+
+@register(
+    "token_mix_rebalance",
+    sampling_op.sql_rebalance_to_token_mix(
+        "doc_id", "source", _TOKEN_MIX_TARGETS,
+        select="doc_id, source, n_chars",
+    ),
+)
+def token_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain rebalancing to a WEIGHT-share target (char budget, the
+    token-budget stand-in): rates derived from per-group weight totals,
+    applied per-document via the append-stable hash gate."""
+    return sampling_op.rebalance_to_token_mix(
+        load_table(spark, sf_dir, "documents"), "doc_id", "source",
+        _TOKEN_MIX_TARGETS,
+    ).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "per_source_cap",
+    sampling_op.sql_per_group_cap(
+        "doc_id", "source", 5, select="doc_id, source"
+    ),
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: keep at most 5 docs per source, picked by
+    deterministic hash order (crawl-pipeline host caps)."""
+    return sampling_op.per_group_cap(
+        load_table(spark, sf_dir, "documents"), "doc_id", "source", 5
+    ).select("doc_id", "source")
+
+
 @register("dsir_importance", text_op.sql_dsir_importance())
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style hashed-feature importance resampling vs the English
@@ -1759,6 +1821,10 @@ _PRIORITY = [
     "pq_codes",
     "pq_ann",
     "dsir_importance",
+    "dedup_containment",
+    "incremental_dedup",
+    "token_mix_rebalance",
+    "per_source_cap",
     "dedup_keep_corpus",
     "semantic_dedup",
     "bigram_lm_scores",

@@ -939,3 +939,78 @@ def test_dsir_importance_prefers_target_like_docs(spark, sf_dir) -> None:
     # affinities are positive integers; keep is the exact cross-multiply
     row = out.first()
     assert row["aff_target"] > 0 and row["aff_raw"] >= row["aff_target"]
+
+
+def test_containment_catches_doc_in_doc(spark) -> None:
+    """A short doc fully embedded in a long one scores low on Jaccard
+    but 1.0 on containment — the asymmetric tier's raison d'etre."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    assert jac == []  # Jaccard blind to the embedding
+    con = dedup.ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in con] == [(1, 2)]
+    assert con[0]["containment"] == 1.0
+
+
+def test_incremental_dedup_decisions(spark, sf_dir) -> None:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = dedup.with_incremental_batch(docs)
+    out = {
+        r["doc_id"]: r
+        for r in dedup.incremental_dedup_decisions(docs, batch).collect()
+    }
+    assert len(out) == batch.count()  # one decision per batch doc
+    for doc_id, r in out.items():
+        orig = doc_id - dedup.PLANT_OFFSET
+        if orig % 10 == 0:  # exact copy
+            assert r["exact_dup"] and not r["keep"], r
+        elif orig % 10 == 5:  # near copy (one appended token)
+            assert r["near_dup"] and not r["exact_dup"] and not r["keep"], r
+        else:  # word-reversed: genuinely fresh
+            assert r["keep"] and not r["exact_dup"] and not r["near_dup"], r
+
+
+def test_per_group_cap_quota_and_determinism(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = sampling.per_group_cap(docs, "doc_id", "source", 3)
+    sizes = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    raw = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in sizes.items():
+        assert n == min(3, raw[src]), (src, n, raw[src])
+    # deterministic: same pick on re-execution
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {r["doc_id"] for r in sampling.per_group_cap(
+        docs, "doc_id", "source", 3).collect()}
+    assert a == b
+
+
+def test_token_mix_rebalance_weight_shares(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    targets = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+    out = sampling.rebalance_to_token_mix(docs, "doc_id", "source", targets)
+    got = {
+        r["source"]: r["w"]
+        for r in out.groupBy("source")
+        .agg(F.sum("n_chars").alias("w"))
+        .collect()
+    }
+    assert set(got) <= set(targets)  # untargeted groups dropped
+    total = sum(got.values())
+    for src, share in targets.items():
+        if src in got:
+            # achieved weight share within sampling noise of target
+            assert abs(got[src] / total - share) < 0.18, (src, got, targets)
