@@ -306,3 +306,28 @@ def start_exactly_once_sink(df: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_incremental_dedup(
+    stream_docs: DataFrame, corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Streaming incremental-ingest dedup: admit an unbounded stream of
+    new documents against a bounded kept-corpus snapshot — the
+    streaming twin of operators/dedup.py::incremental_dedup_decisions'
+    exact tier.
+
+    Plan: hash the stream side per micro-batch (narrow), LEFT ANTI join
+    against the broadcast corpus content-hash index — stateless on the
+    stream (no watermark, nothing buffered), zero shuffle per batch.
+    The static side re-resolves per trigger for file sources, so a
+    corpus refreshed by a nightly batch dedup is picked up on the next
+    micro-batch.  At 100 TB the corpus index exceeds one broadcast;
+    the same plan then runs as a shuffled stream-static join on the
+    fixed-width sha256 key, or the index is bucketed to keep it
+    co-located — either way the stream stays append-only.
+    """
+    index = F.broadcast(
+        corpus.select(F.sha2(F.col(text_col), 256).alias("h")).distinct()
+    )
+    hashed = stream_docs.withColumn("h", F.sha2(F.col(text_col), 256))
+    return hashed.join(index, "h", "left_anti").drop("h")

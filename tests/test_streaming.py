@@ -540,3 +540,48 @@ def test_schema_evolution_merge_read(spark, sf_dir, tmp_path) -> None:
     assert "schema_ver" in merged.columns
     assert merged.count() == 150
     assert merged.filter(F.col("schema_ver").isNull()).count() == 100
+
+
+def test_stream_incremental_dedup_anti_join(spark, sf_dir, tmp_path) -> None:
+    """Streaming incremental dedup: a stream of new docs anti-joined
+    against the static corpus hash index — exact dupes dropped per
+    micro-batch, fresh docs pass, stateless."""
+    import os
+
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import stream_incremental_dedup
+
+    corpus = load_table(spark, sf_dir, "documents")
+    # batch = half exact copies of the corpus, half fresh docs
+    batch = (
+        corpus.filter("doc_id % 2 = 0")
+        .selectExpr("doc_id + 100000 AS doc_id", "text")
+        .unionByName(
+            corpus.filter("doc_id % 2 = 1").selectExpr(
+                "doc_id + 200000 AS doc_id", "concat(text, ' fresh') AS text"
+            )
+        )
+    )
+    src = str(tmp_path / "doc_stream")
+    os.makedirs(src)
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .format("parquet")
+        .load(src)
+    )
+    admitted = stream_incremental_dedup(stream, corpus)
+    q = (
+        admitted.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("admitted_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM admitted_out").collect()}
+    fresh = {
+        r["doc_id"] + 200000
+        for r in corpus.filter("doc_id % 2 = 1").select("doc_id").collect()
+    }
+    assert out == fresh  # every copy dropped, every fresh doc admitted
