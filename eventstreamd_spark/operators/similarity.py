@@ -808,3 +808,65 @@ SELECT query_id, vec_id AS neighbor_id,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def cell_label_purity(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """Embedding-space partition quality: for every IVF cell, the share
+    of vectors carrying the cell's majority label — the standard
+    clustering-purity diagnostic a pipeline tracks when the cells feed
+    SemDeDup or IVF retrieval (a collapsing embedding space shows up
+    here before it silently degrades recall).
+
+    One cell-keyed aggregation over the ivf_cells assignment (the
+    exchange the downstream consumers need anyway); ties on the
+    majority label break to the smaller label id so the output is
+    engine-exact.
+    """
+    cells = ivf_cells(embeddings, n_cells).select("vec_id", "cell_id")
+    labeled = cells.join(embeddings.select("vec_id", "label"), "vec_id")
+    per_label = labeled.groupBy("cell_id", "label").agg(
+        F.count("*").alias("n")
+    )
+    top = per_label.groupBy("cell_id").agg(
+        F.max(
+            F.struct(F.col("n").alias("n"), (-F.col("label")).alias("neg"))
+        ).alias("m"),
+        F.sum("n").alias("n_vecs"),
+    )
+    return top.select(
+        "cell_id",
+        "n_vecs",
+        F.col("m.n").alias("majority_n"),
+        (-F.col("m.neg")).alias("majority_label"),
+        (F.col("m.n") / F.col("n_vecs")).alias("purity"),
+    )
+
+
+def sql_cell_label_purity(table: str = "embeddings", n_cells: int = N_CELLS) -> str:
+    """DuckDB twin of cell_label_purity (same cells CTE as the
+    SemDeDup oracle, same max-struct tie rule via lexicographic list
+    max over [n, -label])."""
+    cos_cell = sql_cosine("e.embedding", "c.embedding")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding FROM {table} WHERE vec_id < {n_cells}
+), cells AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_cell} DESC, c.cell_id) AS r
+    FROM {table} e CROSS JOIN cents c
+  ) WHERE r = 1
+), per_label AS (
+  SELECT cells.cell_id, t.label, count(*) AS n
+  FROM cells JOIN {table} t USING (vec_id)
+  GROUP BY 1, 2
+)
+SELECT cell_id,
+       CAST(sum(n) AS BIGINT) AS n_vecs,
+       CAST(max([n, -label])[1] AS BIGINT) AS majority_n,
+       CAST(-max([n, -label])[2] AS BIGINT) AS majority_label,
+       CAST(max([n, -label])[1] AS DOUBLE) / sum(n) AS purity
+FROM per_label
+GROUP BY cell_id
+"""

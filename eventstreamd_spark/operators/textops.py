@@ -986,3 +986,22 @@ SELECT doc_id, aff_target, aff_raw,
        aff_target * tot_r > aff_raw * tot_t AS keep
 FROM docaff, corpus
 """
+
+
+def language_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang x detected lang with
+    counts — the eval-report twin of ``language_id`` (a curation
+    pipeline tracks this per ingest to catch classifier drift).  One
+    extra tiny aggregation over the language_id plan."""
+    return (
+        language_id(docs)
+        .groupBy("lang", "detected_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def sql_language_confusion(table: str = "documents") -> str:
+    return (
+        f"SELECT lang, detected_lang, count(*) AS n_docs "
+        f"FROM ({sql_language_id(table)}) GROUP BY lang, detected_lang"
+    )

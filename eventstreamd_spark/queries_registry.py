@@ -1643,6 +1643,21 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@register("language_confusion", text_op.sql_language_confusion())
+def language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (labeled x detected counts) — the
+    classifier-drift report a curation pipeline tracks per ingest."""
+    return text_op.language_confusion(load_table(spark, sf_dir, "documents"))
+
+
+@register("cell_label_purity", sim_op.sql_cell_label_purity())
+def cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space partition quality: per-IVF-cell majority-label
+    share (collapsing embedding spaces surface here before they degrade
+    SemDeDup/IVF recall)."""
+    return sim_op.cell_label_purity(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("dsir_importance", text_op.sql_dsir_importance())
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style hashed-feature importance resampling vs the English
@@ -1825,6 +1840,8 @@ _PRIORITY = [
     "incremental_dedup",
     "token_mix_rebalance",
     "per_source_cap",
+    "language_confusion",
+    "cell_label_purity",
     "dedup_keep_corpus",
     "semantic_dedup",
     "bigram_lm_scores",

@@ -1014,3 +1014,25 @@ def test_token_mix_rebalance_weight_shares(spark, sf_dir) -> None:
         if src in got:
             # achieved weight share within sampling noise of target
             assert abs(got[src] / total - share) < 0.18, (src, got, targets)
+
+
+def test_cell_label_purity_bounds_and_partition(spark, sf_dir) -> None:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cell_label_purity(emb).collect()
+    assert sum(r["n_vecs"] for r in out) == emb.count()  # exact partition
+    for r in out:
+        assert 0.0 < r["purity"] <= 1.0
+        assert r["majority_n"] <= r["n_vecs"]
+        assert r["purity"] == r["majority_n"] / r["n_vecs"]
+
+
+def test_language_confusion_diagonal_dominates(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = textops.language_confusion(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # the heuristic's accuracy is pinned elsewhere; here: the matrix is
+    # a true partition and the en diagonal is its largest en-row cell
+    en = {r["detected_lang"]: r["n_docs"] for r in rows if r["lang"] == "en"}
+    assert en["en"] == max(en.values())
