@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from eventstreamd_spark.session import fan_out
 from eventstreamd_spark.functions.text import (
     lang_id,
     poly_hash,
@@ -1005,3 +1006,66 @@ def sql_language_confusion(table: str = "documents") -> str:
         f"SELECT lang, detected_lang, count(*) AS n_docs "
         f"FROM ({sql_language_id(table)}) GROUP BY lang, detected_lang"
     )
+
+
+# Hashing-trick embedding constants: per-dimension affine mixes of the
+# single per-token hash (the minhash permutation trick) — one md5 per
+# token total, not one per (token, dim).
+EMB_DIM = 8
+EMB_RANGE = 2001  # component values in [-1000, 1000]
+_EMB_A = [3 + 8 * j for j in range(EMB_DIM)]
+_EMB_B = [7 + 13 * j for j in range(EMB_DIM)]
+
+
+def hashed_doc_embeddings(docs: DataFrame) -> DataFrame:
+    """Hashing-trick document embeddings: dimension j is the sum over
+    tokens of a per-dimension integer mix of the token hash — the
+    feature-hashing featurizer (Weinberger et al. 2009) that turns text
+    into fixed-width vectors without any trained model, feeding the
+    same ANN / near-dup / purity operators as learned embeddings.
+
+    All-integer output (exact oracle).  Plan: completely NARROW — the
+    per-doc sums fold over the bound token-hash array in one projection,
+    no explode, no shuffle; at 100 TB this runs at scan speed and the
+    only cost is one md5 per token plus cheap integer mixes.
+    """
+    from eventstreamd_spark.functions.text import HASH_MOD
+
+    th = fan_out(docs).select(
+        "doc_id", F.transform(tokens(F.col("text")), poly_hash).alias("__th")
+    )
+    half = (EMB_RANGE - 1) // 2
+
+    def dim_fold(j: int):
+        # two-arg lambda required: pyspark counts lambda parameters, so
+        # j must be captured by closure, not a defaulted third parameter
+        a, b = _EMB_A[j], _EMB_B[j]
+        return F.aggregate(
+            F.col("__th"),
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + ((h * a + b) % HASH_MOD) % EMB_RANGE - half,
+        ).alias(f"e{j}")
+
+    dims = [dim_fold(j) for j in range(EMB_DIM)]
+    return th.select("doc_id", *dims)
+
+
+def sql_hashed_doc_embeddings(table: str = "documents") -> str:
+    """DuckDB twin (unnest + integer sums; order-free exact)."""
+    from eventstreamd_spark.functions.text import HASH_MOD
+
+    h = sql_poly_hash("term")
+    half = (EMB_RANGE - 1) // 2
+    sums = ",\n       ".join(
+        f"CAST(coalesce(sum((({h}) * {_EMB_A[j]} + {_EMB_B[j]}) % {HASH_MOD}"
+        f" % {EMB_RANGE} - {half}), 0) AS BIGINT) AS e{j}"
+        for j in range(EMB_DIM)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM {table}
+)
+SELECT d.doc_id, {sums}
+FROM {table} d LEFT JOIN tok USING (doc_id)
+GROUP BY d.doc_id
+"""

@@ -1643,6 +1643,14 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@register("hashed_embeddings", text_op.sql_hashed_doc_embeddings())
+def hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (no trained model): integer
+    per-dimension sums folded narrowly over the token-hash array —
+    the text->vector featurizer that feeds the ANN/purity tiers."""
+    return text_op.hashed_doc_embeddings(load_table(spark, sf_dir, "documents"))
+
+
 @register("language_confusion", text_op.sql_language_confusion())
 def language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix (labeled x detected counts) — the
@@ -1842,6 +1850,7 @@ _PRIORITY = [
     "per_source_cap",
     "language_confusion",
     "cell_label_purity",
+    "hashed_embeddings",
     "dedup_keep_corpus",
     "semantic_dedup",
     "bigram_lm_scores",

@@ -1036,3 +1036,21 @@ def test_language_confusion_diagonal_dominates(spark, sf_dir) -> None:
     # a true partition and the en diagonal is its largest en-row cell
     en = {r["detected_lang"]: r["n_docs"] for r in rows if r["lang"] == "en"}
     assert en["en"] == max(en.values())
+
+
+def test_hashed_embeddings_deterministic_and_bag_semantics(spark) -> None:
+    from eventstreamd_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: [r[f"e{j}"] for j in range(textops.EMB_DIM)]
+           for r in textops.hashed_doc_embeddings(docs).collect()}
+    # bag-of-words: word order is irrelevant
+    assert out[1] == out[2]
+    # different bags differ (with overwhelming probability for 8 dims)
+    assert out[1] != out[3]
+    # component range bound: each token contributes within [-1000, 1000]
+    for v in out[1]:
+        assert abs(v) <= 3 * 1000
