@@ -931,16 +931,27 @@ def dsir_importance(
         "lang",
         F.pmod(poly_hash(F.col("term")), n_buckets).alias("bucket"),
     )
-    bucket_stats = tok.groupBy("bucket").agg(
-        F.sum((F.col("lang") == target_lang).cast("bigint")).alias("c_t"),
-        F.count("*").alias("c_r"),
+    # Pre-aggregate to (doc, lang, bucket, n) FIRST: both downstream
+    # consumers (the bucket count model and the per-doc scoring join)
+    # derive from this one relation, so the corpus is tokenized and
+    # hashed exactly once and the second consumer reads the same
+    # exchange (vs. the naive form, which re-ran the explode+md5 pass
+    # for each — measured ~2x on this operator at sf0.1).
+    base = tok.groupBy("doc_id", "lang", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    bucket_stats = base.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("n")).otherwise(0)
+        ).alias("c_t"),
+        F.sum("n").alias("c_r"),
     )
     docaff = (
-        tok.join(F.broadcast(bucket_stats), "bucket")
+        base.join(F.broadcast(bucket_stats), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum(F.col("c_t") + 1).alias("aff_target"),
-            F.sum(F.col("c_r") + 1).alias("aff_raw"),
+            F.sum(F.col("n") * (F.col("c_t") + 1)).alias("aff_target"),
+            F.sum(F.col("n") * (F.col("c_r") + 1)).alias("aff_raw"),
         )
     )
     corpus = docaff.agg(
@@ -967,16 +978,19 @@ def sql_dsir_importance(
 WITH tok AS (
   SELECT doc_id, lang, ({h}) % {n_buckets} AS bucket
   FROM (SELECT doc_id, lang, unnest({sql_tokens('text')}) AS term FROM {table})
+), base AS (
+  SELECT doc_id, lang, bucket, count(*) AS n
+  FROM tok GROUP BY 1, 2, 3
 ), bucket_stats AS (
   SELECT bucket,
-         CAST(sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
-         count(*) AS c_r
-  FROM tok GROUP BY bucket
+         CAST(sum(CASE WHEN lang = '{target_lang}' THEN n ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(sum(n) AS BIGINT) AS c_r
+  FROM base GROUP BY bucket
 ), docaff AS (
   SELECT doc_id,
-         CAST(sum(c_t + 1) AS BIGINT) AS aff_target,
-         CAST(sum(c_r + 1) AS BIGINT) AS aff_raw
-  FROM tok JOIN bucket_stats USING (bucket)
+         CAST(sum(n * (c_t + 1)) AS BIGINT) AS aff_target,
+         CAST(sum(n * (c_r + 1)) AS BIGINT) AS aff_raw
+  FROM base JOIN bucket_stats USING (bucket)
   GROUP BY doc_id
 ), corpus AS (
   SELECT CAST(sum(aff_target) AS BIGINT) AS tot_t,
