@@ -51,10 +51,12 @@ def lsh_bucket(vec: F.Column, dim: int = 64) -> F.Column:
     each accumulated in the same sequential j-order as an independent
     term-by-term sum — so the SQL oracle (16 separate list_reduce
     folds) matches bit-for-bit, verified by exceptAll.  One pass over
-    the vector instead of 16, and ~60x fewer expression nodes than
-    unrolling dim terms per plane (Catalyst analysis time dominates at
-    16 x 64 literals otherwise).
-    """
+    the vector instead of 16.  MEASURED ALTERNATIVE REJECTED: a flat
+    16x64-term unrolled expression (see the pq_codes trick) parses
+    cheaply but blows past the JVM codegen method limit and falls back
+    to per-node interpretation — 3x SLOWER than this fold at sf0.1
+    (8.5s vs 2.5s for lsh_topk); the HOF fold's single interpreted
+    lambda beats 4k interpreted expression nodes."""
     planes_by_dim = F.array(
         *[
             F.array(
