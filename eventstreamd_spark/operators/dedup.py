@@ -770,9 +770,11 @@ def connected_components(edges: DataFrame, max_iters: int = 16) -> DataFrame:
         nxt = _small_star(_large_star(cur.union(
             cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ))).localCheckpoint()
-        if nxt.exceptAll(cur).limit(1).count() == 0 and cur.exceptAll(
-            nxt
-        ).limit(1).count() == 0:
+        # one symmetric-difference probe = ONE Spark job per round (two
+        # separate exceptAll counts doubled the per-round job overhead,
+        # which dominates on small/converged graphs)
+        diff = nxt.exceptAll(cur).union(cur.exceptAll(nxt))
+        if diff.limit(1).count() == 0:
             cur = nxt
             break
         cur = nxt
