@@ -870,3 +870,64 @@ SELECT cell_id,
 FROM per_label
 GROUP BY cell_id
 """
+
+
+def ann_recall_report(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Retrieval-quality observability: per-query recall@k of the IVF
+    ANN tier against the exact brute-force ranking — the eval loop a
+    production vector pipeline runs on every index rebuild (recall
+    regressions from centroid drift or skewed cells surface here, not
+    in user traffic).
+
+    Composes the two existing operators and joins on (query, neighbor):
+    the exact side is the |Q|-bounded brute-force scan, so the report
+    costs one corpus pass more than the ANN query it audits.
+    """
+    exact = brute_force_topk(embeddings, query_ids, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(embeddings, query_ids, k=k).select(
+        "query_id", F.col("neighbor_id").alias("approx_neighbor")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.approx_neighbor),
+        "left",
+    ).select(
+        exact.query_id.alias("qid"),
+        F.col("approx_neighbor").isNotNull().cast("bigint").alias("hit"),
+    )
+    return (
+        hits.groupBy(F.col("qid").alias("query_id"))
+        .agg(F.sum("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / F.lit(float(k))).alias("recall_at_k"),
+        )
+    )
+
+
+def sql_ann_recall_report(
+    query_ids: list[int], k: int = 5, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of ann_recall_report (nests both ANN oracles)."""
+    exact = sql_brute_force_topk(query_ids, k=k, table=table)
+    approx = sql_ivf_topk(query_ids, k=k, table=table)
+    return f"""
+WITH exact AS ({exact}),
+approx AS ({approx})
+SELECT e.query_id,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / {float(k)} AS recall_at_k
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""

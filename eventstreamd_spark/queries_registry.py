@@ -1643,6 +1643,16 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@register("ann_recall", sim_op.sql_ann_recall_report(_ANN_QUERY_IDS, k=5))
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the IVF ANN tier vs the exact brute-force
+    ranking — the retrieval-quality report a vector pipeline runs on
+    every index rebuild."""
+    return sim_op.ann_recall_report(
+        load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    )
+
+
 @register("hashed_embeddings", text_op.sql_hashed_doc_embeddings())
 def hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document embeddings (no trained model): integer
@@ -1851,6 +1861,7 @@ _PRIORITY = [
     "language_confusion",
     "cell_label_purity",
     "hashed_embeddings",
+    "ann_recall",
     "dedup_keep_corpus",
     "semantic_dedup",
     "bigram_lm_scores",

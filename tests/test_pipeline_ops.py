@@ -1054,3 +1054,24 @@ def test_hashed_embeddings_deterministic_and_bag_semantics(spark) -> None:
     # component range bound: each token contributes within [-1000, 1000]
     for v in out[1]:
         assert abs(v) <= 3 * 1000
+
+
+def test_ann_recall_report_consistency(spark, sf_dir) -> None:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    report = {r["query_id"]: r for r in similarity.ann_recall_report(
+        emb, qids, k=5).collect()}
+    assert set(report) == set(qids)  # one row per query
+    # the report must agree with recomputing the overlap directly
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, qids, k=5).collect()
+    }
+    for q in qids:
+        n = len({p for p in exact & approx if p[0] == q})
+        assert report[q]["n_hits"] == n
+        assert report[q]["recall_at_k"] == n / 5.0
