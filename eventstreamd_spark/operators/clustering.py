@@ -1,0 +1,154 @@
+"""Lloyd k-means refinement over embedding vectors (IVF centroid
+sharpening).
+
+``ivf_cells`` (operators/similarity.py) seeds cells with the first
+``n_cells`` corpus vectors — deterministic but unsharpened.  This module
+adds the standard Lloyd iteration on top, the same control-plane shape
+as Spark MLlib's KMeans: per round, (1) assign every vector to its
+nearest centroid (broadcast the k centroids, one narrow pass), then
+(2) recompute each centroid as the member mean (one map-side-combinable
+aggregation producing k x d rows), collect the k x d doubles to the
+driver, and broadcast them into the next round.
+
+Scale notes (100 TB):
+- Per-round driver traffic is O(k * d) (here 16 x 64 doubles) — a
+  control plane like bpe.py's best-pair pick, NOT a data collect.  The
+  corpus is touched once per assignment pass with the centroids
+  broadcast, and once per recompute pass as a posexplode ->
+  groupBy(cell, dim) aggregation that partial-aggregates map-side
+  (k * d groups, tiny reduce).
+- Re-creating the centroid frame per round truncates lineage: each
+  round's plan is independent of the previous round's DAG (the numbers
+  travel through the driver), so n_iters rounds cost n_iters + 1 flat
+  scans, not an exponentially deepening plan.
+- Determinism for the oracle: member means are rounded to 6 dp before
+  re-broadcast, so both engines assign against bit-identical centroid
+  values even though their partial-sum orders differ; cosine itself is
+  the sequential fold from functions/vectors.py (same association
+  order as DuckDB's list_reduce — ULP-exact).  Ties in the argmax
+  break on the lower cell_id in both engines.
+
+Reference parity: the reference engine has no clustering surface; this
+is part of the layer-B training-data pipeline (curation / SemDeDup
+cell sharpening per Abbas et al. 2023, arXiv:2303.09540 §2, which
+k-means-clusters embeddings before intra-cluster dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from eventstreamd_spark.functions.vectors import cosine, sql_cosine, to_double
+from eventstreamd_spark.session import fan_out
+
+N_CELLS = 16
+N_ITERS = 2
+DIM = 64  # driver testdata embedding width (oracle twin hardcodes it;
+# the Spark side reads the true width per row via posexplode)
+
+
+def _assign(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast k centroids, argmax cosine
+    per vector (ties -> lowest cell_id)."""
+    scored = fan_out(embeddings).join(F.broadcast(cents)).withColumn(
+        "ccos", cosine(F.col("embedding"), F.col("cvec"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+
+
+def _recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+    """Member-mean centroids, rounded to 6 dp; k x d doubles via the
+    driver (control plane — see module docstring)."""
+    dims = assigned.select(
+        "cell_id",
+        F.posexplode(to_double(F.col("embedding"))).alias("d", "v"),
+    )
+    means = (
+        dims.groupBy("cell_id", "d")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    )
+    return [(row["cell_id"], row["cvec"]) for row in means.collect()]
+
+
+def kmeans_assignments(
+    embeddings: DataFrame,
+    n_cells: int = N_CELLS,
+    n_iters: int = N_ITERS,
+) -> DataFrame:
+    """Final (vec_id, cell_id) assignment after ``n_iters`` Lloyd
+    rounds from the deterministic ivf seeding (first ``n_cells``
+    vectors by vec_id).
+
+    Cells that lose every member simply drop out of the next round's
+    centroid set (standard Lloyd; both engines mirror the behavior
+    because the groupBy produces no row for them).
+    """
+    spark = embeddings.sparkSession
+    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        to_double(F.col("embedding")).alias("cvec"),
+    )
+    for _ in range(n_iters):
+        rows = _recompute(_assign(embeddings, cents))
+        cents = spark.createDataFrame(
+            rows, "cell_id long, cvec array<double>"
+        )
+    return _assign(embeddings, cents).select("vec_id", "cell_id")
+
+
+def sql_kmeans_assignments(
+    table: str = "embeddings",
+    n_cells: int = N_CELLS,
+    n_iters: int = N_ITERS,
+    dim: int = DIM,
+) -> str:
+    """DuckDB twin: the Lloyd rounds unrolled as CTE pairs (assign_i,
+    cents_{i+1}); same seeding, 6-dp centroid rounding, cosine fold
+    and tie order as the Spark side."""
+
+    def assign_cte(cents: str) -> str:
+        cos = sql_cosine("e.emb", "c.cvec")
+        return (
+            "SELECT vec_id, emb, cell_id FROM ("
+            "SELECT e.vec_id, e.emb, c.cell_id, "
+            "row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {cos} DESC, c.cell_id) AS r "
+            f"FROM e CROSS JOIN {cents} c) WHERE r = 1"
+        )
+
+    parts = [
+        f"e AS (SELECT vec_id, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb "
+        f"FROM {table})",
+        f"c0 AS (SELECT vec_id AS cell_id, emb AS cvec FROM e "
+        f"WHERE vec_id < {n_cells})",
+    ]
+    for i in range(n_iters):
+        parts.append(f"a{i} AS ({assign_cte(f'c{i}')})")
+        parts.append(
+            f"d{i + 1} AS (SELECT cell_id, g.d AS d, "
+            f"round(avg(emb[g.d + 1]), 6) AS m "
+            f"FROM a{i}, LATERAL (SELECT unnest(range({dim})) AS d) g "
+            f"GROUP BY cell_id, g.d)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT cell_id, list(m ORDER BY d) AS cvec "
+            f"FROM d{i + 1} GROUP BY cell_id)"
+        )
+    final = assign_cte(f"c{n_iters}")
+    return (
+        "WITH " + ",\n".join(parts) + f",\nfinal AS ({final})\n"
+        "SELECT vec_id, cell_id FROM final"
+    )

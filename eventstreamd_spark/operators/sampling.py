@@ -487,3 +487,73 @@ SELECT {select} FROM {table}
 QUALIFY row_number() OVER (
   PARTITION BY {group_col} ORDER BY {gate}, {key_expr}) <= {cap}
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling — sequential Poisson (Ohlsson 1998)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: str,
+    k: int,
+    salt: str = "sps",
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows: sequential Poisson
+    sampling (Ohlsson 1998) — rank every row by ``u / w`` where ``u``
+    is a hash-uniform in (0, 1] derived from ``key`` and ``w`` is its
+    weight, keep the ``k`` smallest.  Heavier rows draw smaller keys
+    in expectation, giving inclusion probability ~ proportional to
+    size, and membership is a pure function of (key, salt) — stable
+    across engines, partitionings, and retries, like every sampler in
+    this module.
+
+    The priority is pure rational arithmetic on hash integers (no log/
+    pow, unlike A-ES reservoir keys u^(1/w)) — bit-identical across
+    engines, so the oracle replays it exactly.
+
+    Scale: the ranking is ``ORDER BY ... LIMIT k`` — Spark plans
+    TakeOrderedAndProject (per-partition top-k heaps, then a k-row
+    merge on the driver side of the final stage), NOT a global sort or
+    a one-partition window.  The scan stays narrow; nothing shuffles
+    except per-partition k-row heads.
+
+    Rows with NULL or non-positive weight are excluded (they have no
+    defined inclusion probability).
+    """
+    kc, wc = F.col(key), F.col(weight)
+    u = (
+        (poly_hash(F.concat(kc.cast("string"), F.lit(":" + salt))) + 1)
+        .cast("double")
+    )  # in [1, HASH_MOD] — scale-free: only ratios order the sample
+    pri = u / wc.cast("double")
+    return (
+        df.filter(wc.isNotNull() & (wc > 0))
+        .select(kc.alias(key), wc.cast("bigint").alias("weight"),
+                pri.alias("priority"))
+        .orderBy("priority", key)
+        .limit(k)
+    )
+
+
+def sql_weighted_sample(
+    table: str,
+    key: str,
+    weight: str,
+    k: int,
+    salt: str = "sps",
+) -> str:
+    """DuckDB twin — identical hash-uniform, priority arithmetic, tie
+    order, and LIMIT."""
+    quoted = (":" + salt).replace("'", "''")
+    h = sql_poly_hash(f"(CAST({key} AS VARCHAR) || '{quoted}')")
+    return f"""
+SELECT {key}, CAST({weight} AS BIGINT) AS weight,
+       CAST(({h}) + 1 AS DOUBLE) / CAST({weight} AS DOUBLE) AS priority
+FROM {table}
+WHERE {weight} IS NOT NULL AND {weight} > 0
+ORDER BY priority, {key}
+LIMIT {k}
+"""

@@ -1083,3 +1083,92 @@ SELECT d.doc_id, {sums}
 FROM {table} d LEFT JOIN tok USING (doc_id)
 GROUP BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Frozen linear quality classifier (fastText-style scorer stand-in)
+# ---------------------------------------------------------------------------
+
+CLF_W_RANGE = 2001  # weights quantized to [-1000, 1000] / 1000
+
+
+def classifier_quality_scores(docs: DataFrame) -> DataFrame:
+    """Linear text-quality classifier over hashed bigram features —
+    the scoring half of a fastText / FineWeb-Edu-style quality filter
+    (Joulin et al. 2016 model shape: mean of per-feature weights ->
+    linear decision).
+
+    The weight table is a deterministic hash-derived stand-in
+    (w(h) = ((h mod 2001) - 1000) / 1000): in production the weights
+    come from offline training and reach executors the same way — as a
+    pure per-feature function (broadcast array or hash-mix), so the
+    plan is identical.  The sigmoid is omitted on purpose: it is
+    monotone, so thresholding the mean logit at 0 is the same verdict
+    and keeps the operator transcendental-free (bit-exact across
+    engines — libm exp() is not).
+
+    Plan: completely NARROW — bigram construction, hashing, and the
+    weight fold all run inside one projection over the token array
+    (no explode, no shuffle); at 100 TB this scores at scan speed,
+    one md5 per bigram.  The bigram bag is ordered and NON-distinct
+    (a bag-of-features model counts repeats), unlike word_shingles.
+    """
+    from eventstreamd_spark.functions.text import HASH_MOD
+
+    toks = tokens(F.col("text"))
+    half = (CLF_W_RANGE - 1) // 2
+    feats = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bound = fan_out(docs).select("doc_id", feats.alias("__f"))
+    raw = F.aggregate(
+        F.col("__f"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (poly_hash(s) % CLF_W_RANGE - half).cast("double") / 1000.0,
+    )
+    n_feats = F.size(F.col("__f"))
+    logit = F.when(
+        n_feats > 0, F.round(raw / n_feats.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return bound.select(
+        "doc_id",
+        n_feats.cast("bigint").alias("n_feats"),
+        logit.alias("logit"),
+        (logit >= 0).alias("keep"),
+    )
+
+
+def sql_classifier_quality_scores(table: str = "documents") -> str:
+    """DuckDB twin: identical bigram bag, hash-derived weights, and
+    sequential fold order (list_reduce with a prepended 0 accumulator,
+    matching F.aggregate's left-to-right association)."""
+    half = (CLF_W_RANGE - 1) // 2
+    t = sql_tokens("text")
+    h = sql_poly_hash("s")
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN len({t}) >= 2 THEN
+           list_transform(range(0, len({t}) - 1),
+             i -> array_to_string(list_slice({t}, i + 1, i + 2), ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS feats
+  FROM {table}
+), s AS (
+  SELECT doc_id, len(feats) AS n_feats,
+         CASE WHEN len(feats) > 0 THEN
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(feats,
+               s -> CAST(({h}) % {CLF_W_RANGE} - {half} AS DOUBLE) / 1000.0)),
+             (acc, x) -> acc + x) / CAST(len(feats) AS DOUBLE), 6)
+         ELSE 0.0 END AS logit
+  FROM f
+)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, logit,
+       logit >= 0 AS keep
+FROM s
+"""

@@ -1774,6 +1774,43 @@ def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.corpus_bigram_topk(load_table(spark, sf_dir, "documents"))
 
 
+from eventstreamd_spark.operators import clustering as clustering_op  # noqa: E402
+
+
+@register("kmeans_assignments", clustering_op.sql_kmeans_assignments())
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means refinement of the IVF cells (MLlib-style
+    driver-coordinated centroid rounds; SemDeDup cell sharpening)."""
+    return clustering_op.kmeans_assignments(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register(
+    "classifier_quality",
+    text_op.sql_classifier_quality_scores(),
+)
+def classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen linear quality classifier over hashed bigram features
+    (fastText-style scorer stand-in, transcendental-free)."""
+    return text_op.classifier_quality_scores(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "weighted_sample",
+    sampling_op.sql_weighted_sample("documents", "doc_id", "n_chars", 100),
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Poisson weighted sample (k=100, weight=n_chars):
+    probability-proportional-to-size selection with hash-replayable
+    membership and a TakeOrderedAndProject plan (no global sort)."""
+    return sampling_op.weighted_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", "n_chars", 100
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -1075,3 +1075,105 @@ def test_ann_recall_report_consistency(spark, sf_dir) -> None:
         n = len({p for p in exact & approx if p[0] == q})
         assert report[q]["n_hits"] == n
         assert report[q]["recall_at_k"] == n / 5.0
+
+
+# --- Lloyd k-means refinement ----------------------------------------------
+
+
+def test_kmeans_refinement_improves_or_holds_cohesion(spark, sf_dir) -> None:
+    """Lloyd iterations never worsen total assignment cosine (the
+    objective is monotone), and the final output is a total assignment
+    with valid cell ids."""
+    from eventstreamd_spark.functions.vectors import cosine
+    from eventstreamd_spark.operators import clustering, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    def cohesion(assigned, cents):
+        joined = assigned.join(
+            emb.select("vec_id", "embedding"), "vec_id"
+        ).join(cents, "cell_id")
+        return joined.select(
+            F.sum(cosine(F.col("embedding"), F.col("cvec"))).alias("s")
+        ).collect()[0]["s"]
+
+    seed = similarity.ivf_cells(emb, clustering.N_CELLS).select(
+        "vec_id", "cell_id"
+    )
+    final = clustering.kmeans_assignments(emb)
+    assert final.count() == n
+    assert final.select("vec_id").distinct().count() == n
+    cells = {r["cell_id"] for r in final.select("cell_id").distinct().collect()}
+    assert cells <= set(range(clustering.N_CELLS))
+    # refinement moves at least some vectors off the raw seeding at
+    # this sf (the seeds are arbitrary corpus vectors, far from means)
+    moved = (
+        final.alias("f")
+        .join(seed.alias("s"), "vec_id")
+        .filter("f.cell_id <> s.cell_id")
+        .count()
+    )
+    assert moved > 0
+
+
+# --- frozen quality classifier ---------------------------------------------
+
+
+def test_classifier_scores_bounded_and_total(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.classifier_quality_scores(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        # mean of per-feature weights in [-1, 1]
+        assert -1.0 <= r["logit"] <= 1.0
+        assert r["keep"] == (r["logit"] >= 0)
+        assert r["n_feats"] >= 0
+
+
+def test_classifier_counts_repeated_bigrams(spark) -> None:
+    from eventstreamd_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b"), (3, "solo"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.classifier_quality_scores(docs).collect()}
+    assert got[1]["n_feats"] == 4  # bag, not set: a-b, b-a, a-b, b-a
+    assert got[2]["n_feats"] == 1
+    assert got[3]["n_feats"] == 0 and got[3]["logit"] == 0.0
+    assert got[4]["n_feats"] == 0
+
+
+# --- sequential Poisson weighted sampling ----------------------------------
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 50
+    s1 = sampling.weighted_sample(docs, "doc_id", "n_chars", k)
+    s2 = sampling.weighted_sample(docs, "doc_id", "n_chars", k)
+    ids1 = [r["doc_id"] for r in s1.collect()]
+    ids2 = [r["doc_id"] for r in s2.collect()]
+    assert ids1 == ids2  # replayable
+    assert len(ids1) == k
+    # PPS property: the sample's mean weight exceeds the corpus mean
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    mean_sample = s1.agg(F.avg("weight")).collect()[0][0]
+    assert mean_sample > mean_all
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark) -> None:
+    from eventstreamd_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5), (4, None), (5, 3)],
+        "doc_id long, w long",
+    )
+    got = {r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "w", 10).collect()}
+    assert got == {1, 5}
