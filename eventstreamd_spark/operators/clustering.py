@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from eventstreamd_spark.functions.vectors import cosine, sql_cosine, to_double
+from eventstreamd_spark.functions.vectors import dot, norm, sql_cosine, to_double
 from eventstreamd_spark.session import fan_out
 
 N_CELLS = 16
@@ -49,9 +49,19 @@ DIM = 64  # driver testdata embedding width (oracle twin hardcodes it;
 
 def _assign(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast k centroids, argmax cosine
-    per vector (ties -> lowest cell_id)."""
-    scored = fan_out(embeddings).join(F.broadcast(cents)).withColumn(
-        "ccos", cosine(F.col("embedding"), F.col("cvec"))
+    per vector (ties -> lowest cell_id).
+
+    Norms are precomputed per side BEFORE the k-way fan-out, so each
+    (vector, centroid) pair evaluates one 64-term fold (the dot), not
+    three — same arithmetic as functions.vectors.cosine in the same
+    association order (sqrt(dot(a,a)) * sqrt(dot(b,b)) as the divisor
+    product), so the value stays bit-identical to the DuckDB twin."""
+    cents_n = cents.withColumn("__nc", norm(F.col("cvec")))
+    emb_n = fan_out(embeddings).withColumn("__nv", norm(F.col("embedding")))
+    scored = emb_n.join(F.broadcast(cents_n)).withColumn(
+        "ccos",
+        dot(F.col("embedding"), F.col("cvec"))
+        / (F.col("__nv") * F.col("__nc")),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
     return (
