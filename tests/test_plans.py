@@ -344,3 +344,27 @@ def test_shingle_explodes_infer_no_scan_filter(plans) -> None:
         plan = plans(q)
         assert "Filter (size(array_distinct" not in plan, q
         assert "DataFilters: [(size(array_distinct" not in plan, q
+
+
+def test_classifier_quality_is_narrow(plans) -> None:
+    # the whole scorer folds inside one projection: no keyed shuffle,
+    # no join, no aggregate (fan_out's round-robin spread is the only
+    # Exchange, and it carries no grouping semantics)
+    phys = plans("classifier_quality").split("== Physical Plan ==")[-1]
+    assert "Exchange hashpartitioning" not in phys
+    assert "Join" not in phys and "Aggregate" not in phys
+
+
+def test_weighted_sample_is_take_ordered_not_global_sort(plans) -> None:
+    phys = plans("weighted_sample").split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in phys
+    # no full Sort of the relation; the per-partition heaps do the work
+    assert "Sort " not in phys
+
+
+def test_kmeans_assign_broadcasts_centroids(plans) -> None:
+    phys = plans("kmeans_assignments").split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys
+    # the corpus leg is never exchanged for the join itself: the only
+    # exchanges are the per-vector argmax window's hash partitioning
+    assert phys.count("Exchange hashpartitioning") <= 2
