@@ -1172,3 +1172,76 @@ SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, logit,
        logit >= 0 AS keep
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Unicode/whitespace text normalization (pre-hash canonicalization)
+# ---------------------------------------------------------------------------
+
+# curly quotes / long dashes -> ASCII; the char-for-char translate map
+# is identical in both engines
+_XLAT_FROM = "“”‘’–—"
+_XLAT_TO = "\"\"''--"
+
+
+def with_planted_mess(docs: DataFrame) -> DataFrame:
+    """Deterministically dirty every 7th document (curly quotes, tabs,
+    doubled/leading whitespace) so the normalizer has real work on the
+    clean synthetic corpus — the planted-input pattern from
+    operators/dedup.py (with_planted_exact_dups)."""
+    messy = F.concat(
+        F.lit("“  "),
+        F.regexp_replace(F.col("text"), " ", "  "),
+        F.lit("\t”"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, messy).otherwise(F.col("text")),
+    )
+
+
+def sql_planted_mess(table: str = "documents") -> str:
+    return (
+        f"(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+        f"chr(8220) || '  ' || replace(text, ' ', '  ') || chr(9) || chr(8221) "
+        f"ELSE text END AS text, lang, source, n_chars FROM {table})"
+    )
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonicalize text before any hashing/dedup stage: fold curly
+    punctuation to ASCII, strip C0/DEL control characters, collapse
+    whitespace runs, trim.  Every dedup tier in this repo keys on
+    hashes of the text — without this pass, visually identical
+    documents with different quote styles or spacing never collide.
+
+    Plan: completely NARROW (four string functions in one projection,
+    no UDF, no shuffle); at 100 TB it runs at scan speed and is the
+    cheapest stage in the curation cascade, which is why real
+    pipelines (CCNet, Dolma, FineWeb) run it first.
+    """
+    s = F.translate(F.col("text"), _XLAT_FROM, _XLAT_TO)
+    s = F.regexp_replace(s, r"[\x00-\x1F\x7F]", " ")
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        s.alias("text_norm"),
+        (~s.eqNullSafe(F.col("text"))).alias("changed"),
+        F.length(s).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+def sql_normalize_text(table: str = "documents") -> str:
+    """DuckDB twin — same transform order; the 'g' flag mirrors Spark's
+    global-by-default regexp_replace."""
+    xf = _XLAT_FROM.replace("'", "''")
+    xt = _XLAT_TO.replace("'", "''")
+    s = f"translate(text, '{xf}', '{xt}')"
+    s = f"regexp_replace({s}, '[\\x00-\\x1F\\x7F]', ' ', 'g')"
+    s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    return f"""
+SELECT doc_id, {s} AS text_norm,
+       {s} IS DISTINCT FROM text AS changed,
+       CAST(length({s}) AS BIGINT) AS n_chars_norm
+FROM {table}
+"""

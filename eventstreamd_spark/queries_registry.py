@@ -1811,6 +1811,32 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_normalize",
+    text_op.sql_normalize_text(text_op.sql_planted_mess()),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace canonicalization (the pre-hash cleanup pass
+    every dedup tier depends on), driven over a deterministically
+    dirtied corpus so the transform is non-degenerate."""
+    return text_op.normalize_text(
+        text_op.with_planted_mess(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@register(
+    "embedding_quantize",
+    sim_op.sql_quantized_embeddings_csv(),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding corpus
+    (4x narrower vector scans; codes flattened to CSV for the exact
+    oracle compare)."""
+    return sim_op.quantized_embeddings_csv(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -1177,3 +1177,66 @@ def test_weighted_sample_excludes_nonpositive_weights(spark) -> None:
     )
     got = {r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "w", 10).collect()}
     assert got == {1, 5}
+
+
+# --- text normalization ----------------------------------------------------
+
+
+def test_normalize_text_canonicalizes_planted_mess(spark) -> None:
+    from eventstreamd_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain text stays"),
+            (7, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    messy = textops.with_planted_mess(docs)  # dirties doc 0 and 7? only %7==0
+    out = {r["doc_id"]: r for r in textops.normalize_text(messy).collect()}
+    # both ids are %7==0 -> dirtied, then normalization restores the
+    # words with ASCII quotes around them
+    assert out[0]["changed"] and out[7]["changed"]
+    assert out[0]["text_norm"] == '" plain text stays "'
+    assert "\t" not in out[0]["text_norm"]
+    assert "  " not in out[0]["text_norm"]
+
+
+def test_normalize_text_idempotent(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import textops
+
+    docs = textops.with_planted_mess(load_table(spark, sf_dir, "documents"))
+    once = textops.normalize_text(docs).select(
+        F.col("doc_id"), F.col("text_norm").alias("text")
+    )
+    twice = textops.normalize_text(once)
+    assert twice.filter("changed").count() == 0
+
+
+# --- int8 embedding quantization -------------------------------------------
+
+
+def test_quantized_embeddings_bounds_and_reconstruction(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantized_embeddings(emb)
+    rows = q.join(emb, "vec_id").collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        scale = r["max_abs"] / 127.0
+        for c, x in zip(r["codes"], r["embedding"]):
+            assert abs(c * scale - x) <= scale / 2 + 1e-12
+
+
+def test_quantized_embeddings_zero_vector_guard(spark) -> None:
+    from eventstreamd_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in similarity.quantized_embeddings(df).collect()}
+    assert got[1]["codes"] == [0, 0, 0] and got[1]["max_abs"] == 0.0
+    assert got[2]["codes"] == [64, -127, 32]
