@@ -1977,6 +1977,10 @@ _COST_HINT = {
     "lateral_top_customers": 0.64, "q2_min_cost_supplier": 0.67,
     "q8_market_share": 0.71, "q5_local_supplier_volume": 0.74,
     "q16_supplier_part_counts": 1.38,
+    # round-3 additions (same sf0.001 steady-state measurement basis)
+    "text_normalize": 0.35, "weighted_sample": 0.32,
+    "embedding_quantize": 0.66, "classifier_quality": 1.74,
+    "kmeans_assignments": 2.11,
 }
 
 
