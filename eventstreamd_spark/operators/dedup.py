@@ -1362,3 +1362,111 @@ SELECT batch.doc_id,
          AND NOT (batch.doc_id IN (SELECT doc_id FROM near)) AS keep
 FROM batch
 """
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching — deletion-neighborhood blocking (SymSpell)
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 4
+
+
+def fuzzy_name_pairs(
+    parts: DataFrame,
+    name_col: str = "p_name",
+    max_dist: int = FUZZY_MAX_DIST,
+) -> DataFrame:
+    """Entity-resolution fuzzy match over a name column: pairs of
+    DISTINCT names within ``max_dist`` Levenshtein edits, found via
+    token-deletion-neighborhood blocking (the SymSpell / spelling-
+    correction indexing idea, Garbe 2012: two strings that differ in
+    one token share the key made by deleting that token).
+
+    The cascade is the standard ER shape — canonicalize, block,
+    verify:
+    1. **canonicalize**: collapse to distinct names first, so a name
+       with a million duplicate rows contributes ONE blocking row, not
+       a million (the catalog-entity cardinality, not the fact-row
+       cardinality, drives the candidate volume);
+    2. **block**: each k-token name emits k deletion keys; candidates
+       are pairs sharing a key.  The self-join shuffles an 8-byte hash
+       of the key (never the name) and each deletion bucket is tiny —
+       no quadratic fan-out on the full corpus;
+    3. **verify**: exact ``levenshtein`` on the (few) candidates —
+       classic-DP integer distance, identical in both engines, so the
+       oracle check is exact.
+
+    Output: (name_a, name_b, dist) for distinct-name pairs with
+    name_a < name_b and dist <= max_dist.
+    """
+    from eventstreamd_spark.functions.text import poly_hash
+
+    toks = F.split(F.col("name"), " ")
+    keys = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.concat(
+                F.slice(toks, 1, i),
+                F.slice(toks, i + 2, F.size(toks)),
+            ),
+        ),
+    )
+    names = parts.select(F.col(name_col).alias("name")).distinct()
+    blocked = names.select(
+        "name", F.explode_outer(keys).alias("__k")
+    ).select("name", poly_hash(F.col("__k")).alias("kh"))
+    right = blocked.select(
+        F.col("kh").alias("kh_b"), F.col("name").alias("name_b")
+    )
+    cand = (
+        blocked.join(
+            right,
+            (F.col("kh") == F.col("kh_b"))
+            & (F.col("name") < F.col("name_b")),
+        )
+        .select(F.col("name").alias("name_a"), "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", F.col("dist").cast("bigint").alias("dist"))
+    )
+
+
+def sql_fuzzy_name_pairs(
+    table: str = "part",
+    name_col: str = "p_name",
+    max_dist: int = FUZZY_MAX_DIST,
+) -> str:
+    """DuckDB twin — same deletion keys, hash blocking, and verify."""
+    from eventstreamd_spark.functions.text import sql_poly_hash
+
+    kh = sql_poly_hash("k.key")
+    return f"""
+WITH names AS (SELECT DISTINCT {name_col} AS name FROM {table}),
+keys AS (
+  SELECT name,
+         unnest(list_transform(range(0, len(string_split(name, ' '))),
+           i -> array_to_string(
+                  list_concat(
+                    list_slice(string_split(name, ' '), 1, i),
+                    list_slice(string_split(name, ' '), i + 2,
+                               len(string_split(name, ' ')))),
+                  ' '))) AS key
+  FROM names
+),
+blocked AS (SELECT name, {kh} AS kh FROM keys k),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM blocked a JOIN blocked b
+    ON a.kh = b.kh AND a.name < b.name
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= {max_dist}
+"""

@@ -126,3 +126,58 @@ def compact_small_files(
     n_files = max(1, math.ceil(total / target_file_bytes))
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Join-key skew diagnostics: the profile you run BEFORE a 100 TB
+    fact-fact join to decide between plain shuffle, salting, and AQE
+    skew splitting.
+
+    One groupBy to per-key counts, then one scalar aggregate over the
+    (distinct-key-sized) count table:
+    - ``max_count`` / ``skew_ratio`` — the straggler bound: the
+      heaviest reducer gets max_count rows; ratio >> 1 means salt;
+    - ``hhi_num`` — integer Herfindahl numerator (sum of squared
+      counts, exact, order-free); hhi = hhi_num / n_rows² in [1/k, 1]
+      measures concentration without any float accumulation.
+
+    Output is one row; every value integer except the two final
+    ratios (single IEEE divisions, engine-exact).
+    """
+    counts = df.groupBy(key).agg(F.count("*").alias("c"))
+    return counts.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_count"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("hhi_num"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_count",
+        "hhi_num",
+        (
+            F.col("max_count").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_ratio"),
+        (
+            F.col("hhi_num").cast("double")
+            / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double"))
+        ).alias("hhi"),
+    )
+
+
+def sql_key_skew_profile(table: str, key: str) -> str:
+    """DuckDB twin of key_skew_profile."""
+    return f"""
+WITH counts AS (SELECT {key}, count(*) AS c FROM {table} GROUP BY {key})
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(max(c) AS BIGINT) AS max_count,
+       CAST(sum(c * c) AS BIGINT) AS hhi_num,
+       CAST(max(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+         / CAST(sum(c) AS DOUBLE) AS skew_ratio,
+       CAST(sum(c * c) AS DOUBLE)
+         / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS hhi
+FROM counts
+"""

@@ -206,3 +206,91 @@ def sql_daily_event_spine(
         f"FROM {events} WHERE event_type = '{event_type}' GROUP BY CAST(ts AS DATE)"
         ") agg USING (day)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift — total-variation distance between corpus slices
+# ---------------------------------------------------------------------------
+
+
+def event_value_drift(events: DataFrame) -> DataFrame:
+    """Per-event-type distribution drift between two deterministic
+    slices of the stream (even vs odd event_id stands in for
+    yesterday-vs-today), as TOTAL VARIATION DISTANCE over unit value
+    bins — the data-drift monitor a training pipeline runs before
+    admitting a new batch.
+
+    TVD is chosen over PSI/KL deliberately: those need log(), whose
+    libm rounding differs across engines, while TVD is pure rational
+    arithmetic.  Same trick as the power-sum moments above: accumulate
+    the INTEGER numerator sum(|c_ref*M - c_cand*N|) (order-free,
+    exact), divide once at the end — both engines evaluate one
+    identical IEEE division per group.
+
+    Plan: one shuffle to the (type, bin) counts (map-side partials),
+    then a broadcast join of the |types|-row totals back onto the
+    |types x bins|-row bin table.  Nothing bigger than the bin table
+    ever moves; at 100 TB the fact scan is the only large input.
+    """
+    binned = events.select(
+        "event_type",
+        F.floor(F.col("value")).cast("bigint").alias("bin"),
+        (F.col("event_id") % 2 == 0).alias("is_ref"),
+    )
+    bins = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cand"),
+    )
+    totals = bins.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cand").alias("n_cand")
+    )
+    num = (
+        bins.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type", "n_ref", "n_cand")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum(
+                F.abs(
+                    F.col("c_ref") * F.col("n_cand")
+                    - F.col("c_cand") * F.col("n_ref")
+                )
+            ).alias("__num"),
+        )
+    )
+    return num.select(
+        "event_type",
+        F.col("n_bins").cast("bigint").alias("n_bins"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        (
+            F.col("__num").cast("double")
+            / (2.0 * F.col("n_ref").cast("double") * F.col("n_cand").cast("double"))
+        ).alias("tvd"),
+    )
+
+
+def sql_event_value_drift(table: str = "events") -> str:
+    """DuckDB twin — identical integer numerator, one final division."""
+    return f"""
+WITH binned AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS bin,
+         event_id % 2 = 0 AS is_ref
+  FROM {table}
+), bins AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c_cand
+  FROM binned GROUP BY event_type, bin
+), totals AS (
+  SELECT event_type, sum(c_ref) AS n_ref, sum(c_cand) AS n_cand
+  FROM bins GROUP BY event_type
+)
+SELECT b.event_type,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(t.n_ref AS BIGINT) AS n_ref,
+       CAST(t.n_cand AS BIGINT) AS n_cand,
+       CAST(sum(abs(b.c_ref * t.n_cand - b.c_cand * t.n_ref)) AS DOUBLE)
+         / (2.0 * CAST(t.n_ref AS DOUBLE) * CAST(t.n_cand AS DOUBLE)) AS tvd
+FROM bins b JOIN totals t USING (event_type)
+GROUP BY b.event_type, t.n_ref, t.n_cand
+"""

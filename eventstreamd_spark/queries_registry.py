@@ -1837,6 +1837,37 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from eventstreamd_spark.operators import skew as skew_op  # noqa: E402
+
+
+@register(
+    "orderkey_skew_profile",
+    skew_op.sql_key_skew_profile("lineitem", "l_orderkey"),
+)
+def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for the orders-lineitem join key
+    (straggler bound + integer Herfindahl concentration)."""
+    return skew_op.key_skew_profile(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
+
+
+@register("event_value_drift", stats_mod.sql_event_value_drift())
+def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-type total-variation distance
+    between deterministic stream slices (exact integer numerators,
+    one final IEEE division)."""
+    return stats_mod.event_value_drift(load_table(spark, sf_dir, "events"))
+
+
+@register("fuzzy_name_match", dedup_op.sql_fuzzy_name_pairs())
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match over part names: SymSpell-style
+    deletion-neighborhood blocking + exact Levenshtein verify, on the
+    canonicalized (distinct-name) catalog."""
+    return dedup_op.fuzzy_name_pairs(load_table(spark, sf_dir, "part"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -1980,7 +2011,8 @@ _COST_HINT = {
     # round-3 additions (same sf0.001 steady-state measurement basis)
     "text_normalize": 0.35, "weighted_sample": 0.32,
     "embedding_quantize": 0.66, "classifier_quality": 1.74,
-    "kmeans_assignments": 2.11,
+    "kmeans_assignments": 2.11, "orderkey_skew_profile": 0.20,
+    "event_value_drift": 0.30, "fuzzy_name_match": 0.35,
 }
 
 

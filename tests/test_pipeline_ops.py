@@ -1240,3 +1240,51 @@ def test_quantized_embeddings_zero_vector_guard(spark) -> None:
     got = {r["vec_id"]: r for r in similarity.quantized_embeddings(df).collect()}
     assert got[1]["codes"] == [0, 0, 0] and got[1]["max_abs"] == 0.0
     assert got[2]["codes"] == [64, -127, 32]
+
+
+# --- fuzzy entity matching -------------------------------------------------
+
+
+def test_fuzzy_pairs_block_and_verify(spark) -> None:
+    from eventstreamd_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "red widget"), (2, "blue widget"), (3, "red gadget"),
+         (4, "red widget"), (5, "totally different thing")],
+        "p_partkey long, p_name string",
+    )
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in dedup.fuzzy_name_pairs(df, max_dist=4).collect()
+    }
+    # shares "widget" deletion key, lev(red, blue)=4 -> within 4
+    assert got[("blue widget", "red widget")] == 4
+    # shares "red" deletion key, lev(widget, gadget)=2
+    assert got[("red gadget", "red widget")] == 2
+    # duplicates collapse before blocking: no self-pair, no repeats
+    assert all(a < b for (a, b) in got)
+    # non-overlapping name never becomes a candidate
+    assert not any("totally" in a or "totally" in b for (a, b) in got)
+
+
+def test_event_value_drift_bounds_and_identity(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import statistics
+
+    ev = load_table(spark, sf_dir, "events")
+    out = statistics.event_value_drift(ev).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r["tvd"] <= 1.0
+        assert r["n_ref"] + r["n_cand"] > 0
+    # identical slices => zero drift
+    dup = ev.select(
+        (F.col("event_id") * 2).alias("event_id"), "event_type", "value"
+    ).unionAll(
+        ev.select(
+            (F.col("event_id") * 2 + 1).alias("event_id"),
+            "event_type",
+            "value",
+        )
+    )
+    zero = statistics.event_value_drift(dup).collect()
+    assert all(r["tvd"] == 0.0 for r in zero)
