@@ -294,3 +294,121 @@ SELECT b.event_type,
 FROM bins b JOIN totals t USING (event_type)
 GROUP BY b.event_type, t.n_ref, t.n_cand
 """
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics — exact nearest-rank cuts without a global sort
+# ---------------------------------------------------------------------------
+
+
+def winsorized_price_stats(lineitem: DataFrame, p_bp: int = 100) -> DataFrame:
+    """Outlier-robust price statistics: clip l_extendedprice at the
+    exact nearest-rank ``p_bp``-basis-point quantiles (100 bp = 1%
+    each tail), then aggregate decimal-exact — the robust
+    preprocessing step before any scale-sensitive downstream model.
+
+    The interesting part is finding an EXACT order statistic at 100 TB
+    without sorting 100 TB: the classic histogram-refinement two-pass —
+    1. one shuffle to unit-bucket counts (floor(v)); the cumulative
+       count window runs over the BUCKET table (distinct integer
+       prices — KB, the documented tiny-window exemption), locating
+       which bucket contains each target rank and the residual
+       in-bucket rank;
+    2. one narrow pass re-reads ONLY the two cut buckets (broadcast
+       the 2-row bucket spec; per-bucket row_number over a bucket-
+       sized partition) to extract the exact cut values;
+    3. one final narrow pass clips against the broadcast cuts and
+       aggregates with the decimal-exact sum/avg helpers.
+    Nearest-rank (no interpolation) keeps the cuts actual data values,
+    so both engines agree bit-for-bit; rank arithmetic is the same
+    IEEE expression on both sides.
+    """
+    from pyspark.sql import Window as W
+
+    from eventstreamd_spark.functions.exact import davg, dsum
+
+    base = lineitem.select(F.col("l_extendedprice").alias("v"))
+    bcol = F.floor(F.col("v")).cast("long")
+    buckets = base.groupBy(bcol.alias("b")).agg(F.count("*").alias("c"))
+    wcum = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    cum = buckets.withColumn("cum", F.sum("c").over(wcum))
+    tot = buckets.agg(F.sum("c").cast("bigint").alias("n"))
+    cj = cum.crossJoin(F.broadcast(tot))
+    lo_rank = F.ceil(F.lit(p_bp) / 10000.0 * F.col("n")).cast("bigint")
+    hi_rank = F.col("n") - lo_rank + 1
+
+    def cut_bucket(rank: F.Column, which: str) -> DataFrame:
+        return (
+            cj.filter(F.col("cum") >= rank)
+            .orderBy("b")
+            .limit(1)
+            .select(
+                F.lit(which).alias("which"),
+                "b",
+                (rank - (F.col("cum") - F.col("c"))).alias("tr"),
+            )
+        )
+
+    cut_spec = cut_bucket(lo_rank, "lo").unionAll(cut_bucket(hi_rank, "hi"))
+    win = W.partitionBy("which").orderBy("v")
+    cuts = (
+        base.join(F.broadcast(cut_spec), bcol == F.col("b"))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == F.col("tr"))
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("which") == "lo", F.col("v"))).alias("lo_cut"),
+            F.max(F.when(F.col("which") == "hi", F.col("v"))).alias("hi_cut"),
+        )
+    )
+    cl = F.greatest(F.col("lo_cut"), F.least(F.col("hi_cut"), F.col("v")))
+    return (
+        base.crossJoin(F.broadcast(cuts))
+        .groupBy("lo_cut", "hi_cut")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum((F.col("v") < F.col("lo_cut")).cast("int"))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum((F.col("v") > F.col("hi_cut")).cast("int"))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            dsum(cl, "sum_winsorized"),
+            davg(cl, "avg_winsorized"),
+        )
+        .select(
+            "n_rows", "lo_cut", "hi_cut", "n_clipped_low",
+            "n_clipped_high", "sum_winsorized", "avg_winsorized",
+        )
+    )
+
+
+def sql_winsorized_price_stats(
+    lineitem: str = "lineitem", p_bp: int = 100
+) -> str:
+    """DuckDB twin — the spec-level single-sort formulation (the oracle
+    may sort; the engine may not)."""
+    from eventstreamd_spark.functions.exact import sql_davg, sql_dsum
+
+    clip = "greatest(lo_cut, least(hi_cut, v))"
+    return f"""
+WITH base AS (SELECT l_extendedprice AS v FROM {lineitem}),
+tot AS (SELECT count(*) AS n FROM base),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM base),
+cuts AS (
+  SELECT
+    (SELECT v FROM ranked, tot
+      WHERE r = CAST(ceil({p_bp} / 10000.0 * n) AS BIGINT)) AS lo_cut,
+    (SELECT v FROM ranked, tot
+      WHERE r = n - CAST(ceil({p_bp} / 10000.0 * n) AS BIGINT) + 1) AS hi_cut
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows, lo_cut, hi_cut,
+       CAST(sum(CASE WHEN v < lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN v > hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       {sql_dsum(clip, "sum_winsorized")},
+       {sql_davg(clip, "avg_winsorized")}
+FROM base, cuts
+GROUP BY lo_cut, hi_cut
+"""

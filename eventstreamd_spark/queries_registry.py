@@ -1852,6 +1852,16 @@ def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("winsorized_prices", stats_mod.sql_winsorized_price_stats())
+def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized price statistics with EXACT nearest-rank 1% cuts via
+    histogram refinement — the distributed order-statistic pattern
+    (no global sort; the only window runs over the bucket table)."""
+    return stats_mod.winsorized_price_stats(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
 @register("event_value_drift", stats_mod.sql_event_value_drift())
 def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor: per-type total-variation distance
@@ -2013,6 +2023,7 @@ _COST_HINT = {
     "embedding_quantize": 0.66, "classifier_quality": 1.74,
     "kmeans_assignments": 2.11, "orderkey_skew_profile": 0.20,
     "event_value_drift": 0.30, "fuzzy_name_match": 0.35,
+    "winsorized_prices": 0.60,
 }
 
 

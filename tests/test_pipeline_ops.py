@@ -1288,3 +1288,23 @@ def test_event_value_drift_bounds_and_identity(spark, sf_dir) -> None:
     )
     zero = statistics.event_value_drift(dup).collect()
     assert all(r["tvd"] == 0.0 for r in zero)
+
+
+def test_winsorized_cuts_match_sorted_reference(spark, sf_dir) -> None:
+    import math
+
+    from eventstreamd_spark.operators import statistics
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = statistics.winsorized_price_stats(li, p_bp=100).collect()[0]
+    vals = sorted(r["l_extendedprice"] for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    lo_rank = math.ceil(100 / 10000.0 * n)
+    hi_rank = n - lo_rank + 1
+    assert got["n_rows"] == n
+    assert got["lo_cut"] == vals[lo_rank - 1]
+    assert got["hi_cut"] == vals[hi_rank - 1]
+    assert got["n_clipped_low"] == sum(1 for v in vals if v < got["lo_cut"])
+    assert got["n_clipped_high"] == sum(1 for v in vals if v > got["hi_cut"])
+    clipped = [min(got["hi_cut"], max(got["lo_cut"], v)) for v in vals]
+    assert abs(got["avg_winsorized"] - sum(clipped) / n) < 1e-6
