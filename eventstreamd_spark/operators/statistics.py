@@ -227,11 +227,16 @@ def event_value_drift(events: DataFrame) -> DataFrame:
     exact), divide once at the end — both engines evaluate one
     identical IEEE division per group.
 
-    Plan: one shuffle to the (type, bin) counts (map-side partials),
-    then a broadcast join of the |types|-row totals back onto the
-    |types x bins|-row bin table.  Nothing bigger than the bin table
-    ever moves; at 100 TB the fact scan is the only large input.
+    Plan: ONE fact scan to the (type, bin) counts (map-side partials);
+    the per-type totals come from a window over the bin table itself —
+    |types x bins| rows, KB not TB — so the fact table is never
+    scanned or aggregated twice (a totals-as-separate-aggregate
+    formulation would re-run the whole bin aggregation just to sum
+    it).  The final per-type aggregate reuses the window's
+    event_type partitioning: no further exchange.
     """
+    from pyspark.sql import Window as W
+
     binned = events.select(
         "event_type",
         F.floor(F.col("value")).cast("bigint").alias("bin"),
@@ -241,11 +246,10 @@ def event_value_drift(events: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
         F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cand"),
     )
-    totals = bins.groupBy("event_type").agg(
-        F.sum("c_ref").alias("n_ref"), F.sum("c_cand").alias("n_cand")
-    )
+    wt = W.partitionBy("event_type")
     num = (
-        bins.join(F.broadcast(totals), "event_type")
+        bins.withColumn("n_ref", F.sum("c_ref").over(wt))
+        .withColumn("n_cand", F.sum("c_cand").over(wt))
         .groupBy("event_type", "n_ref", "n_cand")
         .agg(
             F.count("*").alias("n_bins"),

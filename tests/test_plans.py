@@ -368,3 +368,35 @@ def test_kmeans_assign_broadcasts_centroids(plans) -> None:
     # the corpus leg is never exchanged for the join itself: the only
     # exchanges are the per-vector argmax window's hash partitioning
     assert phys.count("Exchange hashpartitioning") <= 2
+
+
+def test_winsorized_never_sorts_the_relation(plans) -> None:
+    # exact order statistics WITHOUT a distributed full sort: no
+    # rangepartitioning exchange anywhere; the cut-bucket pick is a
+    # k-row heap and the only ordered windows run over the bucket table
+    phys = plans("winsorized_prices").split("== Physical Plan ==")[-1]
+    assert "rangepartitioning" not in phys
+    assert "TakeOrderedAndProject" in phys
+
+
+def test_drift_single_fact_scan(plans) -> None:
+    # totals come from a window over the bin table, NOT a second
+    # aggregate of the fact — one scan, two exchanges (bins, then the
+    # per-type window whose partitioning the final aggregate reuses)
+    phys = plans("event_value_drift").split("== Physical Plan ==")[-1]
+    assert phys.count("Scan parquet") == 1
+    assert phys.count("Exchange hashpartitioning") <= 2
+
+
+def test_fuzzy_blocking_shuffles_hashes_not_names(plans) -> None:
+    plan = plans("fuzzy_name_match")
+    # the blocking join key is the md5-derived bigint, not the raw key
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "levenshtein" in plan.lower()
+
+
+def test_skew_profile_two_aggregates_only(plans) -> None:
+    phys = plans("orderkey_skew_profile").split("== Physical Plan ==")[-1]
+    # per-key agg (one exchange) + scalar agg (single partition of the
+    # already-aggregated key table)
+    assert phys.count("Exchange hashpartitioning") <= 1
