@@ -1308,3 +1308,25 @@ def test_winsorized_cuts_match_sorted_reference(spark, sf_dir) -> None:
     assert got["n_clipped_high"] == sum(1 for v in vals if v > got["hi_cut"])
     clipped = [min(got["hi_cut"], max(got["lo_cut"], v)) for v in vals]
     assert abs(got["avg_winsorized"] - sum(clipped) / n) < 1e-6
+
+
+def test_fuzzy_single_token_typo_always_blocked_together(spark) -> None:
+    """Deletion-neighborhood guarantee: names differing in exactly one
+    token ALWAYS share a deletion key, so blocking can never miss them
+    (recall=1 for the single-token-edit class, by construction)."""
+    import itertools
+
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    names = [" ".join(p) for p in itertools.product(vocab, repeat=2)]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "p_partkey long, p_name string"
+    )
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in dedup.fuzzy_name_pairs(df, max_dist=100).collect()
+    }
+    for a, b in itertools.combinations(names, 2):
+        ta, tb = a.split(), b.split()
+        one_token_apart = sum(x != y for x, y in zip(ta, tb)) == 1
+        if one_token_apart:
+            assert (min(a, b), max(a, b)) in got

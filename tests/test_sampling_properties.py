@@ -71,3 +71,33 @@ def test_rebalance_rejects_empty_targets(spark, docs) -> None:
 def test_sql_rebalance_escapes_quotes() -> None:
     sql = sampling.sql_rebalance_to_mix("doc_id", "source", {"o'brien": 1.0})
     assert "o''brien" in sql  # quoted literal survives
+
+
+# --- sequential Poisson weighted sampling -----------------------------------
+
+
+def test_weighted_sample_invariant_under_weight_scaling(spark, docs) -> None:
+    """Uniformly scaling every weight preserves the selected set (the
+    priority ordering u/w is scale-free) — the property that makes
+    weight units (chars vs tokens vs bytes) irrelevant to membership."""
+    base = _ids(sampling.weighted_sample(docs, "doc_id", "n_chars", 40))
+    scaled = docs.withColumn("n_chars", F.col("n_chars") * 1000)
+    assert _ids(sampling.weighted_sample(scaled, "doc_id", "n_chars", 40)) == base
+
+
+def test_weighted_sample_invariant_under_partitioning(spark, docs) -> None:
+    base = _ids(sampling.weighted_sample(docs, "doc_id", "n_chars", 40))
+    for parts in (1, 7):
+        assert _ids(
+            sampling.weighted_sample(
+                docs.repartition(parts, "lang"), "doc_id", "n_chars", 40
+            )
+        ) == base
+
+
+def test_weighted_sample_monotone_in_k(spark, docs) -> None:
+    prev: set = set()
+    for k in (5, 20, 40):
+        cur = _ids(sampling.weighted_sample(docs, "doc_id", "n_chars", k))
+        assert prev <= cur and len(cur) == k
+        prev = cur
