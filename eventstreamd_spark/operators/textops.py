@@ -1245,3 +1245,136 @@ SELECT doc_id, {s} AS text_norm,
        CAST(length({s}) AS BIGINT) AS n_chars_norm
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-ranked token-budget fill (training-set assembly)
+# ---------------------------------------------------------------------------
+
+FILL_BUDGET = 1_000  # tokens; deliberately < corpus total at every sf
+
+
+def _clf_logit_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, logit) in ONE narrow pass — the classifier
+    logit (same formula as classifier_quality_scores) plus the token
+    weight the budget accounting needs."""
+    from eventstreamd_spark.functions.text import HASH_MOD  # noqa: F401
+
+    toks = tokens(F.col("text"))
+    half = (CLF_W_RANGE - 1) // 2
+    feats = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bound = fan_out(docs).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        feats.alias("__f"),
+    )
+    raw = F.aggregate(
+        F.col("__f"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (poly_hash(s) % CLF_W_RANGE - half).cast("double") / 1000.0,
+    )
+    n_feats = F.size(F.col("__f"))
+    logit = F.when(
+        n_feats > 0, F.round(raw / n_feats.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return bound.select("doc_id", "n_tokens", logit.alias("logit"))
+
+
+def token_budget_fill(
+    docs: DataFrame, budget: int = FILL_BUDGET
+) -> DataFrame:
+    """Assemble a training set: take documents in descending quality
+    order until the token budget is filled (the crossing document is
+    included — standard take-until semantics).  This is the selection
+    step every "best N tokens" curation recipe ends with (FineWeb-Edu
+    style: classifier-ranked corpus, fixed token budget).
+
+    The naive statement is a GLOBAL window (sum(n_tokens) OVER (ORDER
+    BY logit DESC, doc_id)) — a single-task sort at 100 TB.  The
+    scalable form is the same two-phase prefix sum the shard packers
+    use, with quality-score BANDS as the outer unit:
+    1. band = round(logit * 1e6) (exact for 6-dp logits; band order is
+       consistent with logit order — equal logits always share a
+       band); per-band token totals; the cumulative/threshold window
+       runs over the BAND table (bounded by score resolution, KB);
+    2. bands wholly under budget are taken outright; only surviving
+       bands' rows are re-read (broadcast band spec), and the in-band
+       prefix runs in a window PARTITIONED by band, ordered by
+       (logit DESC, doc_id) so the concatenated order equals the
+       global order even if floating-point banding ever merges two
+       adjacent logits.
+    All accounting is BIGINT; the only doubles are the (bit-exact)
+    logits being ordered.
+    """
+    from pyspark.sql import Window as W
+
+    scored = _clf_logit_frame(docs)
+    band = F.round(F.col("logit") * 1_000_000.0).cast("bigint")
+    banded = scored.withColumn("band", band)
+    btot = banded.groupBy("band").agg(F.sum("n_tokens").alias("bt"))
+    wb = W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, 0)
+    bands = (
+        btot.withColumn("cum", F.sum("bt").over(wb))
+        .withColumn("excl", F.col("cum") - F.col("bt"))
+        .filter(F.col("excl") < budget)
+        .select("band", "excl")
+    )
+    win = W.partitionBy("band").orderBy(F.desc("logit"), "doc_id")
+    return (
+        banded.join(F.broadcast(bands), "band")
+        .withColumn("in_cum", F.sum("n_tokens").over(win))
+        .withColumn(
+            "start_tokens", F.col("excl") + F.col("in_cum") - F.col("n_tokens")
+        )
+        .filter(F.col("start_tokens") < budget)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("start_tokens").cast("bigint").alias("start_tokens"),
+        )
+    )
+
+
+def sql_token_budget_fill(
+    table: str = "documents", budget: int = FILL_BUDGET
+) -> str:
+    """DuckDB twin — the spec-level global-window statement (the oracle
+    may sort globally; the engine may not)."""
+    half = (CLF_W_RANGE - 1) // 2
+    t = sql_tokens("text")
+    h = sql_poly_hash("s")
+    return f"""
+WITH f AS (
+  SELECT doc_id, len({t}) AS n_tokens,
+         CASE WHEN len({t}) >= 2 THEN
+           list_transform(range(0, len({t}) - 1),
+             i -> array_to_string(list_slice({t}, i + 1, i + 2), ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS feats
+  FROM {table}
+), s AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN len(feats) > 0 THEN
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(feats,
+               s -> CAST(({h}) % {CLF_W_RANGE} - {half} AS DOUBLE) / 1000.0)),
+             (acc, x) -> acc + x) / CAST(len(feats) AS DOUBLE), 6)
+         ELSE 0.0 END AS logit
+  FROM f
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY logit DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM s
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_tokens
+FROM c WHERE cum - n_tokens < {budget}
+"""

@@ -1852,6 +1852,14 @@ def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("token_budget_fill", text_op.sql_token_budget_fill())
+def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set assembly: classifier-ranked documents taken until
+    a token budget fills, via score-band two-phase prefix sums (no
+    global sort/window over the corpus)."""
+    return text_op.token_budget_fill(load_table(spark, sf_dir, "documents"))
+
+
 @register("winsorized_prices", stats_mod.sql_winsorized_price_stats())
 def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized price statistics with EXACT nearest-rank 1% cuts via
@@ -2023,7 +2031,7 @@ _COST_HINT = {
     "embedding_quantize": 0.66, "classifier_quality": 1.74,
     "kmeans_assignments": 2.11, "orderkey_skew_profile": 0.20,
     "event_value_drift": 0.30, "fuzzy_name_match": 0.35,
-    "winsorized_prices": 0.60,
+    "winsorized_prices": 0.60, "token_budget_fill": 0.80,
 }
 
 

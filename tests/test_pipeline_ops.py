@@ -1330,3 +1330,31 @@ def test_fuzzy_single_token_typo_always_blocked_together(spark) -> None:
         one_token_apart = sum(x != y for x, y in zip(ta, tb)) == 1
         if one_token_apart:
             assert (min(a, b), max(a, b)) in got
+
+
+def test_token_budget_fill_semantics(spark, sf_dir) -> None:
+    """The selected set must equal the take-until-budget prefix of the
+    globally quality-sorted corpus, with the crossing doc included."""
+    from eventstreamd_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 300
+    got = {
+        r["doc_id"]: r
+        for r in textops.token_budget_fill(docs, budget=budget).collect()
+    }
+    ref = sorted(
+        textops._clf_logit_frame(docs).collect(),
+        key=lambda r: (-r["logit"], r["doc_id"]),
+    )
+    cum, expected = 0, {}
+    for r in ref:
+        if cum >= budget:
+            break
+        expected[r["doc_id"]] = cum
+        cum += r["n_tokens"]
+    assert set(got) == set(expected)
+    for i, start in expected.items():
+        assert got[i]["start_tokens"] == start
+    total = sum(got[i]["n_tokens"] for i in got)
+    assert total >= budget  # budget filled (crossing doc included)
