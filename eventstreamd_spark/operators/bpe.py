@@ -121,6 +121,18 @@ def bpe_merge_table(
     """Learn the first ``n_merges`` BPE merges over the corpus
     vocabulary; returns (merge_rank, lhs, rhs, pair_count)."""
     spark = docs.sparkSession
+    merges, _ = _induce(docs, n_merges)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def _induce(
+    docs: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the merge rounds; returns (merge table rows, the vocabulary
+    frame with ALL learned merges applied) — the second return is what
+    the encoder consumes."""
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
     vocab = (
         tok.groupBy("term")
@@ -144,9 +156,7 @@ def bpe_merge_table(
         vocab = vocab.select(
             "term", "cnt", _apply_merge(F.col("syms"), a, b).alias("syms")
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
-    )
+    return merges, vocab
 
 
 def sql_bpe_merge_table(
@@ -154,6 +164,19 @@ def sql_bpe_merge_table(
 ) -> str:
     """DuckDB twin: the same rounds unrolled as CTE levels, greedy
     fold with the sentinel-encoded skip state."""
+    parts = _sql_rounds(table, n_merges, full_vocab=False)
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, total AS pair_count "
+        f"FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + "\nSELECT * FROM (" + union + ") ORDER BY merge_rank"
+
+
+def _sql_rounds(table: str, n_merges: int, full_vocab: bool) -> list[str]:
+    """The induction rounds as CTE parts.  ``full_vocab=True`` also
+    applies the LAST merge to the vocabulary (the encoder needs the
+    final vocab; the merge-table output does not)."""
     toks = sql_tokens("text")
     fold = (
         "list_reduce("
@@ -187,14 +210,84 @@ def sql_bpe_merge_table(
             f"best{k} AS (SELECT a, b, total FROM p{k} "
             f"ORDER BY total DESC, a, b LIMIT 1)"
         )
-        if k < n_merges:
+        if k < n_merges or full_vocab:
             parts.append(
                 f"v{k} AS (SELECT term, cnt, {fold} AS syms "
                 f"FROM v{k - 1}, best{k})"
             )
-    union = " UNION ALL ".join(
-        f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, total AS pair_count "
-        f"FROM best{k}"
-        for k in range(1, n_merges + 1)
+    return parts
+
+
+def bpe_encode_stats(
+    docs: DataFrame, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Apply the learned merge table: per-document BPE token counts —
+    the ENCODE half of the tokenizer (the induction above is TRAIN).
+
+    The scale trick is that encoding is a VOCABULARY computation, not
+    a corpus one: every occurrence of a word encodes identically, so
+    the merges are applied once per distinct term (Heaps'-law-sized)
+    and the corpus pass is a broadcast join of the (term -> symbol
+    count) map onto exploded tokens — O(vocab x merges) fold work plus
+    one corpus-speed join, never O(corpus x merges).  Zero-token
+    documents survive with zero counts (left join + coalesce).
+
+    Output (all BIGINT, exact oracle): n_word_tokens, n_chars_tokens
+    (pre-BPE symbol count), n_bpe_tokens (post-merge symbol count).
+    """
+    _, vocab = _induce(docs, n_merges)
+    enc = vocab.select(
+        "term",
+        F.length("term").cast("bigint").alias("n_chars_t"),
+        F.size("syms").cast("bigint").alias("n_syms"),
     )
-    return ",\n".join(parts) + "\nSELECT * FROM (" + union + ") ORDER BY merge_rank"
+    doc_terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    per_doc = (
+        doc_terms.join(F.broadcast(enc), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("nw"),
+            F.sum("n_chars_t").alias("nc"),
+            F.sum("n_syms").alias("nb"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nw"), F.lit(0)).cast("bigint").alias("n_word_tokens"),
+            F.coalesce(F.col("nc"), F.lit(0)).cast("bigint").alias("n_chars_tokens"),
+            F.coalesce(F.col("nb"), F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def sql_bpe_encode_stats(
+    table: str = "documents", n_merges: int = N_MERGES
+) -> str:
+    """DuckDB twin: the induction CTE ladder (with the final vocab
+    materialized) feeding the same join-and-count."""
+    toks = sql_tokens("text")
+    parts = _sql_rounds(table, n_merges, full_vocab=True)
+    return (
+        ",\n".join(parts)
+        + f""",
+doc_terms AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS nw,
+         sum(length(t.term)) AS nc, sum(len(f.syms)) AS nb
+  FROM doc_terms t JOIN v{n_merges} f USING (term)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.nw, 0) AS BIGINT) AS n_word_tokens,
+       CAST(coalesce(p.nc, 0) AS BIGINT) AS n_chars_tokens,
+       CAST(coalesce(p.nb, 0) AS BIGINT) AS n_bpe_tokens
+FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+"""
+    )

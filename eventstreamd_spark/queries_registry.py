@@ -1852,6 +1852,14 @@ def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_encode", bpe_op.sql_bpe_encode_stats())
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE: apply the learned merge table per distinct term,
+    broadcast the (term -> symbol count) map over the corpus — per-doc
+    BPE token counts at O(vocab x merges) fold cost."""
+    return bpe_op.bpe_encode_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register("token_budget_fill", text_op.sql_token_budget_fill())
 def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set assembly: classifier-ranked documents taken until
@@ -2032,6 +2040,7 @@ _COST_HINT = {
     "kmeans_assignments": 2.11, "orderkey_skew_profile": 0.20,
     "event_value_drift": 0.30, "fuzzy_name_match": 0.35,
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
+    "bpe_encode": 2.40,
 }
 
 

@@ -1358,3 +1358,18 @@ def test_token_budget_fill_semantics(spark, sf_dir) -> None:
         assert got[i]["start_tokens"] == start
     total = sum(got[i]["n_tokens"] for i in got)
     assert total >= budget  # budget filled (crossing doc included)
+
+
+def test_bpe_encode_compresses_and_is_consistent(spark, sf_dir) -> None:
+    """Encoding invariants: merges only ever REDUCE symbol counts
+    (n_bpe <= n_chars), totals are conserved, and a doc's BPE length is
+    recoverable from the vocabulary encoding of its terms."""
+    from eventstreamd_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bpe.bpe_encode_stats(docs).collect()
+    assert len(out) == docs.count()
+    assert all(r["n_bpe_tokens"] <= r["n_chars_tokens"] for r in out)
+    assert all(r["n_bpe_tokens"] >= r["n_word_tokens"] for r in out)
+    # 8 merges on this corpus must actually fire somewhere
+    assert sum(r["n_chars_tokens"] - r["n_bpe_tokens"] for r in out) > 0
