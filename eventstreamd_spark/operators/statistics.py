@@ -416,3 +416,45 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows, lo_cut, hi_cut,
 FROM base, cuts
 GROUP BY lo_cut, hi_cut
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus profiling (ANALYZE-style data-quality report)
+# ---------------------------------------------------------------------------
+
+
+def profile_documents(docs: DataFrame) -> DataFrame:
+    """One-row data-quality profile of the documents table: row/null
+    counts, per-column distinct cardinalities, length extremes and the
+    exact total — the ANALYZE pass a pipeline runs on every new drop
+    before admitting it (and the stats a cost-based planner wants).
+
+    Plan: one scan, one aggregate; the distinct counts use Spark's
+    count(DISTINCT) expansion (map-side partial per distinct column).
+    At 100 TB you would swap the exact distincts for HLL
+    (approx_count_distinct, see approx_distinct_parts) — kept exact
+    here so the oracle can verify the surface bit-for-bit.
+    """
+    return docs.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("int")).cast("bigint").alias("n_null_text"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+def sql_profile_documents(table: str = "documents") -> str:
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_text,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM {table}
+"""

@@ -1254,12 +1254,12 @@ FROM {table}
 FILL_BUDGET = 1_000  # tokens; deliberately < corpus total at every sf
 
 
-def _clf_logit_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, logit) in ONE narrow pass — the classifier
-    logit (same formula as classifier_quality_scores) plus the token
-    weight the budget accounting needs."""
-    from eventstreamd_spark.functions.text import HASH_MOD  # noqa: F401
-
+def _clf_logit_frame(
+    docs: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra_cols, n_tokens, logit) in ONE narrow pass — the
+    classifier logit (same formula as classifier_quality_scores) plus
+    the token weight the budget accounting needs."""
     toks = tokens(F.col("text"))
     half = (CLF_W_RANGE - 1) // 2
     feats = F.when(
@@ -1271,6 +1271,7 @@ def _clf_logit_frame(docs: DataFrame) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     bound = fan_out(docs).select(
         "doc_id",
+        *extra_cols,
         F.size(toks).cast("bigint").alias("n_tokens"),
         feats.alias("__f"),
     )
@@ -1284,7 +1285,9 @@ def _clf_logit_frame(docs: DataFrame) -> DataFrame:
     logit = F.when(
         n_feats > 0, F.round(raw / n_feats.cast("double"), 6)
     ).otherwise(F.lit(0.0))
-    return bound.select("doc_id", "n_tokens", logit.alias("logit"))
+    return bound.select(
+        "doc_id", *extra_cols, "n_tokens", logit.alias("logit")
+    )
 
 
 def token_budget_fill(
@@ -1377,4 +1380,74 @@ WITH f AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(cum - n_tokens AS BIGINT) AS start_tokens
 FROM c WHERE cum - n_tokens < {budget}
+"""
+
+
+def source_quality_report(docs: DataFrame) -> DataFrame:
+    """Per-source quality dashboard: document count, exact mean and
+    LOWER MEDIAN of the classifier logit — the per-domain report a
+    curation run publishes so a bad crawl source is visible before it
+    trains.
+
+    Exactness discipline: the mean sums the (bit-exact, 6-dp) logits
+    as DECIMAL(18,6) — order-free — and divides once; the median is
+    the rank-threshold rule (min logit with 2*rank >= count), never an
+    interpolation, so both engines pick the identical stored value.
+    One narrow feature pass + one window + one aggregate, all keyed by
+    source.
+    """
+    from pyspark.sql import Window as W
+
+    scored = _clf_logit_frame(docs, extra_cols=("source",))
+    win = W.partitionBy("source").orderBy("logit", "doc_id")
+    cnt = W.partitionBy("source")
+    ranked = scored.withColumn("rn", F.row_number().over(win)).withColumn(
+        "nn", F.count("*").over(cnt)
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (
+            F.sum(F.col("logit").cast("decimal(18,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_logit"),
+        F.min(
+            F.when(2 * F.col("rn") >= F.col("nn"), F.col("logit"))
+        ).alias("median_logit"),
+    )
+
+
+def sql_source_quality_report(table: str = "documents") -> str:
+    """DuckDB twin — same decimal mean and rank-threshold median."""
+    half = (CLF_W_RANGE - 1) // 2
+    t = sql_tokens("text")
+    h = sql_poly_hash("s")
+    return f"""
+WITH f AS (
+  SELECT doc_id, source,
+         CASE WHEN len({t}) >= 2 THEN
+           list_transform(range(0, len({t}) - 1),
+             i -> array_to_string(list_slice({t}, i + 1, i + 2), ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS feats
+  FROM {table}
+), s AS (
+  SELECT doc_id, source,
+         CASE WHEN len(feats) > 0 THEN
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(feats,
+               s -> CAST(({h}) % {CLF_W_RANGE} - {half} AS DOUBLE) / 1000.0)),
+             (acc, x) -> acc + x) / CAST(len(feats) AS DOUBLE), 6)
+         ELSE 0.0 END AS logit
+  FROM f
+), r AS (
+  SELECT source, logit,
+         row_number() OVER (PARTITION BY source ORDER BY logit, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS nn
+  FROM s
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(CAST(sum(CAST(logit AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_logit,
+       min(CASE WHEN 2 * rn >= nn THEN logit END) AS median_logit
+FROM r
+GROUP BY source
 """

@@ -1852,6 +1852,22 @@ def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("corpus_profile", stats_mod.sql_profile_documents())
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-row data-quality profile of the documents
+    drop (null/distinct/extreme stats)."""
+    return stats_mod.profile_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register("source_quality_report", text_op.sql_source_quality_report())
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source classifier-quality dashboard (decimal-exact mean,
+    rank-threshold median)."""
+    return text_op.source_quality_report(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("bpe_encode", bpe_op.sql_bpe_encode_stats())
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE: apply the learned merge table per distinct term,
@@ -2040,7 +2056,8 @@ _COST_HINT = {
     "kmeans_assignments": 2.11, "orderkey_skew_profile": 0.20,
     "event_value_drift": 0.30, "fuzzy_name_match": 0.35,
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
-    "bpe_encode": 2.40,
+    "bpe_encode": 2.40, "corpus_profile": 0.20,
+    "source_quality_report": 0.50,
 }
 
 
