@@ -331,3 +331,25 @@ def stream_incremental_dedup(
     )
     hashed = stream_docs.withColumn("h", F.sha2(F.col(text_col), 256))
     return hashed.join(index, "h", "left_anti").drop("h")
+
+
+def stream_quality_gate(stream_docs: DataFrame) -> DataFrame:
+    """Streaming curation admission: score each micro-batch with the
+    frozen linear quality classifier (operators/textops.py::
+    classifier_quality_scores — identical formula, so batch and stream
+    verdicts agree doc-for-doc) and keep only logit >= 0.
+
+    Stateless and NARROW per batch — the classifier is one projection
+    (the text column rides through the same pass; a join back to the
+    stream would be a watermark-requiring stream-stream join), so the
+    gate adds zero state, zero shuffle, and zero watermark to any
+    ingest pipeline it composes with (admission runs at socket speed;
+    the same column expressions whole-stage-compile in both batch and
+    micro-batch plans).
+    """
+    from eventstreamd_spark.operators.textops import _clf_logit_frame
+
+    scored = _clf_logit_frame(stream_docs, extra_cols=("text",))
+    return scored.filter(F.col("logit") >= 0).select(
+        "doc_id", "text", "logit"
+    )

@@ -585,3 +585,41 @@ def test_stream_incremental_dedup_anti_join(spark, sf_dir, tmp_path) -> None:
         for r in corpus.filter("doc_id % 2 = 1").select("doc_id").collect()
     }
     assert out == fresh  # every copy dropped, every fresh doc admitted
+
+
+def test_stream_quality_gate_matches_batch_verdicts(spark, sf_dir, tmp_path) -> None:
+    """The streaming admission gate must agree doc-for-doc with the
+    batch classifier (same formula, same plan shape)."""
+    import os
+
+    from eventstreamd_spark.operators.textops import classifier_quality_scores
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import stream_quality_gate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "qg_stream")
+    os.makedirs(src)
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream_quality_gate(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qg_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["logit"]
+        for r in spark.sql("SELECT doc_id, logit FROM qg_out").collect()
+    }
+    batch = {
+        r["doc_id"]: r["logit"]
+        for r in classifier_quality_scores(docs).filter("keep").collect()
+    }
+    assert got == batch
