@@ -876,21 +876,24 @@ def ann_recall_report(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
+    tier: str = "ivf",
 ) -> DataFrame:
-    """Retrieval-quality observability: per-query recall@k of the IVF
-    ANN tier against the exact brute-force ranking — the eval loop a
+    """Retrieval-quality observability: per-query recall@k of an ANN
+    tier against the exact brute-force ranking — the eval loop a
     production vector pipeline runs on every index rebuild (recall
-    regressions from centroid drift or skewed cells surface here, not
-    in user traffic).
+    regressions from centroid drift, skewed cells, or quantization
+    error surface here, not in user traffic).  ``tier`` selects which
+    approximate ladder rung is audited ("ivf" or "pq").
 
     Composes the two existing operators and joins on (query, neighbor):
     the exact side is the |Q|-bounded brute-force scan, so the report
     costs one corpus pass more than the ANN query it audits.
     """
+    approx_fn = {"ivf": ivf_topk, "pq": pq_topk}[tier]
     exact = brute_force_topk(embeddings, query_ids, k=k).select(
         "query_id", "neighbor_id"
     )
-    approx = ivf_topk(embeddings, query_ids, k=k).select(
+    approx = approx_fn(embeddings, query_ids, k=k).select(
         "query_id", F.col("neighbor_id").alias("approx_neighbor")
     )
     hits = exact.join(
@@ -914,11 +917,15 @@ def ann_recall_report(
 
 
 def sql_ann_recall_report(
-    query_ids: list[int], k: int = 5, table: str = "embeddings"
+    query_ids: list[int],
+    k: int = 5,
+    table: str = "embeddings",
+    tier: str = "ivf",
 ) -> str:
     """DuckDB twin of ann_recall_report (nests both ANN oracles)."""
+    sql_fn = {"ivf": sql_ivf_topk, "pq": sql_pq_topk}[tier]
     exact = sql_brute_force_topk(query_ids, k=k, table=table)
-    approx = sql_ivf_topk(query_ids, k=k, table=table)
+    approx = sql_fn(query_ids, k=k, table=table)
     return f"""
 WITH exact AS ({exact}),
 approx AS ({approx})

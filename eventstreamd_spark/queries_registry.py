@@ -1653,6 +1653,18 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_recall_pq",
+    sim_op.sql_ann_recall_report(_ANN_QUERY_IDS, k=5, tier="pq"),
+)
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ/ADC tier vs brute force — quantization-error
+    observability for the compressed rung of the ANN ladder."""
+    return sim_op.ann_recall_report(
+        load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5, tier="pq"
+    )
+
+
 @register("hashed_embeddings", text_op.sql_hashed_doc_embeddings())
 def hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document embeddings (no trained model): integer
@@ -2057,7 +2069,7 @@ _COST_HINT = {
     "event_value_drift": 0.30, "fuzzy_name_match": 0.35,
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
-    "source_quality_report": 0.50,
+    "source_quality_report": 0.50, "ann_recall_pq": 1.20,
 }
 
 
