@@ -1373,3 +1373,25 @@ def test_bpe_encode_compresses_and_is_consistent(spark, sf_dir) -> None:
     assert all(r["n_bpe_tokens"] >= r["n_word_tokens"] for r in out)
     # 8 merges on this corpus must actually fire somewhere
     assert sum(r["n_chars_tokens"] - r["n_bpe_tokens"] for r in out) > 0
+
+
+def test_training_export_order_bounds_and_manifest(spark, sf_dir, tmp_path) -> None:
+    """Export writer invariants: files respect maxRecordsPerFile, the
+    manifest accounts for every row, file key ranges are disjoint (the
+    global order = file order + in-file order), and the layout is
+    seed-replayable."""
+    from eventstreamd_spark.operators.layout import write_training_export
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "export")
+    manifest = write_training_export(docs, path, max_records_per_file=20).collect()
+    assert sum(r["n_rows"] for r in manifest) == docs.count()
+    assert all(r["n_rows"] <= 20 for r in manifest)
+    spans = sorted((r["key_lo"], r["key_hi"]) for r in manifest)
+    for (al, ah), (bl, bh) in zip(spans, spans[1:]):
+        assert ah <= bl  # disjoint, ordered ranges => global order holds
+    # replay: same seed -> identical file-level layout
+    path2 = str(tmp_path / "export2")
+    manifest2 = write_training_export(docs, path2, max_records_per_file=20).collect()
+    assert sorted((r["n_rows"], r["key_lo"], r["key_hi"]) for r in manifest) == \
+        sorted((r["n_rows"], r["key_lo"], r["key_hi"]) for r in manifest2)
