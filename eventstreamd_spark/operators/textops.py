@@ -1319,7 +1319,14 @@ def token_budget_fill(
     from pyspark.sql import Window as W
 
     scored = _clf_logit_frame(docs)
-    band = F.round(F.col("logit") * 1_000_000.0).cast("bigint")
+    # coalesce makes the band provably non-nullable: the equi-join
+    # otherwise infers isnotnull(band) and pushdown inlines the FULL
+    # logit fold into the scan filter (the trap audit_plan flags;
+    # same fix as simhash_signatures).  The logit when/otherwise never
+    # yields NULL, so band 0 for it is sound.
+    band = F.coalesce(
+        F.round(F.col("logit") * 1_000_000.0).cast("bigint"), F.lit(0)
+    )
     banded = scored.withColumn("band", band)
     btot = banded.groupBy("band").agg(F.sum("n_tokens").alias("bt"))
     wb = W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, 0)
