@@ -365,3 +365,69 @@ def write_training_export(
         )
         .orderBy("key_lo")
     )
+
+
+MM_BYTES_PER_TOKEN = 64  # media cost model: 1 packing token per 64 bytes
+
+
+def multimodal_shard_assignments(
+    docs: DataFrame,
+    shard_tokens: int = SHARD_TOKENS,
+    bucket_width: int = BUCKET_WIDTH,
+) -> DataFrame:
+    """Modality-aware shard packing: each document's packing weight is
+    its text token count PLUS a media-token equivalent (ceil(bytes /
+    {MM}) — the fixed per-patch/per-frame token cost a multimodal
+    model pays for attached media).  One composite BIGINT weight feeds
+    the same generic two-phase prefix sum as the token/byte packers,
+    so a mixed text+image corpus packs into sequence-budget shards
+    with a single plan.
+
+    The media table is the documents_as_media adapter (text bytes
+    stand in for blobs; the arithmetic is the real thing).
+    """
+    from eventstreamd_spark.functions.text import tokens
+    from eventstreamd_spark.operators.multimodal import documents_as_media
+
+    media = documents_as_media(docs).select("doc_id", "byte_len")
+    weighted = (
+        docs.join(media, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.size(tokens(F.col("text"))).cast("long")
+                + F.ceil(
+                    F.col("byte_len").cast("long")
+                    / F.lit(float(MM_BYTES_PER_TOKEN))
+                ).cast("long")
+            ).alias("n_pack_tokens"),
+        )
+    )
+    return weighted_shard_assignments(
+        weighted, "doc_id", "n_pack_tokens", shard_tokens, bucket_width
+    ).withColumnRenamed("shard_start", "shard_start_token")
+
+
+def sql_multimodal_shard_assignments(
+    table: str = "documents", shard_tokens: int = SHARD_TOKENS
+) -> str:
+    from eventstreamd_spark.functions.text import sql_tokens
+
+    toks = sql_tokens("text")
+    w = (
+        f"CAST(len({toks}) AS BIGINT) + "
+        f"CAST(ceil(CAST(octet_length(encode(text)) AS BIGINT) "
+        f"/ CAST({MM_BYTES_PER_TOKEN} AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        "WITH t AS ("
+        f"  SELECT doc_id, {w} AS n_pack_tokens FROM {table}"
+        "), c AS ("
+        "  SELECT doc_id, n_pack_tokens, "
+        "    sum(n_pack_tokens) OVER (ORDER BY doc_id) - n_pack_tokens AS excl "
+        "  FROM t) "
+        "SELECT doc_id, n_pack_tokens, "
+        f"CAST(excl // {shard_tokens} AS BIGINT) AS shard_id, "
+        "CAST(excl AS BIGINT) AS shard_start_token "
+        "FROM c"
+    )

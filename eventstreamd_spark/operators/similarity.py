@@ -1009,3 +1009,65 @@ SELECT vec_id, {amax} AS max_abs,
          x -> abs(x))), (acc, x) -> acc + x) AS BIGINT) AS abs_code_sum
 FROM {table}
 """
+
+
+# --- hard-negative mining (contrastive-training pairs) ---------------------
+
+
+def hard_negatives(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor, the k most
+    cosine-similar vectors with a DIFFERENT label — the pairs that
+    actually move an embedding model (random negatives are trivially
+    separable; these sit on the decision boundary).
+
+    Same broadcast-anchor shape as brute_force_topk with the label
+    inequality fused into the join predicate, so mismatched labels are
+    dropped BEFORE any cosine is computed.  At scale the corpus leg
+    runs per IVF cell exactly like ivf_topk — this exact variant is
+    the |Q|-bounded audit/baseline.
+    """
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("anchor_label"),
+    )
+    cand = embeddings.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("anchor_id"))
+        & (F.col("label") != F.col("anchor_label")),
+    )
+    scored = cand.withColumn("cos", cosine(F.col("qvec"), F.col("embedding")))
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def sql_hard_negatives(
+    query_ids: list[int], k: int = 5, table: str = "embeddings"
+) -> str:
+    """DuckDB twin — same label-inequality candidate set and tie order."""
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = sql_cosine("q.embedding", "c.embedding")
+    return f"""
+WITH ranked AS (
+  SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+         c.label AS negative_label,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY {cos} DESC, c.vec_id) AS rank
+  FROM {table} q JOIN {table} c
+    ON c.vec_id <> q.vec_id AND c.label <> q.label
+  WHERE q.vec_id IN ({ids})
+)
+SELECT anchor_id, negative_id, negative_label, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -1654,6 +1654,19 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negatives",
+    sim_op.sql_hard_negatives(_ANN_QUERY_IDS, k=5),
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: per anchor, the k nearest
+    vectors with a different label (label inequality fused into the
+    join, cosines computed only on surviving candidates)."""
+    return sim_op.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    )
+
+
+@register(
     "ann_recall_pq",
     sim_op.sql_ann_recall_report(_ANN_QUERY_IDS, k=5, tier="pq"),
 )
@@ -1864,6 +1877,19 @@ def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_shards",
+    layout_mod.sql_multimodal_shard_assignments(),
+)
+def multimodal_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-aware shard packing: text tokens + media-token
+    equivalents as one composite weight through the generic two-phase
+    prefix-sum packer."""
+    return layout_mod.multimodal_shard_assignments(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("corpus_profile", stats_mod.sql_profile_documents())
 def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style one-row data-quality profile of the documents
@@ -2069,7 +2095,8 @@ _COST_HINT = {
     "event_value_drift": 0.30, "fuzzy_name_match": 0.35,
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
-    "source_quality_report": 0.50, "ann_recall_pq": 1.20,
+    "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
+    "multimodal_shards": 0.40,
 }
 
 

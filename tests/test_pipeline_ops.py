@@ -1395,3 +1395,31 @@ def test_training_export_order_bounds_and_manifest(spark, sf_dir, tmp_path) -> N
     manifest2 = write_training_export(docs, path2, max_records_per_file=20).collect()
     assert sorted((r["n_rows"], r["key_lo"], r["key_hi"]) for r in manifest) == \
         sorted((r["n_rows"], r["key_lo"], r["key_hi"]) for r in manifest2)
+
+
+def test_hard_negatives_labels_differ_and_are_hardest(spark, sf_dir) -> None:
+    from eventstreamd_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.hard_negatives(emb, [0, 1], k=3).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    by_anchor = {}
+    for r in out:
+        assert labels[r["anchor_id"]] != r["negative_label"]
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert set(by_anchor) == {0, 1}
+    for rows in by_anchor.values():
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3]
+    # the rank-1 negative must beat every other different-label vector:
+    # spot-check against a driver-side exact ranking for anchor 0
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    a = vecs[0] / np.linalg.norm(vecs[0])
+    best = max(
+        (v for v in vecs if v != 0 and labels[v] != labels[0]),
+        key=lambda v: (float(a @ (vecs[v] / np.linalg.norm(vecs[v]))), -v),
+    )
+    r1 = [r for r in by_anchor[0] if r["rank"] == 1][0]
+    assert r1["negative_id"] == best
