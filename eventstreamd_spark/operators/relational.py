@@ -1811,3 +1811,87 @@ def sql_nation_segment_rollcall() -> str:
         "first(seg ORDER BY c DESC, seg ASC) AS top_segment "
         "FROM per GROUP BY n_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (cross-table data-quality gate)
+# ---------------------------------------------------------------------------
+
+
+def integrity_audit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    events: DataFrame,
+) -> DataFrame:
+    """Cross-table referential-integrity report: orphan counts for the
+    star schema's foreign keys (lineitem->orders, orders->customer,
+    events.user_id->customer) — the admission gate a pipeline runs on
+    every upstream drop before joins silently drop or duplicate rows.
+
+    Each check is one LEFT ANTI join counted: the fact side streams,
+    the key side reduces to a distinct-key projection that broadcasts
+    when small and shuffles as a fixed-width key set when not.  The
+    three checks are independent jobs unioned into one tiny report —
+    at 100 TB each is a single scan of its fact table with the key
+    column alone read (column pruning does the rest).
+    """
+    checks = [
+        (
+            "lineitem.l_orderkey -> orders",
+            lineitem.select(F.col("l_orderkey").alias("k")),
+            orders.select(F.col("o_orderkey").alias("k")),
+        ),
+        (
+            "orders.o_custkey -> customer",
+            orders.select(F.col("o_custkey").alias("k")),
+            customer.select(F.col("c_custkey").alias("k")),
+        ),
+        (
+            "events.user_id -> customer",
+            events.select(F.col("user_id").alias("k")),
+            customer.select(F.col("c_custkey").alias("k")),
+        ),
+    ]
+    spark = lineitem.sparkSession
+    parts = []
+    for name, fact, dim in checks:
+        orphans = fact.join(dim.distinct(), "k", "left_anti")
+        parts.append(
+            fact.agg(F.count("*").alias("n_rows")).crossJoin(
+                orphans.agg(
+                    F.count("*").alias("n_orphans"),
+                    F.countDistinct("k").alias("n_orphan_keys"),
+                )
+            ).select(
+                F.lit(name).alias("fk"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+                F.col("n_orphan_keys").cast("bigint").alias("n_orphan_keys"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def sql_integrity_audit() -> str:
+    checks = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("events.user_id -> customer", "events", "user_id",
+         "customer", "c_custkey"),
+    ]
+    selects = []
+    for name, fact, fk, dim, pk in checks:
+        selects.append(f"""
+SELECT '{name}' AS fk,
+       CAST((SELECT count(*) FROM {fact}) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_orphans,
+       CAST(count(DISTINCT {fk}) AS BIGINT) AS n_orphan_keys
+FROM {fact} f WHERE NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{pk} = f.{fk})
+""")
+    return " UNION ALL ".join(selects)

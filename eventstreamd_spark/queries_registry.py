@@ -1877,6 +1877,18 @@ def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("integrity_audit", rel.sql_integrity_audit())
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity report: orphan counts per foreign key via
+    anti-joins (the cross-table admission gate)."""
+    return rel.integrity_audit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "events"),
+    )
+
+
 @register(
     "multimodal_shards",
     layout_mod.sql_multimodal_shard_assignments(),
@@ -2096,7 +2108,7 @@ _COST_HINT = {
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
-    "multimodal_shards": 0.40,
+    "multimodal_shards": 0.40, "integrity_audit": 0.40,
 }
 
 
