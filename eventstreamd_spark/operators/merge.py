@@ -52,3 +52,62 @@ def sql_merge_upsert(base: str, updates: str, key: str, cols: list[str]) -> str:
         f"SELECT {sel} FROM {base} b FULL OUTER JOIN {updates} u "
         f"ON b.{key} = u.{key}"
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    ts: str,
+    attrs: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    stream: one row per version with a validity interval
+    [valid_from, valid_to) and an is_current flag — the other half of
+    CDC next to merge_upsert (type-1 overwrites; type-2 keeps every
+    version so point-in-time joins reproduce any past state).
+
+    valid_to = lead(valid_from) over the key's change order; the open
+    interval of the latest version is NULL/is_current.  One window,
+    partitioned by the dimension key — embarrassingly parallel at any
+    scale (no global ordering exists or is needed).  ``tiebreak``
+    makes the version order total when two changes share a timestamp.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(ts, tiebreak)
+    return changes.select(
+        key,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        F.col(tiebreak).alias("__tb"),
+    ).select(
+        key,
+        *attrs,
+        F.row_number().over(
+            W.partitionBy(key).orderBy("valid_from", "__tb")
+        ).cast("bigint").alias("version_seq"),
+        "valid_from",
+        F.lead("valid_from").over(
+            W.partitionBy(key).orderBy("valid_from", "__tb")
+        ).alias("valid_to"),
+        F.lead("valid_from")
+        .over(W.partitionBy(key).orderBy("valid_from", "__tb"))
+        .isNull()
+        .alias("is_current"),
+    )
+
+
+def sql_scd2_history(
+    table: str, key: str, ts: str, attrs: list[str], tiebreak: str
+) -> str:
+    a = ", ".join(attrs)
+    return f"""
+SELECT {key}, {a},
+       CAST(row_number() OVER w AS BIGINT) AS version_seq,
+       {ts} AS valid_from,
+       lead({ts}) OVER w AS valid_to,
+       lead({ts}) OVER w IS NULL AS is_current
+FROM {table}
+WINDOW w AS (PARTITION BY {key} ORDER BY {ts}, {tiebreak})
+"""

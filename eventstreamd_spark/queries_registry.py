@@ -1877,6 +1877,24 @@ def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_customer_history",
+    merge_op.sql_scd2_history(
+        "orders", "o_custkey", "o_orderdate", ["o_totalprice"], "o_orderkey"
+    ),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build from the order change stream: per-customer
+    versioned validity intervals with an is_current open tail."""
+    return merge_op.scd2_history(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderdate",
+        ["o_totalprice"],
+        "o_orderkey",
+    )
+
+
 @register("integrity_audit", rel.sql_integrity_audit())
 def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity report: orphan counts per foreign key via
@@ -2108,7 +2126,7 @@ _COST_HINT = {
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
-    "multimodal_shards": 0.40, "integrity_audit": 0.40,
+    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40,
 }
 
 

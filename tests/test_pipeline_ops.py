@@ -1423,3 +1423,24 @@ def test_hard_negatives_labels_differ_and_are_hardest(spark, sf_dir) -> None:
     )
     r1 = [r for r in by_anchor[0] if r["rank"] == 1][0]
     assert r1["negative_id"] == best
+
+
+def test_scd2_intervals_partition_time(spark, sf_dir) -> None:
+    """SCD2 invariants: per key, exactly one current version, versions
+    are contiguous (valid_to == next valid_from), and intervals never
+    overlap."""
+    from eventstreamd_spark.operators import merge
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = merge.scd2_history(
+        orders, "o_custkey", "o_orderdate", ["o_totalprice"], "o_orderkey"
+    )
+    assert hist.count() == orders.count()
+    cur = hist.filter("is_current").groupBy("o_custkey").count()
+    assert cur.filter("count <> 1").count() == 0
+    rows = [r for r in hist.filter("o_custkey = 1").collect()]
+    rows.sort(key=lambda r: r["version_seq"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["valid_to"] == b["valid_from"]
+        assert a["valid_from"] <= a["valid_to"]
+    assert rows[-1]["valid_to"] is None
