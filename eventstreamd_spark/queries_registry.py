@@ -1895,6 +1895,46 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pit_customer_state",
+    asof_op.asof_join_oracle_sql(
+        "events",
+        "("
+        + merge_op.sql_scd2_history(
+            "orders", "o_custkey", "o_orderdate", ["o_totalprice"], "o_orderkey"
+        )
+        + ")",
+        "user_id",
+        "o_custkey",
+        "ts",
+        "valid_from",
+        value_cols=["version_seq", "o_totalprice"],
+        left_cols=["event_id", "user_id"],
+    ),
+)
+def pit_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event joined to the SCD2 customer
+    version valid at event time (as-of join against valid_from; the
+    interval contiguity makes at-or-before == containing version)."""
+    hist = merge_op.scd2_history(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderdate",
+        ["o_totalprice"],
+        "o_orderkey",
+    )
+    return asof_op.asof_join(
+        load_table(spark, sf_dir, "events"),
+        hist,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["version_seq", "o_totalprice"],
+        left_cols=["event_id", "user_id"],
+    )
+
+
 @register("integrity_audit", rel.sql_integrity_audit())
 def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity report: orphan counts per foreign key via
@@ -2126,7 +2166,7 @@ _COST_HINT = {
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
-    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40,
+    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50,
 }
 
 
