@@ -458,3 +458,124 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill with linear interpolation (time-series repair)
+# ---------------------------------------------------------------------------
+
+
+def interpolated_daily_series(
+    spark,
+    events: DataFrame,
+    event_type: str = "purchase",
+    start: str = "2024-01-01",
+    end: str = "2024-02-14",
+) -> DataFrame:
+    """Daily value series with missing days LINEARLY INTERPOLATED
+    between their nearest observed neighbors (boundary gaps take the
+    nearest observation) — the repair step between gap detection
+    (daily_event_spine's zeros) and any model that assumes a regular
+    series.
+
+    Mechanics: spine LEFT JOIN daily totals (NULL marks a gap), then
+    last_value/first_value IGNORE NULLS windows fetch the bracketing
+    observations and the fill is prev + (next - prev) * day_fraction —
+    one fixed-order IEEE expression over decimal-exact inputs, so both
+    engines produce identical doubles.  The ordered windows run over
+    the SPINE (bounded by the calendar, KB — the documented tiny-window
+    exemption); the fact table only feeds the one per-day aggregate.
+    """
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(start).cast("date"), F.lit(end).cast("date"))
+        ).alias("day")
+    )
+    per_day = (
+        events.filter(F.col("event_type") == event_type)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("observed_value")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    joined = spine.join(per_day, "day", "left")
+    before = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    after = W.orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    prev_val = F.last("observed_value", ignorenulls=True).over(before)
+    next_val = F.first("observed_value", ignorenulls=True).over(after)
+    prev_day = F.last(
+        F.when(F.col("observed_value").isNotNull(), F.col("day")), True
+    ).over(before)
+    next_day = F.first(
+        F.when(F.col("observed_value").isNotNull(), F.col("day")), True
+    ).over(after)
+    frac = F.datediff(F.col("day"), prev_day).cast("double") / F.datediff(
+        next_day, prev_day
+    ).cast("double")
+    filled = (
+        F.when(F.col("observed_value").isNotNull(), F.col("observed_value"))
+        .when(prev_val.isNull(), next_val)
+        .when(next_val.isNull(), prev_val)
+        .otherwise(prev_val + (next_val - prev_val) * frac)
+    )
+    return joined.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("observed_value").isNotNull().alias("observed"),
+        filled.alias("value_filled"),
+    )
+
+
+def sql_interpolated_daily_series(
+    table: str = "events",
+    event_type: str = "purchase",
+    start: str = "2024-01-01",
+    end: str = "2024-02-14",
+) -> str:
+    """DuckDB twin — same IGNORE NULLS windows and fill expression."""
+    return f"""
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '{start}', DATE '{end}',
+                INTERVAL 1 DAY))::DATE AS day
+), per_day AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(CAST(sum(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+           AS observed_value
+  FROM {table} WHERE event_type = '{event_type}'
+  GROUP BY CAST(ts AS DATE)
+), j AS (
+  SELECT s.day, p.observed_value FROM spine s
+  LEFT JOIN per_day p ON p.day = s.day
+), w AS (
+  SELECT day, observed_value,
+    last_value(observed_value IGNORE NULLS) OVER
+      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS prev_val,
+    first_value(observed_value IGNORE NULLS) OVER
+      (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS next_val,
+    last_value(CASE WHEN observed_value IS NOT NULL THEN day END
+      IGNORE NULLS) OVER
+      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS prev_day,
+    first_value(CASE WHEN observed_value IS NOT NULL THEN day END
+      IGNORE NULLS) OVER
+      (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS next_day
+  FROM j
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       observed_value IS NOT NULL AS observed,
+       CASE
+         WHEN observed_value IS NOT NULL THEN observed_value
+         WHEN prev_val IS NULL THEN next_val
+         WHEN next_val IS NULL THEN prev_val
+         ELSE prev_val + (next_val - prev_val) *
+           (CAST(datediff('day', prev_day, day) AS DOUBLE)
+            / CAST(datediff('day', prev_day, next_day) AS DOUBLE))
+       END AS value_filled
+FROM w
+"""

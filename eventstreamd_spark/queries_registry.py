@@ -2002,6 +2002,19 @@ def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interpolated_daily_series",
+    stats_mod.sql_interpolated_daily_series(),
+)
+def interpolated_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily value series with linear interpolation between
+    nearest observations (IGNORE NULLS bracketing windows over the
+    calendar spine)."""
+    return stats_mod.interpolated_daily_series(
+        spark, load_table(spark, sf_dir, "events")
+    )
+
+
 @register("event_value_drift", stats_mod.sql_event_value_drift())
 def event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor: per-type total-variation distance
@@ -2166,7 +2179,7 @@ _COST_HINT = {
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
-    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50,
+    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30,
 }
 
 
