@@ -1071,3 +1071,121 @@ WITH ranked AS (
 SELECT anchor_id, negative_id, negative_label, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --- hybrid retrieval: keyword + vector, reciprocal-rank fusion ------------
+
+RRF_K = 60  # the standard smoothing constant (Cormack et al. 2009)
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    candidates: int = 50,
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): a keyword leg (distinct query-term hits over the token set)
+    and a vector leg (exact cosine) each produce a bounded candidate
+    list; fusion scores 1/(RRF_K + rank) per leg and re-ranks — the
+    retrieval shape RAG pipelines run, rank-based so no score
+    calibration between BM25-ish and cosine scales is needed.
+
+    Scale/exactness notes: each leg is top-``candidates`` via
+    TakeOrderedAndProject (never a global sort of the corpus); the
+    fusion joins two <= ``candidates``-row sides (full outer, a
+    missing leg contributes nothing); RRF arithmetic is small-integer
+    division — bit-exact on both engines.  The keyword leg's hit count
+    is over DISTINCT terms (a bag would double-count repeats).
+    """
+    from eventstreamd_spark.functions.text import tokens
+
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    kw_score = F.size(
+        F.array_intersect(F.array_distinct(tokens(F.col("text"))), terms)
+    )
+    kw_cand = (
+        docs.filter(F.col("doc_id") != query_vec_id)
+        .select("doc_id", kw_score.alias("kw_score"))
+        .filter(F.col("kw_score") > 0)
+        .orderBy(F.desc("kw_score"), F.asc("doc_id"))
+        .limit(candidates)
+    )
+    wk = W.orderBy(F.desc("kw_score"), F.asc("doc_id"))
+    kw_ranked = kw_cand.withColumn("kw_rank", F.row_number().over(wk)).select(
+        "doc_id", "kw_rank"
+    )
+    vec_ranked = brute_force_topk(
+        embeddings, [query_vec_id], k=candidates
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
+    fused = kw_ranked.join(vec_ranked, "doc_id", "full_outer")
+    rrf = F.when(
+        F.col("kw_rank").isNotNull(),
+        1.0 / (F.lit(RRF_K) + F.col("kw_rank")),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("vec_rank").isNotNull(),
+        1.0 / (F.lit(RRF_K) + F.col("vec_rank")),
+    ).otherwise(F.lit(0.0))
+    wf = W.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("fused_rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            "doc_id",
+            F.col("kw_rank").cast("bigint").alias("kw_rank"),
+            F.col("vec_rank").cast("bigint").alias("vec_rank"),
+            "rrf_score",
+            "fused_rank",
+        )
+    )
+
+
+def sql_hybrid_search_rrf(
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    candidates: int = 50,
+    docs_table: str = "documents",
+    emb_table: str = "embeddings",
+) -> str:
+    """DuckDB twin — same candidate bounds, tie orders, and RRF
+    arithmetic."""
+    from eventstreamd_spark.functions.text import sql_tokens
+
+    terms = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms) + "]"
+    toks = sql_tokens("text")
+    bf = sql_brute_force_topk([query_vec_id], k=candidates, table=emb_table)
+    return f"""
+WITH kw_cand AS (
+  SELECT doc_id, kw_score FROM (
+    SELECT doc_id,
+           len(list_intersect(list_distinct({toks}), {terms})) AS kw_score
+    FROM {docs_table} WHERE doc_id <> {query_vec_id}
+  ) WHERE kw_score > 0
+  ORDER BY kw_score DESC, doc_id LIMIT {candidates}
+), kw_ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank
+  FROM kw_cand
+), vec_ranked AS (
+  SELECT neighbor_id AS doc_id, rank AS vec_rank FROM ({bf})
+), fused AS (
+  SELECT coalesce(kw.doc_id, v.doc_id) AS doc_id, kw.kw_rank, v.vec_rank,
+         (CASE WHEN kw.kw_rank IS NOT NULL
+               THEN CAST(1 AS DOUBLE) / ({RRF_K} + kw.kw_rank)
+               ELSE CAST(0 AS DOUBLE) END)
+         + (CASE WHEN v.vec_rank IS NOT NULL
+                 THEN CAST(1 AS DOUBLE) / ({RRF_K} + v.vec_rank)
+                 ELSE CAST(0 AS DOUBLE) END) AS rrf_score
+  FROM kw_ranked kw FULL OUTER JOIN vec_ranked v ON kw.doc_id = v.doc_id
+)
+SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {k}
+"""

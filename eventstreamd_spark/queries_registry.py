@@ -1653,6 +1653,25 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HYBRID_TERMS = ["spark", "table", "hash"]
+
+
+@register(
+    "hybrid_search",
+    sim_op.sql_hybrid_search_rrf(_HYBRID_TERMS, query_vec_id=0),
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: keyword + vector candidate lists fused by
+    reciprocal rank (RRF) — the RAG retrieval shape, rank-based so no
+    cross-scale score calibration is needed."""
+    return sim_op.hybrid_search_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        _HYBRID_TERMS,
+        query_vec_id=0,
+    )
+
+
 @register(
     "hard_negatives",
     sim_op.sql_hard_negatives(_ANN_QUERY_IDS, k=5),
@@ -2179,7 +2198,7 @@ _COST_HINT = {
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
-    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30,
+    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70,
 }
 
 

@@ -1444,3 +1444,26 @@ def test_scd2_intervals_partition_time(spark, sf_dir) -> None:
         assert a["valid_to"] == b["valid_from"]
         assert a["valid_from"] <= a["valid_to"]
     assert rows[-1]["valid_to"] is None
+
+
+def test_hybrid_rrf_prefers_dual_leg_hits(spark, sf_dir) -> None:
+    """A document ranked on BOTH legs must outscore one ranked equally
+    on a single leg; ranks and scores are internally consistent."""
+    from eventstreamd_spark.operators import similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.hybrid_search_rrf(
+        docs, emb, ["spark", "table", "hash"], query_vec_id=0, k=10
+    ).collect()
+    assert len(out) == 10
+    assert [r["fused_rank"] for r in out] != []
+    for r in out:
+        expect = 0.0
+        if r["kw_rank"] is not None:
+            expect += 1.0 / (similarity.RRF_K + r["kw_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1.0 / (similarity.RRF_K + r["vec_rank"])
+        assert r["rrf_score"] == expect
+    scores = [r["rrf_score"] for r in sorted(out, key=lambda r: r["fused_rank"])]
+    assert scores == sorted(scores, reverse=True)
