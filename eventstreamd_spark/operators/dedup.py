@@ -767,17 +767,25 @@ def connected_components(edges: DataFrame, max_iters: int = 16) -> DataFrame:
     )
     cur = _small_star(_large_star(sym)).localCheckpoint()
     for _ in range(max_iters):
-        nxt = _small_star(_large_star(cur.union(
+        # fixed-point probe BEFORE computing another round: the
+        # converged state is exactly a star forest (the rewrites
+        # preserve connectivity and edges always point larger ->
+        # smaller, so "no node is both a dst and a src" <=> every
+        # component is one star rooted at its min).  One semi-join
+        # job on the checkpointed edge set — on the common
+        # converged-after-round-0 dedup graph this replaces a full
+        # large+small round (2 shuffles + checkpoint) plus the old
+        # symmetric-difference probe.
+        chained = cur.select("dst").join(
+            cur.select(F.col("src").alias("dst")).distinct(),
+            "dst",
+            "left_semi",
+        )
+        if chained.limit(1).count() == 0:
+            break
+        cur = _small_star(_large_star(cur.union(
             cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ))).localCheckpoint()
-        # one symmetric-difference probe = ONE Spark job per round (two
-        # separate exceptAll counts doubled the per-round job overhead,
-        # which dominates on small/converged graphs)
-        diff = nxt.exceptAll(cur).union(cur.exceptAll(nxt))
-        if diff.limit(1).count() == 0:
-            cur = nxt
-            break
-        cur = nxt
     # at convergence the edge set is a star forest: src -> component min;
     # roots only appear as dst, so add their self-rows for a total map
     stars = cur.select(
