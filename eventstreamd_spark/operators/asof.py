@@ -105,3 +105,87 @@ WITH u AS (
 )
 SELECT {l_sel}, {", ".join(value_cols)} FROM w WHERE __side = 1
 """
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    left_cols: list[str],
+    tolerance_days: int,
+) -> DataFrame:
+    """As-of join with a staleness bound (pandas ``merge_asof``'s
+    ``tolerance``): the latest preceding right row matches only while
+    it is at most ``tolerance_days`` old at the left timestamp; staler
+    matches null out — the freshness contract a feature-store lookup
+    enforces (a year-old customer state is not a feature, it is a
+    leak).
+
+    Same single union-merge shuffle as asof_join — the matched
+    right_ts rides along as one more carried column and one narrow
+    post-projection applies the bound; no second join, no range probe.
+    Output adds ``match_age_days`` (NULL where no fresh match).
+    """
+    carried = asof_join(
+        left,
+        right.select(*dict.fromkeys([right_key, right_ts, *value_cols])),
+        left_key,
+        right_key,
+        left_ts,
+        right_ts,
+        value_cols=[*value_cols, right_ts],
+        left_cols=[*left_cols, left_ts],
+    )
+    age = F.datediff(
+        F.col(left_ts).cast("date"), F.col(right_ts).cast("date")
+    )
+    fresh = age <= tolerance_days
+    return carried.select(
+        *left_cols,
+        *[
+            F.when(fresh, F.col(c)).otherwise(F.lit(None)).alias(c)
+            for c in value_cols
+        ],
+        F.when(fresh, age.cast("bigint")).alias("match_age_days"),
+    )
+
+
+def sql_asof_join_tolerance(
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    left_cols: list[str],
+    tolerance_days: int,
+) -> str:
+    """DuckDB twin: the plain as-of oracle with the same staleness
+    post-projection."""
+    inner = asof_join_oracle_sql(
+        left_table,
+        right_table,
+        left_key,
+        right_key,
+        left_ts,
+        right_ts,
+        value_cols=[*value_cols, right_ts],
+        left_cols=[*left_cols, left_ts],
+    )
+    age = f"datediff('day', CAST({right_ts} AS DATE), CAST({left_ts} AS DATE))"
+    vals = ", ".join(
+        f"CASE WHEN {age} <= {tolerance_days} THEN {c} END AS {c}"
+        for c in value_cols
+    )
+    lcols = ", ".join(left_cols)
+    return f"""
+SELECT {lcols}, {vals},
+       CASE WHEN {age} <= {tolerance_days}
+            THEN CAST({age} AS BIGINT) END AS match_age_days
+FROM ({inner})
+"""

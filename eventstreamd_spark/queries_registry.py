@@ -445,6 +445,27 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_with_tolerance",
+    asof_op.sql_asof_join_tolerance(
+        "events", "orders", "user_id", "o_custkey", "ts", "o_orderdate",
+        value_cols=["o_orderkey"], left_cols=["event_id", "user_id"],
+        tolerance_days=14,
+    ),
+)
+def asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 14-day staleness bound (feature-store
+    freshness contract): stale matches null out, age rides along."""
+    return asof_op.asof_join_tolerance(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "orders"),
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey"], left_cols=["event_id", "user_id"],
+        tolerance_days=14,
+    )
+
+
+@register(
     "tumbling_window_counts",
     "SELECT CAST(to_timestamp((epoch_us(ts) // 300000000) * 300) AS TIMESTAMP)"
     " AS bucket, "
@@ -2198,7 +2219,7 @@ _COST_HINT = {
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
-    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70,
+    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45,
 }
 
 

@@ -1467,3 +1467,28 @@ def test_hybrid_rrf_prefers_dual_leg_hits(spark, sf_dir) -> None:
         assert r["rrf_score"] == expect
     scores = [r["rrf_score"] for r in sorted(out, key=lambda r: r["fused_rank"])]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import asof
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    loose = asof.asof_join(
+        events, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        value_cols=["o_orderkey"], left_cols=["event_id", "user_id"],
+    )
+    tight = asof.asof_join_tolerance(
+        events, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        value_cols=["o_orderkey"], left_cols=["event_id", "user_id"],
+        tolerance_days=14,
+    )
+    n_loose = loose.filter("o_orderkey IS NOT NULL").count()
+    rows = tight.collect()
+    n_tight = sum(r["o_orderkey"] is not None for r in rows)
+    assert 0 < n_tight < n_loose  # the bound really expires matches
+    for r in rows:
+        if r["o_orderkey"] is not None:
+            assert 0 <= r["match_age_days"] <= 14
+        else:
+            assert r["match_age_days"] is None
