@@ -449,19 +449,22 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     asof_op.sql_asof_join_tolerance(
         "events", "orders", "user_id", "o_custkey", "ts", "o_orderdate",
         value_cols=["o_orderkey"], left_cols=["event_id", "user_id"],
-        tolerance_days=14,
+        tolerance_days=8400,
     ),
 )
 def asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join with a 14-day staleness bound (feature-store
-    freshness contract): stale matches null out, age rides along."""
+    """As-of join with a staleness bound (feature-store freshness
+    contract): stale matches null out, age rides along.  The driver
+    fixture's order dates sit ~8200-8600 days before its event
+    timestamps, so 8400 splits the age distribution and keeps the
+    check non-degenerate (a realistic bound would be days)."""
     return asof_op.asof_join_tolerance(
         load_table(spark, sf_dir, "events"),
         load_table(spark, sf_dir, "orders"),
         left_key="user_id", right_key="o_custkey",
         left_ts="ts", right_ts="o_orderdate",
         value_cols=["o_orderkey"], left_cols=["event_id", "user_id"],
-        tolerance_days=14,
+        tolerance_days=8400,
     )
 
 

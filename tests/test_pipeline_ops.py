@@ -1481,7 +1481,7 @@ def test_asof_tolerance_nulls_stale_matches(spark, sf_dir) -> None:
     tight = asof.asof_join_tolerance(
         events, orders, "user_id", "o_custkey", "ts", "o_orderdate",
         value_cols=["o_orderkey"], left_cols=["event_id", "user_id"],
-        tolerance_days=14,
+        tolerance_days=8400,
     )
     n_loose = loose.filter("o_orderkey IS NOT NULL").count()
     rows = tight.collect()
@@ -1489,6 +1489,6 @@ def test_asof_tolerance_nulls_stale_matches(spark, sf_dir) -> None:
     assert 0 < n_tight < n_loose  # the bound really expires matches
     for r in rows:
         if r["o_orderkey"] is not None:
-            assert 0 <= r["match_age_days"] <= 14
+            assert 0 <= r["match_age_days"] <= 8400
         else:
             assert r["match_age_days"] is None
