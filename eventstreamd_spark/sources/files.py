@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def read_table(
@@ -36,6 +36,11 @@ def read_table(
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        # the other typed columnar format: schema-carrying, column-
+        # prunable, predicate-pushable (PushedFilters reach the ORC
+        # reader exactly like parquet's)
+        return spark.read.orc(path)
     if schema is None:
         raise ValueError(f"{fmt} reads require an explicit schema")
     reader = spark.read.schema(schema).option("mode", "PERMISSIVE")
@@ -53,5 +58,7 @@ def write_table(df: DataFrame, path: str, fmt: str) -> None:
         w.option("header", "true").csv(path)
     elif fmt == "json":
         w.json(path)
+    elif fmt == "orc":
+        w.orc(path)
     else:
         w.parquet(path)

@@ -1492,3 +1492,23 @@ def test_asof_tolerance_nulls_stale_matches(spark, sf_dir) -> None:
             assert 0 <= r["match_age_days"] <= 8400
         else:
             assert r["match_age_days"] is None
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path) -> None:
+    """ORC: full round-trip parity with parquet AND predicate pushdown
+    reaching the ORC scan (the property that makes a format a real
+    warehouse citizen, not just an interchange container)."""
+    from eventstreamd_spark.sources.files import read_table, write_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_table(orders, path, "orc")
+    back = read_table(spark, path, "orc")
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    filtered = back.filter(F.col("o_custkey") == 7)
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in plan and "o_custkey" in plan.split("PushedFilters")[1][:120]
+    assert filtered.count() == orders.filter("o_custkey = 7").count()
