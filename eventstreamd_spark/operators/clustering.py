@@ -92,6 +92,24 @@ def _recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
     return [(row["cell_id"], row["cvec"]) for row in means.collect()]
 
 
+def _fit(
+    embeddings: DataFrame, n_cells: int, n_iters: int
+) -> DataFrame:
+    """The Lloyd rounds; returns the final centroid frame
+    (cell_id, cvec) as driver-literal rows (lineage-free)."""
+    spark = embeddings.sparkSession
+    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        to_double(F.col("embedding")).alias("cvec"),
+    )
+    for _ in range(n_iters):
+        rows = _recompute(_assign(embeddings, cents))
+        cents = spark.createDataFrame(
+            rows, "cell_id long, cvec array<double>"
+        )
+    return cents
+
+
 def kmeans_assignments(
     embeddings: DataFrame,
     n_cells: int = N_CELLS,
@@ -105,17 +123,82 @@ def kmeans_assignments(
     centroid set (standard Lloyd; both engines mirror the behavior
     because the groupBy produces no row for them).
     """
-    spark = embeddings.sparkSession
-    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"),
-        to_double(F.col("embedding")).alias("cvec"),
-    )
-    for _ in range(n_iters):
-        rows = _recompute(_assign(embeddings, cents))
-        cents = spark.createDataFrame(
-            rows, "cell_id long, cvec array<double>"
-        )
+    cents = _fit(embeddings, n_cells, n_iters)
     return _assign(embeddings, cents).select("vec_id", "cell_id")
+
+
+def kmeans_prototypes(
+    embeddings: DataFrame,
+    n_cells: int = N_CELLS,
+    n_iters: int = N_ITERS,
+    k_per_cell: int = 5,
+) -> DataFrame:
+    """Prototype selection: the ``k_per_cell`` vectors closest to their
+    refined centroid, per cell — prototype-based data pruning
+    (Sorscher et al. 2022, arXiv:2206.14486: keeping cluster-typical
+    examples beats random pruning at scale; SemDeDup's sibling
+    curation move).
+
+    One extra narrow pass over the final assignment: the member's
+    cosine to its OWN centroid is already the assignment score, so
+    selection is a per-cell top-k window (bounded partitions — cell
+    sized, never corpus sized).
+    """
+    cents = _fit(embeddings, n_cells, n_iters)
+    assigned = _assign(embeddings, cents)
+    scored = assigned.join(F.broadcast(cents), "cell_id").withColumn(
+        "ccos",
+        dot(F.col("embedding"), F.col("cvec"))
+        / (norm(F.col("embedding")) * norm(F.col("cvec"))),
+    )
+    w = W.partitionBy("cell_id").orderBy(F.desc("ccos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("proto_rank", F.row_number().over(w))
+        .filter(F.col("proto_rank") <= k_per_cell)
+        .select(
+            "cell_id",
+            "vec_id",
+            F.col("proto_rank").cast("bigint").alias("proto_rank"),
+        )
+    )
+
+
+def _sql_assign_cte(cents: str) -> str:
+    cos = sql_cosine("e.emb", "c.cvec")
+    return (
+        "SELECT vec_id, emb, cell_id FROM ("
+        "SELECT e.vec_id, e.emb, c.cell_id, "
+        "row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {cos} DESC, c.cell_id) AS r "
+        f"FROM e CROSS JOIN {cents} c) WHERE r = 1"
+    )
+
+
+def _sql_parts(
+    table: str, n_cells: int, n_iters: int, dim: int
+) -> list[str]:
+    """The Lloyd rounds as CTE parts (shared by assignments and
+    prototypes); ``c{n_iters}`` is the final centroid CTE."""
+    parts = [
+        f"e AS (SELECT vec_id, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb "
+        f"FROM {table})",
+        f"c0 AS (SELECT vec_id AS cell_id, emb AS cvec FROM e "
+        f"WHERE vec_id < {n_cells})",
+    ]
+    for i in range(n_iters):
+        parts.append(f"a{i} AS ({_sql_assign_cte(f'c{i}')})")
+        parts.append(
+            f"d{i + 1} AS (SELECT cell_id, g.d AS d, "
+            f"round(avg(emb[g.d + 1]), 6) AS m "
+            f"FROM a{i}, LATERAL (SELECT unnest(range({dim})) AS d) g "
+            f"GROUP BY cell_id, g.d)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT cell_id, list(m ORDER BY d) AS cvec "
+            f"FROM d{i + 1} GROUP BY cell_id)"
+        )
+    return parts
 
 
 def sql_kmeans_assignments(
@@ -127,38 +210,33 @@ def sql_kmeans_assignments(
     """DuckDB twin: the Lloyd rounds unrolled as CTE pairs (assign_i,
     cents_{i+1}); same seeding, 6-dp centroid rounding, cosine fold
     and tie order as the Spark side."""
-
-    def assign_cte(cents: str) -> str:
-        cos = sql_cosine("e.emb", "c.cvec")
-        return (
-            "SELECT vec_id, emb, cell_id FROM ("
-            "SELECT e.vec_id, e.emb, c.cell_id, "
-            "row_number() OVER (PARTITION BY e.vec_id "
-            f"ORDER BY {cos} DESC, c.cell_id) AS r "
-            f"FROM e CROSS JOIN {cents} c) WHERE r = 1"
-        )
-
-    parts = [
-        f"e AS (SELECT vec_id, "
-        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb "
-        f"FROM {table})",
-        f"c0 AS (SELECT vec_id AS cell_id, emb AS cvec FROM e "
-        f"WHERE vec_id < {n_cells})",
-    ]
-    for i in range(n_iters):
-        parts.append(f"a{i} AS ({assign_cte(f'c{i}')})")
-        parts.append(
-            f"d{i + 1} AS (SELECT cell_id, g.d AS d, "
-            f"round(avg(emb[g.d + 1]), 6) AS m "
-            f"FROM a{i}, LATERAL (SELECT unnest(range({dim})) AS d) g "
-            f"GROUP BY cell_id, g.d)"
-        )
-        parts.append(
-            f"c{i + 1} AS (SELECT cell_id, list(m ORDER BY d) AS cvec "
-            f"FROM d{i + 1} GROUP BY cell_id)"
-        )
-    final = assign_cte(f"c{n_iters}")
+    parts = _sql_parts(table, n_cells, n_iters, dim)
+    final = _sql_assign_cte(f"c{n_iters}")
     return (
         "WITH " + ",\n".join(parts) + f",\nfinal AS ({final})\n"
         "SELECT vec_id, cell_id FROM final"
+    )
+
+
+def sql_kmeans_prototypes(
+    table: str = "embeddings",
+    n_cells: int = N_CELLS,
+    n_iters: int = N_ITERS,
+    k_per_cell: int = 5,
+    dim: int = DIM,
+) -> str:
+    """DuckDB twin of kmeans_prototypes — same rounds, same member-to-
+    own-centroid cosine, same per-cell tie order."""
+    parts = _sql_parts(table, n_cells, n_iters, dim)
+    final = _sql_assign_cte(f"c{n_iters}")
+    cos = sql_cosine("a.emb", "c.cvec")
+    return (
+        "WITH " + ",\n".join(parts) + f",\nfinal AS ({final}),\n"
+        "scored AS (SELECT a.cell_id, a.vec_id, "
+        f"{cos} AS ccos "
+        f"FROM final a JOIN c{n_iters} c USING (cell_id))\n"
+        "SELECT cell_id, vec_id, CAST(row_number() OVER "
+        "(PARTITION BY cell_id ORDER BY ccos DESC, vec_id) AS BIGINT) "
+        "AS proto_rank FROM scored "
+        f"QUALIFY proto_rank <= {k_per_cell}"
     )

@@ -1854,6 +1854,15 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kmeans_prototypes", clustering_op.sql_kmeans_prototypes())
+def kmeans_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-based pruning (Sorscher et al. 2022): the k most
+    centroid-typical vectors per refined cell."""
+    return clustering_op.kmeans_prototypes(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 @register(
     "classifier_quality",
     text_op.sql_classifier_quality_scores(),
@@ -2222,7 +2231,7 @@ _COST_HINT = {
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
-    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45,
+    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40,
 }
 
 
