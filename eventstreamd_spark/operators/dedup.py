@@ -1478,3 +1478,71 @@ SELECT name_a, name_b,
 FROM cand
 WHERE levenshtein(name_a, name_b) <= {max_dist}
 """
+
+
+# ---------------------------------------------------------------------------
+# Threshold-sensitivity report (dedup tuning)
+# ---------------------------------------------------------------------------
+
+SWEEP_EDGES = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def jaccard_threshold_sweep(
+    docs: DataFrame, n: int = 3, edges: tuple = SWEEP_EDGES
+) -> DataFrame:
+    """Dedup tuning report: how many candidate pairs survive at each
+    Jaccard threshold — the sweep you run BEFORE fixing the production
+    cutoff (a threshold picked blind either misses boilerplate or
+    deletes legitimate documents; this shows the knee).
+
+    One pass: the exact pair scores are computed once (the inverted-
+    index plan of ngram_jaccard_pairs at the LOWEST edge) and the
+    report is a histogram over them — NOT one pipeline run per
+    threshold.  Cumulative counts (pairs with jaccard >= edge) come
+    from a reverse running sum over the |edges|-row histogram.
+    """
+    pairs = ngram_jaccard_pairs(docs, n, threshold=min(edges))
+    # built ascending so the HIGHEST matching edge sits outermost in
+    # the when-chain (last wrap wins) — first-match-wins like the SQL
+    # CASE written descending
+    bucket = F.lit(None).cast("double")
+    for e in sorted(edges):
+        bucket = F.when(F.col("jaccard") >= e, F.lit(float(e))).otherwise(
+            bucket
+        )
+    hist = (
+        pairs.withColumn("edge", bucket)
+        .groupBy("edge")
+        .agg(F.count("*").alias("n_in_band"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("edge")).rowsBetween(W.unboundedPreceding, 0)
+    return hist.select(
+        "edge",
+        F.col("n_in_band").cast("bigint").alias("n_in_band"),
+        F.sum("n_in_band").over(w).cast("bigint").alias("n_pairs_at_least"),
+    )
+
+
+def sql_jaccard_threshold_sweep(
+    base_sql: str, n: int = 3, edges: tuple = SWEEP_EDGES
+) -> str:
+    """DuckDB twin — same single scoring pass and reverse cumulative."""
+    pairs = sql_ngram_jaccard_pairs(base_sql, n, threshold=min(edges))
+    cases = " ".join(
+        f"WHEN jaccard >= {float(e)} THEN {float(e)}"
+        for e in sorted(edges, reverse=True)
+    )
+    return f"""
+WITH pairs AS ({pairs}),
+hist AS (
+  SELECT CASE {cases} END AS edge, count(*) AS n_in_band
+  FROM pairs GROUP BY 1
+)
+SELECT edge, CAST(n_in_band AS BIGINT) AS n_in_band,
+       CAST(sum(n_in_band) OVER (ORDER BY edge DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_pairs_at_least
+FROM hist
+"""

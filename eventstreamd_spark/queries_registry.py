@@ -1987,6 +1987,18 @@ def pit_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_threshold_sweep",
+    dedup_op.sql_jaccard_threshold_sweep(dedup_op.sql_planted_near_dups()),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard threshold-sensitivity report: one scoring pass, a
+    histogram per cutoff edge plus reverse cumulative pair counts."""
+    return dedup_op.jaccard_threshold_sweep(
+        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    )
+
+
 @register("integrity_audit", rel.sql_integrity_audit())
 def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity report: orphan counts per foreign key via
@@ -2231,7 +2243,7 @@ _COST_HINT = {
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
-    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40,
+    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80,
 }
 
 
