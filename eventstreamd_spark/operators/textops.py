@@ -1458,3 +1458,102 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM r
 GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence / market-basket mining
+# ---------------------------------------------------------------------------
+
+COOC_DF_DENOM = 10  # frequent = df >= max(1, n_docs // 10)
+COOC_TOP_K = 25
+
+
+def token_cooccurrence(
+    docs: DataFrame,
+    df_denom: int = COOC_DF_DENOM,
+    k: int = COOC_TOP_K,
+) -> DataFrame:
+    """Frequent token-PAIR mining (market-basket over documents):
+    support (docs containing both terms) and lift
+    (support * N / (df_a * df_b)) for the top-k unordered pairs of
+    frequent terms — the co-occurrence signal behind topic drift
+    checks and template/boilerplate discovery, and the 2-itemset core
+    of Apriori (Agrawal & Srikant 1994).
+
+    Scale shape: the frequent-term set (df >= min_df) is Heaps'-law
+    bounded and BROADCAST; each doc contributes pairs only over its
+    own frequent distinct terms (k_doc^2 with k_doc bounded by the
+    broadcast set, never raw doc length); one (a, b)-keyed aggregation
+    with map-side partials.  Lift is integer cross-multiplication
+    divided once in double — engine-exact.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    n_docs = docs.count()  # driver scalar: one tiny action, reused as a literal
+    min_df = max(1, n_docs // df_denom)  # scale-invariant frequency gate
+    df_counts = toks.groupBy("t").agg(F.count("*").alias("df"))
+    frequent = df_counts.filter(F.col("df") >= min_df)
+    ft = toks.join(F.broadcast(frequent), "t")
+    right = ft.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("t").alias("tb"),
+        F.col("df").alias("df_b"),
+    )
+    pairs = (
+        ft.select("doc_id", F.col("t").alias("ta"), F.col("df").alias("df_a"))
+        .join(
+            right,
+            (F.col("doc_id") == F.col("doc_b")) & (F.col("ta") < F.col("tb")),
+        )
+        .groupBy("ta", "tb", "df_a", "df_b")
+        .agg(F.count("*").alias("support"))
+    )
+    lift = (
+        F.col("support").cast("double")
+        * F.lit(float(n_docs))
+        / (F.col("df_a") * F.col("df_b")).cast("double")
+    )
+    return (
+        pairs.select(
+            "ta",
+            "tb",
+            F.col("support").cast("bigint").alias("support"),
+            F.col("df_a").cast("bigint").alias("df_a"),
+            F.col("df_b").cast("bigint").alias("df_b"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("support"), "ta", "tb")
+        .limit(k)
+    )
+
+
+def sql_token_cooccurrence(
+    table: str = "documents",
+    df_denom: int = COOC_DF_DENOM,
+    k: int = COOC_TOP_K,
+) -> str:
+    """DuckDB twin — same distinct-term baskets, df gate, tie order,
+    and lift arithmetic."""
+    t = sql_tokens("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({t})) AS t FROM {table}
+), dfs AS (
+  SELECT t, count(*) AS df FROM toks GROUP BY t
+), freq AS (SELECT t, df FROM dfs WHERE df >= greatest(1, (SELECT count(*) FROM {table}) // {df_denom})),
+ft AS (SELECT toks.doc_id, toks.t, freq.df FROM toks JOIN freq USING (t)),
+pairs AS (
+  SELECT a.t AS ta, b.t AS tb, a.df AS df_a, b.df AS df_b,
+         count(*) AS support
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2, 3, 4
+)
+SELECT ta, tb, CAST(support AS BIGINT) AS support,
+       CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+       CAST(support AS DOUBLE) * (SELECT CAST(count(*) AS DOUBLE) FROM {table})
+         / CAST(df_a * df_b AS DOUBLE) AS lift
+FROM pairs
+ORDER BY support DESC, ta, tb
+LIMIT {k}
+"""
