@@ -1512,3 +1512,22 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path) -> None:
     )
     assert "PushedFilters: [" in plan and "o_custkey" in plan.split("PushedFilters")[1][:120]
     assert filtered.count() == orders.filter("o_custkey = 7").count()
+
+
+def test_token_cooccurrence_support_and_lift(spark) -> None:
+    from eventstreamd_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(6)]
+        + [(10 + i, "alpha gamma") for i in range(3)]
+        + [(20, "delta")],
+        "doc_id long, text string",
+    )
+    # n_docs=10, gate = max(1, 10//10) = 1: every term qualifies
+    rows = {(r["ta"], r["tb"]): r for r in textops.token_cooccurrence(docs).collect()}
+    ab = rows[("alpha", "beta")]
+    assert ab["support"] == 6 and ab["df_a"] == 9 and ab["df_b"] == 6
+    assert ab["lift"] == 6.0 * 10.0 / (9.0 * 6.0)
+    ag = rows[("alpha", "gamma")]
+    assert ag["support"] == 3
+    assert ("alpha", "delta") not in rows  # never co-occur
