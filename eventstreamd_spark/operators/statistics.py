@@ -579,3 +579,76 @@ SELECT CAST(day AS TIMESTAMP) AS day,
        END AS value_filled
 FROM w
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact multi-quantile extraction — one histogram-refinement pass
+# ---------------------------------------------------------------------------
+
+DECILES = tuple(i / 10.0 for i in range(1, 10))
+
+
+def exact_quantile_values(
+    df: DataFrame, col: str, fracs: tuple = DECILES
+) -> DataFrame:
+    """EXACT nearest-rank quantile values for every fraction in
+    ``fracs`` from ONE histogram-refinement pass — the multi-cut
+    generalization of winsorized_price_stats' machinery (all cut
+    buckets are located from the same bucket table, and one narrow
+    re-read of only those buckets extracts every value).
+
+    approx_percentile trades error for speed; a 100 TB sort is the
+    exact-but-impossible alternative.  This is exact AND sorted-
+    nothing: bucket counts (one shuffle), a cumulative window over the
+    bucket table (KB), a tiny range join to place each target rank in
+    its bucket, then per-fraction windows over single-bucket row sets.
+
+    Output: (frac, rank, value) — `value` is an actual data value
+    (nearest-rank, no interpolation), so both engines agree bit-for-bit.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(F.col(col).alias("v"))
+    bcol = F.floor(F.col("v")).cast("long")
+    buckets = base.groupBy(bcol.alias("b")).agg(F.count("*").alias("c"))
+    wcum = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    cum = buckets.withColumn("cum", F.sum("c").over(wcum))
+    tot = buckets.agg(F.sum("c").cast("bigint").alias("n"))
+    fr = df.sparkSession.createDataFrame(
+        [(float(f),) for f in fracs], "frac double"
+    )
+    ranks = fr.crossJoin(F.broadcast(tot)).select(
+        "frac", F.ceil(F.col("frac") * F.col("n")).cast("bigint").alias("rk")
+    )
+    placed = (
+        cum.crossJoin(F.broadcast(ranks))
+        .filter(F.col("cum") >= F.col("rk"))
+        .groupBy("frac", "rk")
+        .agg(F.min("b").alias("b"))
+    )
+    spec = placed.join(cum, "b").select(
+        "frac", "rk", "b", (F.col("rk") - (F.col("cum") - F.col("c"))).alias("tr")
+    )
+    win = W.partitionBy("frac").orderBy("v")
+    return (
+        base.join(F.broadcast(spec), bcol == F.col("b"))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == F.col("tr"))
+        .select("frac", F.col("rk").alias("rank"), F.col("v").alias("value"))
+    )
+
+
+def sql_exact_quantile_values(
+    table: str, col: str, fracs: tuple = DECILES
+) -> str:
+    """DuckDB twin — the spec-level single-sort statement."""
+    fl = ", ".join(f"({float(f)})" for f in fracs)
+    return f"""
+WITH base AS (SELECT {col} AS v FROM {table}),
+tot AS (SELECT count(*) AS n FROM base),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM base),
+fr(frac) AS (VALUES {fl}),
+ranks AS (SELECT frac, CAST(ceil(frac * n) AS BIGINT) AS rk FROM fr, tot)
+SELECT ranks.frac, ranks.rk AS rank, ranked.v AS value
+FROM ranks JOIN ranked ON ranked.r = ranks.rk
+"""

@@ -1531,3 +1531,20 @@ def test_token_cooccurrence_support_and_lift(spark) -> None:
     ag = rows[("alpha", "gamma")]
     assert ag["support"] == 3
     assert ("alpha", "delta") not in rows  # never co-occur
+
+
+def test_exact_deciles_match_sorted_reference(spark, sf_dir) -> None:
+    import math
+
+    from eventstreamd_spark.operators import statistics
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r["frac"]: (r["rank"], r["value"])
+        for r in statistics.exact_quantile_values(li, "l_extendedprice").collect()
+    }
+    vals = sorted(r["l_extendedprice"] for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    for f in statistics.DECILES:
+        rk = math.ceil(f * n)
+        assert got[f] == (rk, vals[rk - 1])
