@@ -353,3 +353,96 @@ def stream_quality_gate(stream_docs: DataFrame) -> DataFrame:
     return scored.filter(F.col("logit") >= 0).select(
         "doc_id", "text", "logit"
     )
+
+
+def drift_vs_reference(batch: DataFrame, reference: DataFrame) -> DataFrame:
+    """Per-batch data-drift report: each event type's unit-value
+    histogram in ``batch`` against the STATIC ``reference`` corpus via
+    total-variation distance — the batch kernel behind
+    start_drift_monitor (same log-free TVD as
+    operators/statistics.py::event_value_drift: integer numerators,
+    one IEEE division).
+
+    Reference-only bins never materialize as rows: their |p - 0| mass
+    has the closed form (n_ref - joint c_ref) / n_ref, so a LEFT join
+    from the batch side suffices (this is also what keeps the
+    streaming wrapper legal — stream-static FULL OUTER is unsupported).
+    """
+    ref_bins = (
+        reference.select(
+            "event_type",
+            F.floor(F.col("value")).cast("bigint").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("c_ref"))
+    )
+    ref_tot = ref_bins.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref")
+    )
+    batch_bins = (
+        batch.select(
+            "event_type",
+            F.floor(F.col("value")).cast("bigint").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("c_batch"))
+    )
+    joined = (
+        batch_bins.join(F.broadcast(ref_bins), ["event_type", "bin"], "left")
+        .na.fill({"c_ref": 0})
+        .join(F.broadcast(ref_tot), "event_type")
+    )
+    agg = joined.groupBy("event_type", "n_ref").agg(
+        F.sum("c_batch").alias("n_batch"),
+        F.sum("c_ref").alias("ref_joint"),
+        F.collect_list(F.struct("c_ref", "c_batch")).alias("__bins"),
+    )
+    # the cross-multiplied numerator needs n_batch, which exists only
+    # after the sum: fold the collected per-bin counts (bounded by the
+    # unit-bin cardinality per type — tiny) instead of a second pass
+    num_joint = F.aggregate(
+        F.col("__bins"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.abs(
+            s["c_ref"] * F.col("n_batch") - s["c_batch"] * F.col("n_ref")
+        ),
+    )
+    num = num_joint + (F.col("n_ref") - F.col("ref_joint")) * F.col("n_batch")
+    return agg.select(
+        "event_type",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_batch").cast("bigint").alias("n_batch"),
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_batch") > 0),
+            num.cast("double")
+            / (2.0 * F.col("n_ref").cast("double") * F.col("n_batch").cast("double")),
+        ).alias("tvd"),
+    )
+
+
+def start_drift_monitor(
+    stream_events: DataFrame,
+    reference: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming drift admission: per micro-batch, run the BATCH drift
+    kernel inside foreachBatch (two chained aggregations are a batch
+    plan there — no streaming-stateful watermark entanglement) and
+    hand the per-type report to ``sink(report_df, epoch_id)`` — e.g. a
+    threshold gate that quarantines a drifting source before it
+    trains.  Stateless across triggers; the reference aggregates per
+    trigger (broadcastable; cache it for hot paths).
+    """
+
+    def _per_batch(batch: DataFrame, epoch: int) -> None:
+        sink(drift_vs_reference(batch, reference), epoch)
+
+    return (
+        stream_events.writeStream.outputMode("append")
+        .foreachBatch(_per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

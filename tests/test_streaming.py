@@ -623,3 +623,37 @@ def test_stream_quality_gate_matches_batch_verdicts(spark, sf_dir, tmp_path) -> 
         for r in classifier_quality_scores(docs).filter("keep").collect()
     }
     assert got == batch
+
+
+def test_stream_drift_monitor_flags_shifted_batch(spark, sf_dir, tmp_path) -> None:
+    """Identical batch => tvd 0; value-shifted batch => tvd > 0, per
+    event type, per micro-batch."""
+    import os
+
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import start_drift_monitor
+
+    ref = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    reports: dict[str, list] = {}
+    shifted = ref.withColumn("value", F.col("value") + 50.0)
+    for name, batch in (("same", ref), ("shifted", shifted)):
+        src = str(tmp_path / f"drift_{name}")
+        os.makedirs(src)
+        batch.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .format("parquet")
+            .load(src)
+        )
+        rows: list = []
+        q = start_drift_monitor(
+            stream, ref,
+            sink=lambda df, epoch, acc=rows: acc.extend(df.collect()),
+            checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+        )
+        q.awaitTermination(120)
+        reports[name] = rows
+    assert reports["same"] and all(r["tvd"] == 0.0 for r in reports["same"])
+    assert reports["shifted"] and all(r["tvd"] > 0.5 for r in reports["shifted"])
