@@ -63,11 +63,23 @@ def _assign(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
         dot(F.col("embedding"), F.col("cvec"))
         / (F.col("__nv") * F.col("__nc")),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "embedding", "cell_id")
+    # argmax as min(struct(-ccos, cell_id, ...)): a HASH aggregate with
+    # map-side partials instead of a sort+window — same selection and
+    # tie rule (double negation is exact; cell_id breaks ties before
+    # the payload fields can ever be compared).
+    best = scored.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("ccos")).alias("nc"),
+                F.col("cell_id").alias("cell_id"),
+                F.col("embedding").alias("embedding"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.embedding").alias("embedding"),
+        F.col("b.cell_id").alias("cell_id"),
     )
 
 
