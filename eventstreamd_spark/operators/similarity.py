@@ -372,17 +372,38 @@ def ivf_cells(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
     cosine, keep the argmax per vector via a window — one narrow pass
     over the corpus plus a 16x row blow-up that immediately collapses.
     """
+    from eventstreamd_spark.functions.vectors import dot, norm
+
     cents = embeddings.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
     )
-    scored = fan_out(embeddings).join(F.broadcast(cents)).withColumn(
-        "ccos", cosine(F.col("embedding"), F.col("cvec"))
+    # norms hoisted out of the k-way fan-out (one 64-term fold per
+    # pair, not three) and argmax as min(struct(-ccos, cell_id, ...)) —
+    # a map-side-partial hash aggregate instead of a sort window; both
+    # preserve the exact cosine value and tie rule (same association
+    # order as functions.vectors.cosine; double negation is exact;
+    # cell_id breaks ties before the payload field).  A/B-measured on
+    # the identical pattern in clustering._assign.
+    cents_n = cents.withColumn("__nc", norm(F.col("cvec")))
+    emb_n = fan_out(embeddings).withColumn("__nv", norm(F.col("embedding")))
+    scored = emb_n.join(F.broadcast(cents_n)).withColumn(
+        "ccos",
+        dot(F.col("embedding"), F.col("cvec"))
+        / (F.col("__nv") * F.col("__nc")),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "embedding", "cell_id")
+    best = scored.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("ccos")).alias("nc"),
+                F.col("cell_id").alias("cell_id"),
+                F.col("embedding").alias("embedding"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.embedding").alias("embedding"),
+        F.col("b.cell_id").alias("cell_id"),
     )
 
 
