@@ -101,3 +101,26 @@ def test_weighted_sample_monotone_in_k(spark, docs) -> None:
         cur = _ids(sampling.weighted_sample(docs, "doc_id", "n_chars", k))
         assert prev <= cur and len(cur) == k
         prev = cur
+
+
+def test_exact_quantiles_invariant_under_partitioning(spark, sf_dir) -> None:
+    """Histogram-refinement order statistics must not depend on the
+    physical layout: any repartitioning yields identical cut values
+    (the property a sort-based implementation gets for free and a
+    distributed one must prove)."""
+    from eventstreamd_spark.operators import statistics
+    from eventstreamd_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = {
+        r["frac"]: (r["rank"], r["value"])
+        for r in statistics.exact_quantile_values(li, "l_extendedprice").collect()
+    }
+    for parts in (1, 13):
+        got = {
+            r["frac"]: (r["rank"], r["value"])
+            for r in statistics.exact_quantile_values(
+                li.repartition(parts, "l_orderkey"), "l_extendedprice"
+            ).collect()
+        }
+        assert got == base
