@@ -185,3 +185,50 @@ def sample_frames(
             )
 
     return fan_out(media).mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact media dedup by content fingerprint: one row per distinct
+    blob (md5 over the raw bytes) with its copy count and canonical
+    (min) doc — byte-identical images/audio recur constantly in
+    crawled corpora (hotlinked assets, mirrored pages), and the hash
+    dedups them without ever decoding.
+
+    Plan mirrors dedup.exact_dedup: the shuffle carries 16-byte
+    digests and 8-byte ids, never blobs; at 100 TB the blob column is
+    pruned from the exchange entirely (only the md5 projection reads
+    it, at scan time).
+    """
+    return (
+        media.groupBy("content_md5", "media_type")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("byte_len").cast("bigint").alias("byte_len"),
+        )
+        .select(
+            "content_md5", "media_type", "canonical_doc_id",
+            "n_copies", "byte_len",
+        )
+    )
+
+
+def sql_media_dedup(table: str = "documents") -> str:
+    """DuckDB twin over the documents_as_media adapter expression."""
+    return f"""
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         md5(text) AS content_md5,
+         octet_length(encode(text)) AS byte_len
+  FROM {table}
+)
+SELECT content_md5, media_type,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(byte_len) AS BIGINT) AS byte_len
+FROM media
+GROUP BY content_md5, media_type
+"""
