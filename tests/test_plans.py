@@ -400,3 +400,23 @@ def test_skew_profile_two_aggregates_only(plans) -> None:
     # per-key agg (one exchange) + scalar agg (single partition of the
     # already-aggregated key table)
     assert phys.count("Exchange hashpartitioning") <= 1
+
+
+def test_deciles_single_scan_family_no_rangepartition(plans) -> None:
+    phys = plans("price_deciles").split("== Physical Plan ==")[-1]
+    assert "rangepartitioning" not in phys  # exact quantiles, no sort
+    # every scan reads ONLY the value column
+    assert "l_extendedprice" in phys.split("ReadSchema")[-1]
+
+
+def test_cooccurrence_broadcasts_frequency_gate(plans) -> None:
+    phys = plans("token_cooccurrence").split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in phys
+
+
+def test_media_dedup_prunes_blob_from_exchange(plans) -> None:
+    # the exchange carries digests, never the blob/text payload
+    phys = plans("media_dedup").split("== Physical Plan ==")[-1]
+    ex = phys.split("Exchange hashpartitioning", 1)
+    assert len(ex) == 2
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in phys
