@@ -1546,3 +1546,95 @@ SELECT edge, CAST(n_in_band AS BIGINT) AS n_in_band,
          AS n_pairs_at_least
 FROM hist
 """
+
+
+# ---------------------------------------------------------------------------
+# Train/test split leakage audit
+# ---------------------------------------------------------------------------
+
+
+def split_leakage_check(
+    docs: DataFrame,
+    weights: dict[str, float],
+    n: int = 3,
+    threshold: float = 0.6,
+    salt: str = "s2",
+) -> DataFrame:
+    """Cross-split leakage audit: near-dup pairs that STRADDLE a
+    train/val/test boundary — the failure decontamination screens for
+    external benchmarks but misses inside your own corpus (a test doc
+    whose near-copy sits in train is a leaked answer; hash-disjoint
+    splits guarantee no doc is in two splits, NOT that no *content*
+    is).
+
+    Composition: the MinHash-LSH pair tier (banded candidates, exact
+    verify) + the hash-gated split assignment joined onto both pair
+    legs; the report groups by the (split_a, split_b) boundary.  The
+    split join keys are 8-byte doc ids against a 2-column broadcastable
+    projection — the expensive part (pair generation) is the existing
+    bounded LSH plan, reused as-is.
+    """
+    from eventstreamd_spark.operators.sampling import dataset_split
+
+    pairs = minhash_lsh_dedup(docs, n, threshold)
+    splits = dataset_split(docs, "doc_id", weights, salt=salt).select(
+        "doc_id", "split"
+    )
+    tagged = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+    )
+    # canonicalize the boundary label so (train,test) == (test,train)
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (
+        tagged.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi")).alias("is_boundary"),
+        )
+    )
+
+
+def sql_split_leakage_check(
+    base_sql: str,
+    weights: dict[str, float],
+    n: int = 3,
+    threshold: float = 0.6,
+    salt: str = "s2",
+) -> str:
+    """DuckDB twin — same pair tier, split gate, and boundary
+    canonicalization."""
+    from eventstreamd_spark.operators.sampling import sql_dataset_split
+
+    pairs = sql_minhash_lsh_dedup(base_sql, n, threshold)
+    split_case = sql_dataset_split("doc_id", weights, salt=salt)
+    return f"""
+WITH pairs AS ({pairs}),
+splits AS (SELECT doc_id, {split_case} FROM {base_sql}),
+tagged AS (
+  SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+  FROM pairs p
+  JOIN splits sa ON sa.doc_id = p.doc_a
+  JOIN splits sb ON sb.doc_id = p.doc_b
+)
+SELECT least(split_a, split_b) AS split_lo,
+       greatest(split_a, split_b) AS split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       least(split_a, split_b) <> greatest(split_a, split_b) AS is_boundary
+FROM tagged
+GROUP BY 1, 2
+"""

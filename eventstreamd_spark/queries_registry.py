@@ -2027,6 +2027,22 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "split_leakage",
+    dedup_op.sql_split_leakage_check(
+        dedup_op.sql_planted_near_dups(), _SPLIT_WEIGHTS
+    ),
+)
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: near-dup pairs straddling a split
+    boundary (hash-disjoint splits separate DOCS, not content — the
+    planted near-dups leak across splits by construction here)."""
+    return dedup_op.split_leakage_check(
+        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
+        _SPLIT_WEIGHTS,
+    )
+
+
 @register("integrity_audit", rel.sql_integrity_audit())
 def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity report: orphan counts per foreign key via
@@ -2271,7 +2287,7 @@ _COST_HINT = {
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
-    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80, "token_cooccurrence": 0.50, "price_deciles": 0.60, "media_dedup": 0.25,
+    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80, "token_cooccurrence": 0.50, "price_deciles": 0.60, "media_dedup": 0.25, "split_leakage": 0.90,
 }
 
 

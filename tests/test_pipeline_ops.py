@@ -1548,3 +1548,17 @@ def test_exact_deciles_match_sorted_reference(spark, sf_dir) -> None:
     for f in statistics.DECILES:
         rk = math.ceil(f * n)
         assert got[f] == (rk, vals[rk - 1])
+
+
+def test_split_leakage_detects_planted_cross_split_pairs(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import dedup
+
+    docs = dedup.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = dedup.split_leakage_check(docs, w).collect()
+    total = sum(r["n_pairs"] for r in rows)
+    leaks = sum(r["n_pairs"] for r in rows if r["is_boundary"])
+    # planted copies get independent split hashes: some cross pairs exist
+    assert total > 0 and 0 < leaks < total
+    for r in rows:
+        assert r["is_boundary"] == (r["split_lo"] != r["split_hi"])
