@@ -1557,3 +1557,70 @@ FROM pairs
 ORDER BY support DESC, ta, tb
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps-law report)
+# ---------------------------------------------------------------------------
+
+VOCAB_BUCKET_DOCS = 50
+
+
+def vocab_growth_curve(
+    docs: DataFrame, bucket_docs: int = VOCAB_BUCKET_DOCS
+) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative distinct-term count
+    after each ``bucket_docs``-document prefix of the corpus (doc_id
+    order) — the curve that predicts vocabulary (and hash-table /
+    broadcast) sizes at 100x the corpus, and the empirical basis for
+    every "the vocab table broadcasts" claim in this repo.
+
+    Cumulative-distinct is inherently order-dependent, but it
+    decomposes exactly: a term enters the vocabulary at its FIRST
+    occurrence, so per-term min(doc_id) -> per-bucket new-term counts
+    -> a cumulative window over the BUCKET table (corpus/bucket_docs
+    rows — the tiny-window exemption again).  The corpus-sized work is
+    one explode + one (term)-keyed min aggregation; nothing big ever
+    meets the ordered window.
+    """
+    from pyspark.sql import Window as W
+
+    first_seen = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_bucket = first_seen.groupBy(
+        (F.col("first_doc") - F.col("first_doc") % bucket_docs).alias("bucket_start")
+    ).agg(F.count("*").alias("new_terms"))
+    w = W.orderBy("bucket_start").rowsBetween(W.unboundedPreceding, 0)
+    return per_bucket.select(
+        F.col("bucket_start").cast("bigint").alias("bucket_start"),
+        F.col("new_terms").cast("bigint").alias("new_terms"),
+        F.sum("new_terms").over(w).cast("bigint").alias("vocab_size"),
+    )
+
+
+def sql_vocab_growth_curve(
+    table: str = "documents", bucket_docs: int = VOCAB_BUCKET_DOCS
+) -> str:
+    t = sql_tokens("text")
+    return f"""
+WITH first_seen AS (
+  SELECT t, min(doc_id) AS first_doc FROM (
+    SELECT doc_id, unnest(list_distinct({t})) AS t FROM {table}
+  ) GROUP BY t
+), per_bucket AS (
+  SELECT first_doc - first_doc % {bucket_docs} AS bucket_start,
+         count(*) AS new_terms
+  FROM first_seen GROUP BY 1
+)
+SELECT CAST(bucket_start AS BIGINT) AS bucket_start,
+       CAST(new_terms AS BIGINT) AS new_terms,
+       CAST(sum(new_terms) OVER (ORDER BY bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM per_bucket
+"""

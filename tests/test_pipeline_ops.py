@@ -1562,3 +1562,25 @@ def test_split_leakage_detects_planted_cross_split_pairs(spark, sf_dir) -> None:
     assert total > 0 and 0 < leaks < total
     for r in rows:
         assert r["is_boundary"] == (r["split_lo"] != r["split_hi"])
+
+
+def test_vocab_growth_monotone_and_totals(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        textops.vocab_growth_curve(docs).collect(),
+        key=lambda r: r["bucket_start"],
+    )
+    assert rows[-1]["vocab_size"] == sum(r["new_terms"] for r in rows)
+    sizes = [r["vocab_size"] for r in rows]
+    assert sizes == sorted(sizes)  # cumulative is monotone
+    # the final vocab equals the corpus-wide distinct term count
+    total = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+        .filter("t <> ''")
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["vocab_size"] == total
