@@ -1624,3 +1624,57 @@ SELECT CAST(bucket_start AS BIGINT) AS bucket_start,
          AS vocab_size
 FROM per_bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index materialization (search-index build)
+# ---------------------------------------------------------------------------
+
+
+def build_postings(docs: DataFrame) -> DataFrame:
+    """Materialize the inverted index the retrieval tier queries:
+    per term, document frequency, total term frequency, and the
+    postings list (doc:tf pairs in doc order, flattened to a string so
+    the driver's oracle compare stays exact — the real table keeps the
+    array<struct> column and writes bucketed BY term, making every
+    keyword lookup a single-bucket read).
+
+    One explode + one (term, doc) count + one term-keyed aggregation;
+    postings order inside each term is made total (doc_id asc), so the
+    output is deterministic under any partitioning.
+    """
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+        )
+        .groupBy("t", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    postings = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("tf")))
+        ),
+        lambda s: F.concat_ws(":", s["doc_id"], s["tf"]),
+    )
+    return tf.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.concat_ws(",", postings).alias("postings"),
+    )
+
+
+def sql_build_postings(table: str = "documents") -> str:
+    """DuckDB twin — same per-term doc order and flattening."""
+    t = sql_tokens("text")
+    return f"""
+WITH tf AS (
+  SELECT t, doc_id, count(*) AS tf FROM (
+    SELECT doc_id, unnest({t}) AS t FROM {table}
+  ) GROUP BY t, doc_id
+)
+SELECT t, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM tf
+GROUP BY t
+"""

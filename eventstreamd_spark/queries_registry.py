@@ -2050,6 +2050,14 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.vocab_growth_curve(load_table(spark, sf_dir, "documents"))
 
 
+@register("postings_index", text_op.sql_build_postings())
+def postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index materialization (per-term df/tf + ordered
+    postings) — the persisted search index behind the retrieval tier;
+    written bucketed BY term at scale."""
+    return text_op.build_postings(load_table(spark, sf_dir, "documents"))
+
+
 @register("integrity_audit", rel.sql_integrity_audit())
 def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity report: orphan counts per foreign key via
@@ -2294,7 +2302,7 @@ _COST_HINT = {
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
-    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80, "token_cooccurrence": 0.50, "price_deciles": 0.60, "media_dedup": 0.25, "split_leakage": 0.90, "vocab_growth": 0.30,
+    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80, "token_cooccurrence": 0.50, "price_deciles": 0.60, "media_dedup": 0.25, "split_leakage": 0.90, "vocab_growth": 0.30, "postings_index": 0.35,
 }
 
 

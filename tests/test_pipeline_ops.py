@@ -1584,3 +1584,23 @@ def test_vocab_growth_monotone_and_totals(spark, sf_dir) -> None:
         .count()
     )
     assert rows[-1]["vocab_size"] == total
+
+
+def test_postings_index_consistency(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = textops.build_postings(docs).collect()
+    # df == number of postings entries; doc order is ascending
+    for r in rows[:100]:
+        entries = r["postings"].split(",")
+        assert len(entries) == r["df"]
+        ids = [int(e.split(":")[0]) for e in entries]
+        assert ids == sorted(ids)
+        assert sum(int(e.split(":")[1]) for e in entries) == r["total_tf"]
+    # total term mass equals the corpus token count
+    total = sum(r["total_tf"] for r in rows)
+    corpus_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+")))
+    ).collect()[0][0]
+    assert total == corpus_tokens
