@@ -652,3 +652,62 @@ ranks AS (SELECT frac, CAST(ceil(frac * n) AS BIGINT) AS rk FROM fr, tot)
 SELECT ranks.frac, ranks.rk AS rank, ranked.v AS value
 FROM ranks JOIN ranked ON ranked.r = ranks.rk
 """
+
+
+# ---------------------------------------------------------------------------
+# Source concentration audit (Lorenz / cumulative-share curve)
+# ---------------------------------------------------------------------------
+
+
+def source_concentration(docs: DataFrame) -> DataFrame:
+    """Corpus concentration by source: sources ranked by document
+    mass with cumulative counts and shares — the Lorenz-curve audit
+    that answers "how many sources until 90% of the corpus?" before a
+    per-domain cap or mix decision is made.
+
+    One aggregation to per-source counts; the ranked cumulative window
+    runs over the SOURCE table (|sources| rows — the tiny-window
+    exemption).  Shares are single divisions of exact integers.
+    """
+    from pyspark.sql import Window as W
+
+    per_source = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per_source.agg(F.sum("n_docs").alias("n_total"))
+    w = W.orderBy(F.desc("n_docs"), "source").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .withColumn("source_rank", F.row_number().over(
+            W.orderBy(F.desc("n_docs"), "source")
+        ))
+        .withColumn("cum_docs", F.sum("n_docs").over(w))
+        .select(
+            F.col("source_rank").cast("bigint").alias("source_rank"),
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("cum_docs").cast("bigint").alias("cum_docs"),
+            (
+                F.col("cum_docs").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("cum_share"),
+        )
+    )
+
+
+def sql_source_concentration(table: str = "documents") -> str:
+    return f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs FROM {table} GROUP BY source
+), tot AS (SELECT sum(n_docs) AS n_total FROM per_source)
+SELECT CAST(row_number() OVER w AS BIGINT) AS source_rank,
+       source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum(n_docs) OVER (ORDER BY n_docs DESC, source
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_docs,
+       CAST(sum(n_docs) OVER (ORDER BY n_docs DESC, source
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(n_total AS DOUBLE) AS cum_share
+FROM per_source, tot
+WINDOW w AS (ORDER BY n_docs DESC, source)
+"""
