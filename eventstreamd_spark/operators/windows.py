@@ -231,3 +231,73 @@ JOIN (SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
       FROM {t} GROUP BY user_id) c USING (user_id)
 GROUP BY c.cohort_week, CAST(date_diff('day', c.cohort_week, w.week) / 7 AS INT)
 """.format(t=table)
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-user inter-arrival gap statistics: count, min/max and LOWER
+    MEDIAN of the gaps between consecutive events (epoch MICROseconds
+    — integer-exact; second-truncation would round differently across
+    engines) —
+    the signal behind session-timeout tuning (operators/windows.py's
+    30-minute sessionization gap stops being folklore once this
+    reports the actual gap distribution).
+
+    Gaps are integer epoch-microsecond differences via a per-user lag
+    window; the median is the rank-threshold rule (min gap with
+    2*rank >= count — an actual data value, no interpolation), so the
+    whole output is engine-exact.  Everything is partitioned by
+    user_id: two window passes + one aggregate, no global state.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    wr = W.partitionBy("user_id").orderBy("gap_us", "ts", "event_id")
+    cnt = W.partitionBy("user_id")
+    ranked = gaps.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "nn", F.count("*").over(cnt)
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.min(F.when(2 * F.col("rn") >= F.col("nn"), F.col("gap_us")))
+        .cast("bigint")
+        .alias("median_gap_us"),
+    )
+
+
+def sql_interarrival_stats(table: str = "events") -> str:
+    """DuckDB twin — same gap construction and rank-threshold median."""
+    return f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM {table}
+), g AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL),
+r AS (
+  SELECT user_id, gap_us,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY gap_us, ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS nn
+  FROM g
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(min(CASE WHEN 2 * rn >= nn THEN gap_us END) AS BIGINT)
+         AS median_gap_us
+FROM r GROUP BY user_id
+"""

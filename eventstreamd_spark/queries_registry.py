@@ -2067,6 +2067,13 @@ def source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("interarrival_stats", windows_op.sql_interarrival_stats())
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap statistics (exact rank-rule median)
+    — the empirical basis for the sessionization timeout."""
+    return windows_op.interarrival_stats(load_table(spark, sf_dir, "events"))
+
+
 @register("integrity_audit", rel.sql_integrity_audit())
 def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity report: orphan counts per foreign key via
@@ -2311,7 +2318,7 @@ _COST_HINT = {
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
-    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80, "token_cooccurrence": 0.50, "price_deciles": 0.60, "media_dedup": 0.25, "split_leakage": 0.90, "vocab_growth": 0.30, "postings_index": 0.35, "source_concentration": 0.20,
+    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80, "token_cooccurrence": 0.50, "price_deciles": 0.60, "media_dedup": 0.25, "split_leakage": 0.90, "vocab_growth": 0.30, "postings_index": 0.35, "source_concentration": 0.20, "interarrival_stats": 0.35,
 }
 
 
