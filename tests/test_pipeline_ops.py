@@ -1604,3 +1604,38 @@ def test_postings_index_consistency(spark, sf_dir) -> None:
         F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+")))
     ).collect()[0][0]
     assert total == corpus_tokens
+
+
+def test_source_concentration_curve(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import statistics
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        statistics.source_concentration(docs).collect(),
+        key=lambda r: r["source_rank"],
+    )
+    assert rows[-1]["cum_docs"] == docs.count()
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-12
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_interarrival_median_matches_reference(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {r["user_id"]: r for r in windows.interarrival_stats(ev).collect()}
+    one = sorted(
+        ev.filter("user_id = 1").select("ts", "event_id").collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    gaps = sorted(
+        int((b["ts"] - a["ts"]).total_seconds() * 1_000_000)
+        for a, b in zip(one, one[1:])
+    )
+    r = got[1]
+    assert r["n_gaps"] == len(gaps)
+    assert r["min_gap_us"] == gaps[0] and r["max_gap_us"] == gaps[-1]
+    # lower median: first gap with 2*rank >= n
+    import math
+    assert r["median_gap_us"] == gaps[math.ceil(len(gaps) / 2) - 1]
