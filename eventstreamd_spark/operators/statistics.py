@@ -711,3 +711,118 @@ SELECT CAST(row_number() OVER w AS BIGINT) AS source_rank,
 FROM per_source, tot
 WINDOW w AS (ORDER BY n_docs DESC, source)
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+MAD_K = 1.4826  # consistency constant: MAD * K estimates sigma under normality
+MAD_CUT = 3.0
+
+
+def robust_outlier_stats(events: DataFrame) -> DataFrame:
+    """Per-type robust outlier report: median, MAD (median absolute
+    deviation), and the count of values beyond median ± 3 * 1.4826 *
+    MAD — the outlier screen that, unlike mean/stddev, is not itself
+    dragged by the outliers it is looking for.
+
+    Both medians are the rank-threshold rule (an actual stored value,
+    no interpolation); deviations are exact double subtractions of
+    those values; the cut compares one fixed-order IEEE expression —
+    every step engine-exact.  Plan: two windowed passes partitioned by
+    event_type (value rank, then deviation rank) + one aggregate; at
+    100 TB swap the exact medians for the histogram-refinement pass
+    (exact_quantile_values) per group.
+    """
+    from pyspark.sql import Window as W
+
+    wv = W.partitionBy("event_type").orderBy("value", "event_id")
+    cnt = W.partitionBy("event_type")
+    med = (
+        events.select("event_type", "event_id", "value")
+        .withColumn("rn", F.row_number().over(wv))
+        .withColumn("nn", F.count("*").over(cnt))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(2 * F.col("rn") >= F.col("nn"), F.col("value"))).alias(
+                "median_value"
+            ),
+            F.count("*").alias("n_events"),
+        )
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "median_value",
+        "n_events",
+        F.abs(F.col("value") - F.col("median_value")).alias("adev"),
+    )
+    wd = W.partitionBy("event_type").orderBy("adev", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("nn", F.count("*").over(W.partitionBy("event_type")))
+        .groupBy("event_type", "median_value", "n_events")
+        .agg(
+            F.min(F.when(2 * F.col("rn") >= F.col("nn"), F.col("adev"))).alias(
+                "mad"
+            )
+        )
+    )
+    flagged = dev.select("event_type", "event_id", "adev").join(
+        F.broadcast(mad), "event_type"
+    )
+    cut = F.lit(MAD_CUT) * F.lit(MAD_K) * F.col("mad")
+    return (
+        flagged.groupBy("event_type", "median_value", "mad", "n_events")
+        .agg(
+            F.sum((F.col("adev") > cut).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "median_value",
+            "mad",
+            "n_outliers",
+        )
+    )
+
+
+def sql_robust_outlier_stats(table: str = "events") -> str:
+    """DuckDB twin — same rank-rule medians and fixed-order cut."""
+    return f"""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM {table}
+), med AS (
+  SELECT event_type,
+         min(CASE WHEN 2 * rn >= nn THEN value END) AS median_value,
+         count(*) AS n_events
+  FROM r GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.event_id, abs(e.value - m.median_value) AS adev,
+         m.median_value, m.n_events
+  FROM {table} e JOIN med m USING (event_type)
+), rd AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY adev, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS nn
+  FROM dev
+), mad AS (
+  SELECT event_type, median_value, n_events,
+         min(CASE WHEN 2 * rn >= nn THEN adev END) AS mad
+  FROM rd GROUP BY event_type, median_value, n_events
+)
+SELECT d.event_type, CAST(d.n_events AS BIGINT) AS n_events,
+       d.median_value, m.mad,
+       CAST(sum(CASE WHEN d.adev > CAST({MAD_CUT} AS DOUBLE) * CAST({MAD_K} AS DOUBLE) * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type, median_value, n_events)
+GROUP BY d.event_type, d.n_events, d.median_value, m.mad
+"""

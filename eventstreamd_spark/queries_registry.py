@@ -2074,6 +2074,13 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows_op.interarrival_stats(load_table(spark, sf_dir, "events"))
 
 
+@register("robust_outliers", stats_mod.sql_robust_outlier_stats())
+def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier report per event type (rank-rule
+    medians, fixed-order cut — not dragged by the outliers it hunts)."""
+    return stats_mod.robust_outlier_stats(load_table(spark, sf_dir, "events"))
+
+
 @register("integrity_audit", rel.sql_integrity_audit())
 def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity report: orphan counts per foreign key via
@@ -2318,7 +2325,7 @@ _COST_HINT = {
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
-    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80, "token_cooccurrence": 0.50, "price_deciles": 0.60, "media_dedup": 0.25, "split_leakage": 0.90, "vocab_growth": 0.30, "postings_index": 0.35, "source_concentration": 0.20, "interarrival_stats": 0.35,
+    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80, "token_cooccurrence": 0.50, "price_deciles": 0.60, "media_dedup": 0.25, "split_leakage": 0.90, "vocab_growth": 0.30, "postings_index": 0.35, "source_concentration": 0.20, "interarrival_stats": 0.35, "robust_outliers": 0.45,
 }
 
 

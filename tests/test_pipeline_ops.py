@@ -1639,3 +1639,31 @@ def test_interarrival_median_matches_reference(spark, sf_dir) -> None:
     # lower median: first gap with 2*rank >= n
     import math
     assert r["median_gap_us"] == gaps[math.ceil(len(gaps) / 2) - 1]
+
+
+def test_robust_outliers_resist_contamination(spark, sf_dir) -> None:
+    """Planting extreme values must increase n_outliers while leaving
+    the median (and nearly the MAD) unmoved — THE robustness property
+    a mean/stddev screen lacks."""
+    from eventstreamd_spark.operators import statistics
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = {r["event_type"]: r for r in statistics.robust_outlier_stats(ev).collect()}
+    poisoned = ev.unionByName(
+        ev.filter("event_id % 100 = 0").select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "event_type",
+            (F.col("value") + 1e6).alias("value"),
+        )
+    )
+    after = {
+        r["event_type"]: r
+        for r in statistics.robust_outlier_stats(poisoned).collect()
+    }
+    for t, b in base.items():
+        a = after[t]
+        assert a["n_outliers"] > b["n_outliers"]
+        # median moves at most one rank step under ~1% contamination
+        assert abs(a["median_value"] - b["median_value"]) < 1.0
