@@ -21,9 +21,11 @@ Scale notes (100 TB):
   round's plan is independent of the previous round's DAG (the numbers
   travel through the driver), so n_iters rounds cost n_iters + 1 flat
   scans, not an exponentially deepening plan.
-- Determinism for the oracle: member means are rounded to 6 dp before
+- Determinism for the oracle: member means are computed as an exact
+  DECIMAL(28,12) sum (associative — partial-sum order can't shift the
+  value) divided once as a double, then rounded to 6 dp before
   re-broadcast, so both engines assign against bit-identical centroid
-  values even though their partial-sum orders differ; cosine itself is
+  values regardless of partition order; cosine itself is
   the sequential fold from functions/vectors.py (same association
   order as DuckDB's list_reduce — ULP-exact).  Ties in the argmax
   break on the lower cell_id in both engines.
@@ -92,7 +94,20 @@ def _recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
     )
     means = (
         dims.groupBy("cell_id", "d")
-        .agg(F.round(F.avg("v"), 6).alias("m"))
+        .agg(
+            # order-free exact mean: double avg() partial sums land in
+            # partition order, so values near a 6-dp boundary can round
+            # differently vs DuckDB's sequential scan.  Summing as
+            # DECIMAL(28,12) is exact and associative (each double is
+            # deterministically quantized to 12 dp first), then ONE
+            # double division — same idiom as statistics.py's exact
+            # totals, bit-identical across engines and partitionings.
+            F.round(
+                F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                / F.count("v"),
+                6,
+            ).alias("m")
+        )
         .groupBy("cell_id")
         .agg(
             F.transform(
@@ -202,7 +217,8 @@ def _sql_parts(
         parts.append(f"a{i} AS ({_sql_assign_cte(f'c{i}')})")
         parts.append(
             f"d{i + 1} AS (SELECT cell_id, g.d AS d, "
-            f"round(avg(emb[g.d + 1]), 6) AS m "
+            f"round(CAST(sum(CAST(emb[g.d + 1] AS DECIMAL(28,12))) "
+            f"AS DOUBLE) / count(*), 6) AS m "
             f"FROM a{i}, LATERAL (SELECT unnest(range({dim})) AS d) g "
             f"GROUP BY cell_id, g.d)"
         )

@@ -768,21 +768,33 @@ def connected_components(edges: DataFrame, max_iters: int = 16) -> DataFrame:
     cur = _small_star(_large_star(sym)).localCheckpoint()
     for _ in range(max_iters):
         # fixed-point probe BEFORE computing another round: the
-        # converged state is exactly a star forest (the rewrites
-        # preserve connectivity and edges always point larger ->
-        # smaller, so "no node is both a dst and a src" <=> every
-        # component is one star rooted at its min).  One semi-join
-        # job on the checkpointed edge set — on the common
-        # converged-after-round-0 dedup graph this replaces a full
-        # large+small round (2 shuffles + checkpoint) plus the old
-        # symmetric-difference probe.
+        # converged state is exactly a star forest, which needs BOTH
+        # (a) no node is both a dst and a src (no chains) AND
+        # (b) every src points at exactly one distinct dst (no node
+        # hanging off two would-be roots).  (a) alone is NOT
+        # sufficient: edges (10,1),(10,5),(20,2),(20,5) satisfy it
+        # while the component {1,2,5,10,20} is still split across
+        # roots 1 and 2 with node 5 holding two conflicting rows.
+        # Together (a)+(b) <=> star forest: any bridge between two
+        # stars would make a root a src (violating a) or give a src
+        # two dsts (violating b); the rewrites preserve connectivity,
+        # so each star is then exactly one original component rooted
+        # at its min.  Two cheap probe jobs on the checkpointed edge
+        # set, short-circuited — still cheaper than the full
+        # large+small round (2 shuffles + checkpoint) they replace.
         chained = cur.select("dst").join(
             cur.select(F.col("src").alias("dst")).distinct(),
             "dst",
             "left_semi",
         )
         if chained.limit(1).count() == 0:
-            break
+            multi_root = (
+                cur.groupBy("src")
+                .agg(F.count_distinct("dst").alias("n_dst"))
+                .where(F.col("n_dst") > 1)
+            )
+            if multi_root.limit(1).count() == 0:
+                break
         cur = _small_star(_large_star(cur.union(
             cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ))).localCheckpoint()

@@ -257,6 +257,28 @@ def test_connected_components_star_on_adversarial_chain(spark) -> None:
     assert comp[2500] == comp[3000] == 2500
 
 
+def test_connected_components_multi_root_probe(spark) -> None:
+    """Regression: edges (10,1),(10,5),(20,2),(20,5) form ONE component
+    (min 1) but satisfy the naive 'no node is both dst and src' probe
+    after one star round while node 5 still hangs off two would-be
+    roots — the probe must also require each src to have exactly one
+    distinct dst, or the component splits in two and node 5 gets
+    conflicting rows."""
+    from eventstreamd_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(10, 1), (10, 5), (20, 2), (20, 5)], "src bigint, dst bigint"
+    )
+    rows = connected_components(edges, max_iters=8).collect()
+    comp = {}
+    for r in rows:
+        assert r["node"] not in comp or comp[r["node"]] == r["component"], (
+            f"node {r['node']} has conflicting component rows"
+        )
+        comp[r["node"]] = r["component"]
+    assert comp == {1: 1, 2: 1, 5: 1, 10: 1, 20: 1}
+
+
 def test_rebalance_to_mix_hits_targets(spark, sf_dir) -> None:
     """The kept corpus's group shares approximate the target mix, no
     group is upsampled, and membership is key-deterministic."""
