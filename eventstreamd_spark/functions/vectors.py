@@ -51,3 +51,28 @@ def sql_dot(a: str, b: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+
+
+# --- zero-norm guard --------------------------------------------------------
+#
+# cosine(x, 0-vector) is 0/0 = NaN, and the two engines RANK NaN
+# differently in the argmax idioms (Spark min(struct(-ccos, ...)) treats
+# NaN as largest so the zero-norm candidate ranks LAST; DuckDB ORDER BY
+# cos DESC ranks NaN FIRST).  The guarded variants replace the undefined
+# cosine with a -2.0 sentinel — strictly below every real cosine (>= -1)
+# in BOTH engines, so a zero-norm vector/centroid deterministically
+# loses every argmax and never produces a NaN divergence.
+
+
+def cosine_guarded(a: Column, b: Column) -> Column:
+    na, nb = norm(a), norm(b)
+    return F.when((na * nb) == 0.0, F.lit(-2.0)).otherwise(
+        dot(a, b) / (na * nb)
+    )
+
+
+def sql_cosine_guarded(a: str, b: str) -> str:
+    return (
+        f"(CASE WHEN {sql_dot(a, a)} = 0 OR {sql_dot(b, b)} = 0 "
+        f"THEN -2.0 ELSE {sql_cosine(a, b)} END)"
+    )

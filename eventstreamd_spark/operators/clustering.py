@@ -40,7 +40,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from eventstreamd_spark.functions.vectors import dot, norm, sql_cosine, to_double
+from eventstreamd_spark.functions.vectors import (
+    cosine_guarded,
+    dot,
+    norm,
+    sql_cosine_guarded,
+    to_double,
+)
 from eventstreamd_spark.session import fan_out
 
 N_CELLS = 16
@@ -57,13 +63,22 @@ def _assign(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     (vector, centroid) pair evaluates one 64-term fold (the dot), not
     three — same arithmetic as functions.vectors.cosine in the same
     association order (sqrt(dot(a,a)) * sqrt(dot(b,b)) as the divisor
-    product), so the value stays bit-identical to the DuckDB twin."""
+    product), so the value stays bit-identical to the DuckDB twin.
+
+    Zero-norm guard: cosine against a zero vector is NaN, and Spark's
+    min(struct(-ccos, ...)) ranks NaN LAST while the twin's ORDER BY
+    ccos DESC ranks NaN FIRST — so the undefined cosine is replaced by
+    the -2.0 sentinel (strictly below every real cosine) in both
+    engines (functions.vectors.cosine_guarded idiom, inlined here to
+    reuse the hoisted norms)."""
     cents_n = cents.withColumn("__nc", norm(F.col("cvec")))
     emb_n = fan_out(embeddings).withColumn("__nv", norm(F.col("embedding")))
+    nprod = F.col("__nv") * F.col("__nc")
     scored = emb_n.join(F.broadcast(cents_n)).withColumn(
         "ccos",
-        dot(F.col("embedding"), F.col("cvec"))
-        / (F.col("__nv") * F.col("__nc")),
+        F.when(nprod == 0.0, F.lit(-2.0)).otherwise(
+            dot(F.col("embedding"), F.col("cvec")) / nprod
+        ),
     )
     # argmax as min(struct(-ccos, cell_id, ...)): a HASH aggregate with
     # map-side partials instead of a sort+window — same selection and
@@ -98,12 +113,23 @@ def _recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
             # order-free exact mean: double avg() partial sums land in
             # partition order, so values near a 6-dp boundary can round
             # differently vs DuckDB's sequential scan.  Summing as
-            # DECIMAL(28,12) is exact and associative (each double is
-            # deterministically quantized to 12 dp first), then ONE
-            # double division — same idiom as statistics.py's exact
-            # totals, bit-identical across engines and partitionings.
+            # DECIMAL(28,12) is exact and associative, then ONE double
+            # division — same idiom as statistics.py's exact totals.
+            # Two cross-engine hazards are neutralised explicitly:
+            # (1) the 12-dp quantization — a bare double->DECIMAL cast
+            # rounds HALF_UP in Spark but half-even in DuckDB, and
+            # doubles of the form odd/2^13 are EXACT 12-dp ties, so
+            # both engines first round(…, 12) (half-away-from-zero in
+            # both) before the cast; (2) the DECIMAL->DOUBLE cast —
+            # Spark's BigDecimal.doubleValue() is correctly rounded
+            # while DuckDB's direct cast can be 1 ULP off, so the SQL
+            # twin goes through the VARCHAR round-trip (d2d idiom,
+            # statistics.py:74).  Divisor is the non-null element
+            # count on both sides (F.count('v') / count(emb[d+1])).
             F.round(
-                F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                F.sum(
+                    F.round(F.col("v"), 12).cast("decimal(28,12)")
+                ).cast("double")
                 / F.count("v"),
                 6,
             ).alias("m")
@@ -175,8 +201,7 @@ def kmeans_prototypes(
     assigned = _assign(embeddings, cents)
     scored = assigned.join(F.broadcast(cents), "cell_id").withColumn(
         "ccos",
-        dot(F.col("embedding"), F.col("cvec"))
-        / (norm(F.col("embedding")) * norm(F.col("cvec"))),
+        cosine_guarded(F.col("embedding"), F.col("cvec")),
     )
     w = W.partitionBy("cell_id").orderBy(F.desc("ccos"), F.asc("vec_id"))
     return (
@@ -191,7 +216,7 @@ def kmeans_prototypes(
 
 
 def _sql_assign_cte(cents: str) -> str:
-    cos = sql_cosine("e.emb", "c.cvec")
+    cos = sql_cosine_guarded("e.emb", "c.cvec")
     return (
         "SELECT vec_id, emb, cell_id FROM ("
         "SELECT e.vec_id, e.emb, c.cell_id, "
@@ -216,9 +241,14 @@ def _sql_parts(
     for i in range(n_iters):
         parts.append(f"a{i} AS ({_sql_assign_cte(f'c{i}')})")
         parts.append(
+            # round(x, 12) before the DECIMAL cast (exact-tie rounding
+            # parity) and VARCHAR round-trip for DECIMAL->DOUBLE
+            # (1-ULP parity) — see the Spark-side comment in
+            # _recompute; divisor mirrors F.count('v') (non-null).
             f"d{i + 1} AS (SELECT cell_id, g.d AS d, "
-            f"round(CAST(sum(CAST(emb[g.d + 1] AS DECIMAL(28,12))) "
-            f"AS DOUBLE) / count(*), 6) AS m "
+            f"round(CAST(CAST(sum(CAST(round(emb[g.d + 1], 12) "
+            f"AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) "
+            f"/ count(emb[g.d + 1]), 6) AS m "
             f"FROM a{i}, LATERAL (SELECT unnest(range({dim})) AS d) g "
             f"GROUP BY cell_id, g.d)"
         )
@@ -257,7 +287,7 @@ def sql_kmeans_prototypes(
     own-centroid cosine, same per-cell tie order."""
     parts = _sql_parts(table, n_cells, n_iters, dim)
     final = _sql_assign_cte(f"c{n_iters}")
-    cos = sql_cosine("a.emb", "c.cvec")
+    cos = sql_cosine_guarded("a.emb", "c.cvec")
     return (
         "WITH " + ",\n".join(parts) + f",\nfinal AS ({final}),\n"
         "scored AS (SELECT a.cell_id, a.vec_id, "

@@ -30,7 +30,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from eventstreamd_spark.functions.vectors import cosine, sql_cosine, to_double
+from eventstreamd_spark.functions.vectors import (
+    cosine,
+    sql_cosine,
+    sql_cosine_guarded,
+    to_double,
+)
 from eventstreamd_spark.session import fan_out
 
 N_PLANES = 16
@@ -384,12 +389,19 @@ def ivf_cells(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
     # order as functions.vectors.cosine; double negation is exact;
     # cell_id breaks ties before the payload field).  A/B-measured on
     # the identical pattern in clustering._assign.
+    # zero-norm guard: cosine vs a zero vector is NaN, which the two
+    # engines RANK differently (struct-min: last; ORDER BY DESC: first)
+    # — replaced with the -2.0 sentinel in both engines so the
+    # zero-norm candidate deterministically loses (vectors.cosine_guarded
+    # idiom, inlined to reuse the hoisted norms).
     cents_n = cents.withColumn("__nc", norm(F.col("cvec")))
     emb_n = fan_out(embeddings).withColumn("__nv", norm(F.col("embedding")))
+    nprod = F.col("__nv") * F.col("__nc")
     scored = emb_n.join(F.broadcast(cents_n)).withColumn(
         "ccos",
-        dot(F.col("embedding"), F.col("cvec"))
-        / (F.col("__nv") * F.col("__nc")),
+        F.when(nprod == 0.0, F.lit(-2.0)).otherwise(
+            dot(F.col("embedding"), F.col("cvec")) / nprod
+        ),
     )
     best = scored.groupBy("vec_id").agg(
         F.min(
@@ -458,7 +470,7 @@ def sql_ivf_topk(
 ) -> str:
     """DuckDB twin of ivf_topk (same seeding, scoring, tie order)."""
     ids = ", ".join(str(i) for i in query_ids)
-    cos_cell = sql_cosine("e.embedding", "c.embedding")
+    cos_cell = sql_cosine_guarded("e.embedding", "c.embedding")
     cos_q = sql_cosine("q.embedding", "c.embedding")
     cos_re = sql_cosine("p.qvec", "cells.embedding")
     return f"""
@@ -608,7 +620,7 @@ def sql_semantic_dedup_pairs(
     base_sql: str, threshold: float = 0.95, n_cells: int = N_CELLS
 ) -> str:
     """DuckDB twin of semantic_dedup_pairs (same seeding/tie order)."""
-    cos_cell = sql_cosine("e.embedding", "c.embedding")
+    cos_cell = sql_cosine_guarded("e.embedding", "c.embedding")
     cos_pair = sql_cosine("a.embedding", "b.embedding")
     return f"""
 WITH base AS (SELECT * FROM {base_sql}),
@@ -867,7 +879,7 @@ def sql_cell_label_purity(table: str = "embeddings", n_cells: int = N_CELLS) -> 
     """DuckDB twin of cell_label_purity (same cells CTE as the
     SemDeDup oracle, same max-struct tie rule via lexicographic list
     max over [n, -label])."""
-    cos_cell = sql_cosine("e.embedding", "c.embedding")
+    cos_cell = sql_cosine_guarded("e.embedding", "c.embedding")
     return f"""
 WITH cents AS (
   SELECT vec_id AS cell_id, embedding FROM {table} WHERE vec_id < {n_cells}

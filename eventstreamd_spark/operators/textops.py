@@ -1327,7 +1327,14 @@ def token_budget_fill(
     band = F.coalesce(
         F.round(F.col("logit") * 1_000_000.0).cast("bigint"), F.lit(0)
     )
-    banded = scored.withColumn("band", band)
+    # localCheckpoint the slim (doc_id, n_tokens, logit, band)
+    # projection: it feeds BOTH the band-totals aggregate and the
+    # row-level join leg below, and Catalyst does not share the
+    # subtree — without the checkpoint the corpus-wide classifier
+    # fold (the expensive hashed-bigram pass) runs twice.  Four
+    # scalars per doc, so the materialized block is tiny relative
+    # to the text it replaces (same move as dedup.py's edge list).
+    banded = scored.withColumn("band", band).localCheckpoint()
     btot = banded.groupBy("band").agg(F.sum("n_tokens").alias("bt"))
     wb = W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, 0)
     bands = (

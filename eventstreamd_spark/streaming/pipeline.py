@@ -387,10 +387,15 @@ def drift_vs_reference(batch: DataFrame, reference: DataFrame) -> DataFrame:
         .groupBy("event_type", "bin")
         .agg(F.count("*").alias("c_batch"))
     )
+    # LEFT join on the totals too: an event type present in the batch
+    # with ZERO reference rows is the strongest possible drift signal
+    # and must surface as tvd = 1.0, not silently vanish (an inner
+    # join here dropped novel types entirely).
     joined = (
         batch_bins.join(F.broadcast(ref_bins), ["event_type", "bin"], "left")
         .na.fill({"c_ref": 0})
-        .join(F.broadcast(ref_tot), "event_type")
+        .join(F.broadcast(ref_tot), "event_type", "left")
+        .na.fill({"n_ref": 0})
     )
     agg = joined.groupBy("event_type", "n_ref").agg(
         F.sum("c_batch").alias("n_batch"),
@@ -417,7 +422,14 @@ def drift_vs_reference(batch: DataFrame, reference: DataFrame) -> DataFrame:
             (F.col("n_ref") > 0) & (F.col("n_batch") > 0),
             num.cast("double")
             / (2.0 * F.col("n_ref").cast("double") * F.col("n_batch").cast("double")),
-        ).alias("tvd"),
+        )
+        .when(
+            # novel event type: all batch mass sits on bins the
+            # reference gives probability 0 — TVD is exactly 1
+            (F.col("n_ref") == 0) & (F.col("n_batch") > 0),
+            F.lit(1.0),
+        )
+        .alias("tvd"),
     )
 
 

@@ -1689,3 +1689,70 @@ def test_robust_outliers_resist_contamination(spark, sf_dir) -> None:
         assert a["n_outliers"] > b["n_outliers"]
         # median moves at most one rank step under ~1% contamination
         assert abs(a["median_value"] - b["median_value"]) < 1.0
+
+
+# --- zero-norm cosine guard (engine/oracle NaN-ranking divergence) ----------
+
+
+def test_zero_norm_vectors_match_oracle_in_argmax(spark) -> None:
+    """cosine(x, 0-vector) is NaN, and Spark's min(struct(-cos, ...))
+    argmax ranks NaN LAST while DuckDB's ORDER BY cos DESC ranks it
+    FIRST — the guarded -2.0 sentinel must make ivf_cells and the Lloyd
+    rounds agree with the DuckDB twin even when the fixture contains
+    zero-norm corpus vectors AND zero-norm seed centroids."""
+    import duckdb
+    import pandas as pd
+
+    from eventstreamd_spark.operators import clustering, similarity
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 0.0, 0.0, 0.0],  # zero-norm SEED centroid (vec_id < n_cells)
+        2: [0.0, 1.0, 0.0, 0.0],
+        3: [0.0, 0.0, 0.0, 0.0],  # another zero-norm seed
+        4: [0.5, 0.5, 0.0, 0.0],
+        5: [0.0, 0.0, 0.0, 0.0],  # zero-norm MEMBER (non-centroid)
+        6: [0.0, -1.0, 0.0, 0.0],
+        7: [0.25, 0.0, 0.75, 0.0],
+        8: [0.0, 0.0, 0.0, 1.0],
+        9: [-0.5, 0.0, 0.0, 0.5],
+    }
+    rows = [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": list(sorted(vecs)), "embedding": [vecs[i] for i in sorted(vecs)]}
+        ),
+    )
+
+    # ivf seeding assignment (n_iters=0 twin == ivf_cells)
+    got = {
+        (r["vec_id"], r["cell_id"])
+        for r in similarity.ivf_cells(emb, n_cells=4).collect()
+    }
+    want = {
+        (r[0], r[1])
+        for r in con.execute(
+            clustering.sql_kmeans_assignments("embeddings", n_cells=4, n_iters=0, dim=4)
+        ).fetchall()
+    }
+    assert got == want
+    # every zero-norm vector lost every argmax: all land in cell 0
+    # (the -2.0 sentinel ties across all cells, lowest cell_id wins)
+    assert {(1, 0), (3, 0), (5, 0)} <= got
+
+    # one full Lloyd round (zero-norm members feed centroid means too)
+    got2 = {
+        (r["vec_id"], r["cell_id"])
+        for r in clustering.kmeans_assignments(emb, n_cells=4, n_iters=1).collect()
+    }
+    want2 = {
+        (r[0], r[1])
+        for r in con.execute(
+            clustering.sql_kmeans_assignments("embeddings", n_cells=4, n_iters=1, dim=4)
+        ).fetchall()
+    }
+    assert got2 == want2

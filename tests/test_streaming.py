@@ -657,3 +657,31 @@ def test_stream_drift_monitor_flags_shifted_batch(spark, sf_dir, tmp_path) -> No
         reports[name] = rows
     assert reports["same"] and all(r["tvd"] == 0.0 for r in reports["same"])
     assert reports["shifted"] and all(r["tvd"] > 0.5 for r in reports["shifted"])
+
+
+def test_drift_report_surfaces_novel_event_types(spark, sf_dir) -> None:
+    """An event type present in the batch but ABSENT from the reference
+    is the strongest drift signal: it must appear in the report with
+    tvd = 1.0 and n_ref = 0, never be silently dropped."""
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import drift_vs_reference
+
+    ref = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    novel = spark.createDataFrame(
+        [(10_000_001, "brand_new_type", 3.5), (10_000_002, "brand_new_type", 7.0)],
+        "event_id long, event_type string, value double",
+    )
+    report = {
+        r["event_type"]: r
+        for r in drift_vs_reference(ref.unionByName(novel), ref).collect()
+    }
+    assert "brand_new_type" in report
+    row = report["brand_new_type"]
+    assert row["n_ref"] == 0
+    assert row["n_batch"] == 2
+    assert row["tvd"] == 1.0
+    # known types still report unchanged (identical distribution => 0)
+    known = [r for t, r in report.items() if t != "brand_new_type"]
+    assert known and all(r["tvd"] == 0.0 for r in known)
