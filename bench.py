@@ -63,6 +63,12 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     for name, fn in queries_registry.QUERIES.items():
+        if name == "registry_digest":
+            # meta-evidence query: it re-executes every tail query to
+            # fingerprint its values for the correctness gate.  In a
+            # bench run every tail query is already timed individually;
+            # including the digest would triple-count the whole tail.
+            continue
         try:
             # pass 1 (cold): includes one-time JVM costs — Catalyst rule
             # warm-up, whole-stage-codegen Janino compilation — that a

@@ -2347,3 +2347,50 @@ def _reorder() -> None:
 
 
 _reorder()
+
+
+# ---------------------------------------------------------------------------
+# Registry digest — driver-artifact evidence for the tail.
+#
+# The driver's correctness gate verifies the first 50 registered
+# queries; everything after that ("the tail") would otherwise only be
+# evidenced by local tooling.  registry_digest occupies the LAST slot
+# of the 50-query window and emits, per tail query, the row count and
+# an order-insensitive value fingerprint of that query's full result —
+# Spark digests the Spark results, the DuckDB twin digests the oracle
+# results — so one green driver row transitively pins every tail
+# query's values each round.  See eventstreamd_spark/digest.py for the
+# cross-engine canonicalization contract.
+# ---------------------------------------------------------------------------
+
+DIGEST_SLOT = 49  # index inside the driver window the digest occupies
+
+import os as _os  # noqa: E402
+
+if not _os.environ.get("EVENTSTREAMD_SKIP_DIGEST"):
+    from eventstreamd_spark import digest as _digest_mod
+    from eventstreamd_spark.digest_manifest import DIGEST_MANIFEST
+
+    _DIGEST_TAIL = list(QUERIES)[DIGEST_SLOT:]
+    _unknown = [n for n in _DIGEST_TAIL if n not in DIGEST_MANIFEST]
+    _missing_oracle = [n for n in _DIGEST_TAIL if n not in ORACLES]
+    if _unknown or _missing_oracle:
+        raise RuntimeError(
+            "digest manifest out of sync — rerun tools/gen_digest_manifest.py"
+            f" (unmanifested: {_unknown}; oracle-less: {_missing_oracle})"
+        )
+
+    @register(
+        "registry_digest",
+        _digest_mod.sql_registry_digest(ORACLES, DIGEST_MANIFEST, _DIGEST_TAIL),
+    )
+    def registry_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-tail-query (n_rows, fingerprint) evidence rows; each
+        tail query's digest is a distributed 1-row reduction, the
+        O(tail) digests are a driver control plane."""
+        return _digest_mod.registry_digest(
+            spark, sf_dir, QUERIES, DIGEST_MANIFEST, _DIGEST_TAIL
+        )
+
+    _PRIORITY.insert(DIGEST_SLOT, "registry_digest")
+    _reorder()

@@ -27,3 +27,18 @@ def test_tail_is_cost_sorted() -> None:
 
 def test_queries_and_oracles_share_order() -> None:
     assert list(qr.ORACLES) == [n for n in qr.QUERIES if n in qr.ORACLES]
+
+
+def test_registry_digest_sits_in_the_driver_window() -> None:
+    names = list(qr.QUERIES)
+    assert names.index("registry_digest") == qr.DIGEST_SLOT < 50
+
+
+def test_digest_manifest_covers_the_whole_tail() -> None:
+    from eventstreamd_spark.digest_manifest import DIGEST_MANIFEST
+
+    tail = [n for n in list(qr.QUERIES)[qr.DIGEST_SLOT:] if n != "registry_digest"]
+    missing = [n for n in tail if n not in DIGEST_MANIFEST]
+    assert not missing, f"rerun tools/gen_digest_manifest.py: {missing}"
+    # every digested query must have an oracle for the SQL twin arm
+    assert all(n in qr.ORACLES for n in tail)
