@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, batch-shaped Pandas-UDF decode/feature stages.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED (deterministic fake features, clearly marked); everything
-Spark-side — schema, partitioning, Arrow batch shape, UDF signatures —
-is real and tested.  Swapping ``_fake_decode`` for a PIL/ffmpeg call is
-a one-function change that does not touch the plan.
+Image decode is REAL for PNG payloads: a pure-stdlib baseline PNG
+decoder (functions/png.py — zlib inflate + scanline unfilter, written
+from the public W3C spec) computes true width/height/channel means.
+Payloads in formats the container cannot decode (no PIL/ffmpeg) fall
+back to a deterministic byte-histogram stand-in, clearly marked;
+swapping in a codec library is a one-function change that does not
+touch the plan.  Everything Spark-side — schema, partitioning, Arrow
+batch shape, UDF signatures — is real and tested either way.
 
 Design for 100 TB of blobs:
 - blobs travel as ``binary`` columns in parquet (or as object-store
@@ -57,13 +60,10 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 
 def _fake_decode(blob: bytes) -> list[float]:
-    """STUB decode kernel — deterministic fake features.
-
-    Real implementation would be e.g. PIL.Image.open(io.BytesIO(blob))
-    -> resize -> channel means; codecs are unavailable in this
-    container, so we emit a deterministic byte-histogram projection
-    instead (raises nothing, needs nothing).
-    """
+    """Fallback kernel for undecodable payloads — deterministic
+    byte-histogram projection (raises nothing, needs nothing).  Real
+    PNGs take the _png_decode path below; other formats would slot in
+    the same way (PIL/ffmpeg when a codec is available)."""
     if blob is None:
         return [0.0] * FEATURE_DIM
     acc = [0] * FEATURE_DIM
@@ -71,6 +71,86 @@ def _fake_decode(blob: bytes) -> list[float]:
         acc[i % FEATURE_DIM] += b
     n = max(len(blob), 1)
     return [a / n for a in acc]
+
+
+def _png_decode(blob: bytes) -> list[float]:
+    """REAL image decode: pure-stdlib PNG (functions/png.py — zlib
+    inflate + scanline unfilter) -> [width, height, channels,
+    mean_ch0..mean_ch3, mean_all].  Channel means are exact integer
+    sums with ONE float64 division each, so an arithmetic oracle can
+    reproduce them bit-for-bit; absent channels mean 0.0."""
+    from eventstreamd_spark.functions.png import decode_png
+
+    w, h, channels, pixels = decode_png(blob)
+    n_px = w * h
+    sums = [0] * 4
+    for i, b in enumerate(pixels):
+        sums[i % channels] += b
+    means = [sums[ch] / n_px if ch < channels else 0.0 for ch in range(4)]
+    mean_all = sum(sums) / (n_px * channels)
+    return [float(w), float(h), float(channels), *means, mean_all]
+
+
+def _decode(blob: bytes) -> list[float]:
+    """Dispatch: real PNG decode when the payload is a decodable
+    baseline PNG, byte-histogram fallback otherwise."""
+    if blob is not None and blob[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            return _png_decode(blob)
+        except ValueError:
+            pass  # corrupt/unsupported PNG -> histogram fallback
+    return _fake_decode(blob)
+
+
+PNG_W_MOD = 9  # widths 8..16
+PNG_H_MOD = 9  # heights 8..16
+
+
+def _synth_png(doc_id: int) -> bytes:
+    """Deterministic synthetic RGB PNG for ``doc_id``: size and pixel
+    samples are closed-form functions of (doc_id, row, col, channel),
+    so an arithmetic oracle can state the decoded channel means without
+    touching PNG bytes (encode->decode is identity on pixels).  The
+    encoder cycles all five PNG row filters, so a decoder unfilter bug
+    shows up as a wrong mean, not a silent pass."""
+    from eventstreamd_spark.functions.png import encode_png
+
+    w = 8 + doc_id % PNG_W_MOD
+    h = 8 + (doc_id * 7) % PNG_H_MOD
+    px = bytearray(w * h * 3)
+    i = 0
+    for r in range(h):
+        for c in range(w):
+            for ch in range(3):
+                px[i] = (doc_id * 31 + r * 7 + c * 13 + ch * 101) % 256
+                i += 1
+    return encode_png(w, h, 3, bytes(px))
+
+
+def documents_as_png_media(docs: DataFrame) -> DataFrame:
+    """Adapter: one REAL synthetic PNG per document (mapInPandas blob
+    synthesis — stands in for the object-store fetch stage), with the
+    same typed-metadata columns as documents_as_media."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": pdf["doc_id"].map(lambda d: _synth_png(int(d))),
+                }
+            )
+
+    blobs = fan_out(docs.select("doc_id")).mapInPandas(
+        synth, schema="doc_id bigint, blob binary"
+    )
+    return blobs.select(
+        "doc_id",
+        F.lit("image/png").alias("media_type"),
+        "blob",
+        F.length("blob").cast("int").alias("byte_len"),
+        F.md5("blob").alias("content_md5"),
+    )
 
 
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
@@ -84,7 +164,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "byte_len": pdf["byte_len"],
-                    "feature": pdf["blob"].map(_fake_decode),
+                    "feature": pdf["blob"].map(_decode),
                 }
             )
             yield out

@@ -750,6 +750,65 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "media_type", "byte_len", *dims)
 
 
+def _sql_multimodal_png_features() -> str:
+    """Arithmetic twin of the REAL PNG decode: the synthetic image for
+    doc_id has closed-form pixels v(r,c,ch) = (doc_id*31 + r*7 + c*13
+    + ch*101) % 256 at size (8 + doc_id%9) x (8 + 7*doc_id%9) x RGB,
+    and encode->decode is identity on pixels, so the decoded channel
+    means equal the direct sums — computed here without touching PNG
+    bytes.  A decoder unfilter/inflate bug surfaces as a wrong mean."""
+    return """
+WITH m AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 7) % 9 AS h
+  FROM documents
+), px AS (
+  SELECT m.doc_id, m.w, m.h,
+         hh.ch,
+         (m.doc_id * 31 + rr.r * 7 + cc.c * 13 + hh.ch * 101) % 256 AS v
+  FROM m,
+       LATERAL (SELECT unnest(range(m.h)) AS r) rr,
+       LATERAL (SELECT unnest(range(m.w)) AS c) cc,
+       LATERAL (SELECT unnest(range(3)) AS ch) hh
+), s AS (
+  SELECT doc_id, w, h,
+         sum(CASE WHEN ch = 0 THEN v END) AS s0,
+         sum(CASE WHEN ch = 1 THEN v END) AS s1,
+         sum(CASE WHEN ch = 2 THEN v END) AS s2,
+         sum(v) AS sall
+  FROM px GROUP BY doc_id, w, h
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       3 AS channels,
+       round(s0 / (w * h), 6) AS mean_c0,
+       round(s1 / (w * h), 6) AS mean_c1,
+       round(s2 / (w * h), 6) AS mean_c2,
+       round(sall / (w * h * 3), 6) AS mean_all
+FROM s
+"""
+
+
+@register("multimodal_png_features", _sql_multimodal_png_features())
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize one PNG per document
+    (mapInPandas; all five row filters exercised), decode it with the
+    pure-stdlib PNG reader (zlib inflate + scanline unfilter), emit
+    true dimensions and channel means — verified against an arithmetic
+    oracle on the pixel-generation formula."""
+    media = mm_op.documents_as_png_media(load_table(spark, sf_dir, "documents"))
+    feats = mm_op.extract_features(media)
+    f = F.col("feature")
+    return feats.select(
+        "doc_id",
+        f[0].cast("int").alias("width"),
+        f[1].cast("int").alias("height"),
+        f[2].cast("int").alias("channels"),
+        F.round(f[3], 6).alias("mean_c0"),
+        F.round(f[4], 6).alias("mean_c1"),
+        F.round(f[5], 6).alias("mean_c2"),
+        F.round(f[7], 6).alias("mean_all"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Layer B (continued): deep join chain, grouping sets, distinct counts,
 # range join, exact quantiles
@@ -2325,7 +2384,7 @@ _COST_HINT = {
     "winsorized_prices": 0.60, "token_budget_fill": 0.80,
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
-    "multimodal_shards": 0.40, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80, "token_cooccurrence": 0.50, "price_deciles": 0.60, "media_dedup": 0.25, "split_leakage": 0.90, "vocab_growth": 0.30, "postings_index": 0.35, "source_concentration": 0.20, "interarrival_stats": 0.35, "robust_outliers": 0.45,
+    "multimodal_shards": 0.40, "multimodal_png_features": 0.50, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80, "token_cooccurrence": 0.50, "price_deciles": 0.60, "media_dedup": 0.25, "split_leakage": 0.90, "vocab_growth": 0.30, "postings_index": 0.35, "source_concentration": 0.20, "interarrival_stats": 0.35, "robust_outliers": 0.45,
 }
 
 
