@@ -49,7 +49,14 @@ async def _read_until(reader: asyncio.StreamReader, needle: str, timeout: float 
     return buf
 
 
-def test_daemon_end_to_end(spark, tmp_path) -> None:
+import pytest
+
+
+@pytest.mark.parametrize("push_mode", ["driver", "distributed"])
+def test_daemon_end_to_end(spark, tmp_path, push_mode) -> None:
+    """Full contract in BOTH fan-out tiers: [Spark] PushMode = driver
+    (in-process push_batch) and distributed (executor-side
+    DistributedPusher through the frame-ingest tier)."""
     sock = str(tmp_path / "evtd.sock")
 
     async def auth(path: str, headers: dict[str, str]) -> tuple[datetime.datetime | None, None]:
@@ -68,6 +75,7 @@ def test_daemon_end_to_end(spark, tmp_path) -> None:
                 trigger_seconds=1,
                 auth=auth,
                 stop_event=stop,
+                push_mode=push_mode,
             )
         )
         for _ in range(100):  # wait for the socket server to come up
@@ -303,6 +311,17 @@ def test_config_parsing(tmp_path) -> None:
     cfg2 = read_config(str(ini2))
     assert cfg2.socket_file == Config().socket_file
     assert cfg2.http_port == 8888 and not cfg2.with_ssl
+    assert cfg2.push_mode == "driver"  # default fan-out tier
+    # [Spark] PushMode selects the fan-out tier; junk is rejected
+    ini3 = tmp_path / "push.conf"
+    ini3.write_text("[Spark]\nPushMode = distributed\n")
+    assert read_config(str(ini3)).push_mode == "distributed"
+    ini4 = tmp_path / "bad.conf"
+    ini4.write_text("[Spark]\nPushMode = sideways\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PushMode"):
+        read_config(str(ini4))
 
 
 def test_last_event_id_replay(spark, tmp_path) -> None:
