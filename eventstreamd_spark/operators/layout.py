@@ -320,6 +320,7 @@ def write_training_export(
     path: str,
     seed: str = "epoch0",
     max_records_per_file: int = 200,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Materialize a training-ready export: rows laid out in the
     seed-stable shuffle order (sampling.seeded_shuffle_keys' hash key —
@@ -337,22 +338,29 @@ def write_training_export(
     100 TB, not a data scan, if swapped for the catalog's file stats.
     """
     from eventstreamd_spark.functions.text import poly_hash
+    from eventstreamd_spark.sources.files import FORMATS, read_table
 
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
     keyed = docs.withColumn(
         "shuffle_key",
         poly_hash(
             F.concat(F.col("doc_id").cast("string"), F.lit(":" + seed))
         ),
     )
-    (
+    writer = (
         keyed.repartitionByRange(8, "shuffle_key")
         .sortWithinPartitions("shuffle_key")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
-        .parquet(path)
     )
+    if fmt == "csv":
+        writer = writer.option("header", "true")  # sources.files contract
+    writer.format(fmt).save(path)
     spark = docs.sparkSession
-    written = spark.read.parquet(path)
+    # manifest read-back: csv/json are schema-less on disk, so the
+    # writer's own schema is re-applied (sources.files contract)
+    written = read_table(spark, path, fmt, schema=keyed.schema)
     return (
         written.groupBy(F.input_file_name().alias("file"))
         .agg(

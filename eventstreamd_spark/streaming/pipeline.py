@@ -201,6 +201,32 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time SLIDING windows under a real watermark — the
+    streaming twin of operators/windows.sliding_counts.  F.window with
+    a slide assigns each event to width/slide overlapping windows
+    (state per open window, expired by the watermark); append mode
+    emits a window exactly once, when the watermark passes its end —
+    so every emitted row is final and exactly comparable to the batch
+    computation of the same bucket."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def streaming_session_windows(
     events: DataFrame,
     gap: str = "30 minutes",

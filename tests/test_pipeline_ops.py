@@ -1419,6 +1419,43 @@ def test_training_export_order_bounds_and_manifest(spark, sf_dir, tmp_path) -> N
         sorted((r["n_rows"], r["key_lo"], r["key_hi"]) for r in manifest2)
 
 
+def test_training_export_round_trips_every_format(spark, sf_dir, tmp_path) -> None:
+    """Format-choice invariance for the export writer (mirrors
+    test_multi_format_round_trip): the SAME corpus exported as parquet,
+    orc, csv, and json yields identical manifest-level layout (row
+    counts, key ranges, token totals) and a lossless row round-trip —
+    the on-disk format must never change what the data loader sees."""
+    from eventstreamd_spark.operators.layout import write_training_export
+    from eventstreamd_spark.sources.files import FORMATS, read_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # csv cannot carry embedded newlines losslessly in our plain mode;
+    # assert the fixture precondition instead of silently relying on it
+    assert docs.filter(F.col("text").contains("\n")).count() == 0
+    n = docs.count()
+    want_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    layouts = {}
+    schema = None  # filled from the first (schema-carrying) format
+    for fmt in FORMATS:  # parquet first => schema available for csv/json
+        path = str(tmp_path / f"export_{fmt}")
+        manifest = write_training_export(
+            docs, path, max_records_per_file=20, fmt=fmt
+        ).collect()
+        layouts[fmt] = sorted(
+            (r["n_rows"], r["n_tokens_ws"], r["key_lo"], r["key_hi"])
+            for r in manifest
+        )
+        assert sum(r["n_rows"] for r in manifest) == n, fmt
+        back = read_table(spark, path, fmt, schema=schema)
+        if schema is None:
+            schema = back.schema
+        assert back.count() == n, fmt
+        assert {r["doc_id"] for r in back.select("doc_id").collect()} == want_ids, fmt
+    # manifest-level layout is identical across formats
+    for fmt in FORMATS[1:]:
+        assert layouts[fmt] == layouts["parquet"], fmt
+
+
 def test_hard_negatives_labels_differ_and_are_hardest(spark, sf_dir) -> None:
     from eventstreamd_spark.functions.vectors import cosine
 

@@ -685,3 +685,59 @@ def test_drift_report_surfaces_novel_event_types(spark, sf_dir) -> None:
     # known types still report unchanged (identical distribution => 0)
     known = [r for t, r in report.items() if t != "brand_new_type"]
     assert known and all(r["tvd"] == 0.0 for r in known)
+
+
+def test_streaming_sliding_windows_exact_vs_batch(spark, sf_dir, tmp_path) -> None:
+    """Sliding windows under a real watermark: every window the
+    streaming query EMITS (append mode => finalized by the watermark)
+    must match the batch computation of the same bucket exactly —
+    count parity per (window_start, event_type), not a coverage
+    heuristic."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "events_sliding")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(src)
+    raw_ts = {f.name: f.dataType.simpleString() for f in raw_schema}["ts"]
+    if raw_ts == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif raw_ts == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    q = (
+        pipeline.streaming_sliding_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sliding_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    assert got, "watermark emitted no finalized windows"
+
+    from eventstreamd_spark.session import load_table
+
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.window("ts", "10 minutes", "5 minutes"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # every emitted (finalized) window agrees exactly with batch
+    for key, n in got.items():
+        assert want.get(key) == n, key
+    # and the stream emitted the overwhelming majority of windows (only
+    # those past the final watermark stay in state)
+    assert len(got) >= 0.9 * len(want)

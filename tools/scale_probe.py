@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Measure OBSERVED scaling exponents for the candidate-generating
+dedup/ANN tiers — the empirical check behind SCALE.md's claimed bounds.
+
+Method: run each probed query at sf0.1 (N) and at a synthetic 10x
+blow-up (10N), steady-state timing (best of two full executions after a
+cold pass), and report a = log(t_10N / t_N) / log(10) — the local
+scaling exponent.  a ~ 1 is scan-dominated, the explicitly-quadratic
+exact baseline should show a ~ 2, and anything unexpectedly >= 2 in a
+"scale path" tier means a cutoff needs tightening.
+
+The 10x corpus is sf0.1 replicated with key offsets and deterministic
+per-replica perturbation chosen so REPLICAS ARE MUTUALLY DISSIMILAR
+while each replica preserves the base corpus's internal near-dup
+structure: documents get a replica suffix appended to EVERY word
+(all shingles differ across replicas; planted near-dup pairs inside a
+replica stay near-dups), embeddings get a cyclic dimension rotation by
+the replica index (cos(rot_r(a), rot_r(b)) == cos(a, b) exactly, while
+cross-replica cosines decorrelate).  A naive blow-up (same text plus a
+trailing token / a tiny vector nudge) makes every row a 10-way
+NEAR-DUPLICATE clique, growing candidate pairs ~quadratically and
+measuring the synthetic data, not the operator — the first run of this
+probe demonstrated exactly that (dedup_ngram_jaccard read a=1.52).
+
+Writes tools' sidecar SCALE_PROBE.json and prints a markdown table to
+paste into SCALE.md.  Scratch data lives under .scratch/ (gitignored).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = os.path.join(REPO, ".scratch", "sf_probe10x")
+REPLICAS = 10
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+PROBES = [
+    # (query name, SCALE.md claimed bound)
+    ("dedup_ngram_jaccard", "~N (inverted index + hot-shingle guard)"),
+    ("dedup_minhash_lsh", "~N (banded bucket join)"),
+    ("dedup_clusters", "~N log n (large-star/small-star)"),
+    ("similarity_lsh_ann", "~N (bucketed corpus, broadcast queries)"),
+    ("semantic_dedup", "~N^1.5 intra-cell (SemDeDup cells)"),
+    ("embedding_near_dup", "N^2 BY DESIGN (labeled exact baseline)"),
+]
+
+
+def build_blowup(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from eventstreamd_spark.session import load_table
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        dst = os.path.join(SCRATCH, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(os.path.join(BASE, f"{t}.parquet"), dst)
+
+    docs = load_table(spark, BASE, "documents")
+    n_docs = docs.count()
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    resuffixed = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("text"), r"\s+"),
+            lambda w: F.concat(w, F.lit("~"), F.col("rep").cast("string")),
+        ),
+    )
+    blown_docs = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * (n_docs * 10)).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text")).otherwise(resuffixed).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    blown_docs.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(SCRATCH, "documents.parquet")
+    )
+
+    emb = load_table(spark, BASE, "embeddings")
+    n_vec = emb.count()
+    # cyclic rotation by 7*rep dims: exact isometry within a replica
+    rot = (F.col("rep") * 7 % 64).cast("int")
+    rotated = F.concat(
+        F.slice(F.col("embedding"), rot + 1, 64 - rot),
+        F.slice(F.col("embedding"), 1, rot),
+    )
+    blown_emb = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * (n_vec * 10)).alias("vec_id"),
+        F.when(F.col("rep") == 0, F.col("embedding")).otherwise(rotated).alias("embedding"),
+        "label",
+    )
+    blown_emb.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(SCRATCH, "embeddings.parquet")
+    )
+    print(f"blow-up ready: {n_docs * REPLICAS} docs, {n_vec * REPLICAS} vecs")
+
+
+def steady(fn, spark, sf_dir: str) -> float:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # cold
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    from eventstreamd_spark.session import get_spark
+
+    spark = get_spark("scale-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from eventstreamd_spark import queries_registry as reg
+
+    build_blowup(spark)
+
+    results = {}
+    for name, claim in PROBES:
+        fn = reg.QUERIES[name]
+        t1 = steady(fn, spark, BASE)
+        t10 = steady(fn, spark, SCRATCH)
+        a = math.log(t10 / t1) / math.log(REPLICAS)
+        results[name] = {
+            "t_base_sec": round(t1, 3),
+            "t_10x_sec": round(t10, 3),
+            "exponent": round(a, 3),
+            "claimed": claim,
+        }
+        print(f"{name}: {t1:.2f}s -> {t10:.2f}s  a={a:.2f}  ({claim})")
+
+    out = os.path.join(REPO, "tools", "SCALE_PROBE.json")
+    with open(out, "w") as fh:
+        json.dump({"base": BASE, "replicas": REPLICAS, "probes": results}, fh, indent=1)
+    print(f"\nwrote {out}\n")
+    print("| query | t(N) | t(10N) | observed a | claimed bound |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        print(
+            f"| {name} | {r['t_base_sec']}s | {r['t_10x_sec']}s "
+            f"| **{r['exponent']}** | {r['claimed']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
