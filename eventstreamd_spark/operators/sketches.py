@@ -1,0 +1,508 @@
+"""Deterministic distributed sketches: KMV, HyperLogLog, count-min, Bloom.
+
+At 100 TB, exact ``COUNT(DISTINCT)``, exact heavy-hitter tables, and
+exact semi-joins against a billion-key build side are all shuffle-bound.
+The standard answers are *mergeable sketches* — tiny commutative
+summaries built with map-side partial aggregation and merged
+associatively, so the shuffle moves kilobytes instead of the data:
+
+- **KMV / bottom-k (theta sketch)**: keep the k smallest 60-bit hashes
+  of the key; the k-th smallest estimates cardinality as
+  ``(k-1) * 2^60 / kth``.  Partial sketches are per-task bottom-k sets;
+  merge = union + re-take bottom-k.
+- **HyperLogLog**: ``m`` registers, each the max leading-zero rank of
+  the hashes routed to it.  Merge = element-wise max — a ``groupBy
+  (bucket).max(rho)`` with map-side combine moves at most ``m`` rows
+  per task, ever.
+- **Count-min**: a ``d x w`` grid of counters; merge = cell-wise sum.
+  Point estimate = min over the d row cells — always an OVERestimate,
+  never under.
+- **Bloom filter**: the runtime-filter / dynamic-partition-pruning
+  primitive — build bits from the selective dim side, probe the fact
+  side before the real join; zero false negatives by construction.
+
+Everything here is *deterministic*: the hash is the repo-wide 60-bit
+md5 idiom (digest.py), register/bucket arithmetic is integer-exact,
+and the few float steps are single fixed-order IEEE expressions — so
+every query has an EXACT DuckDB value-hash oracle, unlike
+``approx_count_distinct``-style opaque sketches whose internals can't
+be twinned (those are covered separately by ``approx_distinct_parts``).
+
+Spark notes: the native equivalents are ``approx_count_distinct``
+(HLL++), ``count_min_sketch``, and AQE runtime bloom filters
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``); this module
+re-expresses them as plain DataFrame plans so the mechanics are
+visible, checkable, and portable.
+
+Reference parity note: the reference daemon (evtstrd) has no sketch
+surface; this module is part of the training-data-pipeline tier the
+engine adds on top (stats aggregation kin of `evtstrd/stats.py`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --- shared 60-bit hash idiom (see digest.py) -------------------------------
+
+_B60 = 1152921504606846976  # 2^60; hashes are uniform in [0, 2^60)
+
+
+def _h60(col: Column) -> Column:
+    """60-bit integer md5 hash of a string column (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _sql_h60(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 128
+
+
+def kmv_distinct_events(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Bottom-k cardinality sketch over ``event_id``, checked against
+    the exact count.
+
+    The scalable shape: an Arrow ``mapInPandas`` kernel reduces each
+    input batch to its bottom-k DISTINCT hashes (<= k rows out per
+    batch, an 8-byte column — this is the map-side partial sketch), so
+    the only shuffle-like step is the final bottom-k over the tiny
+    survivor union (k x n_batches rows).  No corpus-wide distinct, no
+    global sort: ``orderBy().limit(k)`` plans as TakeOrderedAndProject.
+
+    The exact distinct count computed alongside is the *evaluation
+    harness* (it lets the oracle assert the estimator's error bound);
+    a production run at 100 TB would emit only the sketch row.
+    """
+    import pandas as pd
+
+    hashes = events.select(_h60(F.col("event_id").cast("string")).alias("h"))
+
+    def partial_bottom_k(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({"h": pdf["h"].drop_duplicates().nsmallest(k)})
+
+    survivors = hashes.mapInPandas(partial_bottom_k, "h bigint")
+    bottom = survivors.distinct().orderBy("h").limit(k)
+    sketch = bottom.agg(
+        F.count("*").cast("bigint").alias("k_kept"),
+        F.max("h").alias("kth_hash"),
+    )
+    exact = hashes.agg(F.count_distinct("h").cast("bigint").alias("n_exact"))
+    est = (
+        F.lit(float(k - 1))
+        * F.lit(float(_B60))
+        / F.col("kth_hash").cast("double")
+    )
+    out = sketch.crossJoin(F.broadcast(exact)).select(
+        F.lit(k).cast("int").alias("k"),
+        "k_kept",
+        "kth_hash",
+        est.alias("kmv_estimate"),
+        "n_exact",
+        (
+            F.abs(est - F.col("n_exact").cast("double"))
+            <= F.lit(0.45) * F.col("n_exact").cast("double")
+        ).alias("within_bound"),
+    )
+    return out
+
+
+def sql_kmv_distinct_events(table: str = "events", k: int = KMV_K) -> str:
+    h = _sql_h60("CAST(event_id AS VARCHAR)")
+    est = (
+        f"((CAST({k - 1} AS DOUBLE) * CAST({_B60} AS DOUBLE))"
+        " / CAST(kth_hash AS DOUBLE))"
+    )
+    return f"""
+WITH hashes AS (SELECT DISTINCT {h} AS h FROM {table}),
+bottom AS (SELECT h FROM hashes ORDER BY h LIMIT {k}),
+sketch AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_kept, max(h) AS kth_hash FROM bottom
+),
+exact AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM hashes)
+SELECT CAST({k} AS INT) AS k, k_kept, kth_hash,
+       {est} AS kmv_estimate, n_exact,
+       (abs({est} - CAST(n_exact AS DOUBLE))
+          <= CAST(0.45 AS DOUBLE) * CAST(n_exact AS DOUBLE)) AS within_bound
+FROM sketch, exact
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with integer-exact registers
+# ---------------------------------------------------------------------------
+
+HLL_P = 6  # 2^6 = 64 registers; sigma ~ 1.04/sqrt(64) = 13%
+_HLL_M = 1 << HLL_P
+_REM_BITS = 60 - HLL_P  # 54-bit remainder per hash
+_ALPHA_64 = 0.709  # Flajolet et al. 2007 constant for m = 64
+
+
+def hll_distinct_events(events: DataFrame) -> DataFrame:
+    """HyperLogLog cardinality over ``event_id``: 64 integer registers,
+    estimate from an integer-exact register sum.
+
+    Register build is the canonical HLL plan: bucket = top-p bits of
+    the hash, rho = leading-zero rank of the 54-bit remainder,
+    ``groupBy(bucket).max(rho)`` — map-side combine caps the shuffle at
+    m rows per task regardless of input size, and registers merge
+    across corpora by element-wise max (property-tested).
+
+    The indicator sum ``Z = sum(2^-M_j)`` is scaled by ``2^55`` so it
+    accumulates as an exact BIGINT (order-independent, engine-exact);
+    the estimate is then ONE fixed-order double expression.  The raw
+    estimator is emitted as-is — the small-range linear-counting branch
+    needs a transcendental ``ln`` with no cross-engine rounding
+    contract, so the query reports ``n_zero_registers`` and leaves the
+    correction to the caller (the fixtures sit far above 2.5m where no
+    correction applies).
+    """
+    h = _h60(F.col("event_id").cast("string"))
+    buck = F.expr(f"shiftright(h, {_REM_BITS})").alias("bucket")
+    rem = F.expr(f"h % CAST({1 << _REM_BITS} AS BIGINT)")
+    rho = F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
+        F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
+    )
+    regs = (
+        events.select(h.alias("h"))
+        .select(buck, rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    # S = sum over all m registers of 2^(55 - M_j), empty registers
+    # contribute 2^55 each; exact BIGINT (max 64 * 2^55 = 2^61).
+    scaled = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_REM_BITS + 1} - m_rho AS INT))")
+        ).alias("s_present"),
+        F.count("*").cast("int").alias("n_present"),
+    )
+    exact = events.agg(
+        F.count_distinct(F.col("event_id")).cast("bigint").alias("n_exact")
+    )
+    two55 = float(1 << (_REM_BITS + 1))
+    s_total = (
+        F.col("s_present")
+        + (F.lit(_HLL_M) - F.col("n_present")).cast("bigint")
+        * F.lit(1 << (_REM_BITS + 1))
+    )
+    est = (
+        F.lit(_ALPHA_64)
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.lit(two55)
+        / s_total.cast("double")
+    )
+    return scaled.crossJoin(F.broadcast(exact)).select(
+        F.lit(_HLL_M).cast("int").alias("m"),
+        s_total.alias("register_sum_scaled"),
+        (F.lit(_HLL_M) - F.col("n_present")).cast("int").alias("n_zero_registers"),
+        est.alias("hll_estimate"),
+        "n_exact",
+        (
+            F.abs(est - F.col("n_exact").cast("double"))
+            <= F.lit(0.5) * F.col("n_exact").cast("double")
+        ).alias("within_bound"),
+    )
+
+
+def sql_hll_distinct_events(table: str = "events") -> str:
+    h = _sql_h60("CAST(event_id AS VARCHAR)")
+    rb, m = _REM_BITS, _HLL_M
+    est = (
+        f"((CAST({_ALPHA_64} AS DOUBLE) * CAST({m * m} AS DOUBLE)"
+        f" * CAST({1 << (rb + 1)} AS DOUBLE)) / CAST(s_total AS DOUBLE))"
+    )
+    return f"""
+WITH hashes AS (SELECT {h} AS h FROM {table}),
+parts AS (
+  SELECT (h >> {rb}) AS bucket, h % CAST({1 << rb} AS BIGINT) AS rem
+  FROM hashes
+),
+regs AS (
+  SELECT bucket,
+         max(CASE WHEN rem = 0 THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(rem)) END) AS m_rho
+  FROM parts GROUP BY bucket
+),
+scaled AS (
+  SELECT sum((1::BIGINT << CAST({rb + 1} - m_rho AS INT)))::BIGINT AS s_present,
+         CAST(count(*) AS INT) AS n_present
+  FROM regs
+),
+exact AS (
+  SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact FROM {table}
+),
+tot AS (
+  SELECT s_present + CAST({m} - n_present AS BIGINT) * {1 << (rb + 1)}
+           AS s_total,
+         n_present
+  FROM scaled
+)
+SELECT CAST({m} AS INT) AS m, s_total AS register_sum_scaled,
+       CAST({m} - n_present AS INT) AS n_zero_registers,
+       {est} AS hll_estimate, n_exact,
+       (abs({est} - CAST(n_exact AS DOUBLE))
+          <= CAST(0.5 AS DOUBLE) * CAST(n_exact AS DOUBLE)) AS within_bound
+FROM tot, exact
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP = 20
+
+
+def cms_heavy_hitters(
+    events: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    top: int = CMS_TOP,
+) -> DataFrame:
+    """Count-min sketch point estimates for the top heavy-hitter users,
+    next to their exact counts.
+
+    Build: every event fans out to ``depth`` (row, col) cells — the
+    explode happens inside the same stage as the hash aggregate, so
+    map-side combine collapses it to at most ``depth x width`` partial
+    rows per task before the (tiny) shuffle.  The sketch is cell-wise
+    mergeable across corpora by construction.
+
+    Probe: the exact top-N candidates (TakeOrderedAndProject, no global
+    sort) join the broadcast d x w sketch on their own cell
+    coordinates; the estimate is the min over the d cells and is
+    provably >= the true count (``overcount >= 0`` for every row — the
+    oracle asserts it).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (
+                    _h60(F.concat(F.lit(f"{i}:"), F.col("user_id").cast("string")))
+                    % width
+                ).alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+    sketch = (
+        events.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.col").alias("col"))
+        .agg(F.count("*").cast("bigint").alias("cell_count"))
+    )
+    candidates = (
+        events.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("user_id").asc())
+        .limit(top)
+    )
+    probe = candidates.select(
+        "user_id", "n_exact", F.explode(cells).alias("c")
+    ).select("user_id", "n_exact", F.col("c.i").alias("i"), F.col("c.col").alias("col"))
+    est = (
+        probe.join(F.broadcast(sketch), ["i", "col"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cell_count").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).alias("overcount"),
+        (F.col("cms_estimate") >= F.col("n_exact")).alias("never_undercounts"),
+    ).orderBy(F.col("n_exact").desc(), F.col("user_id").asc())
+
+
+def sql_cms_heavy_hitters(
+    table: str = "events",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    top: int = CMS_TOP,
+) -> str:
+    def col_expr(i: int) -> str:
+        keyed = "('" + str(i) + ":' || CAST(user_id AS VARCHAR))"
+        return f"({_sql_h60(keyed)} % {width})"
+
+    rows = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS i, {col_expr(i)} AS col FROM {table}"
+        for i in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT user_id, n_exact, {i} AS i, {col_expr(i)} AS col FROM candidates"
+        for i in range(depth)
+    )
+    return f"""
+WITH fanout AS ({rows}),
+sketch AS (
+  SELECT i, col, CAST(count(*) AS BIGINT) AS cell_count
+  FROM fanout GROUP BY i, col
+),
+candidates AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM {table} GROUP BY user_id
+  ORDER BY n_exact DESC, user_id ASC LIMIT {top}
+),
+probe AS ({probe_rows}),
+est AS (
+  SELECT p.user_id, p.n_exact, min(s.cell_count) AS cms_estimate
+  FROM probe p JOIN sketch s USING (i, col)
+  GROUP BY p.user_id, p.n_exact
+)
+SELECT user_id, n_exact, cms_estimate,
+       (cms_estimate - n_exact) AS overcount,
+       (cms_estimate >= n_exact) AS never_undercounts
+FROM est
+ORDER BY n_exact DESC, user_id ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16
+BLOOM_K = 3
+BLOOM_SEGMENT = "BUILDING"
+
+
+def bloom_join_prune(
+    customer: DataFrame,
+    orders: DataFrame,
+    segment: str = BLOOM_SEGMENT,
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom-filter pre-join pruning report: build bits from the
+    selective customer-segment keys, probe every order, compare the
+    bloom verdict with the true semi-join.
+
+    This is the hand-rolled shape of Spark's AQE runtime bloom filter
+    / dynamic partition pruning: the build side is tiny after its
+    filter, the bit table (<= 2^16 distinct positions) broadcasts, and
+    the probe is a narrow scan of the fact table — the real join then
+    touches only ``n_pass_bloom`` rows instead of ``n_orders``.  The
+    summary asserts the two structural guarantees: zero false
+    negatives (every true match passes) and pass-set ⊇ true-set.
+    """
+
+    def positions(key: Column) -> Column:
+        return F.array(
+            *[
+                (_h60(F.concat(F.lit(f"{j}:"), key.cast("string"))) % m_bits).alias(
+                    f"p{j}"
+                )
+                for j in range(n_hashes)
+            ]
+        )
+
+    seg = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    bits = (
+        seg.select(F.explode(positions(F.col("c_custkey"))).alias("bitpos"))
+        .distinct()
+    )
+    probe = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(positions(F.col("o_custkey"))).alias("bitpos"),
+    )
+    hit = (
+        probe.join(F.broadcast(bits).withColumn("hit", F.lit(1)), "bitpos", "left")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg((F.count("hit") == n_hashes).alias("pass_bloom"))
+    )
+    truth = seg.select(
+        F.col("c_custkey").alias("t_custkey"), F.lit(True).alias("is_true")
+    )
+    flagged = hit.join(
+        F.broadcast(truth), hit.o_custkey == truth.t_custkey, "left"
+    ).select("pass_bloom", F.coalesce("is_true", F.lit(False)).alias("is_true"))
+    return flagged.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("pass_bloom").cast("int")).cast("bigint").alias("n_pass_bloom"),
+        F.sum(F.col("is_true").cast("int")).cast("bigint").alias("n_true_match"),
+        F.sum((F.col("pass_bloom") & ~F.col("is_true")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_positive"),
+        (F.sum((F.col("is_true") & ~F.col("pass_bloom")).cast("int")) == 0).alias(
+            "no_false_negatives"
+        ),
+    ).select(
+        "n_orders",
+        "n_pass_bloom",
+        "n_true_match",
+        "n_false_positive",
+        "no_false_negatives",
+        (
+            F.col("n_false_positive").cast("double")
+            / F.col("n_orders").cast("double")
+        ).alias("fp_rate"),
+    )
+
+
+def sql_bloom_join_prune(
+    customer: str = "customer",
+    orders: str = "orders",
+    segment: str = BLOOM_SEGMENT,
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_K,
+) -> str:
+    def pos(j: int, key: str) -> str:
+        keyed = "('" + str(j) + ":' || CAST(" + key + " AS VARCHAR))"
+        return f"({_sql_h60(keyed)} % {m_bits})"
+
+    bit_rows = " UNION ALL ".join(
+        f"SELECT {pos(j, 'c_custkey')} AS bitpos FROM seg" for j in range(n_hashes)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT o_orderkey, o_custkey, {pos(j, 'o_custkey')} AS bitpos"
+        f" FROM {orders}"
+        for j in range(n_hashes)
+    )
+    return f"""
+WITH seg AS (
+  SELECT c_custkey FROM {customer} WHERE c_mktsegment = '{segment}'
+),
+bits AS (SELECT DISTINCT bitpos FROM ({bit_rows})),
+probe AS ({probe_rows}),
+hit AS (
+  SELECT p.o_orderkey, p.o_custkey,
+         (count(b.bitpos) = {n_hashes}) AS pass_bloom
+  FROM probe p LEFT JOIN bits b USING (bitpos)
+  GROUP BY p.o_orderkey, p.o_custkey
+),
+flagged AS (
+  SELECT h.pass_bloom,
+         coalesce(s.c_custkey IS NOT NULL, FALSE) AS is_true
+  FROM hit h LEFT JOIN (SELECT DISTINCT c_custkey FROM seg) s
+    ON h.o_custkey = s.c_custkey
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_bloom,
+         CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_match,
+         CAST(sum(CASE WHEN pass_bloom AND NOT is_true THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_positive,
+         (sum(CASE WHEN is_true AND NOT pass_bloom THEN 1 ELSE 0 END) = 0)
+           AS no_false_negatives
+  FROM flagged
+)
+SELECT n_orders, n_pass_bloom, n_true_match, n_false_positive,
+       no_false_negatives,
+       (CAST(n_false_positive AS DOUBLE) / CAST(n_orders AS DOUBLE))
+         AS fp_rate
+FROM agg
+"""

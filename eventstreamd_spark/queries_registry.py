@@ -35,6 +35,7 @@ from eventstreamd_spark.operators import textops as text_op
 from eventstreamd_spark.operators import envelope as envelope_op
 from eventstreamd_spark.operators import relational as rel
 from eventstreamd_spark.operators import routing as routing_op
+from eventstreamd_spark.operators import sketches as sketch_op
 from eventstreamd_spark.operators import stats as stats_op
 from eventstreamd_spark.operators import layout as layout_mod
 from eventstreamd_spark.operators import windows as windows_op
@@ -2236,6 +2237,42 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.fuzzy_name_pairs(load_table(spark, sf_dir, "part"))
 
 
+@register("kmv_distinct", sketch_op.sql_kmv_distinct_events())
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) cardinality sketch over event ids: Arrow
+    mapInPandas partial bottom-k per batch, tiny survivor merge —
+    the mergeable-distinct plan whose shuffle is k rows, not N."""
+    return sketch_op.kmv_distinct_events(load_table(spark, sf_dir, "events"))
+
+
+@register("hll_distinct", sketch_op.sql_hll_distinct_events())
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog: 64 integer registers via
+    groupBy(bucket).max(rho), integer-exact register sum, one
+    fixed-order IEEE estimate — an approx_count_distinct whose every
+    bit has a DuckDB twin."""
+    return sketch_op.hll_distinct_events(load_table(spark, sf_dir, "events"))
+
+
+@register("cms_heavy_hitters", sketch_op.sql_cms_heavy_hitters())
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates for the top-20 users next to
+    exact counts; the oracle asserts the never-undercount guarantee
+    per row."""
+    return sketch_op.cms_heavy_hitters(load_table(spark, sf_dir, "events"))
+
+
+@register("bloom_join_prune", sketch_op.sql_bloom_join_prune())
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning report (the AQE runtime-filter /
+    DPP shape, hand-rolled and checkable): zero false negatives,
+    measured false-positive rate."""
+    return sketch_op.bloom_join_prune(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -2385,6 +2422,9 @@ _COST_HINT = {
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
     "multimodal_shards": 0.40, "multimodal_png_features": 0.50, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80, "token_cooccurrence": 0.50, "price_deciles": 0.60, "media_dedup": 0.25, "split_leakage": 0.90, "vocab_growth": 0.30, "postings_index": 0.35, "source_concentration": 0.20, "interarrival_stats": 0.35, "robust_outliers": 0.45,
+    # round-5 additions (sketch tier)
+    "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
+    "bloom_join_prune": 0.35,
 }
 
 

@@ -1,0 +1,140 @@
+"""Sketch tier: mergeability laws + structural guarantees.
+
+The value-level equivalence is the DuckDB oracle gate; these tests pin
+the properties that make sketches usable at 100 TB — partial sketches
+built on disjoint halves of the data must merge to exactly the
+whole-corpus sketch (that's what lets map-side partials replace a
+corpus-wide shuffle), and the one-sided error guarantees must hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventstreamd_spark.operators import sketches as sk
+from eventstreamd_spark.session import load_table
+
+
+def _halves(events):
+    a = events.filter(F.col("event_id").cast("string").substr(-1, 1).isin(
+        ["0", "1", "2", "3", "4"]
+    ))
+    b = events.subtract(a)
+    return a, b
+
+
+def test_kmv_bottom_k_merges(spark, sf_dir) -> None:
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B))."""
+    events = load_table(spark, sf_dir, "events")
+    a, b = _halves(events)
+
+    def bottom(df):
+        h = sk._h60(F.col("event_id").cast("string")).alias("h")
+        return df.select(h).distinct().orderBy("h").limit(sk.KMV_K)
+
+    whole = {r["h"] for r in bottom(events).collect()}
+    merged_rows = bottom(a).unionAll(bottom(b)).distinct().orderBy("h").limit(sk.KMV_K)
+    merged = {r["h"] for r in merged_rows.collect()}
+    assert whole == merged
+
+
+def test_kmv_batching_invariance(spark, sf_dir) -> None:
+    """The mapInPandas partial sketch gives the same kth hash under
+    different partitionings (set semantics, not batch semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    one = sk.kmv_distinct_events(events.repartition(1)).collect()[0]
+    many = sk.kmv_distinct_events(events.repartition(7)).collect()[0]
+    assert one["kth_hash"] == many["kth_hash"]
+    assert one["kmv_estimate"] == many["kmv_estimate"]
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir) -> None:
+    """registers(A ∪ B) == element-wise max(registers(A), registers(B))."""
+    events = load_table(spark, sf_dir, "events")
+    a, b = _halves(events)
+
+    def regs(df):
+        h = sk._h60(F.col("event_id").cast("string")).alias("h")
+        hh = df.select(h)
+        buck = F.expr(f"shiftright(h, {sk._REM_BITS})")
+        rem = F.expr(f"h % CAST({1 << sk._REM_BITS} AS BIGINT)")
+        rho = F.when(rem == 0, F.lit(sk._REM_BITS + 1)).otherwise(
+            F.lit(sk._REM_BITS + 1) - F.length(F.bin(rem))
+        )
+        rows = (
+            hh.select(buck.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m_rho"))
+            .collect()
+        )
+        return {r["bucket"]: r["m_rho"] for r in rows}
+
+    ra, rb, rw = regs(a), regs(b), regs(events)
+    merged = dict(ra)
+    for k, v in rb.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == rw
+
+
+def test_hll_estimate_within_bound(spark, sf_dir) -> None:
+    row = sk.hll_distinct_events(load_table(spark, sf_dir, "events")).collect()[0]
+    assert row["within_bound"] is True
+    assert row["n_zero_registers"] >= 0
+    # sanity: estimate in the right ballpark of the exact count
+    assert 0.5 * row["n_exact"] <= row["hll_estimate"] <= 2.0 * row["n_exact"]
+
+
+def test_cms_never_undercounts_and_merges(spark, sf_dir) -> None:
+    events = load_table(spark, sf_dir, "events")
+    rows = sk.cms_heavy_hitters(events).collect()
+    assert rows, "expected candidates"
+    for r in rows:
+        assert r["cms_estimate"] >= r["n_exact"]
+        assert r["never_undercounts"] is True
+
+    # cell-wise additivity: sketch(A) + sketch(B) == sketch(A ∪ B)
+    a, b = _halves(events)
+
+    def cells(df):
+        out = {}
+        for i in range(sk.CMS_DEPTH):
+            col = (
+                sk._h60(F.concat(F.lit(f"{i}:"), F.col("user_id").cast("string")))
+                % sk.CMS_WIDTH
+            )
+            for r in (
+                df.select(col.alias("col"))
+                .groupBy("col")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ):
+                out[(i, r["col"])] = out.get((i, r["col"]), 0) + r["n"]
+        return out
+
+    ca, cb, cw = cells(a), cells(b), cells(events)
+    merged = dict(ca)
+    for k, v in cb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cw
+
+
+def test_bloom_no_false_negatives(spark, sf_dir) -> None:
+    row = sk.bloom_join_prune(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    ).collect()[0]
+    assert row["no_false_negatives"] is True
+    assert row["n_pass_bloom"] >= row["n_true_match"]
+    assert row["n_false_positive"] == row["n_pass_bloom"] - row["n_true_match"]
+    assert 0.0 <= row["fp_rate"] < 1.0
+
+
+def test_bloom_probe_broadcasts_bits(spark, sf_dir) -> None:
+    """The probe-side plan must broadcast the bit table (the whole
+    point: no shuffle of the fact side for the pre-filter)."""
+    plan = sk.bloom_join_prune(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
