@@ -439,3 +439,174 @@ def sql_multimodal_shard_assignments(
         "CAST(excl AS BIGINT) AS shard_start_token "
         "FROM c"
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map skipping report — the measurable payoff of Z-ordering
+# ---------------------------------------------------------------------------
+
+ZR_BITS = 10          # per-dimension key bits for the report
+ZR_BUCKET_SHIFT = 14  # 20-bit z -> top 6 bits = 64 "files"
+ZR_LO, ZR_HI = 256, 383  # probe slab in normalized space (1/8 of domain)
+
+
+def _zr_interleave_terms(xe: str, ye: str) -> str:
+    """SQL text of the 10-bit Morton interleave (engine-portable)."""
+    terms = []
+    for i in range(ZR_BITS):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)  # disjoint bits: + == OR
+
+
+def zorder_skipping_report(lineitem: DataFrame) -> DataFrame:
+    """Quantified data skipping: zone maps (per-file min/max, exactly
+    what parquet row-group stats give a reader) for a Z-ordered layout
+    vs a single-key-sorted layout, probed with one slab predicate per
+    dimension.
+
+    The whole computation is the planning step a lakehouse table format
+    (Delta/Iceberg file stats) performs before a scan: which files can
+    a predicate skip?  Buckets stand in for files: the Z layout buckets
+    on the top bits of the 20-bit Morton code (every bucket owns a
+    small rectangle of (x, y) space), the comparison layout on the top
+    bits of x alone (perfect for x predicates, useless for y).  For
+    each (layout, predicate) the report counts scannable buckets and
+    the rows they hold — all-integer except the final scan_fraction
+    division, so the oracle is exact.
+
+    One scan of the fact table per layout (two total), zone maps are
+    <= 64 rows each; everything downstream is driver-scale.  At 100 TB
+    the same plan reads footer stats instead of data.
+    """
+    spark = lineitem.sparkSession
+    raw = lineitem.select(
+        F.col("l_partkey").cast("long").alias("rx"),
+        F.col("l_suppkey").cast("long").alias("ry"),
+    )
+    # Integer min/max normalization into [0, 2^BITS): low-cardinality
+    # keys must still fill the bit domain or their Morton bits carry no
+    # information.  At scale the bounds come from table stats, not a
+    # scan; here a tiny agg + broadcast stands in.  Exact integer
+    # arithmetic on both engines (non-negative operands, floor div).
+    bounds = raw.agg(
+        F.min("rx").alias("mnx"), F.max("rx").alias("mxx"),
+        F.min("ry").alias("mny"), F.max("ry").alias("mxy"),
+    )
+    dom = 1 << ZR_BITS
+    keyed = raw.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"((rx - mnx) * {dom}) div (mxx - mnx + 1)").alias("x"),
+        F.expr(f"((ry - mny) * {dom}) div (mxy - mny + 1)").alias("y"),
+    )
+    z = F.expr(_zr_interleave_terms("x", "y"))
+
+    def zone_map(df: DataFrame, bucket: F.Column, layout: str) -> DataFrame:
+        return df.groupBy(bucket.alias("bucket")).agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        ).withColumn("layout", F.lit(layout))
+
+    zm = zone_map(
+        keyed.withColumn("z", z), F.expr(f"z >> {ZR_BUCKET_SHIFT}"), "zorder"
+    ).drop("z").unionByName(
+        zone_map(keyed, F.expr(f"x >> {ZR_BITS - 6}"), "xsort")
+    )
+
+    preds = spark.sql(
+        f"SELECT 'x' AS dim, {ZR_LO} AS lo, {ZR_HI} AS hi "
+        f"UNION ALL SELECT 'y', {ZR_LO}, {ZR_HI}"
+    )
+    lo_b = F.when(F.col("dim") == "x", F.col("min_x")).otherwise(F.col("min_y"))
+    hi_b = F.when(F.col("dim") == "x", F.col("max_x")).otherwise(F.col("max_y"))
+    overlap = (hi_b >= F.col("lo")) & (lo_b <= F.col("hi"))
+    summary = (
+        zm.crossJoin(F.broadcast(preds))
+        .groupBy("layout", "dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum(overlap.cast("int")).cast("bigint").alias("n_scanned"),
+            F.sum(F.when(overlap, F.col("n")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+    )
+    matches = (
+        keyed.crossJoin(F.broadcast(preds))
+        .filter(
+            F.when(F.col("dim") == "x", F.col("x")).otherwise(F.col("y")).between(
+                F.col("lo"), F.col("hi")
+            )
+        )
+        .groupBy("dim")
+        .agg(F.count("*").cast("bigint").alias("rows_matching"))
+    )
+    return summary.join(F.broadcast(matches), "dim").select(
+        "layout",
+        "dim",
+        "n_buckets",
+        "n_scanned",
+        "rows_scanned",
+        "rows_matching",
+        (F.col("n_scanned").cast("double") / F.col("n_buckets").cast("double")).alias(
+            "scan_fraction"
+        ),
+    )
+
+
+def sql_zorder_skipping_report(table: str = "lineitem") -> str:
+    zi = _zr_interleave_terms("x", "y")
+    return f"""
+WITH raw AS (
+  SELECT CAST(l_partkey AS BIGINT) AS rx, CAST(l_suppkey AS BIGINT) AS ry
+  FROM {table}
+),
+bounds AS (
+  SELECT min(rx) AS mnx, max(rx) AS mxx, min(ry) AS mny, max(ry) AS mxy
+  FROM raw
+),
+keyed AS (
+  SELECT ((rx - mnx) * {1 << ZR_BITS}) // (mxx - mnx + 1) AS x,
+         ((ry - mny) * {1 << ZR_BITS}) // (mxy - mny + 1) AS y
+  FROM raw CROSS JOIN bounds
+),
+zm AS (
+  SELECT 'zorder' AS layout, (({zi}) >> {ZR_BUCKET_SHIFT}) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+  FROM keyed GROUP BY bucket
+  UNION ALL
+  SELECT 'xsort', (x >> {ZR_BITS - 6}),
+         CAST(count(*) AS BIGINT), min(x), max(x), min(y), max(y)
+  FROM keyed GROUP BY (x >> {ZR_BITS - 6})
+),
+preds AS (
+  SELECT 'x' AS dim, {ZR_LO} AS lo, {ZR_HI} AS hi
+  UNION ALL SELECT 'y', {ZR_LO}, {ZR_HI}
+),
+summary AS (
+  SELECT layout, dim,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(CASE WHEN (CASE WHEN dim = 'x' THEN max_x ELSE max_y END) >= lo
+                        AND (CASE WHEN dim = 'x' THEN min_x ELSE min_y END) <= hi
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+         CAST(sum(CASE WHEN (CASE WHEN dim = 'x' THEN max_x ELSE max_y END) >= lo
+                        AND (CASE WHEN dim = 'x' THEN min_x ELSE min_y END) <= hi
+                  THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+  FROM zm CROSS JOIN preds
+  GROUP BY layout, dim
+),
+matches AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS rows_matching
+  FROM keyed CROSS JOIN preds
+  WHERE (CASE WHEN dim = 'x' THEN x ELSE y END) BETWEEN lo AND hi
+  GROUP BY dim
+)
+SELECT s.layout, s.dim, s.n_buckets, s.n_scanned, s.rows_scanned,
+       m.rows_matching,
+       (CAST(s.n_scanned AS DOUBLE) / CAST(s.n_buckets AS DOUBLE))
+         AS scan_fraction
+FROM summary s JOIN matches m USING (dim)
+"""

@@ -2237,6 +2237,17 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.fuzzy_name_pairs(load_table(spark, sf_dir, "part"))
 
 
+@register("zorder_skipping", layout_mod.sql_zorder_skipping_report())
+def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping report: Z-order vs single-key layout,
+    slab predicates on both dimensions — the measured payoff of
+    multi-dimensional clustering (per-file min/max pruning), exact
+    integer zone maps."""
+    return layout_mod.zorder_skipping_report(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
 @register("kmv_distinct", sketch_op.sql_kmv_distinct_events())
 def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) cardinality sketch over event ids: Arrow
@@ -2424,7 +2435,7 @@ _COST_HINT = {
     "multimodal_shards": 0.40, "multimodal_png_features": 0.50, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80, "token_cooccurrence": 0.50, "price_deciles": 0.60, "media_dedup": 0.25, "split_leakage": 0.90, "vocab_growth": 0.30, "postings_index": 0.35, "source_concentration": 0.20, "interarrival_stats": 0.35, "robust_outliers": 0.45,
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
-    "bloom_join_prune": 0.35,
+    "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
 }
 
 

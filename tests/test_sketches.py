@@ -138,3 +138,21 @@ def test_bloom_probe_broadcasts_bits(spark, sf_dir) -> None:
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_skipping_beats_single_key_layout(spark, sf_dir) -> None:
+    """The Z layout must prune on BOTH dimensions; the x-sorted layout
+    prunes only on x.  Zone-map soundness: scanned rows ⊇ matching."""
+    from eventstreamd_spark.operators import layout
+
+    rows = {
+        (r["layout"], r["dim"]): r
+        for r in layout.zorder_skipping_report(
+            load_table(spark, sf_dir, "lineitem")
+        ).collect()
+    }
+    assert rows[("xsort", "y")]["scan_fraction"] == 1.0
+    assert rows[("zorder", "y")]["scan_fraction"] < 0.5
+    assert rows[("zorder", "x")]["scan_fraction"] < 0.5
+    for r in rows.values():
+        assert r["rows_scanned"] >= r["rows_matching"]
