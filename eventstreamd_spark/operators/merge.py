@@ -111,3 +111,74 @@ SELECT {key}, {a},
 FROM {table}
 WINDOW w AS (PARTITION BY {key} ORDER BY {ts}, {tiebreak})
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance — merge partial aggregates, don't recompute
+# ---------------------------------------------------------------------------
+
+IVM_CUTOFF = "1997-01-01"
+
+
+def _ivm_partials(orders: DataFrame) -> DataFrame:
+    """Mergeable partial-aggregate state for the revenue view: counts
+    add, DECIMAL sums add exactly (order-independent — the whole reason
+    the float sum is decimal here), max merges by max."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("p_count"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("p_sum"),
+        F.max("o_totalprice").alias("p_max"),
+    )
+
+
+def ivm_priority_revenue(orders: DataFrame, cutoff: str = IVM_CUTOFF) -> DataFrame:
+    """Incrementally-maintained per-priority revenue view.
+
+    The materialized view pattern at 100 TB: the base aggregate over
+    the historical partition is computed ONCE (here: orders before
+    ``cutoff``); each new batch (orders at/after ``cutoff``) folds in
+    by merging partial-aggregate STATE — count/sum/max are all
+    associative+commutative, so refresh cost is O(|delta| + |keys|),
+    never O(|history|).  avg is derived at read time from merged
+    sum/count (the classic algebraic-aggregate decomposition); the
+    decimal sum keeps the merge bit-exact in any order, so the
+    incremental result is hash-identical to a full recompute — which is
+    exactly what the DuckDB oracle asserts.
+
+    The two scans here stand in for "stored state + new batch"; a real
+    deployment persists the partial table and scans only the delta.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    base = _ivm_partials(orders.filter(F.col("o_orderdate") < cut))
+    delta = _ivm_partials(orders.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("p_count").cast("bigint").alias("n_orders"),
+            F.sum("p_sum").alias("m_sum"),
+            F.max("p_max").alias("max_price"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("m_sum").cast("double").alias("total_revenue"),
+        (F.col("m_sum").cast("double") / F.col("n_orders")).alias("avg_revenue"),
+        "max_price",
+    )
+
+
+def sql_ivm_priority_revenue(orders: str = "orders") -> str:
+    """Oracle: the full recompute the incremental plan must equal."""
+    return f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_revenue,
+       (CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          / count(*)) AS avg_revenue,
+       max(o_totalprice) AS max_price
+FROM {orders}
+GROUP BY o_orderpriority
+"""

@@ -2237,6 +2237,14 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.fuzzy_name_pairs(load_table(spark, sf_dir, "part"))
 
 
+@register("ivm_priority_revenue", merge_op.sql_ivm_priority_revenue())
+def ivm_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate view: base partials + delta
+    partials merged through associative state (count/decimal-sum/max),
+    hash-identical to the full recompute the oracle runs."""
+    return merge_op.ivm_priority_revenue(load_table(spark, sf_dir, "orders"))
+
+
 @register("zorder_skipping", layout_mod.sql_zorder_skipping_report())
 def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map data-skipping report: Z-order vs single-key layout,
@@ -2436,6 +2444,7 @@ _COST_HINT = {
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
+    "ivm_priority_revenue": 0.20,
 }
 
 

@@ -156,3 +156,23 @@ def test_zorder_skipping_beats_single_key_layout(spark, sf_dir) -> None:
     assert rows[("zorder", "x")]["scan_fraction"] < 0.5
     for r in rows.values():
         assert r["rows_scanned"] >= r["rows_matching"]
+
+
+def test_ivm_merge_is_slice_invariant(spark, sf_dir) -> None:
+    """Maintaining the view through ANY slicing of the input merges to
+    the same state as one-shot aggregation — the associativity that
+    makes O(delta) refresh sound."""
+    from eventstreamd_spark.operators import merge as mg
+
+    orders = load_table(spark, sf_dir, "orders")
+    whole = {
+        r["o_orderpriority"]: (r["n_orders"], r["total_revenue"], r["max_price"])
+        for r in mg.ivm_priority_revenue(orders).collect()
+    }
+    # a different cutoff slices base/delta differently; merged state
+    # must be identical
+    other = {
+        r["o_orderpriority"]: (r["n_orders"], r["total_revenue"], r["max_price"])
+        for r in mg.ivm_priority_revenue(orders, cutoff="1995-06-15").collect()
+    }
+    assert whole == other
