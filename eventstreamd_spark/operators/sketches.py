@@ -506,3 +506,125 @@ SELECT n_orders, n_pass_bloom, n_true_match, n_false_positive,
          AS fp_rate
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates — join-size planning from two tiny sketches
+# ---------------------------------------------------------------------------
+
+KMV_JOIN_K = 256
+KMV_JOIN_CUTOFF = "1998-01-01"
+
+
+def kmv_join_size(
+    orders: DataFrame, cutoff: str = KMV_JOIN_CUTOFF, k: int = KMV_JOIN_K
+) -> DataFrame:
+    """Theta-sketch-style join-size estimation: how many customer keys
+    do the pre-``cutoff`` and post-``cutoff`` order populations share?
+
+    The planner question behind every big join: |A ∩ B| decides
+    broadcast vs shuffle vs skew handling, and at 100 TB you answer it
+    from two k-row sketches, not a join.  Bottom-k over the UNION's
+    hash space is a uniform sample of A ∪ B; among the k-1 hashes below
+    the threshold θ (the k-th smallest), the fraction marked present in
+    both sides estimates Jaccard, and |A ∩ B| ≈ c · 2^60 / θ follows.
+
+    One distinct-by-hash aggregate carrying two presence flags (max of
+    booleans — mergeable), one TakeOrdered bottom-k, fixed-order IEEE
+    estimates; the exact intersection is computed alongside as the
+    evaluation harness for the oracle's bound assertion.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    flagged = orders.select(
+        _h60(F.col("o_custkey").cast("string")).alias("h"),
+        (F.col("o_orderdate") < cut).cast("int").alias("in_a"),
+        (F.col("o_orderdate") >= cut).cast("int").alias("in_b"),
+    )
+    presence = flagged.groupBy("h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    bottom = presence.orderBy("h").limit(k)
+    theta = bottom.agg(F.max("h").alias("theta"))
+    below = bottom.crossJoin(F.broadcast(theta)).filter(F.col("h") < F.col("theta"))
+    sk_agg = below.agg(
+        F.count("*").cast("bigint").alias("n_below"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("int"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.max("theta").alias("theta"),
+    )
+    exact = presence.agg(
+        F.sum((F.col("in_a") * F.col("in_b")).cast("int"))
+        .cast("bigint")
+        .alias("n_intersect_exact"),
+        F.count("*").cast("bigint").alias("n_union_exact"),
+    )
+    union_est = (
+        F.col("n_below").cast("double")
+        * F.lit(float(_B60))
+        / F.col("theta").cast("double")
+    )
+    inter_est = (
+        F.col("n_both").cast("double")
+        * F.lit(float(_B60))
+        / F.col("theta").cast("double")
+    )
+    return sk_agg.crossJoin(F.broadcast(exact)).select(
+        F.lit(k).cast("int").alias("k"),
+        "theta",
+        "n_below",
+        "n_both",
+        union_est.alias("union_estimate"),
+        inter_est.alias("intersect_estimate"),
+        "n_union_exact",
+        "n_intersect_exact",
+        (
+            F.abs(inter_est - F.col("n_intersect_exact").cast("double"))
+            <= F.lit(0.5) * F.col("n_union_exact").cast("double")
+        ).alias("within_bound"),
+    )
+
+
+def sql_kmv_join_size(
+    orders: str = "orders", cutoff: str = KMV_JOIN_CUTOFF, k: int = KMV_JOIN_K
+) -> str:
+    h = _sql_h60("CAST(o_custkey AS VARCHAR)")
+    u_est = (
+        "(CAST(n_below AS DOUBLE)"
+        f" * CAST({_B60} AS DOUBLE) / CAST(theta AS DOUBLE))"
+    )
+    i_est = (
+        "(CAST(n_both AS DOUBLE)"
+        f" * CAST({_B60} AS DOUBLE) / CAST(theta AS DOUBLE))"
+    )
+    return f"""
+WITH presence AS (
+  SELECT {h} AS h,
+         max(CASE WHEN o_orderdate < TIMESTAMP '{cutoff}' THEN 1 ELSE 0 END)
+           AS in_a,
+         max(CASE WHEN o_orderdate >= TIMESTAMP '{cutoff}' THEN 1 ELSE 0 END)
+           AS in_b
+  FROM {orders} GROUP BY h
+),
+bottom AS (SELECT * FROM presence ORDER BY h LIMIT {k}),
+theta AS (SELECT max(h) AS theta FROM bottom),
+sk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_below,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+         max(t.theta) AS theta
+  FROM bottom b CROSS JOIN theta t WHERE b.h < t.theta
+),
+exact AS (
+  SELECT CAST(sum(in_a * in_b) AS BIGINT) AS n_intersect_exact,
+         CAST(count(*) AS BIGINT) AS n_union_exact
+  FROM presence
+)
+SELECT CAST({k} AS INT) AS k, theta, n_below, n_both,
+       {u_est} AS union_estimate,
+       {i_est} AS intersect_estimate,
+       n_union_exact, n_intersect_exact,
+       (abs({i_est} - CAST(n_intersect_exact AS DOUBLE))
+          <= CAST(0.5 AS DOUBLE) * CAST(n_union_exact AS DOUBLE))
+         AS within_bound
+FROM sk, exact
+"""

@@ -35,6 +35,7 @@ from eventstreamd_spark.operators import textops as text_op
 from eventstreamd_spark.operators import envelope as envelope_op
 from eventstreamd_spark.operators import relational as rel
 from eventstreamd_spark.operators import routing as routing_op
+from eventstreamd_spark.operators import expectations as expect_op
 from eventstreamd_spark.operators import sketches as sketch_op
 from eventstreamd_spark.operators import stats as stats_op
 from eventstreamd_spark.operators import layout as layout_mod
@@ -2237,6 +2238,25 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.fuzzy_name_pairs(load_table(spark, sf_dir, "part"))
 
 
+@register("expectations_report", expect_op.sql_expectations_report())
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract verified in one conditional
+    aggregation + one broadcast anti-join (Deequ shape): per-constraint
+    violation counts and verdicts, no per-constraint rescans."""
+    return expect_op.expectations_report(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register("kmv_join_size", sketch_op.sql_kmv_join_size())
+def kmv_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch join-size estimation: |A ∩ B| of two key
+    populations from one bottom-k sketch over the union hash space —
+    the broadcast-vs-shuffle planning input, answered in k rows."""
+    return sketch_op.kmv_join_size(load_table(spark, sf_dir, "orders"))
+
+
 @register("ivm_priority_revenue", merge_op.sql_ivm_priority_revenue())
 def ivm_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained aggregate view: base partials + delta
@@ -2444,7 +2464,8 @@ _COST_HINT = {
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
-    "ivm_priority_revenue": 0.20,
+    "ivm_priority_revenue": 0.20, "kmv_join_size": 0.30,
+    "expectations_report": 0.30,
 }
 
 

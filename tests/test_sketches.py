@@ -176,3 +176,66 @@ def test_ivm_merge_is_slice_invariant(spark, sf_dir) -> None:
         for r in mg.ivm_priority_revenue(orders, cutoff="1995-06-15").collect()
     }
     assert whole == other
+
+
+def test_kmv_join_size_estimates(spark, sf_dir) -> None:
+    row = sk.kmv_join_size(
+        load_table(spark, sf_dir, "orders")
+    ).collect()[0]
+    assert row["within_bound"] is True
+    assert 0 <= row["n_both"] <= row["n_below"]
+    assert row["n_intersect_exact"] <= row["n_union_exact"]
+
+
+def test_expectations_clean_table_passes(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import expectations as ex
+
+    rows = {
+        r["constraint_name"]: r
+        for r in ex.expectations_report(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+        ).collect()
+    }
+    assert len(rows) == 7
+    li = load_table(spark, sf_dir, "lineitem")
+    expected_dups = li.count() - li.select("l_orderkey", "l_linenumber").distinct().count()
+    # the synthetic fixture ships duplicate line keys; the report must
+    # say so honestly, and every row-local constraint must pass
+    assert rows["unique_line_key"]["n_violations"] == expected_dups
+    for name in (
+        "not_null_returnflag", "range_quantity", "range_discount",
+        "domain_returnflag", "positive_extendedprice", "fk_orderkey",
+    ):
+        assert rows[name]["passed"] is True, name
+        assert rows[name]["n_violations"] == 0
+
+
+def test_expectations_counts_planted_violations(spark, sf_dir) -> None:
+    """Corrupt a copy of the table in known ways; every constraint must
+    count exactly its planted violations."""
+    from eventstreamd_spark.operators import expectations as ex
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = (
+        li.limit(5)
+        .withColumn("l_quantity", F.lit(999.0))       # 5 range_quantity
+        .withColumn("l_returnflag", F.lit("Z"))       # 5 domain_returnflag
+        .withColumn("l_orderkey", F.lit(-1).cast("long"))  # 5 fk orphans
+    )
+    corrupted = li.unionByName(bad)
+    n_dup = (
+        corrupted.count()
+        - corrupted.select("l_orderkey", "l_linenumber").distinct().count()
+    )
+    rows = {
+        r["constraint_name"]: r
+        for r in ex.expectations_report(
+            corrupted, load_table(spark, sf_dir, "orders")
+        ).collect()
+    }
+    assert rows["range_quantity"]["n_violations"] == 5
+    assert rows["domain_returnflag"]["n_violations"] == 5
+    assert rows["fk_orderkey"]["n_violations"] == 5
+    assert rows["unique_line_key"]["n_violations"] == n_dup
+    assert rows["range_discount"]["passed"] is True
