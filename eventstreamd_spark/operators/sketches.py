@@ -146,6 +146,43 @@ _REM_BITS = 60 - HLL_P  # 54-bit remainder per hash
 _ALPHA_64 = 0.709  # Flajolet et al. 2007 constant for m = 64
 
 
+def hll_registers(df: DataFrame, key: Column) -> DataFrame:
+    """(bucket, m_rho) register table for the keys in ``df`` — the
+    mergeable HLL state (merge = element-wise max).  Map-side combine
+    caps the shuffle at m rows per task."""
+    h = _h60(key)
+    buck = F.expr(f"shiftright(h, {_REM_BITS})").alias("bucket")
+    rem = F.expr(f"h % CAST({1 << _REM_BITS} AS BIGINT)")
+    rho = F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
+        F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
+    )
+    return (
+        df.select(h.alias("h"))
+        .select(buck, rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+
+
+def hll_estimate_from_registers(regs: dict[int, int]) -> float:
+    """Driver-side estimate from a merged register dict — the same
+    fixed-order arithmetic as the distributed plan (raw estimator,
+    no small-range correction; see hll_distinct_events)."""
+    s = sum(1 << (_REM_BITS + 1 - r) for r in regs.values())
+    s += (_HLL_M - len(regs)) * (1 << (_REM_BITS + 1))
+    return (
+        _ALPHA_64 * float(_HLL_M * _HLL_M) * float(1 << (_REM_BITS + 1)) / float(s)
+    )
+
+
+def hll_merge_registers(a: dict[int, int], b: dict[int, int]) -> dict[int, int]:
+    """Element-wise max merge of two register dicts."""
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = max(out.get(k, 0), v)
+    return out
+
+
 def hll_distinct_events(events: DataFrame) -> DataFrame:
     """HyperLogLog cardinality over ``event_id``: 64 integer registers,
     estimate from an integer-exact register sum.
@@ -165,18 +202,7 @@ def hll_distinct_events(events: DataFrame) -> DataFrame:
     correction to the caller (the fixtures sit far above 2.5m where no
     correction applies).
     """
-    h = _h60(F.col("event_id").cast("string"))
-    buck = F.expr(f"shiftright(h, {_REM_BITS})").alias("bucket")
-    rem = F.expr(f"h % CAST({1 << _REM_BITS} AS BIGINT)")
-    rho = F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
-        F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
-    )
-    regs = (
-        events.select(h.alias("h"))
-        .select(buck, rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("m_rho"))
-    )
+    regs = hll_registers(events, F.col("event_id").cast("string"))
     # S = sum over all m registers of 2^(55 - M_j), empty registers
     # contribute 2^55 each; exact BIGINT (max 64 * 2^55 = 2^61).
     scaled = regs.agg(

@@ -484,3 +484,46 @@ def start_drift_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_hll_distinct_monitor(
+    stream_events: DataFrame,
+    sink: Callable[[dict, float, int], None],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming running-distinct monitor with O(m) state: per micro-
+    batch, build the batch's HLL register table (a tiny groupBy — the
+    only distributed work), merge it into the accumulated registers by
+    element-wise max, and hand ``sink(registers, estimate, epoch)`` the
+    running state.
+
+    This is the streaming face of operators/sketches.py: cardinality
+    state that NEVER grows with the stream (64 integers, vs a
+    dropDuplicates watermark state that holds every key in the
+    horizon).  The register merge is associative + commutative, so
+    at-least-once replay of a whole batch is idempotent (max of a max
+    — re-merging the same registers changes nothing), giving
+    effectively-once semantics without dedup bookkeeping.
+    """
+    from eventstreamd_spark.operators import sketches as sk
+
+    state: dict[int, int] = {}
+
+    def _per_batch(batch: DataFrame, epoch: int) -> None:
+        nonlocal state
+        regs = {
+            r["bucket"]: r["m_rho"]
+            for r in sk.hll_registers(
+                batch, F.col("event_id").cast("string")
+            ).collect()
+        }
+        state = sk.hll_merge_registers(state, regs)
+        sink(dict(state), sk.hll_estimate_from_registers(state), epoch)
+
+    return (
+        stream_events.writeStream.outputMode("append")
+        .foreachBatch(_per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

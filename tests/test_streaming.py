@@ -741,3 +741,48 @@ def test_streaming_sliding_windows_exact_vs_batch(spark, sf_dir, tmp_path) -> No
     # and the stream emitted the overwhelming majority of windows (only
     # those past the final watermark stay in state)
     assert len(got) >= 0.9 * len(want)
+
+
+def test_stream_hll_distinct_monitor_matches_batch(spark, sf_dir, tmp_path) -> None:
+    """Registers merged across micro-batches must equal the one-shot
+    batch registers over the union, and replaying a batch must not
+    change the state (idempotent merge)."""
+    import os
+
+    from eventstreamd_spark.operators import sketches as sk
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import start_hll_distinct_monitor
+
+    events = load_table(spark, sf_dir, "events").select("event_id")
+    src = str(tmp_path / "hll_src")
+    os.makedirs(src)
+    # two files => with maxFilesPerTrigger=1, two micro-batches
+    a = events.filter("event_id % 2 = 0")
+    b = events.filter("event_id % 2 = 1")
+    a.coalesce(1).write.mode("append").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    states: list = []
+    q = start_hll_distinct_monitor(
+        stream,
+        sink=lambda regs, est, epoch, acc=states: acc.append((epoch, regs, est)),
+        checkpoint_dir=str(tmp_path / "hll_ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len(states) >= 2  # actually saw multiple micro-batches
+
+    batch_regs = {
+        r["bucket"]: r["m_rho"]
+        for r in sk.hll_registers(events, F.col("event_id").cast("string")).collect()
+    }
+    final_regs = states[-1][1]
+    assert final_regs == batch_regs
+    assert states[-1][2] == sk.hll_estimate_from_registers(batch_regs)
+    # idempotent replay: re-merging the last batch's registers is a no-op
+    assert sk.hll_merge_registers(final_regs, final_regs) == final_regs
