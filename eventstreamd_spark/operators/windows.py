@@ -301,3 +301,131 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
          AS median_gap_us
 FROM r GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Late-data audit — what would a streaming watermark drop?
+# ---------------------------------------------------------------------------
+
+LATE_JITTER_US = 600_000_000   # deterministic arrival jitter: 0..10 min
+LATE_DELAY_US = 300_000_000    # audited watermark delay: 5 min
+LATE_BUCKET_US = 3_600_000_000  # arrival-hour buckets for the prefix max
+
+
+def late_data_audit(events: DataFrame, delay_us: int = LATE_DELAY_US) -> DataFrame:
+    """Per event-time hour: how many events would a 5-minute watermark
+    drop, under a deterministic arrival model?
+
+    Streaming watermark semantics, replayed in batch: an event is LATE
+    if its event time is older than (max event time seen over all
+    earlier ARRIVALS) minus the allowed delay — exactly the row Spark's
+    ``withWatermark`` would exclude from a windowed aggregate.  The
+    fixture's ingest order is fully time-sorted, so arrival is modeled
+    as ts + hash-derived jitter (0..10 min per event, deterministic in
+    the event id): the out-of-orderness of a real collection fleet.
+
+    The scale problem is the running max over GLOBAL arrival order — an
+    unpartitioned window.  Decomposed with the repo's two-phase prefix
+    idiom: per arrival-hour bucket maxima (one narrow aggregate), a
+    cumulative max over the tiny bucket table (the documented KB-window
+    exemption), and a bucket-local running max (bounded partitions).
+    All comparisons in exact epoch microseconds.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    base = events.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ev_us"),
+        (F.unix_micros(F.col("ts")) + (h % LATE_JITTER_US)).alias("arr_us"),
+    ).withColumn("bucket", F.expr(f"arr_us div {LATE_BUCKET_US}"))
+
+    from pyspark.sql import Window as W
+
+    bucket_max = base.groupBy("bucket").agg(F.max("ev_us").alias("b_max"))
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    prev_bucket = bucket_max.withColumn("prev_max", F.max("b_max").over(wb)).select(
+        "bucket", "prev_max"
+    )
+    ww = (
+        W.partitionBy("bucket")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = (
+        base.join(prev_bucket, "bucket")
+        .withColumn("in_bucket_max", F.max("ev_us").over(ww))
+        .withColumn(
+            "run_max",
+            F.greatest(
+                F.coalesce(F.col("prev_max"), F.lit(-1)),
+                F.coalesce(F.col("in_bucket_max"), F.lit(-1)),
+            ),
+        )
+        .withColumn(
+            "is_late", F.col("ev_us") < F.col("run_max") - F.lit(delay_us)
+        )
+    )
+    return (
+        flagged.groupBy(
+            F.expr(f"ev_us div {LATE_BUCKET_US}").alias("event_hour_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("is_late").cast("int")).cast("bigint").alias("n_late"),
+        )
+        .select(
+            "event_hour_bucket",
+            "n_events",
+            "n_late",
+            (F.col("n_events") - F.col("n_late")).alias("n_kept"),
+            (
+                F.col("n_late").cast("double") / F.col("n_events").cast("double")
+            ).alias("late_rate"),
+        )
+    )
+
+
+def sql_late_data_audit(table: str = "events") -> str:
+    return f"""
+WITH base AS (
+  SELECT event_id,
+         epoch_us(ts) AS ev_us,
+         epoch_us(ts)
+           + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+              % {LATE_JITTER_US}) AS arr_us
+  FROM {table}
+),
+bucketed AS (
+  SELECT *, arr_us // {LATE_BUCKET_US} AS bucket FROM base
+),
+bucket_max AS (
+  SELECT bucket, max(ev_us) AS b_max FROM bucketed GROUP BY bucket
+),
+prev_bucket AS (
+  SELECT bucket,
+         max(b_max) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM bucket_max
+),
+flagged AS (
+  SELECT b.ev_us,
+         (b.ev_us < greatest(
+            coalesce(p.prev_max, -1),
+            coalesce(max(b.ev_us) OVER (
+              PARTITION BY b.bucket ORDER BY b.arr_us, b.event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          ) - {LATE_DELAY_US}) AS is_late
+  FROM bucketed b JOIN prev_bucket p USING (bucket)
+)
+SELECT ev_us // {LATE_BUCKET_US} AS event_hour_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(count(*) - sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       (CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE)) AS late_rate
+FROM flagged
+GROUP BY event_hour_bucket
+"""

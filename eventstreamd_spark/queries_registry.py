@@ -2238,6 +2238,14 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.fuzzy_name_pairs(load_table(spark, sf_dir, "part"))
 
 
+@register("late_data_audit", windows_op.sql_late_data_audit())
+def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark drop audit: per event-hour, events a 5-min watermark
+    would exclude under a deterministic arrival-jitter model; global
+    arrival running-max decomposed via two-phase bucket prefix max."""
+    return windows_op.late_data_audit(load_table(spark, sf_dir, "events"))
+
+
 @register("expectations_report", expect_op.sql_expectations_report())
 def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality contract verified in one conditional
@@ -2465,7 +2473,7 @@ _COST_HINT = {
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
     "ivm_priority_revenue": 0.20, "kmv_join_size": 0.30,
-    "expectations_report": 0.30,
+    "expectations_report": 0.30, "late_data_audit": 0.35,
 }
 
 

@@ -239,3 +239,26 @@ def test_expectations_counts_planted_violations(spark, sf_dir) -> None:
     assert rows["fk_orderkey"]["n_violations"] == 5
     assert rows["unique_line_key"]["n_violations"] == n_dup
     assert rows["range_discount"]["passed"] is True
+
+
+def test_late_data_audit_monotone_in_delay(spark, sf_dir) -> None:
+    """A more tolerant watermark can only drop FEWER events; an
+    infinite delay drops none."""
+    from eventstreamd_spark.operators import windows as w
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def total_late(delay_us):
+        return (
+            w.late_data_audit(ev, delay_us=delay_us)
+            .agg(F.sum("n_late").alias("s"))
+            .collect()[0]["s"]
+        )
+
+    strict, default, infinite = (
+        total_late(0),
+        total_late(w.LATE_DELAY_US),
+        total_late(10**15),
+    )
+    assert strict >= default >= infinite == 0
+    assert strict > 0  # the jitter model actually produces lateness
