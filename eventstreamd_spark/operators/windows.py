@@ -429,3 +429,104 @@ SELECT ev_us // {LATE_BUCKET_US} AS event_hour_bucket,
 FROM flagged
 GROUP BY event_hour_bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution — self-as-of-join over the event stream
+# ---------------------------------------------------------------------------
+
+ATTR_CONVERSION = "purchase"
+ATTR_TOUCHES = ("click", "view")
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Attribute each conversion to the user's most recent prior touch
+    event; report conversions and exact time-to-convert per channel.
+
+    The marketing-analytics classic, and a stress test of the as-of
+    tier: both sides are the SAME 100 TB event stream, so any range- or
+    cross-join formulation explodes.  This reuses asof.py's union-merge
+    idiom — one shuffle on user_id, one ordered carry — with ties
+    resolved deterministically by touch event id.  Conversions with no
+    prior touch land in the 'none' channel (they must not vanish — the
+    organic-conversion share is the point of the report).
+
+    Time-to-convert aggregates as an exact BIGINT microsecond sum; the
+    per-channel mean is one fixed-order IEEE division at the end.
+    """
+    from eventstreamd_spark.operators.asof import asof_join
+
+    purchases = events.filter(F.col("event_type") == ATTR_CONVERSION).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("p_us"),
+    )
+    touches = events.filter(F.col("event_type").isin(*ATTR_TOUCHES)).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros(F.col("ts")).alias("touch_us"),
+    )
+    attributed = asof_join(
+        purchases,
+        touches,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["touch_id", "touch_type", "touch_us"],
+        left_cols=["purchase_id", "p_us"],
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("touch_type"), F.lit("none")).alias("channel")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.sum(F.col("p_us") - F.col("touch_us")).cast("bigint").alias("sum_lag_us"),
+        )
+        .select(
+            "channel",
+            "n_conversions",
+            "sum_lag_us",
+            (
+                F.col("sum_lag_us").cast("double")
+                / F.col("n_conversions").cast("double")
+                / F.lit(1000000.0)
+            ).alias("avg_seconds_to_convert"),
+        )
+    )
+
+
+def sql_last_touch_attribution(table: str = "events") -> str:
+    from eventstreamd_spark.operators.asof import asof_join_oracle_sql
+
+    left = (
+        f"(SELECT event_id AS purchase_id, user_id, ts, epoch_us(ts) AS p_us "
+        f"FROM {table} WHERE event_type = '{ATTR_CONVERSION}') AS p"
+    )
+    touch_set = ", ".join(f"'{t}'" for t in ATTR_TOUCHES)
+    right = (
+        f"(SELECT user_id, ts, event_id AS touch_id, event_type AS touch_type, "
+        f"epoch_us(ts) AS touch_us "
+        f"FROM {table} WHERE event_type IN ({touch_set})) AS t"
+    )
+    inner = asof_join_oracle_sql(
+        left, right,
+        left_key="user_id", right_key="user_id",
+        left_ts="ts", right_ts="ts",
+        value_cols=["touch_id", "touch_type", "touch_us"],
+        left_cols=["purchase_id", "p_us"],
+    )
+    return f"""
+WITH attributed AS ({inner})
+SELECT coalesce(touch_type, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(p_us - touch_us) AS BIGINT) AS sum_lag_us,
+       ((CAST(sum(p_us - touch_us) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+          / 1000000.0) AS avg_seconds_to_convert
+FROM attributed
+GROUP BY coalesce(touch_type, 'none')
+"""

@@ -2238,6 +2238,14 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.fuzzy_name_pairs(load_table(spark, sf_dir, "part"))
 
 
+@register("last_touch_attribution", windows_op.sql_last_touch_attribution())
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution via self-as-of-join on the event stream
+    (one union-merge shuffle on user_id); organic conversions surface
+    as the 'none' channel; exact integer time-to-convert sums."""
+    return windows_op.last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
 @register("late_data_audit", windows_op.sql_late_data_audit())
 def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark drop audit: per event-hour, events a 5-min watermark
@@ -2474,6 +2482,7 @@ _COST_HINT = {
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
     "ivm_priority_revenue": 0.20, "kmv_join_size": 0.30,
     "expectations_report": 0.30, "late_data_audit": 0.35,
+    "last_touch_attribution": 0.30,
 }
 
 

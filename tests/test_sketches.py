@@ -262,3 +262,20 @@ def test_late_data_audit_monotone_in_delay(spark, sf_dir) -> None:
     )
     assert strict >= default >= infinite == 0
     assert strict > 0  # the jitter model actually produces lateness
+
+
+def test_attribution_conserves_conversions(spark, sf_dir) -> None:
+    """Every conversion is attributed exactly once (channel totals sum
+    to the purchase count) and lags are non-negative."""
+    from eventstreamd_spark.operators import windows as w
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = w.last_touch_attribution(ev).collect()
+    n_purchases = ev.filter(F.col("event_type") == w.ATTR_CONVERSION).count()
+    assert sum(r["n_conversions"] for r in rows) == n_purchases
+    for r in rows:
+        if r["channel"] != "none":
+            assert r["sum_lag_us"] >= 0
+            assert r["avg_seconds_to_convert"] >= 0.0
+        else:
+            assert r["sum_lag_us"] is None
