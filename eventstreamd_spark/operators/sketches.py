@@ -145,6 +145,51 @@ _HLL_M = 1 << HLL_P
 _REM_BITS = 60 - HLL_P  # 54-bit remainder per hash
 _ALPHA_64 = 0.709  # Flajolet et al. 2007 constant for m = 64
 
+# Linear-counting correction table for the small-range regime
+# (E_raw <= 2.5m with empty registers): lc[V] = m * ln(m / V) for
+# V = 1..m empty registers.  ln is transcendental with no cross-engine
+# rounding contract, but its argument set here is FINITE — so the
+# values are computed ONCE in Python and embedded as shortest-roundtrip
+# double literals in BOTH the Spark plan and the DuckDB twin.  No
+# runtime transcendental, bit-identical branches.
+import math as _math
+
+_LC_TABLE = [float(_HLL_M) * _math.log(_HLL_M / v) for v in range(1, _HLL_M + 1)]
+_LC_THRESHOLD = 2.5 * _HLL_M
+
+
+def _hll_est_columns(s_total: Column, n_zero: Column) -> Column:
+    """Corrected HLL estimate column (Spark side)."""
+    raw = (
+        F.lit(_ALPHA_64)
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.lit(float(1 << (_REM_BITS + 1)))
+        / s_total.cast("double")
+    )
+    lc = F.element_at(F.array(*[F.lit(v) for v in _LC_TABLE]), n_zero)
+    return F.when(
+        (raw <= F.lit(_LC_THRESHOLD)) & (n_zero > 0), lc
+    ).otherwise(raw)
+
+
+def _sql_hll_est(s_total: str, n_zero: str) -> str:
+    """Corrected HLL estimate expression (DuckDB twin) — same literal
+    table, same branch condition."""
+    raw = (
+        f"((CAST({_ALPHA_64} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS DOUBLE)"
+        f" * CAST({1 << (_REM_BITS + 1)} AS DOUBLE)) / CAST({s_total} AS DOUBLE))"
+    )
+    # string->double parse is correctly rounded in both engines; a bare
+    # decimal literal would be DECIMAL in DuckDB and its DECIMAL->DOUBLE
+    # cast is the 1-ULP pitfall statistics.py documents
+    lits = ", ".join(f"'{v!r}'::DOUBLE" for v in _LC_TABLE)
+    return (
+        f"(CASE WHEN {raw} <= '{_LC_THRESHOLD!r}'::DOUBLE"
+        f" AND {n_zero} > 0"
+        f" THEN list_extract([{lits}], {n_zero})"
+        f" ELSE {raw} END)"
+    )
+
 
 def hll_registers(df: DataFrame, key: Column) -> DataFrame:
     """(bucket, m_rho) register table for the keys in ``df`` — the
@@ -166,13 +211,17 @@ def hll_registers(df: DataFrame, key: Column) -> DataFrame:
 
 def hll_estimate_from_registers(regs: dict[int, int]) -> float:
     """Driver-side estimate from a merged register dict — the same
-    fixed-order arithmetic as the distributed plan (raw estimator,
-    no small-range correction; see hll_distinct_events)."""
+    fixed-order arithmetic and linear-counting branch as the
+    distributed plan (the _LC_TABLE literals ARE this math.log)."""
     s = sum(1 << (_REM_BITS + 1 - r) for r in regs.values())
-    s += (_HLL_M - len(regs)) * (1 << (_REM_BITS + 1))
-    return (
+    n_zero = _HLL_M - len(regs)
+    s += n_zero * (1 << (_REM_BITS + 1))
+    raw = (
         _ALPHA_64 * float(_HLL_M * _HLL_M) * float(1 << (_REM_BITS + 1)) / float(s)
     )
+    if raw <= _LC_THRESHOLD and n_zero > 0:
+        return _LC_TABLE[n_zero - 1]
+    return raw
 
 
 def hll_merge_registers(a: dict[int, int], b: dict[int, int]) -> dict[int, int]:
@@ -195,12 +244,10 @@ def hll_distinct_events(events: DataFrame) -> DataFrame:
 
     The indicator sum ``Z = sum(2^-M_j)`` is scaled by ``2^55`` so it
     accumulates as an exact BIGINT (order-independent, engine-exact);
-    the estimate is then ONE fixed-order double expression.  The raw
-    estimator is emitted as-is — the small-range linear-counting branch
-    needs a transcendental ``ln`` with no cross-engine rounding
-    contract, so the query reports ``n_zero_registers`` and leaves the
-    correction to the caller (the fixtures sit far above 2.5m where no
-    correction applies).
+    the estimate is then ONE fixed-order double expression, with the
+    standard small-range linear-counting branch taken from _LC_TABLE —
+    precomputed literals on both engines, so the transcendental never
+    runs at query time (see the table's comment).
     """
     regs = hll_registers(events, F.col("event_id").cast("string"))
     # S = sum over all m registers of 2^(55 - M_j), empty registers
@@ -214,18 +261,13 @@ def hll_distinct_events(events: DataFrame) -> DataFrame:
     exact = events.agg(
         F.count_distinct(F.col("event_id")).cast("bigint").alias("n_exact")
     )
-    two55 = float(1 << (_REM_BITS + 1))
     s_total = (
         F.col("s_present")
         + (F.lit(_HLL_M) - F.col("n_present")).cast("bigint")
         * F.lit(1 << (_REM_BITS + 1))
     )
-    est = (
-        F.lit(_ALPHA_64)
-        * F.lit(float(_HLL_M * _HLL_M))
-        * F.lit(two55)
-        / s_total.cast("double")
-    )
+    n_zero = (F.lit(_HLL_M) - F.col("n_present")).cast("int")
+    est = _hll_est_columns(s_total, n_zero)
     return scaled.crossJoin(F.broadcast(exact)).select(
         F.lit(_HLL_M).cast("int").alias("m"),
         s_total.alias("register_sum_scaled"),
@@ -242,10 +284,7 @@ def hll_distinct_events(events: DataFrame) -> DataFrame:
 def sql_hll_distinct_events(table: str = "events") -> str:
     h = _sql_h60("CAST(event_id AS VARCHAR)")
     rb, m = _REM_BITS, _HLL_M
-    est = (
-        f"((CAST({_ALPHA_64} AS DOUBLE) * CAST({m * m} AS DOUBLE)"
-        f" * CAST({1 << (rb + 1)} AS DOUBLE)) / CAST(s_total AS DOUBLE))"
-    )
+    est = _sql_hll_est("s_total", f"({m} - n_present)")
     return f"""
 WITH hashes AS (SELECT {h} AS h FROM {table}),
 parts AS (
@@ -653,4 +692,113 @@ SELECT CAST({k} AS INT) AS k, theta, n_below, n_both,
           <= CAST(0.5 AS DOUBLE) * CAST(n_union_exact AS DOUBLE))
          AS within_bound
 FROM sk, exact
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL rollup — distinct-per-cell at warehouse scale
+# ---------------------------------------------------------------------------
+
+
+def hll_distinct_by_type(events: DataFrame) -> DataFrame:
+    """Distinct users per event type via per-group HLL registers — the
+    COUNT(DISTINCT) GROUP BY replacement whose state is m integers per
+    GROUP, not a hash set per group.
+
+    One aggregate on (event_type, bucket) with map-side combine (at
+    most |types| x m partial rows per task), one m-row-per-type rollup
+    to the integer register sum, one fixed-order IEEE estimate per
+    type.  Group-level sketches stay mergeable, so a daily rollup and
+    a monthly rollup are the SAME registers max-merged — compute once,
+    re-aggregate forever (the cube-of-sketches pattern).
+
+    Exact per-type distincts ride along as the evaluation harness.
+    """
+    h = _h60(F.col("user_id").cast("string"))
+    rem = F.expr(f"h % CAST({1 << _REM_BITS} AS BIGINT)")
+    rho = F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
+        F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
+    )
+    regs = (
+        events.select("event_type", h.alias("h"))
+        .select(
+            "event_type",
+            F.expr(f"shiftright(h, {_REM_BITS})").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    scaled = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({_REM_BITS + 1} - m_rho AS INT))"
+            )
+        ).alias("s_present"),
+        F.count("*").cast("int").alias("n_present"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(_HLL_M) - F.col("n_present")).cast("bigint")
+        * F.lit(1 << (_REM_BITS + 1))
+    )
+    est = _hll_est_columns(
+        s_total, (F.lit(_HLL_M) - F.col("n_present")).cast("int")
+    )
+    return scaled.join(exact, "event_type").select(
+        "event_type",
+        s_total.alias("register_sum_scaled"),
+        est.alias("hll_estimate"),
+        "n_exact",
+        (
+            F.abs(est - F.col("n_exact").cast("double"))
+            <= F.lit(0.5) * F.col("n_exact").cast("double")
+        ).alias("within_bound"),
+    )
+
+
+def sql_hll_distinct_by_type(table: str = "events") -> str:
+    h = _sql_h60("CAST(user_id AS VARCHAR)")
+    rb, m = _REM_BITS, _HLL_M
+    est = _sql_hll_est("t.s_total", f"({m} - t.n_present)")
+    return f"""
+WITH hashes AS (SELECT event_type, {h} AS h FROM {table}),
+parts AS (
+  SELECT event_type, (h >> {rb}) AS bucket,
+         h % CAST({1 << rb} AS BIGINT) AS rem
+  FROM hashes
+),
+regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN rem = 0 THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(rem)) END) AS m_rho
+  FROM parts GROUP BY event_type, bucket
+),
+scaled AS (
+  SELECT event_type,
+         sum((1::BIGINT << CAST({rb + 1} - m_rho AS INT)))::BIGINT
+           AS s_present,
+         CAST(count(*) AS INT) AS n_present
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM {table} GROUP BY event_type
+),
+tot AS (
+  SELECT event_type,
+         s_present + CAST({m} - n_present AS BIGINT) * {1 << (rb + 1)}
+           AS s_total,
+         n_present
+  FROM scaled
+)
+SELECT t.event_type, t.s_total AS register_sum_scaled,
+       {est} AS hll_estimate, e.n_exact,
+       (abs({est} - CAST(e.n_exact AS DOUBLE))
+          <= CAST(0.5 AS DOUBLE) * CAST(e.n_exact AS DOUBLE))
+         AS within_bound
+FROM tot t JOIN exact e USING (event_type)
 """

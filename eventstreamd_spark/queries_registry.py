@@ -2238,6 +2238,14 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.fuzzy_name_pairs(load_table(spark, sf_dir, "part"))
 
 
+@register("hll_distinct_by_type", sketch_op.sql_hll_distinct_by_type())
+def hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL rollup: distinct users per event type with m-integer
+    state per GROUP (the cube-of-sketches pattern — group sketches stay
+    max-mergeable across rollup levels)."""
+    return sketch_op.hll_distinct_by_type(load_table(spark, sf_dir, "events"))
+
+
 @register("last_touch_attribution", windows_op.sql_last_touch_attribution())
 def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion attribution via self-as-of-join on the event stream
@@ -2482,7 +2490,7 @@ _COST_HINT = {
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
     "ivm_priority_revenue": 0.20, "kmv_join_size": 0.30,
     "expectations_report": 0.30, "late_data_audit": 0.35,
-    "last_touch_attribution": 0.30,
+    "last_touch_attribution": 0.30, "hll_distinct_by_type": 0.30,
 }
 
 

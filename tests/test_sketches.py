@@ -279,3 +279,25 @@ def test_attribution_conserves_conversions(spark, sf_dir) -> None:
             assert r["avg_seconds_to_convert"] >= 0.0
         else:
             assert r["sum_lag_us"] is None
+
+
+def test_hll_by_type_matches_per_group_estimates(spark, sf_dir) -> None:
+    """Each group's estimate must equal the single-set HLL computed on
+    that group alone — group sketches are independent."""
+    from eventstreamd_spark.operators.sketches import (
+        hll_distinct_by_type, hll_estimate_from_registers, hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r["event_type"]: r for r in hll_distinct_by_type(ev).collect()}
+    assert rows
+    for etype, r in rows.items():
+        regs = {
+            x["bucket"]: x["m_rho"]
+            for x in hll_registers(
+                ev.filter(F.col("event_type") == etype),
+                F.col("user_id").cast("string"),
+            ).collect()
+        }
+        assert r["hll_estimate"] == hll_estimate_from_registers(regs)
+        assert r["within_bound"] is True
