@@ -182,3 +182,114 @@ SELECT o_orderpriority,
 FROM {orders}
 GROUP BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — what changed between two table versions
+# ---------------------------------------------------------------------------
+
+DIFF_ADD_CUTOFF = "2001-06-01"  # v2-only rows: the newest ingest slice
+DIFF_UPDATE_MOD = 97            # v2 bumps totalprice where key % 97 == 0
+DIFF_DELETE_MOD = 101           # v2 drops rows where key % 101 == 3
+
+
+def _diff_versions(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic snapshots of the orders table: v1 lacks the
+    newest slice; v2 applies updates and deletes.  Stands in for two
+    lakehouse table versions."""
+    cut = F.lit(DIFF_ADD_CUTOFF).cast("timestamp")
+    v1 = orders.filter(F.col("o_orderdate") < cut)
+    v2 = orders.filter(F.col("o_orderkey") % DIFF_DELETE_MOD != 3).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % DIFF_UPDATE_MOD == 0,
+            F.col("o_totalprice") + F.lit(1000.0),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return v1, v2
+
+
+def snapshot_diff(orders: DataFrame) -> DataFrame:
+    """Row- and column-level diff between two table versions — the
+    lakehouse time-travel comparison (Delta DESCRIBE HISTORY's "what
+    actually changed") as one full-outer join.
+
+    One shuffle on the key; per-row status (added/removed/changed/
+    unchanged) and per-column change counters fold into a single
+    aggregate — no per-column passes.  Doubles compare by equality of
+    identical stored values (bit-stable through parquet), not
+    arithmetic.  At 100 TB both sides bucket on the key and the join
+    is co-located; the diff summary is O(1) output.
+    """
+    v1, v2 = _diff_versions(orders)
+    a = v1.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("a_price"),
+        F.col("o_orderstatus").alias("a_status"),
+    )
+    b = v2.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("b_price"),
+        F.col("o_orderstatus").alias("b_status"),
+    )
+    j = a.join(b, "k", "full_outer")
+    in_a = F.col("a_price").isNotNull() | F.col("a_status").isNotNull()
+    in_b = F.col("b_price").isNotNull() | F.col("b_status").isNotNull()
+    price_chg = in_a & in_b & (F.col("a_price") != F.col("b_price"))
+    status_chg = in_a & in_b & (F.col("a_status") != F.col("b_status"))
+    status = (
+        F.when(~in_a, F.lit("added"))
+        .when(~in_b, F.lit("removed"))
+        .when(price_chg | status_chg, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.groupBy(status.alias("row_status"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(price_chg.cast("int")).cast("bigint").alias("n_price_changed"),
+            F.sum(status_chg.cast("int")).cast("bigint").alias("n_status_changed"),
+        )
+    )
+
+
+def sql_snapshot_diff(orders: str = "orders") -> str:
+    return f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM {orders}
+  WHERE o_orderdate < TIMESTAMP '{DIFF_ADD_CUTOFF}'
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {DIFF_UPDATE_MOD} = 0
+              THEN o_totalprice + 1000.0 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderstatus
+  FROM {orders} WHERE o_orderkey % {DIFF_DELETE_MOD} != 3
+),
+j AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+         a.o_totalprice AS a_price, a.o_orderstatus AS a_status,
+         b.o_totalprice AS b_price, b.o_orderstatus AS b_status,
+         (a.o_orderkey IS NOT NULL) AS in_a,
+         (b.o_orderkey IS NOT NULL) AS in_b
+  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+),
+flagged AS (
+  SELECT *,
+         (in_a AND in_b AND a_price != b_price) AS price_chg,
+         (in_a AND in_b AND a_status != b_status) AS status_chg
+  FROM j
+)
+SELECT CASE WHEN NOT in_a THEN 'added'
+            WHEN NOT in_b THEN 'removed'
+            WHEN price_chg OR status_chg THEN 'changed'
+            ELSE 'unchanged' END AS row_status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN price_chg THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_price_changed,
+       CAST(sum(CASE WHEN status_chg THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_status_changed
+FROM flagged
+GROUP BY 1
+"""

@@ -826,3 +826,62 @@ SELECT d.event_type, CAST(d.n_events AS BIGINT) AS n_events,
 FROM dev d JOIN mad m USING (event_type, median_value, n_events)
 GROUP BY d.event_type, d.n_events, d.median_value, m.mad
 """
+
+
+# ---------------------------------------------------------------------------
+# Percentile-rank features — the corpus CDF without a corpus sort
+# ---------------------------------------------------------------------------
+
+
+def percentile_rank_features(docs: DataFrame) -> DataFrame:
+    """Per-document corpus percentile of ``n_chars`` (the feature-
+    engineering normalization step: model features want "where does
+    this doc sit in the corpus", not raw magnitudes).
+
+    ``percent_rank() OVER (ORDER BY ...)`` is a single-task global sort
+    — the canonical scale-killer.  The scalable identity: the strict-
+    below count per VALUE is a prefix sum over the value-frequency
+    table, so one narrow aggregate (value -> count), one cumulative
+    window over that tiny table (the documented KB-window exemption),
+    and one broadcast join back assign every row its exact percentile.
+    Integer counts all the way; the final pct is one IEEE division,
+    identical to ANSI percent_rank = below / (N - 1).
+    """
+    from pyspark.sql import Window as W
+
+    freq = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cdf = freq.withColumn(
+        "below", F.coalesce(F.sum("c").over(wcum), F.lit(0)).cast("bigint")
+    )
+    tot = docs.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(cdf), F.col("n_chars") == F.col("v"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_chars",
+            "below",
+            (
+                F.col("below").cast("double")
+                / (F.col("n") - F.lit(1)).cast("double")
+            ).alias("pct_rank"),
+        )
+    )
+
+
+def sql_percentile_rank_features(table: str = "documents") -> str:
+    """Oracle states the spec directly: ANSI percent_rank (the oracle
+    may sort; the engine may not)."""
+    return f"""
+SELECT doc_id, n_chars,
+       CAST(count(*) OVER (ORDER BY n_chars
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) -
+            count(*) OVER (PARTITION BY n_chars) AS BIGINT) AS below,
+       percent_rank() OVER (ORDER BY n_chars) AS pct_rank
+FROM {table}
+"""

@@ -2238,6 +2238,23 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.fuzzy_name_pairs(load_table(spark, sf_dir, "part"))
 
 
+@register("snapshot_diff", merge_op.sql_snapshot_diff())
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse version diff: row-status + per-column change counts
+    from ONE full-outer join and one aggregate (no per-column passes)."""
+    return merge_op.snapshot_diff(load_table(spark, sf_dir, "orders"))
+
+
+@register("percentile_rank_features", stats_mod.sql_percentile_rank_features())
+def percentile_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus percent_rank per document WITHOUT the global sort:
+    value-frequency prefix sums + broadcast CDF join (oracle states
+    the ANSI percent_rank spec directly)."""
+    return stats_mod.percentile_rank_features(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("hll_distinct_by_type", sketch_op.sql_hll_distinct_by_type())
 def hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped HLL rollup: distinct users per event type with m-integer
@@ -2491,6 +2508,7 @@ _COST_HINT = {
     "ivm_priority_revenue": 0.20, "kmv_join_size": 0.30,
     "expectations_report": 0.30, "late_data_audit": 0.35,
     "last_touch_attribution": 0.30, "hll_distinct_by_type": 0.30,
+    "percentile_rank_features": 0.35, "snapshot_diff": 0.25,
 }
 
 

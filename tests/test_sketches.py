@@ -301,3 +301,41 @@ def test_hll_by_type_matches_per_group_estimates(spark, sf_dir) -> None:
         }
         assert r["hll_estimate"] == hll_estimate_from_registers(regs)
         assert r["within_bound"] is True
+
+
+def test_percentile_rank_matches_sorted_definition(spark, sf_dir) -> None:
+    """The shuffle-free CDF formulation must equal the textbook
+    percent_rank computed by actually sorting (on the small fixture)."""
+    from eventstreamd_spark.operators.statistics import percentile_rank_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: (r["below"], r["pct_rank"])
+        for r in percentile_rank_features(docs).collect()
+    }
+    vals = sorted(r["n_chars"] for r in docs.select("n_chars").collect())
+    n = len(vals)
+    import bisect
+
+    for r in docs.select("doc_id", "n_chars").collect():
+        below = bisect.bisect_left(vals, r["n_chars"])
+        assert got[r["doc_id"]] == (below, below / (n - 1))
+
+
+def test_snapshot_diff_partitions_every_row(spark, sf_dir) -> None:
+    """added+removed+changed+unchanged must cover |v1 ∪ v2| exactly,
+    and column change counts only appear under 'changed'."""
+    from eventstreamd_spark.operators import merge as mg
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1, v2 = mg._diff_versions(orders)
+    rows = {r["row_status"]: r for r in mg.snapshot_diff(orders).collect()}
+    n_union = (
+        v1.select("o_orderkey").union(v2.select("o_orderkey")).distinct().count()
+    )
+    assert sum(r["n_rows"] for r in rows.values()) == n_union
+    for st, r in rows.items():
+        if st != "changed":
+            assert r["n_price_changed"] == 0 and r["n_status_changed"] == 0
+    assert rows["changed"]["n_price_changed"] > 0
+    assert rows["added"]["n_rows"] > 0 and rows["removed"]["n_rows"] > 0
