@@ -885,3 +885,101 @@ SELECT doc_id, n_chars,
        percent_rank() OVER (ORDER BY n_chars) AS pct_rank
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Contingency / chi-square profile — categorical association, exactly
+# ---------------------------------------------------------------------------
+
+
+def contingency_profile(lineitem: DataFrame) -> DataFrame:
+    """Cross-tab of (l_returnflag, l_linestatus) with per-cell
+    chi-square contributions — the categorical-association profile a
+    feature-selection or drift pipeline runs over label columns.
+
+    All structure is integer-exact: observed counts, row/column
+    totals, and the deviation o·N − r·c carried as DECIMAL(38,0) so it
+    cannot overflow or round at any scale (at N = 10¹², o·N ≈ 10²⁴ —
+    past BIGINT, fine in 38 digits; its SQUARE would not fit, so the
+    square happens after one correctly-rounded conversion to double).
+    Decimal→double goes THROUGH the VARCHAR round-trip (direct cast is
+    the 1-ULP DuckDB pitfall); BIGINT→DOUBLE casts are correctly
+    rounded on both engines, so expected and contribution are short
+    fixed-order IEEE expressions — deterministic cross-engine.  The
+    global χ² statistic is a sum of floats — order-dependent — so it
+    is left to the caller over the (tiny, exact) per-cell rows rather
+    than baked into the query.
+
+    One scan, one small aggregate; totals join back by broadcast.
+    """
+    cells = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    row_tot = cells.groupBy("l_returnflag").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    col_tot = cells.groupBy("l_linestatus").agg(
+        F.sum("o").cast("bigint").alias("c")
+    )
+    n_tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    j = (
+        cells.join(F.broadcast(row_tot), "l_returnflag")
+        .join(F.broadcast(col_tot), "l_linestatus")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    d19 = "decimal(19,0)"
+    dev_dec = F.col("o").cast(d19) * F.col("n").cast(d19) - F.col("r").cast(
+        d19
+    ) * F.col("c").cast(d19)
+    dev_d = dev_dec.cast("string").cast("double")
+    n_d, r_d, c_d = (F.col(x).cast("double") for x in ("n", "r", "c"))
+    expected = r_d * c_d / n_d
+    contrib = dev_d * dev_d / (n_d * r_d * c_d)
+    return j.select(
+        "l_returnflag",
+        "l_linestatus",
+        "o",
+        "r",
+        "c",
+        "n",
+        expected.alias("expected"),
+        contrib.alias("chi2_contribution"),
+    )
+
+
+def sql_contingency_profile(table: str = "lineitem") -> str:
+    def d2d(expr: str) -> str:
+        return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+    # mirror the Spark formulation op-for-op: exact DECIMAL deviation
+    # -> one correctly-rounded double, then plain double arithmetic in
+    # the same association (BIGINT->DOUBLE is correctly rounded on
+    # both engines; two formulations that only agree below 2^53 would
+    # diverge at warehouse scale)
+    dev_d = d2d(
+        "(CAST(o AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))"
+        " - CAST(r AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))"
+    )
+    return f"""
+WITH cells AS (
+  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS o
+  FROM {table} GROUP BY l_returnflag, l_linestatus
+),
+row_tot AS (
+  SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1
+),
+col_tot AS (
+  SELECT l_linestatus, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1
+),
+n_tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+SELECT ce.l_returnflag, ce.l_linestatus, ce.o, rt.r, ct.c, nt.n,
+       (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         AS expected,
+       ({dev_d} * {dev_d}
+          / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+         AS chi2_contribution
+FROM cells ce
+JOIN row_tot rt USING (l_returnflag)
+JOIN col_tot ct USING (l_linestatus)
+CROSS JOIN n_tot nt
+"""

@@ -2238,6 +2238,14 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.fuzzy_name_pairs(load_table(spark, sf_dir, "part"))
 
 
+@register("contingency_profile", stats_mod.sql_contingency_profile())
+def contingency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab + per-cell chi-square contributions: integer-exact
+    structure, DECIMAL(38,0) deviations, fixed-order IEEE tails —
+    the categorical-association profile for feature/drift analysis."""
+    return stats_mod.contingency_profile(load_table(spark, sf_dir, "lineitem"))
+
+
 @register("snapshot_diff", merge_op.sql_snapshot_diff())
 def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse version diff: row-status + per-column change counts
@@ -2509,6 +2517,7 @@ _COST_HINT = {
     "expectations_report": 0.30, "late_data_audit": 0.35,
     "last_touch_attribution": 0.30, "hll_distinct_by_type": 0.30,
     "percentile_rank_features": 0.35, "snapshot_diff": 0.25,
+    "contingency_profile": 0.25,
 }
 
 

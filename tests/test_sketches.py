@@ -339,3 +339,20 @@ def test_snapshot_diff_partitions_every_row(spark, sf_dir) -> None:
             assert r["n_price_changed"] == 0 and r["n_status_changed"] == 0
     assert rows["changed"]["n_price_changed"] > 0
     assert rows["added"]["n_rows"] > 0 and rows["removed"]["n_rows"] > 0
+
+
+def test_contingency_profile_marginals(spark, sf_dir) -> None:
+    """Observed cells must sum to row/col totals and N; contributions
+    are non-negative; expected sums back to N per row dimension."""
+    from eventstreamd_spark.operators.statistics import contingency_profile
+
+    rows = contingency_profile(load_table(spark, sf_dir, "lineitem")).collect()
+    n = rows[0]["n"]
+    assert sum(r["o"] for r in rows) == n
+    by_flag: dict = {}
+    for r in rows:
+        assert r["chi2_contribution"] >= 0.0
+        by_flag.setdefault(r["l_returnflag"], 0)
+        by_flag[r["l_returnflag"]] += r["o"]
+    for r in rows:
+        assert by_flag[r["l_returnflag"]] == r["r"]
