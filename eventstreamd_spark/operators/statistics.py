@@ -983,3 +983,93 @@ JOIN row_tot rt USING (l_returnflag)
 JOIN col_tot ct USING (l_linestatus)
 CROSS JOIN n_tot nt
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-rate anomaly detection — z-scores from exact integer moments
+# ---------------------------------------------------------------------------
+
+RATE_BUCKET_US = 60_000_000  # per-minute rate buckets
+RATE_Z_CUTOFF = 3.0
+
+
+def event_rate_anomalies(events: DataFrame) -> DataFrame:
+    """Per-type per-minute event-rate z-scores; emit the buckets where
+    |z| > 3 — the ops-monitoring query behind every "traffic spike"
+    alert, kept engine-exact.
+
+    Counts per (type, minute) are integers, so the per-type moment
+    sums (n, Σc, Σc²) are exact BIGINTs with map-side combine — the
+    same power-sum idiom as price_quantity_moments, without even the
+    decimal cast.  mean/std/z are then short fixed-order IEEE
+    expressions over exact integers (sqrt is IEEE-correctly-rounded on
+    both engines), mirrored verbatim in the twin.  Stats run over
+    OBSERVED minutes only (an empty-minute spine join would be the
+    honest extension for sparse streams; the fixture has ~1 event per
+    observed minute-type).
+
+    Two aggregates (bucket counts, then per-type moments — |types| × 3
+    numbers) and a broadcast join back: nothing scales with the raw
+    event count except the first narrow aggregate.
+    """
+    b = events.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {RATE_BUCKET_US}").alias("minute_bucket"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    s = b.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    mean = s1_d / n_d
+    var = (s2_d - s1_d * s1_d / n_d) / (n_d - F.lit(1.0))
+    std = F.sqrt(var)
+    # a type whose every bucket has the same count has std = 0: no
+    # rate variation, nothing to flag — and an unguarded division is
+    # an ANSI-mode ArithmeticException on Spark vs +inf on DuckDB
+    # (caught by the planted-spike test before it could diverge)
+    z = F.when(std > 0.0, (F.col("c").cast("double") - mean) / std)
+    return (
+        b.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            "minute_bucket",
+            "c",
+            mean.alias("mean_rate"),
+            std.alias("std_rate"),
+            z.alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) > RATE_Z_CUTOFF)
+    )
+
+
+def sql_event_rate_anomalies(table: str = "events") -> str:
+    mean = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    var = (
+        "((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+    )
+    z = (
+        f"(CASE WHEN sqrt({var}) > 0.0"
+        f" THEN ((CAST(c AS DOUBLE) - {mean}) / sqrt({var})) END)"
+    )
+    return f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // {RATE_BUCKET_US} AS minute_bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM b GROUP BY 1
+)
+SELECT b.event_type, b.minute_bucket, b.c,
+       {mean} AS mean_rate, sqrt({var}) AS std_rate, {z} AS z_score
+FROM b JOIN s USING (event_type)
+WHERE abs({z}) > {RATE_Z_CUTOFF}
+"""

@@ -2238,6 +2238,14 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.fuzzy_name_pairs(load_table(spark, sf_dir, "part"))
 
 
+@register("event_rate_anomalies", stats_mod.sql_event_rate_anomalies())
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-spike detection: per-type per-minute z-scores from
+    exact BIGINT power sums; only the first narrow aggregate scales
+    with the raw event count."""
+    return stats_mod.event_rate_anomalies(load_table(spark, sf_dir, "events"))
+
+
 @register("contingency_profile", stats_mod.sql_contingency_profile())
 def contingency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tab + per-cell chi-square contributions: integer-exact
@@ -2517,7 +2525,7 @@ _COST_HINT = {
     "expectations_report": 0.30, "late_data_audit": 0.35,
     "last_touch_attribution": 0.30, "hll_distinct_by_type": 0.30,
     "percentile_rank_features": 0.35, "snapshot_diff": 0.25,
-    "contingency_profile": 0.25,
+    "contingency_profile": 0.25, "event_rate_anomalies": 0.30,
 }
 
 

@@ -356,3 +356,24 @@ def test_contingency_profile_marginals(spark, sf_dir) -> None:
         by_flag[r["l_returnflag"]] += r["o"]
     for r in rows:
         assert by_flag[r["l_returnflag"]] == r["r"]
+
+
+def test_event_rate_anomalies_flag_planted_spike(spark, sf_dir) -> None:
+    """A planted burst minute must surface with a large positive z."""
+    from eventstreamd_spark.operators.statistics import event_rate_anomalies
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    burst_ts = "2024-01-15 12:00:30"
+    burst = (
+        spark.range(50)
+        .select(
+            F.lit("click").alias("event_type"),
+            F.lit(burst_ts).cast("timestamp").alias("ts"),
+        )
+    )
+    out = event_rate_anomalies(ev.unionByName(burst)).collect()
+    spikes = [
+        r for r in out
+        if r["event_type"] == "click" and r["c"] >= 50 and r["z_score"] > 3
+    ]
+    assert spikes, "planted 50-event minute not flagged"
