@@ -1685,3 +1685,50 @@ SELECT t, CAST(count(*) AS BIGINT) AS df,
 FROM tf
 GROUP BY t
 """
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal — the cheap redundancy detector
+# ---------------------------------------------------------------------------
+
+
+def compression_ratio_signal(docs: DataFrame, level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the Gopher/RefinedWeb-style
+    redundancy signal: highly compressible text is repetitive
+    boilerplate; incompressible "text" is often binary junk or
+    high-entropy spam.  Both tails get flagged.
+
+    The kernel is an Arrow-batched ``mapInPandas`` (CPython ``zlib`` at
+    a fixed level is deterministic across runs and platforms for a
+    given input — it ships with pinned tables), touching only
+    (doc_id, text); no shuffle at all — a pure narrow pass whose cost
+    is the compressor itself.  No SQL twin exists for zlib, so this
+    operator is pytest-verified (planted-repetition ordering + bounds)
+    rather than oracle-checked, like the training-export writer.
+    """
+    import pandas as pd
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            texts = pdf["text"].astype(str)
+            raw = texts.str.encode("utf-8")
+            n_raw = raw.str.len().astype("int64")
+            n_comp = raw.map(lambda b: len(zlib.compress(b, level))).astype(
+                "int64"
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_raw_bytes": n_raw,
+                    "n_compressed_bytes": n_comp,
+                    "compression_ratio": n_comp / n_raw,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel,
+        "doc_id long, n_raw_bytes long, n_compressed_bytes long, "
+        "compression_ratio double",
+    )

@@ -377,3 +377,32 @@ def test_event_rate_anomalies_flag_planted_spike(spark, sf_dir) -> None:
         if r["event_type"] == "click" and r["c"] >= 50 and r["z_score"] > 3
     ]
     assert spikes, "planted 50-event minute not flagged"
+
+
+def test_compression_signal_orders_redundancy(spark, sf_dir) -> None:
+    """Planted repetitive text must compress far better than natural
+    text; ratios live in (0, ~1.2]; deterministic across repartition."""
+    from eventstreamd_spark.operators.textops import compression_ratio_signal
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.limit(3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("spam spam "), F.expr("repeat('buy now! ', 200)")).alias(
+            "text"
+        ),
+    )
+    base = docs.select("doc_id", "text").unionByName(planted)
+    rows = {r["doc_id"]: r for r in compression_ratio_signal(base).collect()}
+    nat = [r["compression_ratio"] for k, r in rows.items() if k < 1000000]
+    rep = [r["compression_ratio"] for k, r in rows.items() if k >= 1000000]
+    assert rep and nat
+    assert max(rep) < min(nat) * 0.5  # repetition compresses much harder
+    for r in rows.values():
+        assert 0.0 < r["compression_ratio"] <= 1.5
+        assert r["n_compressed_bytes"] > 0
+    # determinism under different partitionings
+    again = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio_signal(base.repartition(7)).collect()
+    }
+    assert again == {k: r["compression_ratio"] for k, r in rows.items()}
