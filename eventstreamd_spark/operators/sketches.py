@@ -605,9 +605,14 @@ def kmv_join_size(
         (F.col("o_orderdate") < cut).cast("int").alias("in_a"),
         (F.col("o_orderdate") >= cut).cast("int").alias("in_b"),
     )
+    # both the sketch leg and the exact-harness leg read the distinct
+    # presence table; localCheckpoint materializes it once so the
+    # corpus-wide distinct aggregate doesn't run twice (Catalyst does
+    # not share the subtree across plan legs — same idiom as the BPE
+    # vocab and the dedup edge list)
     presence = flagged.groupBy("h").agg(
         F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
-    )
+    ).localCheckpoint()
     bottom = presence.orderBy("h").limit(k)
     theta = bottom.agg(F.max("h").alias("theta"))
     below = bottom.crossJoin(F.broadcast(theta)).filter(F.col("h") < F.col("theta"))
