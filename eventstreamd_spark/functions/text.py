@@ -83,6 +83,18 @@ def sql_poly_hash(expr: str) -> str:
     return f"((('0x' || substr(md5({expr}), 1, 15))::BIGINT) % {HASH_MOD})"
 
 
+def h60(s: F.Column) -> F.Column:
+    """The repo-wide 60-bit integer md5 hash, un-modded — THE canonical
+    definition (digest.py, sketches.py, windows.py all route here so a
+    width/truncation change cannot silently fork between engines)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def sql_h60(expr: str) -> str:
+    """DuckDB twin of h60."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
 def punct_count(text: Column) -> Column:
     """Count of non-alphanumeric, non-whitespace chars (explicit class —
     Java regex and RE2 agree on it)."""

@@ -47,9 +47,14 @@ def expectations_report(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     one_pass = lineitem.agg(
         F.count("*").cast("bigint").alias("n_rows"),
         _viol(F.col("l_returnflag").isNotNull()).alias("v_notnull"),
+        # distinct over the STRUCT, not the column pair: multi-column
+        # count_distinct drops rows with any NULL component, while the
+        # twin's row-value DISTINCT counts the (key, NULL) tuple — the
+        # struct form matches it and keeps null-key rows out of the
+        # duplicate count
         (
             F.count("*")
-            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+            - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))
         )
         .cast("bigint")
         .alias("v_unique"),
@@ -58,10 +63,13 @@ def expectations_report(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         _viol(F.col("l_returnflag").isin("A", "N", "R")).alias("v_domain"),
         _viol(F.col("l_extendedprice") > 0.0).alias("v_pos"),
     )
+    # anti-join strategy is left to Catalyst/AQE: the parent side is a
+    # key-only projection but nothing guarantees it fits a broadcast
+    # at warehouse scale — forcing one would pin an OOM
     orphans = (
         lineitem.select("l_orderkey")
         .join(
-            F.broadcast(orders.select(F.col("o_orderkey").alias("l_orderkey"))),
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
             "l_orderkey",
             "left_anti",
         )

@@ -494,10 +494,14 @@ def zorder_skipping_report(lineitem: DataFrame) -> DataFrame:
         F.min("ry").alias("mny"), F.max("ry").alias("mxy"),
     )
     dom = 1 << ZR_BITS
+    # three legs (two zone maps + the match counts) consume `keyed`;
+    # Catalyst does not share the subtree, so without materialization
+    # the fact scan and the bounds aggregate would run three times
+    # (same idiom as kmv_join_size's presence table)
     keyed = raw.crossJoin(F.broadcast(bounds)).select(
         F.expr(f"((rx - mnx) * {dom}) div (mxx - mnx + 1)").alias("x"),
         F.expr(f"((ry - mny) * {dom}) div (mxy - mny + 1)").alias("y"),
-    )
+    ).localCheckpoint()
     z = F.expr(_zr_interleave_terms("x", "y"))
 
     def zone_map(df: DataFrame, bucket: F.Column, layout: str) -> DataFrame:
@@ -511,7 +515,7 @@ def zorder_skipping_report(lineitem: DataFrame) -> DataFrame:
 
     zm = zone_map(
         keyed.withColumn("z", z), F.expr(f"z >> {ZR_BUCKET_SHIFT}"), "zorder"
-    ).drop("z").unionByName(
+    ).unionByName(
         zone_map(keyed, F.expr(f"x >> {ZR_BITS - 6}"), "xsort")
     )
 

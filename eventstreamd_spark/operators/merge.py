@@ -222,19 +222,25 @@ def snapshot_diff(orders: DataFrame) -> DataFrame:
     is co-located; the diff summary is O(1) output.
     """
     v1, v2 = _diff_versions(orders)
+    # presence comes from explicit marker columns, NOT payload
+    # nullness: a version row whose payload columns are all NULL is
+    # still present (the twin keys presence off the join key the same
+    # way)
     a = v1.select(
         F.col("o_orderkey").alias("k"),
         F.col("o_totalprice").alias("a_price"),
         F.col("o_orderstatus").alias("a_status"),
+        F.lit(1).alias("a_mark"),
     )
     b = v2.select(
         F.col("o_orderkey").alias("k"),
         F.col("o_totalprice").alias("b_price"),
         F.col("o_orderstatus").alias("b_status"),
+        F.lit(1).alias("b_mark"),
     )
     j = a.join(b, "k", "full_outer")
-    in_a = F.col("a_price").isNotNull() | F.col("a_status").isNotNull()
-    in_b = F.col("b_price").isNotNull() | F.col("b_status").isNotNull()
+    in_a = F.col("a_mark").isNotNull()
+    in_b = F.col("b_mark").isNotNull()
     price_chg = in_a & in_b & (F.col("a_price") != F.col("b_price"))
     status_chg = in_a & in_b & (F.col("a_status") != F.col("b_status"))
     status = (

@@ -50,13 +50,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 _B60 = 1152921504606846976  # 2^60; hashes are uniform in [0, 2^60)
 
 
-def _h60(col: Column) -> Column:
-    """60-bit integer md5 hash of a string column (engine-portable)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
-
-
-def _sql_h60(expr: str) -> str:
-    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+from eventstreamd_spark.functions.text import h60 as _h60  # noqa: E402
+from eventstreamd_spark.functions.text import sql_h60 as _sql_h60  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -96,10 +91,14 @@ def kmv_distinct_events(events: DataFrame, k: int = KMV_K) -> DataFrame:
         F.max("h").alias("kth_hash"),
     )
     exact = hashes.agg(F.count_distinct("h").cast("bigint").alias("n_exact"))
-    est = (
-        F.lit(float(k - 1))
-        * F.lit(float(_B60))
-        / F.col("kth_hash").cast("double")
+    # standard KMV: with fewer than k distinct keys the sketch HOLDS
+    # the whole key set — report it exactly; the (k-1)/theta estimator
+    # only applies once the sketch saturates (unsaturated, it would
+    # read ~k regardless of the true count)
+    est = F.when(
+        F.col("k_kept") < k, F.col("k_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(_B60)) / F.col("kth_hash").cast("double")
     )
     out = sketch.crossJoin(F.broadcast(exact)).select(
         F.lit(k).cast("int").alias("k"),
@@ -118,8 +117,9 @@ def kmv_distinct_events(events: DataFrame, k: int = KMV_K) -> DataFrame:
 def sql_kmv_distinct_events(table: str = "events", k: int = KMV_K) -> str:
     h = _sql_h60("CAST(event_id AS VARCHAR)")
     est = (
-        f"((CAST({k - 1} AS DOUBLE) * CAST({_B60} AS DOUBLE))"
-        " / CAST(kth_hash AS DOUBLE))"
+        f"(CASE WHEN k_kept < {k} THEN CAST(k_kept AS DOUBLE)"
+        f" ELSE (CAST({k - 1} AS DOUBLE) * CAST({_B60} AS DOUBLE))"
+        " / CAST(kth_hash AS DOUBLE) END)"
     )
     return f"""
 WITH hashes AS (SELECT DISTINCT {h} AS h FROM {table}),
@@ -487,7 +487,10 @@ def bloom_join_prune(
         .groupBy("o_orderkey", "o_custkey")
         .agg((F.count("hit") == n_hashes).alias("pass_bloom"))
     )
-    truth = seg.select(
+    # dedup the truth side (mirrors the twin's SELECT DISTINCT): a
+    # duplicated build-side key would otherwise fan out probe rows in
+    # the left join and inflate every count
+    truth = seg.select("c_custkey").distinct().select(
         F.col("c_custkey").alias("t_custkey"), F.lit(True).alias("is_true")
     )
     flagged = hit.join(

@@ -865,10 +865,12 @@ def percentile_rank_features(docs: DataFrame) -> DataFrame:
             "doc_id",
             "n_chars",
             "below",
-            (
+            # ANSI percent_rank is 0.0 for a single row; the unguarded
+            # division would be 0/0 = NaN and diverge from the oracle
+            F.when(F.col("n") > 1,
                 F.col("below").cast("double")
                 / (F.col("n") - F.lit(1)).cast("double")
-            ).alias("pct_rank"),
+            ).otherwise(F.lit(0.0)).alias("pct_rank"),
         )
     )
 

@@ -1712,18 +1712,26 @@ def compression_ratio_signal(docs: DataFrame, level: int = 6) -> DataFrame:
         import zlib
 
         for pdf in batches:
-            texts = pdf["text"].astype(str)
-            raw = texts.str.encode("utf-8")
-            n_raw = raw.str.len().astype("int64")
-            n_comp = raw.map(lambda b: len(zlib.compress(b, level))).astype(
-                "int64"
+            # NULL text must stay NULL (astype(str) would score the
+            # literal "None" as a 4-byte doc); empty text has no ratio
+            # — nullable pandas dtypes carry the NULLs through Arrow
+            valid = pdf["text"].notna()
+            raw = pdf["text"][valid].str.encode("utf-8")
+            n_raw = raw.str.len().reindex(pdf.index).astype("Int64")
+            n_comp = (
+                raw.map(lambda b: len(zlib.compress(b, level)))
+                .reindex(pdf.index)
+                .astype("Int64")
+            )
+            ratio = (n_comp.astype("Float64") / n_raw.astype("Float64")).where(
+                n_raw > 0
             )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_raw_bytes": n_raw,
                     "n_compressed_bytes": n_comp,
-                    "compression_ratio": n_comp / n_raw,
+                    "compression_ratio": ratio,
                 }
             )
 

@@ -331,9 +331,9 @@ def late_data_audit(events: DataFrame, delay_us: int = LATE_DELAY_US) -> DataFra
     exemption), and a bucket-local running max (bounded partitions).
     All comparisons in exact epoch microseconds.
     """
-    h = F.conv(
-        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
+    from eventstreamd_spark.functions.text import h60
+
+    h = h60(F.col("event_id").cast("string"))
     base = events.select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("ev_us"),
@@ -387,13 +387,14 @@ def late_data_audit(events: DataFrame, delay_us: int = LATE_DELAY_US) -> DataFra
 
 
 def sql_late_data_audit(table: str = "events") -> str:
+    from eventstreamd_spark.functions.text import sql_h60
+
+    h = sql_h60("CAST(event_id AS VARCHAR)")
     return f"""
 WITH base AS (
   SELECT event_id,
          epoch_us(ts) AS ev_us,
-         epoch_us(ts)
-           + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
-              % {LATE_JITTER_US}) AS arr_us
+         epoch_us(ts) + ({h} % {LATE_JITTER_US}) AS arr_us
   FROM {table}
 ),
 bucketed AS (

@@ -504,10 +504,24 @@ def start_hll_distinct_monitor(
     at-least-once replay of a whole batch is idempotent (max of a max
     — re-merging the same registers changes nothing), giving
     effectively-once semantics without dedup bookkeeping.
+
+    The merged registers persist beside the streaming checkpoint
+    (atomic rename per batch): on restart, Spark's checkpoint skips
+    committed batches, so WITHOUT reloading the registers the running
+    count would silently reset to the post-restart slice.  The replay
+    window between a state write and the batch commit is covered by
+    the idempotent merge.
     """
+    import json
+    import os
+
     from eventstreamd_spark.operators import sketches as sk
 
+    state_path = os.path.join(checkpoint_dir, "hll_registers.json")
     state: dict[int, int] = {}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = {int(k): v for k, v in json.load(f).items()}
 
     def _per_batch(batch: DataFrame, epoch: int) -> None:
         nonlocal state
@@ -518,6 +532,11 @@ def start_hll_distinct_monitor(
             ).collect()
         }
         state = sk.hll_merge_registers(state, regs)
+        tmp = state_path + ".tmp"
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, state_path)
         sink(dict(state), sk.hll_estimate_from_registers(state), epoch)
 
     return (

@@ -406,3 +406,28 @@ def test_compression_signal_orders_redundancy(spark, sf_dir) -> None:
         for r in compression_ratio_signal(base.repartition(7)).collect()
     }
     assert again == {k: r["compression_ratio"] for k, r in rows.items()}
+
+
+def test_kmv_unsaturated_sketch_reports_exact(spark, sf_dir) -> None:
+    """Fewer distinct keys than k: the sketch holds the whole set and
+    must report it exactly, not extrapolate."""
+    ev = load_table(spark, sf_dir, "events").limit(40)
+    row = sk.kmv_distinct_events(ev).collect()[0]
+    assert row["k_kept"] == row["n_exact"] <= 40
+    assert row["kmv_estimate"] == float(row["n_exact"])
+    assert row["within_bound"] is True
+
+
+def test_compression_signal_null_and_empty_text(spark) -> None:
+    from eventstreamd_spark.operators.textops import compression_ratio_signal
+
+    df = spark.createDataFrame(
+        [(1, "hello world hello world"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio_signal(df).collect()}
+    assert rows[2]["n_raw_bytes"] is None
+    assert rows[2]["compression_ratio"] is None
+    assert rows[3]["n_raw_bytes"] == 0
+    assert rows[3]["compression_ratio"] is None
+    assert rows[1]["compression_ratio"] > 0

@@ -786,3 +786,47 @@ def test_stream_hll_distinct_monitor_matches_batch(spark, sf_dir, tmp_path) -> N
     assert states[-1][2] == sk.hll_estimate_from_registers(batch_regs)
     # idempotent replay: re-merging the last batch's registers is a no-op
     assert sk.hll_merge_registers(final_regs, final_regs) == final_regs
+
+
+def test_stream_hll_monitor_survives_restart(spark, sf_dir, tmp_path) -> None:
+    """Registers reload from the checkpoint dir: a restarted query
+    continues the running count instead of resetting to the new slice."""
+    import os
+
+    from eventstreamd_spark.operators import sketches as sk
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import start_hll_distinct_monitor
+
+    events = load_table(spark, sf_dir, "events").select("event_id")
+    a = events.filter("event_id % 2 = 0")
+    b = events.filter("event_id % 2 = 1")
+    src = str(tmp_path / "hll_rs_src")
+    ckpt = str(tmp_path / "hll_rs_ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long")
+            .format("parquet")
+            .load(src)
+        )
+        acc: list = []
+        q = start_hll_distinct_monitor(
+            stream,
+            sink=lambda regs, est, ep, acc=acc: acc.append((regs, est)),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+        return acc
+
+    a.coalesce(1).write.mode("append").parquet(src)
+    first = run_once()
+    assert first
+    b.coalesce(1).write.mode("append").parquet(src)
+    second = run_once()  # restart: only the new file is a fresh batch
+    assert second
+    batch_regs = {
+        r["bucket"]: r["m_rho"]
+        for r in sk.hll_registers(events, F.col("event_id").cast("string")).collect()
+    }
+    assert second[-1][0] == batch_regs  # full-union state after restart
