@@ -1222,3 +1222,85 @@ SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank,
 FROM fused
 QUALIFY fused_rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — the partition layout ivf_topk's docstring promises
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    embeddings: DataFrame, path: str, n_cells: int = N_CELLS
+) -> None:
+    """Materialize the IVF index as a partitioned parquet layout:
+
+        <path>/cells/cell_id=<c>/...   corpus vectors, partitioned
+        <path>/centroids/...           the tiny centroid table
+
+    ``partitionBy("cell_id")`` turns every future probe into
+    DIRECTORY-level pruning: a query that probes 2 of 16 cells reads
+    2/16 of the files, enforced by the scan's PartitionFilters — the
+    Spark-native serving shape for a vector index (what FAISS does
+    with inverted lists, expressed as table layout).
+    """
+    cells = ivf_cells(embeddings, n_cells).select("vec_id", "cell_id")
+    rows = embeddings.join(cells, "vec_id").select(
+        "vec_id", "embedding", "cell_id"
+    )
+    rows.write.mode("overwrite").partitionBy("cell_id").parquet(
+        path + "/cells"
+    )
+    embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Serve ANN queries from a persisted IVF index: externally-
+    supplied query vectors, probe-cell selection against the tiny
+    centroid table, then a candidate scan whose ``cell_id IN (...)``
+    filter is a PARTITION filter — only the probed directories are
+    read (asserted in tests via the scan's PartitionFilters).
+
+    The probe list is collected to the driver (n_queries x n_probe
+    cell ids — KB) precisely so the cell filter is a literal predicate
+    partition pruning can see; keeping it as a join would read every
+    partition.
+    """
+    cents = spark.read.parquet(path + "/centroids")
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in queries],
+        "query_id long, qvec array<double>",
+    )
+    qscored = qdf.join(F.broadcast(cents)).withColumn(
+        "ccos", cosine(F.col("qvec"), F.col("cvec"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    probes = (
+        qscored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "cell_id")
+    )
+    probe_cells = sorted({r["cell_id"] for r in probes.collect()})
+    cand = (
+        spark.read.parquet(path + "/cells")
+        .filter(F.col("cell_id").isin(probe_cells))
+        .join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(qdf), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.withColumn(
+        "cos", cosine(F.col("qvec"), F.col("embedding").cast("array<double>"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )

@@ -431,3 +431,30 @@ def test_compression_signal_null_and_empty_text(spark) -> None:
     assert rows[3]["n_raw_bytes"] == 0
     assert rows[3]["compression_ratio"] is None
     assert rows[1]["compression_ratio"] > 0
+
+
+def test_ivf_index_serving_matches_in_memory(spark, sf_dir, tmp_path) -> None:
+    """The persisted-index serving path must return the same neighbors
+    as the in-memory ivf_topk, and its candidate scan must be
+    partition-pruned to the probed cells only."""
+    from eventstreamd_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    sim.write_ivf_index(emb, path)
+
+    qids = [40, 41, 42]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    served = sim.ivf_index_topk(spark, path, queries)
+    expected = sim.ivf_topk(emb, qids)
+    s_rows = sorted(tuple(r) for r in served.collect())
+    e_rows = sorted(tuple(r) for r in expected.collect())
+    assert s_rows == e_rows
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    # the probed-cell filter must actually reach the scan
+    assert "cell_id IN" in plan or "cell_id#" in plan
