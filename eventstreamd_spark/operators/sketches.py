@@ -329,6 +329,50 @@ CMS_WIDTH = 256
 CMS_TOP = 20
 
 
+def _cms_cell_array(key: Column, depth: int, width: int) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (_h60(F.concat(F.lit(f"{i}:"), key)) % width).alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_cells(
+    df: DataFrame, key: Column, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """(i, col, cell_count) sketch table for the keys in ``df`` — the
+    mergeable count-min state (merge = cell-wise sum).  The explode
+    collapses under map-side combine to at most depth x width partial
+    rows per task."""
+    return (
+        df.select(F.explode(_cms_cell_array(key, depth, width)).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.col").alias("col"))
+        .agg(F.count("*").cast("bigint").alias("cell_count"))
+    )
+
+
+def cms_estimate_from_cells(
+    cells: dict[tuple[int, int], int],
+    key: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> int:
+    """Driver-side point estimate from a merged cell dict — min over
+    the key's d cells, same md5 coordinates as the distributed plan."""
+    import hashlib
+
+    est = None
+    for i in range(depth):
+        h = int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16)
+        v = cells.get((i, h % width), 0)
+        est = v if est is None else min(est, v)
+    return est or 0
+
+
 def cms_heavy_hitters(
     events: DataFrame,
     depth: int = CMS_DEPTH,
@@ -350,22 +394,9 @@ def cms_heavy_hitters(
     provably >= the true count (``overcount >= 0`` for every row — the
     oracle asserts it).
     """
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                (
-                    _h60(F.concat(F.lit(f"{i}:"), F.col("user_id").cast("string")))
-                    % width
-                ).alias("col"),
-            )
-            for i in range(depth)
-        ]
-    )
-    sketch = (
-        events.select(F.explode(cells).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.col").alias("col"))
-        .agg(F.count("*").cast("bigint").alias("cell_count"))
+    cells = _cms_cell_array(F.col("user_id").cast("string"), depth, width)
+    sketch = cms_cells(
+        events, F.col("user_id").cast("string"), depth, width
     )
     candidates = (
         events.groupBy("user_id")

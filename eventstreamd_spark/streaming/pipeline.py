@@ -546,3 +546,72 @@ def start_hll_distinct_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_cms_topk_monitor(
+    stream_events: DataFrame,
+    sink: Callable[[dict, int], None],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming heavy-hitter monitor with O(d·w) state: per micro-
+    batch, build the batch's count-min cells (one tiny groupBy) and
+    ADD them into the accumulated sketch; ``sink(cells, epoch)``
+    receives the running state (estimate any key via
+    ``sketches.cms_estimate_from_cells``).
+
+    Contrast with the HLL monitor: cell-sum merge is associative but
+    NOT idempotent — an at-least-once replay would double-count — so
+    this monitor demonstrates the other half of the foreachBatch
+    exactly-once contract: the persisted state records the last
+    applied epoch and re-delivered epochs are skipped (the
+    transactional-sink pattern; state file and epoch move together
+    under one atomic rename).
+    """
+    import json
+    import os
+
+    from eventstreamd_spark.operators import sketches as sk
+
+    state_path = os.path.join(checkpoint_dir, "cms_cells.json")
+    cells: dict = {}
+    last_epoch = -1
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            saved = json.load(f)
+        last_epoch = saved["last_epoch"]
+        cells = {
+            (int(i), int(c)): n
+            for i, c, n in saved["cells"]
+        }
+
+    def _per_batch(batch: DataFrame, epoch: int) -> None:
+        nonlocal cells, last_epoch
+        if epoch <= last_epoch:
+            return  # replayed epoch: already folded into the state
+        batch_cells = {
+            (r["i"], r["col"]): r["cell_count"]
+            for r in sk.cms_cells(batch, F.col("user_id").cast("string")).collect()
+        }
+        for k, v in batch_cells.items():
+            cells[k] = cells.get(k, 0) + v
+        last_epoch = epoch
+        tmp = state_path + ".tmp"
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "last_epoch": last_epoch,
+                    "cells": [[i, c, n] for (i, c), n in cells.items()],
+                },
+                f,
+            )
+        os.replace(tmp, state_path)
+        sink(dict(cells), epoch)
+
+    return (
+        stream_events.writeStream.outputMode("append")
+        .foreachBatch(_per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

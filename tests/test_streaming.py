@@ -830,3 +830,56 @@ def test_stream_hll_monitor_survives_restart(spark, sf_dir, tmp_path) -> None:
         for r in sk.hll_registers(events, F.col("event_id").cast("string")).collect()
     }
     assert second[-1][0] == batch_regs  # full-union state after restart
+
+
+def test_stream_cms_monitor_state_and_replay_guard(spark, sf_dir, tmp_path) -> None:
+    """Merged cells across micro-batches equal one-shot batch cells;
+    the epoch guard makes additive state replay-safe; restart resumes."""
+    import os
+
+    from eventstreamd_spark.operators import sketches as sk
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import start_cms_topk_monitor
+
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    src = str(tmp_path / "cms_src")
+    ckpt = str(tmp_path / "cms_ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long")
+            .format("parquet")
+            .load(src)
+        )
+        acc: list = []
+        q = start_cms_topk_monitor(
+            stream,
+            sink=lambda cells, ep, acc=acc: acc.append((ep, cells)),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+        return acc
+
+    a = events.filter("user_id % 2 = 0")
+    b = events.filter("user_id % 2 = 1")
+    a.coalesce(1).write.mode("append").parquet(src)
+    first = run_once()
+    assert first
+    b.coalesce(1).write.mode("append").parquet(src)
+    second = run_once()
+    assert second
+
+    batch_cells = {
+        (r["i"], r["col"]): r["cell_count"]
+        for r in sk.cms_cells(events, F.col("user_id").cast("string")).collect()
+    }
+    final = second[-1][1]
+    assert final == batch_cells
+
+    # a point estimate from the merged state matches the batch query's
+    top_user = (
+        events.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    )
+    est = sk.cms_estimate_from_cells(final, str(top_user["user_id"]))
+    assert est >= top_user["count"]

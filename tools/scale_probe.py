@@ -54,6 +54,12 @@ PROBES = [
     ("similarity_lsh_ann", "~N (bucketed corpus, broadcast queries)"),
     ("semantic_dedup", "~N^1.5 intra-cell (SemDeDup cells)"),
     ("embedding_near_dup", "N^2 BY DESIGN (labeled exact baseline)"),
+    # round-5 sketch tier: all claimed ~N (one narrow scan + map-side
+    # partials; sketch/summary sizes constant in N)
+    ("kmv_distinct", "~N (bottom-k partials, k-row merge)"),
+    ("hll_distinct", "~N (m registers, map-side max)"),
+    ("cms_heavy_hitters", "~N (d x w cells, map-side sum)"),
+    ("late_data_audit", "~N (bucket prefix max, bucket-local windows)"),
 ]
 
 
@@ -64,11 +70,29 @@ def build_blowup(spark) -> None:
 
     os.makedirs(SCRATCH, exist_ok=True)
     for t in TABLES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", "events"):
             continue
         dst = os.path.join(SCRATCH, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copyfile(os.path.join(BASE, f"{t}.parquet"), dst)
+
+    # events: replicate with distinct event_ids (distinct-count probes
+    # must see 10x cardinality) and the same users/types/timestamps
+    # (heavy hitters and rate buckets scale in depth, not width)
+    ev = load_table(spark, BASE, "events")
+    n_ev = ev.count()
+    ev_reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    blown_ev = ev.crossJoin(ev_reps).select(
+        (F.col("event_id") + F.col("rep") * (n_ev * 10)).alias("event_id"),
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    blown_ev.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(SCRATCH, "events.parquet")
+    )
 
     docs = load_table(spark, BASE, "documents")
     n_docs = docs.count()
