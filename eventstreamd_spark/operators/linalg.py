@@ -1,0 +1,392 @@
+"""Distributed linear algebra over embedding columns — the exact
+integer-quantization tier.
+
+Three operators a training-data pipeline needs once embeddings are a
+first-class column: the d x d covariance of the corpus (whitening,
+drift monitoring, PCA input), a Johnson-Lindenstrauss random
+projection (cheap dimensionality reduction / LSH preprocessing), and
+the top principal component by power iteration with a distributed
+projection (corpus "direction of maximum variance" scoring, the
+building block of PCA-based outlier and near-dup detection).
+
+All three share one determinism discipline: embedding floats are
+quantized once to scaled integers (``round(v * 1e6)`` — round is
+half-away-from-zero in both Spark and DuckDB, so codes agree
+bit-for-bit), and every aggregate after that is integer/decimal exact,
+hence associative and order-independent — Spark's parallel partial
+aggregation and DuckDB's sequential scan produce the *same integers*,
+and the final integer -> double conversions are correctly rounded on
+both sides (Spark decimal->double; DuckDB via the VARCHAR round-trip,
+see statistics.py).  The power iteration additionally renormalizes
+with non-negative integer floor division only, which Python, Spark and
+DuckDB all agree on.
+
+Scale notes (100 TB): covariance/Gram is inherently O(N d^2)
+multiply-adds; here the per-row pair generation collapses through
+map-side partial aggregation to d^2/2 rows per task BEFORE the (tiny,
+d^2-key) shuffle — the wide intermediate never hits the wire.  The
+power iteration is a k x d driver control plane (d^2 + d numbers
+collected, same idiom as clustering.py); the projection pass is one
+narrow codegen'd scan with a TakeOrdered top-k (no global sort).
+
+Reference parity: srittau/eventstreamd has no analytics surface
+(SURVEY.md §0) — this module is layer-B scope mandated by the north
+star (similarity/dedup pipelines over embedding columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+DEC = "decimal(38,0)"
+_Q = 1_000_000.0  # 1e6 quantization scale: float mantissas fit exactly
+
+
+def _qvec(col: Column) -> Column:
+    """array<float> -> array<long>, scaled-integer quantization."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * F.lit(_Q), 0).cast("long")
+    )
+
+
+_SQL_QVEC = (
+    "list_transform({col}, x -> "
+    "CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
+)
+
+
+def _sql_d2d(expr: str) -> str:
+    # DuckDB's direct DECIMAL/HUGEINT -> DOUBLE cast can be 1 ULP off
+    # correctly-rounded above 2^53; the VARCHAR round-trip is exact
+    # (statistics.py idiom).
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
+# --- covariance -------------------------------------------------------------
+
+
+def _upper_pairs(qcol: Column, dim: int) -> Column:
+    """Per-row upper-triangle products: array of (i, j, q_i * q_j)
+    structs, j >= i.  Generated row-locally (no join), collapsed by
+    map-side partial aggregation downstream."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.get(qcol, i) * F.get(qcol, j)).alias("p"),
+                ),
+            ),
+        )
+    )
+
+
+def embedding_covariance(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Exact corpus covariance: cov(i, j) for the upper triangle
+    (d*(d+1)/2 rows), computed as (n*S_ij - S_i*S_j) / (n^2 * 1e12)
+    from scaled-integer sums — the raw-moments form needs one pass and
+    no mean-broadcast, and every sum is exact, so both engines emit
+    identical doubles.
+
+    Plan: one scan generates d^2/2 products per row -> hash aggregate
+    (map-side combine collapses to d^2/2 rows per task) -> broadcast
+    joins of the d-row marginals and the 1-row count.  Single tiny
+    shuffle; scales linearly in N.
+    """
+    q = embeddings.select(_qvec(F.col("embedding")).alias("q"))
+    marg = (
+        q.select(F.posexplode("q").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum(F.col("v").cast(DEC)).alias("s"))
+    )
+    n_df = q.agg(F.count(F.lit(1)).alias("n"))
+    gram = (
+        q.select(F.explode(_upper_pairs(F.col("q"), dim)).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast(DEC)).alias("sp"))
+    )
+    out = (
+        gram.join(F.broadcast(marg.select("i", F.col("s").alias("si"))), "i")
+        .join(
+            F.broadcast(
+                marg.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n_df))
+    )
+    a = F.col("n").cast(DEC) * F.col("sp") - F.col("si") * F.col("sj")
+    nn = (F.col("n") * F.col("n")).cast("double")
+    return out.select(
+        "i",
+        "j",
+        "n",
+        (a.cast("double") / nn / F.lit(1e12)).alias("cov"),
+    )
+
+
+def sql_embedding_covariance(table: str = "embeddings", dim: int = 64) -> str:
+    qv = _SQL_QVEC.format(col="embedding")
+    return f"""
+WITH q AS (SELECT {qv} AS q FROM {table}),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+marg AS (
+  SELECT i, sum(v) AS s FROM (
+    SELECT CAST(generate_subscripts(q, 1) - 1 AS INT) AS i,
+           CAST(UNNEST(q) AS HUGEINT) AS v FROM q
+  ) GROUP BY i
+),
+gram AS (
+  SELECT g.i AS i, g.j AS j, sum(CAST(q.q[g.i + 1] * q.q[g.j + 1] AS HUGEINT)) AS sp
+  FROM q, LATERAL (
+    SELECT CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j
+    FROM (SELECT UNNEST(range({dim})) AS i) a,
+         (SELECT UNNEST(range({dim})) AS j) b
+    WHERE b.j >= a.i
+  ) g
+  GROUP BY g.i, g.j
+)
+SELECT g.i AS i, g.j AS j, nn.n AS n,
+       {_sql_d2d("CAST(nn.n AS HUGEINT) * g.sp - mi.s * mj.s")}
+         / CAST(nn.n * nn.n AS DOUBLE) / 1e12 AS cov
+FROM gram g
+JOIN marg mi ON mi.i = g.i
+JOIN marg mj ON mj.i = g.j
+CROSS JOIN nn
+"""
+
+
+# --- Johnson-Lindenstrauss random projection --------------------------------
+
+# Deterministic +-1 sign matrix derived from (i, j) by integer hashing
+# only — no RNG, no stored matrix, recomputable on any engine.  The
+# mixing constants are Knuth multiplicative-hash primes; every
+# intermediate stays under 2^63 (h1 < 2^32, h1 * 99991 < 2^49).
+
+
+def _jl_sign(i: Column, j: Column) -> Column:
+    il, jl = i.cast("long"), j.cast("long")
+    h1 = (il * F.lit(2654435761) + jl * F.lit(1315423911)) % F.lit(
+        4294967296
+    )
+    g = (h1 * F.lit(99991).cast("long") + F.lit(12345)) % F.lit(4294967296)
+    return F.when(g.bitwiseAND(F.lit(4096)) == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+
+
+_SQL_JL_SIGN = (
+    "CASE WHEN ((((i * 2654435761 + j * 1315423911) % 4294967296)"
+    " * 99991 + 12345) % 4294967296) & 4096 = 0 THEN 1 ELSE -1 END"
+)
+
+
+def random_projection(
+    embeddings: DataFrame, dim: int = 64, k: int = 16
+) -> DataFrame:
+    """JL sketch: d-dim embedding -> k-dim signed-sum projection,
+    proj_j = sum_i sign(i, j) * q_i, entirely row-local (one narrow
+    codegen'd pass, zero shuffles) — at 100 TB this is the cheap
+    preprocessing step before LSH bucketing or a coarse ANN tier.
+
+    Output is oracle-comparable: projections flattened to CSV (array
+    columns stringify differently across engines) plus the exact
+    squared L2 norm of the projection as a BIGINT.
+    """
+    q = _qvec(F.col("embedding"))
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + _jl_sign(i, j).cast("long") * F.get(q, i),
+        ),
+    )
+    return embeddings.select(
+        "vec_id",
+        F.concat_ws(",", proj.cast("array<string>")).alias("proj_csv"),
+        F.aggregate(
+            proj, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("sq_norm"),
+    )
+
+
+def sql_random_projection(
+    table: str = "embeddings", dim: int = 64, k: int = 16
+) -> str:
+    qv = _SQL_QVEC.format(col="embedding")
+    term = f"({_SQL_JL_SIGN}) * q[i + 1]"
+    proj = (
+        f"list_transform(range({k}), j -> CAST(list_reduce("
+        f"list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range({dim}), i -> {term})), "
+        f"(a, b) -> a + b) AS BIGINT))"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {qv} AS q FROM {table}),
+p AS (SELECT vec_id, {proj} AS proj FROM q)
+SELECT vec_id,
+       array_to_string(proj, ',') AS proj_csv,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(proj, x -> x * x)), (a, b) -> a + b) AS BIGINT)
+         AS sq_norm
+FROM p
+"""
+
+
+# --- top principal component via power iteration ----------------------------
+
+
+def _collect_second_moments(
+    embeddings: DataFrame, dim: int
+) -> tuple[int, list[int], list[list[int]]]:
+    """One distributed pass -> (n, S_i marginals, S_ij upper Gram),
+    all exact Python ints.  O(d^2) numbers cross the driver boundary
+    (control plane, same budget as clustering.py's k x d centroids)."""
+    q = embeddings.select(_qvec(F.col("embedding")).alias("q"))
+    rows = (
+        q.select(F.explode(_upper_pairs(F.col("q"), dim)).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast(DEC)).alias("sp"))
+        .collect()
+    )
+    marg_rows = (
+        q.select(F.posexplode("q").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum(F.col("v").cast(DEC)).alias("s"), F.count("v").alias("c"))
+        .collect()
+    )
+    n = int(marg_rows[0]["c"]) if marg_rows else 0
+    s = [0] * dim
+    for r in marg_rows:
+        s[r["i"]] = int(r["s"])
+    gram = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        v = int(r["sp"])
+        gram[r["i"]][r["j"]] = v
+        gram[r["j"]][r["i"]] = v
+    return n, s, gram
+
+
+def _power_iterate(
+    n: int, s: list[int], gram: list[list[int]], dim: int, iters: int
+) -> list[int]:
+    """Integer power iteration on A = n*Gram - s s^T (same eigenvectors
+    as the covariance; scale cancels in the renormalization).  The
+    renorm is sign * (|u| * 1e6 // max|u|) — non-negative floor
+    division, identical in Python, Spark and DuckDB."""
+    a = [
+        [n * gram[i][j] - s[i] * s[j] for j in range(dim)]
+        for i in range(dim)
+    ]
+    w = [10**6] * dim
+    for _ in range(iters):
+        u = [sum(a[i][j] * w[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            break
+        w = [
+            (1 if x >= 0 else -1) * (abs(x) * 10**6 // m) for x in u
+        ]
+    return w
+
+
+def pca_projection_topk(
+    embeddings: DataFrame,
+    dim: int = 64,
+    iters: int = 8,
+    topk: int = 20,
+) -> DataFrame:
+    """Top-principal-component scores: power-iterate on the exact
+    second-moment matrix (driver control plane), then one distributed
+    narrow pass projects every vector onto the component and keeps the
+    top-k by score — the "most extreme along the dominant corpus
+    direction" documents, a standard PCA outlier / domain-skew probe.
+
+    Determinism: the iteration is pure integer arithmetic from exact
+    integer inputs, so the component (and hence every score) is
+    bit-identical across engines; ties break on vec_id.  Scale: the
+    heavy O(N d^2) Gram collapses map-side; the projection pass is
+    O(N d) with TakeOrdered top-k (no global sort).
+    """
+    n, s, gram = _collect_second_moments(embeddings, dim)
+    w = _power_iterate(n, s, gram, dim, iters)
+    q = _qvec(F.col("embedding"))
+    w_arr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.get(q, i) * F.get(w_arr, i),
+    )
+    return (
+        embeddings.select("vec_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(topk)
+    )
+
+
+def sql_pca_projection_topk(
+    table: str = "embeddings",
+    dim: int = 64,
+    iters: int = 8,
+    topk: int = 20,
+) -> str:
+    """DuckDB twin: the same iteration unrolled as chained CTEs over
+    HUGEINT (every intermediate bounded well under 2^127 at the test
+    scales; at production scale lower the quantization, documented in
+    the module docstring)."""
+    qv = _SQL_QVEC.format(col="embedding")
+    parts = [
+        f"q AS (SELECT vec_id, {qv} AS q FROM {table})",
+        "nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q)",
+        "marg AS (SELECT i, sum(v) AS s FROM ("
+        "SELECT CAST(generate_subscripts(q, 1) - 1 AS INT) AS i, "
+        "CAST(UNNEST(q) AS HUGEINT) AS v FROM q) GROUP BY i)",
+        f"gram AS (SELECT g.i AS i, g.j AS j, "
+        f"sum(CAST(q.q[g.i + 1] * q.q[g.j + 1] AS HUGEINT)) AS sp "
+        f"FROM q, LATERAL (SELECT CAST(a.i AS INT) AS i, "
+        f"CAST(b.j AS INT) AS j FROM "
+        f"(SELECT UNNEST(range({dim})) AS i) a, "
+        f"(SELECT UNNEST(range({dim})) AS j) b) g "
+        f"GROUP BY g.i, g.j)",
+        "a AS (SELECT g.i AS i, g.j AS j, "
+        "nn.n * g.sp - mi.s * mj.s AS v "
+        "FROM gram g JOIN marg mi ON mi.i = g.i "
+        "JOIN marg mj ON mj.i = g.j CROSS JOIN nn)",
+        f"w0 AS (SELECT CAST(UNNEST(range({dim})) AS INT) AS i, "
+        f"CAST(1000000 AS HUGEINT) AS w)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"u{t + 1} AS (SELECT a.i AS i, sum(a.v * w.w) AS u "
+            f"FROM a JOIN w{t} w ON w.i = a.j GROUP BY a.i)"
+        )
+        parts.append(
+            f"m{t + 1} AS (SELECT greatest(max(abs(u)), 1) AS m "
+            f"FROM u{t + 1})"
+        )
+        parts.append(
+            f"w{t + 1} AS (SELECT u.i AS i, "
+            f"(CASE WHEN u.u >= 0 THEN 1 ELSE -1 END) * "
+            f"((abs(u.u) * 1000000) // m.m) AS w "
+            f"FROM u{t + 1} u CROSS JOIN m{t + 1} m)"
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT e.vec_id AS vec_id, CAST(sum(e.v * w.w) AS BIGINT) AS score
+FROM (
+  SELECT vec_id, CAST(generate_subscripts(q, 1) - 1 AS INT) AS i,
+         CAST(UNNEST(q) AS HUGEINT) AS v FROM q
+) e
+JOIN w{iters} w ON w.i = e.i
+GROUP BY e.vec_id
+ORDER BY score DESC, vec_id
+LIMIT {topk}
+"""

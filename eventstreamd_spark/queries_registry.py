@@ -2370,6 +2370,44 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed linear algebra over the embedding column (linalg.py):
+# exact covariance, JL random projection, power-iteration PCA — all on
+# the scaled-integer determinism discipline.
+# ---------------------------------------------------------------------------
+
+from eventstreamd_spark.operators import linalg as linalg_op  # noqa: E402
+
+
+@register("embedding_covariance", linalg_op.sql_embedding_covariance())
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact d x d corpus covariance (upper triangle) from one scan:
+    per-row pair products collapse map-side to d^2/2 keys; marginals
+    and the count broadcast-join on."""
+    return linalg_op.embedding_covariance(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register("random_projection", linalg_op.sql_random_projection())
+def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64 -> 16 signed-sum sketch, hash-derived
+    +-1 signs, one narrow codegen'd pass, zero shuffles."""
+    return linalg_op.random_projection(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register("pca_projection_topk", linalg_op.sql_pca_projection_topk())
+def pca_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by integer power iteration (driver
+    control plane over the exact second moments), then a distributed
+    projection with TakeOrdered top-20 extremes."""
+    return linalg_op.pca_projection_topk(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
 # The round-1 driver verified only the FIRST 50 registered queries, so

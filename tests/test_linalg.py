@@ -1,0 +1,124 @@
+"""Linear-algebra tier: covariance / JL projection / power-iteration
+PCA — cross-engine exactness plus numerical sanity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row, functions as F
+
+from eventstreamd_spark.operators import linalg
+
+
+def _con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    return con
+
+
+def _load(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_covariance_matches_duckdb(spark, sf_dir) -> None:
+    got = {
+        tuple(r)
+        for r in linalg.embedding_covariance(_load(spark, sf_dir)).collect()
+    }
+    con = _con(sf_dir)
+    want = {
+        tuple(r) for r in con.sql(linalg.sql_embedding_covariance()).fetchall()
+    }
+    assert got == want
+    assert len(got) == 64 * 65 // 2  # upper triangle incl. diagonal
+
+
+def test_covariance_diagonal_nonnegative(spark, sf_dir) -> None:
+    rows = linalg.embedding_covariance(_load(spark, sf_dir)).collect()
+    for r in rows:
+        assert r["j"] >= r["i"]
+        if r["i"] == r["j"]:
+            assert r["cov"] >= 0.0
+
+
+def test_random_projection_matches_duckdb(spark, sf_dir) -> None:
+    got = {
+        tuple(r)
+        for r in linalg.random_projection(_load(spark, sf_dir)).collect()
+    }
+    con = _con(sf_dir)
+    want = {
+        tuple(r) for r in con.sql(linalg.sql_random_projection()).fetchall()
+    }
+    assert got == want
+
+
+def test_jl_signs_balanced(spark) -> None:
+    """The hash-derived sign matrix should be roughly balanced — a
+    degenerate all-ones column would make the projection useless."""
+    df = spark.range(1).select(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda j: F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: linalg._jl_sign(i, j),
+                ),
+            )
+        ).alias("s")
+    )
+    signs = df.collect()[0]["s"]
+    pos = sum(1 for x in signs if x == 1)
+    assert 0.35 * len(signs) < pos < 0.65 * len(signs)
+
+
+def test_pca_matches_duckdb(spark, sf_dir) -> None:
+    got = [
+        tuple(r)
+        for r in linalg.pca_projection_topk(_load(spark, sf_dir)).collect()
+    ]
+    con = _con(sf_dir)
+    want = con.sql(linalg.sql_pca_projection_topk()).fetchall()
+    assert got == [tuple(r) for r in want]
+    assert len(got) == 20
+
+
+def test_power_iteration_finds_dominant_direction() -> None:
+    """On a corpus with one dominant variance direction, the integer
+    power iteration must align with it (up to sign)."""
+    np = pytest.importorskip("numpy")
+    rng = np.random.default_rng(7)
+    dim, n = 8, 200
+    base = rng.normal(size=(n, dim)) * 0.01
+    base[:, 3] += rng.normal(size=n) * 5.0  # dominant axis = dim 3
+    q = [[int(round(v * 1e6)) for v in row] for row in base]
+    s = [sum(row[i] for row in q) for i in range(dim)]
+    gram = [
+        [sum(row[i] * row[j] for row in q) for j in range(dim)]
+        for i in range(dim)
+    ]
+    w = linalg._power_iterate(n, s, gram, dim, iters=8)
+    w_arr = np.array(w, dtype=float)
+    w_arr /= np.linalg.norm(w_arr)
+    assert abs(w_arr[3]) > 0.99
+
+
+def test_power_iteration_zero_matrix_guard() -> None:
+    dim = 4
+    w = linalg._power_iterate(
+        0, [0] * dim, [[0] * dim for _ in range(dim)], dim, iters=8
+    )
+    assert w == [10**6] * dim
+
+
+def test_pca_handles_constant_embeddings(spark) -> None:
+    """All-identical vectors -> zero covariance -> the m=0 guard keeps
+    the iteration stable and scores stay deterministic."""
+    rows = [Row(vec_id=i, embedding=[1.0, 2.0, 3.0, 4.0]) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    out = linalg.pca_projection_topk(df, dim=4, iters=3, topk=5).collect()
+    assert len(out) == 5
+    assert len({r["score"] for r in out}) == 1
