@@ -1,0 +1,157 @@
+"""Graph analytics over the near-duplicate graph — integer PageRank
+for canonical-document selection.
+
+``dedup_clusters`` answers "which docs are the same"; this module
+answers "which copy do we KEEP".  Min-doc-id (what dedup_clusters
+emits) is arbitrary; the better canonical pick is the most *central*
+member of each near-dup cluster — the copy most similar to the most
+other copies — which is PageRank on the similarity graph.  This is the
+standard trick for picking cluster representatives in web-scale dedup
+(the canonical URL problem) re-expressed for a training corpus.
+
+Determinism discipline: PageRank is normally float-divided and
+order-sensitive; here every step is integer arithmetic.  Ranks carry a
+1e9 fixed-point scale, neighbor shares use integral division
+(``div`` in Spark, ``//`` in DuckDB — both truncate, and every operand
+is non-negative so truncation == floor), the damping 0.85 is the exact
+rational 17/20 applied as ``(17 * s) div 20``, and sums are
+order-independent integer adds — so five iterations produce identical
+BIGINTs on both engines, no tolerance needed.
+
+Scale notes (100 TB): each iteration is one join of the rank table
+against the symmetrized edge list plus one hash aggregate — the
+standard Pregel-as-joins shape; ranks are ``localCheckpoint``ed per
+round so iteration i+1 does not replay i's lineage (same idiom as
+connected_components).  Integer bounds: total mass is ~n_nodes * 1e9,
+so BIGINT accumulators are safe below ~9e9 graph nodes; past that,
+lower the scale or lift the aggregate to DECIMAL(38,0) — documented
+here rather than silently approximated.
+
+Reference parity: srittau/eventstreamd has no graph surface (SURVEY.md
+§0); layer-B scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from eventstreamd_spark.operators import dedup as dedup_op
+
+PR_SCALE = 10**9  # fixed-point rank scale
+_BASE = 3 * PR_SCALE // 20  # (1 - 0.85) * scale, exact
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """(src, dst) pairs -> both directions; callers pass deduped
+    a < b pairs so no self-loops or double edges arise."""
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Integer PageRank over an undirected edge list -> (node, pr).
+
+    pr'(v) = 0.15 * SCALE + 0.85 * sum_{u~v} (pr(u) div deg(u)),
+    all in fixed-point integers (see module docstring).  Every node in
+    the edge list has degree >= 1, so there are no dangling nodes.
+    """
+    sym = _symmetrize(edges).localCheckpoint()
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    pr = deg.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("pr")
+    ).localCheckpoint()
+    for _ in range(iters):
+        share = pr.join(deg, pr["node"] == deg["src"]).select(
+            F.col("node"), F.expr("pr div deg").alias("share")
+        )
+        pr = (
+            sym.join(share, sym["src"] == share["node"])
+            .groupBy(sym["dst"])
+            .agg(F.sum("share").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(_BASE) + F.expr("(17 * s) div 20"))
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr
+
+
+def pagerank_canonical(
+    docs: DataFrame, n: int = 3, threshold: float = 0.6, iters: int = 5
+) -> DataFrame:
+    """Canonical-copy selection for every doc in the near-dup graph:
+    (doc_id, cluster_id, pr, is_canonical), is_canonical marking the
+    highest-PageRank member of each connected component (doc_id breaks
+    exact rank ties).
+
+    One MinHash+LSH pair computation feeds BOTH the components and the
+    PageRank (the edge list is checkpointed once and reused), so this
+    costs one extra Pregel loop over dedup_clusters, not a second
+    shingling of the corpus.
+    """
+    pairs = dedup_op.minhash_lsh_dedup(docs, n, threshold)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint()
+    comp = dedup_op.connected_components(edges, max_iters=16)
+    pr = pagerank(edges, iters)
+    joined = comp.join(pr, "node").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "pr",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("pr").desc(), F.col("doc_id")
+    )
+    return joined.withColumn(
+        "is_canonical", F.row_number().over(w) == 1
+    ).select("doc_id", "cluster_id", "pr", "is_canonical")
+
+
+def sql_pagerank_canonical(
+    base_sql: str, n: int = 3, threshold: float = 0.6, iters: int = 5
+) -> str:
+    """DuckDB twin: same pairs CTE as sql_dedup_clusters, components by
+    recursive closure over graph nodes only, PageRank unrolled as one
+    CTE per iteration over HUGEINT (mirrors the long arithmetic
+    exactly below the overflow bound)."""
+    pairs = dedup_op.sql_minhash_lsh_dedup(base_sql, n, threshold)
+    parts = [
+        f"pairs AS ({pairs})",
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "reach(doc_id, label) AS ("
+        "SELECT src, src FROM deg "
+        "UNION "
+        "SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id)",
+        "comp AS (SELECT doc_id, min(label) AS cluster_id "
+        "FROM reach GROUP BY doc_id)",
+        f"pr0 AS (SELECT src AS node, CAST({PR_SCALE} AS HUGEINT) AS pr "
+        f"FROM deg)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"sh{t} AS (SELECT p.node AS node, p.pr // d.deg AS share "
+            f"FROM pr{t} p JOIN deg d ON d.src = p.node)"
+        )
+        parts.append(
+            f"pr{t + 1} AS (SELECT e.dst AS node, "
+            f"CAST({_BASE} AS HUGEINT) + (17 * sum(s.share)) // 20 AS pr "
+            f"FROM edges e JOIN sh{t} s ON s.node = e.src GROUP BY e.dst)"
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH RECURSIVE {body}
+SELECT c.doc_id AS doc_id, c.cluster_id AS cluster_id,
+       CAST(p.pr AS BIGINT) AS pr,
+       row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY p.pr DESC, c.doc_id) = 1 AS is_canonical
+FROM comp c JOIN pr{iters} p ON p.node = c.doc_id
+"""

@@ -2408,6 +2408,27 @@ def pca_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Graph tier (graph.py): integer PageRank canonical-copy selection on
+# the near-dup graph — "which duplicate do we keep".
+# ---------------------------------------------------------------------------
+
+from eventstreamd_spark.operators import graph as graph_op  # noqa: E402
+
+
+@register(
+    "pagerank_canonical",
+    graph_op.sql_pagerank_canonical(dedup_op.sql_planted_near_dups()),
+)
+def pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the MinHash near-dup graph;
+    the highest-rank member of each component is the canonical copy.
+    One pair computation feeds both components and ranks."""
+    return graph_op.pagerank_canonical(
+        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
 # The round-1 driver verified only the FIRST 50 registered queries, so

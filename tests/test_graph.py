@@ -1,0 +1,63 @@
+"""Graph tier: integer PageRank + canonical-copy selection."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import Row
+
+from eventstreamd_spark.operators import dedup as dedup_op
+from eventstreamd_spark.operators import graph
+
+
+def test_pagerank_canonical_matches_duckdb(spark, sf_dir) -> None:
+    from eventstreamd_spark.session import load_table
+
+    docs = dedup_op.with_planted_near_dups(
+        load_table(spark, sf_dir, "documents")
+    )
+    got = {tuple(r) for r in graph.pagerank_canonical(docs).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    sql = graph.sql_pagerank_canonical(dedup_op.sql_planted_near_dups())
+    want = {tuple(r) for r in con.sql(sql).fetchall()}
+    assert got == want
+    # exactly one canonical per cluster
+    by_cluster: dict[int, int] = {}
+    for _, cluster_id, _, is_canon in got:
+        by_cluster[cluster_id] = by_cluster.get(cluster_id, 0) + (
+            1 if is_canon else 0
+        )
+    assert all(v == 1 for v in by_cluster.values())
+
+
+def test_pagerank_star_center_wins(spark) -> None:
+    """On a star graph the hub must out-rank every leaf, so the hub is
+    the canonical pick regardless of doc ids (leaf 0 would win a
+    min-id rule; PageRank picks the hub, id 9)."""
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=9) for i in range(4)]
+    )
+    pr = {r["node"]: r["pr"] for r in graph.pagerank(edges).collect()}
+    assert pr[9] > max(pr[i] for i in range(4))
+
+
+def test_pagerank_mass_roughly_conserved(spark) -> None:
+    """Truncating integer division only ever loses mass — total rank
+    stays within a small deficit of n * SCALE and never exceeds it."""
+    edges = spark.createDataFrame(
+        [Row(src=0, dst=1), Row(src=1, dst=2), Row(src=2, dst=3)]
+    )
+    rows = graph.pagerank(edges).collect()
+    total = sum(r["pr"] for r in rows)
+    n = len(rows)
+    assert total <= n * graph.PR_SCALE
+    assert total > int(0.95 * n * graph.PR_SCALE)
+
+
+def test_pagerank_symmetric_pair_equal_ranks(spark) -> None:
+    edges = spark.createDataFrame([Row(src=5, dst=7)])
+    pr = {r["node"]: r["pr"] for r in graph.pagerank(edges).collect()}
+    assert pr[5] == pr[7]
