@@ -124,9 +124,9 @@ def sql_pagerank_canonical(
     pairs = dedup_op.sql_minhash_lsh_dedup(base_sql, n, threshold)
     parts = [
         f"pairs AS ({pairs})",
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs "
         "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs)",
-        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
         "reach(doc_id, label) AS ("
         "SELECT src, src FROM deg "
         "UNION "
@@ -138,11 +138,11 @@ def sql_pagerank_canonical(
     ]
     for t in range(iters):
         parts.append(
-            f"sh{t} AS (SELECT p.node AS node, p.pr // d.deg AS share "
+            f"sh{t} AS MATERIALIZED (SELECT p.node AS node, p.pr // d.deg AS share "
             f"FROM pr{t} p JOIN deg d ON d.src = p.node)"
         )
         parts.append(
-            f"pr{t + 1} AS (SELECT e.dst AS node, "
+            f"pr{t + 1} AS MATERIALIZED (SELECT e.dst AS node, "
             f"CAST({_BASE} AS HUGEINT) + (17 * sum(s.share)) // 20 AS pr "
             f"FROM edges e JOIN sh{t} s ON s.node = e.src GROUP BY e.dst)"
         )

@@ -65,24 +65,50 @@ def _sql_d2d(expr: str) -> str:
 # --- covariance -------------------------------------------------------------
 
 
-def _upper_pairs(qcol: Column, dim: int) -> Column:
-    """Per-row upper-triangle products: array of (i, j, q_i * q_j)
-    structs, j >= i.  Generated row-locally (no join), collapsed by
-    map-side partial aggregation downstream."""
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    return F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(dim - 1)),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
-                    (F.get(qcol, i) * F.get(qcol, j)).alias("p"),
-                ),
-            ),
-        )
-    )
+def _gram_partials(q: DataFrame, dim: int) -> DataFrame:
+    """Per-Arrow-batch exact integer Gram partials: (i, j, sp) for the
+    upper triangle, j >= i, plus marginal rows (i, -1, s_i) and one
+    count row (-1, -1, n_rows) per batch.
+
+    The quantization happened JVM-side (``_qvec``, the canonical
+    F.round) — this kernel sees only int64 codes, so Python introduces
+    no float rounding at all: numpy does a pure-int64 ``Q^T @ Q``
+    (C-speed, exact; per-entry bound rows_per_chunk * max_q^2 stays
+    far under 2^63 at the 16k chunk size for |v| <= ~200), and the
+    d^2-row partials are summed exactly in DECIMAL downstream.  This
+    replaces a per-row nested-HOF pair expansion that evaluated
+    interpreted at ~3 ms/row — the Arrow kernel is the BLAS-shaped
+    O(N d^2) inner loop, the tiny (d^2 x n_batches) shuffle is
+    unchanged."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    iu_i, iu_j = [], []
+    for i in range(dim):
+        for j in range(i, dim):
+            iu_i.append(i)
+            iu_j.append(j)
+
+    def kernel(batches):
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            for lo in range(0, mat.shape[0], 16384):
+                chunk = mat[lo : lo + 16384]
+                g = chunk.T @ chunk
+                yield pd.DataFrame(
+                    {
+                        "i": iu_i + list(range(dim)) + [-1],
+                        "j": iu_j + [-1] * dim + [-1],
+                        "sp": [int(g[a, b]) for a, b in zip(iu_i, iu_j)]
+                        + [int(x) for x in chunk.sum(axis=0)]
+                        + [chunk.shape[0]],
+                    }
+                )
+
+    return q.mapInPandas(kernel, schema="i int, j int, sp long")
 
 
 def embedding_covariance(embeddings: DataFrame, dim: int = 64) -> DataFrame:
@@ -92,23 +118,26 @@ def embedding_covariance(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     no mean-broadcast, and every sum is exact, so both engines emit
     identical doubles.
 
-    Plan: one scan generates d^2/2 products per row -> hash aggregate
-    (map-side combine collapses to d^2/2 rows per task) -> broadcast
-    joins of the d-row marginals and the 1-row count.  Single tiny
-    shuffle; scales linearly in N.
+    Plan: one scan -> Arrow int64-Gram kernel (_gram_partials, the
+    BLAS-shaped inner loop) -> exact DECIMAL hash aggregate over the
+    tiny d^2-keyed partials -> broadcast joins of the d-row marginals
+    and the 1-row count.  Single tiny shuffle; scales linearly in N.
     """
     q = embeddings.select(_qvec(F.col("embedding")).alias("q"))
-    marg = (
-        q.select(F.posexplode("q").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.sum(F.col("v").cast(DEC)).alias("s"))
-    )
-    n_df = q.agg(F.count(F.lit(1)).alias("n"))
-    gram = (
-        q.select(F.explode(_upper_pairs(F.col("q"), dim)).alias("e"))
-        .select("e.i", "e.j", "e.p")
+    # one kernel pass; the (d^2/2 + d + 1)-row exact aggregate is
+    # checkpointed so the three consumers below don't re-run it
+    agg = (
+        _gram_partials(q, dim)
         .groupBy("i", "j")
-        .agg(F.sum(F.col("p").cast(DEC)).alias("sp"))
+        .agg(F.sum(F.col("sp").cast(DEC)).alias("sp"))
+        .localCheckpoint()
+    )
+    gram = agg.filter(F.col("j") >= 0)
+    marg = agg.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        "i", F.col("sp").alias("s")
+    )
+    n_df = agg.filter(F.col("i") == -1).select(
+        F.col("sp").cast("long").alias("n")
     )
     out = (
         gram.join(F.broadcast(marg.select("i", F.col("s").alias("si"))), "i")
@@ -186,33 +215,61 @@ _SQL_JL_SIGN = (
 )
 
 
+def _jl_sign_matrix(dim: int, k: int):
+    """The same hash in vectorized int64 numpy: S[i, j] in {-1, +1}.
+    Every intermediate is < 2^49, far inside int64."""
+    import numpy as np  # noqa: PLC0415
+
+    i = np.arange(dim, dtype=np.int64)[:, None]
+    j = np.arange(k, dtype=np.int64)[None, :]
+    h1 = (i * 2654435761 + j * 1315423911) % 4294967296
+    g = (h1 * 99991 + 12345) % 4294967296
+    return np.where((g & 4096) == 0, 1, -1).astype(np.int64)
+
+
 def random_projection(
     embeddings: DataFrame, dim: int = 64, k: int = 16
 ) -> DataFrame:
     """JL sketch: d-dim embedding -> k-dim signed-sum projection,
-    proj_j = sum_i sign(i, j) * q_i, entirely row-local (one narrow
-    codegen'd pass, zero shuffles) — at 100 TB this is the cheap
-    preprocessing step before LSH bucketing or a coarse ANN tier.
+    proj_j = sum_i sign(i, j) * q_i, entirely row-local (zero
+    shuffles) — at 100 TB this is the cheap preprocessing step before
+    LSH bucketing or a coarse ANN tier.
+
+    The inner loop is an Arrow kernel: JVM-side quantization hands the
+    int64 codes to numpy, which multiplies by the hash-derived +-1
+    sign matrix in one integer matmul (a per-(i,j) Column expression
+    evaluated interpreted at ~35 ms/row; the kernel is ~1000x that).
+    Sign hashing is identical integer arithmetic in numpy, the Column
+    twin (_jl_sign) and the SQL twin, so outputs agree bit-for-bit.
 
     Output is oracle-comparable: projections flattened to CSV (array
     columns stringify differently across engines) plus the exact
     squared L2 norm of the projection as a BIGINT.
     """
-    q = _qvec(F.col("embedding"))
-    proj = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.aggregate(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc + _jl_sign(i, j).cast("long") * F.get(q, i),
-        ),
-    )
-    return embeddings.select(
-        "vec_id",
-        F.concat_ws(",", proj.cast("array<string>")).alias("proj_csv"),
-        F.aggregate(
-            proj, F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        ).alias("sq_norm"),
+    import pandas as pd  # noqa: PLC0415
+
+    def kernel(batches):
+        import numpy as np  # noqa: PLC0415
+
+        sgn = _jl_sign_matrix(dim, k)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            proj = mat @ sgn
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "proj_csv": [
+                        ",".join(str(int(x)) for x in row) for row in proj
+                    ],
+                    "sq_norm": (proj * proj).sum(axis=1),
+                }
+            )
+
+    q = embeddings.select("vec_id", _qvec(F.col("embedding")).alias("q"))
+    return q.mapInPandas(
+        kernel, schema="vec_id long, proj_csv string, sq_norm long"
     )
 
 
@@ -250,27 +307,23 @@ def _collect_second_moments(
     (control plane, same budget as clustering.py's k x d centroids)."""
     q = embeddings.select(_qvec(F.col("embedding")).alias("q"))
     rows = (
-        q.select(F.explode(_upper_pairs(F.col("q"), dim)).alias("e"))
-        .select("e.i", "e.j", "e.p")
+        _gram_partials(q, dim)
         .groupBy("i", "j")
-        .agg(F.sum(F.col("p").cast(DEC)).alias("sp"))
+        .agg(F.sum(F.col("sp").cast(DEC)).alias("sp"))
         .collect()
     )
-    marg_rows = (
-        q.select(F.posexplode("q").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.sum(F.col("v").cast(DEC)).alias("s"), F.count("v").alias("c"))
-        .collect()
-    )
-    n = int(marg_rows[0]["c"]) if marg_rows else 0
+    n = 0
     s = [0] * dim
-    for r in marg_rows:
-        s[r["i"]] = int(r["s"])
     gram = [[0] * dim for _ in range(dim)]
     for r in rows:
         v = int(r["sp"])
-        gram[r["i"]][r["j"]] = v
-        gram[r["j"]][r["i"]] = v
+        if r["i"] == -1:
+            n = v
+        elif r["j"] == -1:
+            s[r["i"]] = v
+        else:
+            gram[r["i"]][r["j"]] = v
+            gram[r["j"]][r["i"]] = v
     return n, s, gram
 
 
@@ -343,19 +396,19 @@ def sql_pca_projection_topk(
     the module docstring)."""
     qv = _SQL_QVEC.format(col="embedding")
     parts = [
-        f"q AS (SELECT vec_id, {qv} AS q FROM {table})",
+        f"q AS MATERIALIZED (SELECT vec_id, {qv} AS q FROM {table})",
         "nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q)",
         "marg AS (SELECT i, sum(v) AS s FROM ("
         "SELECT CAST(generate_subscripts(q, 1) - 1 AS INT) AS i, "
         "CAST(UNNEST(q) AS HUGEINT) AS v FROM q) GROUP BY i)",
-        f"gram AS (SELECT g.i AS i, g.j AS j, "
+        f"gram AS MATERIALIZED (SELECT g.i AS i, g.j AS j, "
         f"sum(CAST(q.q[g.i + 1] * q.q[g.j + 1] AS HUGEINT)) AS sp "
         f"FROM q, LATERAL (SELECT CAST(a.i AS INT) AS i, "
         f"CAST(b.j AS INT) AS j FROM "
         f"(SELECT UNNEST(range({dim})) AS i) a, "
         f"(SELECT UNNEST(range({dim})) AS j) b) g "
         f"GROUP BY g.i, g.j)",
-        "a AS (SELECT g.i AS i, g.j AS j, "
+        "a AS MATERIALIZED (SELECT g.i AS i, g.j AS j, "
         "nn.n * g.sp - mi.s * mj.s AS v "
         "FROM gram g JOIN marg mi ON mi.i = g.i "
         "JOIN marg mj ON mj.i = g.j CROSS JOIN nn)",
@@ -364,15 +417,15 @@ def sql_pca_projection_topk(
     ]
     for t in range(iters):
         parts.append(
-            f"u{t + 1} AS (SELECT a.i AS i, sum(a.v * w.w) AS u "
+            f"u{t + 1} AS MATERIALIZED (SELECT a.i AS i, sum(a.v * w.w) AS u "
             f"FROM a JOIN w{t} w ON w.i = a.j GROUP BY a.i)"
         )
         parts.append(
-            f"m{t + 1} AS (SELECT greatest(max(abs(u)), 1) AS m "
+            f"m{t + 1} AS MATERIALIZED (SELECT greatest(max(abs(u)), 1) AS m "
             f"FROM u{t + 1})"
         )
         parts.append(
-            f"w{t + 1} AS (SELECT u.i AS i, "
+            f"w{t + 1} AS MATERIALIZED (SELECT u.i AS i, "
             f"(CASE WHEN u.u >= 0 THEN 1 ELSE -1 END) * "
             f"((abs(u.u) * 1000000) // m.m) AS w "
             f"FROM u{t + 1} u CROSS JOIN m{t + 1} m)"

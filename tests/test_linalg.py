@@ -75,6 +75,26 @@ def test_jl_signs_balanced(spark) -> None:
     assert 0.35 * len(signs) < pos < 0.65 * len(signs)
 
 
+def test_jl_sign_matrix_matches_column_twin(spark) -> None:
+    """The numpy kernel, the Column expression and the SQL twin must
+    all derive the same +-1 matrix from the integer hash."""
+    sgn = linalg._jl_sign_matrix(64, 16)
+    df = spark.range(1).select(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda j: F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: linalg._jl_sign(i, j),
+                ),
+            )
+        ).alias("s")
+    )
+    col_signs = df.collect()[0]["s"]
+    np_signs = [int(sgn[i, j]) for j in range(16) for i in range(64)]
+    assert col_signs == np_signs
+
+
 def test_pca_matches_duckdb(spark, sf_dir) -> None:
     got = [
         tuple(r)
