@@ -2577,6 +2577,9 @@ _COST_HINT = {
     "bpe_encode": 2.40, "corpus_profile": 0.20,
     "source_quality_report": 0.50, "ann_recall_pq": 1.20, "hard_negatives": 0.60,
     "multimodal_shards": 0.40, "multimodal_png_features": 0.50, "integrity_audit": 0.40, "scd2_customer_history": 0.40, "pit_customer_state": 0.50, "interpolated_daily_series": 0.30, "hybrid_search": 0.70, "asof_with_tolerance": 0.45, "kmeans_prototypes": 2.40, "dedup_threshold_sweep": 0.80, "token_cooccurrence": 0.50, "price_deciles": 0.60, "media_dedup": 0.25, "split_leakage": 0.90, "vocab_growth": 0.30, "postings_index": 0.35, "source_concentration": 0.20, "interarrival_stats": 0.35, "robust_outliers": 0.45,
+    # round-5 additions (linalg + graph tiers)
+    "embedding_covariance": 0.90, "random_projection": 0.40,
+    "pca_projection_topk": 1.50, "pagerank_canonical": 7.50,
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
