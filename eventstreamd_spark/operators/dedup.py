@@ -1492,6 +1492,79 @@ WHERE levenshtein(name_a, name_b) <= {max_dist}
 """
 
 
+def resolve_entities(
+    parts: DataFrame,
+    name_col: str = "p_name",
+    max_dist: int = FUZZY_MAX_DIST,
+) -> DataFrame:
+    """Full entity resolution: fuzzy pairs -> connected components ->
+    one canonical ``entity_id`` (the min name of the component) for
+    EVERY distinct name, singletons mapping to themselves, plus the
+    resolved entity's member count.
+
+    This is the last step of the classic ER cascade that
+    ``fuzzy_name_pairs`` starts (canonicalize -> block -> verify):
+    transitive closure merges A~B and B~C into one entity even when
+    A and C are more than ``max_dist`` edits apart.  Components run on
+    the NAME strings directly — large-star/small-star only needs a
+    total order, and binary string comparison is identical in Spark
+    and DuckDB, so the canonical label is oracle-exact.
+
+    Scale: candidate volume is bounded by the blocking tier; the
+    closure is O(log n) rounds over an edge set of matched pairs
+    (orders of magnitude smaller than the catalog); the final member
+    count is one window over entity_id.
+    """
+    from pyspark.sql import Window
+
+    pairs = fuzzy_name_pairs(parts, name_col, max_dist)
+    edges = pairs.select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    ).localCheckpoint()
+    comp = connected_components(edges)
+    names = parts.select(F.col(name_col).alias("name")).distinct()
+    resolved = names.join(
+        comp, names["name"] == comp["node"], "left"
+    ).select(
+        "name",
+        F.coalesce(F.col("component"), F.col("name")).alias("entity_id"),
+    )
+    return resolved.withColumn(
+        "n_names", F.count("*").over(Window.partitionBy("entity_id"))
+    )
+
+
+def sql_resolve_entities(
+    table: str = "part",
+    name_col: str = "p_name",
+    max_dist: int = FUZZY_MAX_DIST,
+) -> str:
+    """DuckDB twin: recursive transitive closure over the same fuzzy
+    pairs, min-name label, singletons restored by left join."""
+    pairs = sql_fuzzy_name_pairs(table, name_col, max_dist)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS MATERIALIZED (
+  SELECT name_a AS src, name_b AS dst FROM pairs
+  UNION ALL SELECT name_b AS src, name_a AS dst FROM pairs
+),
+all_names AS (SELECT DISTINCT {name_col} AS name FROM {table}),
+reach(name, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.name
+),
+comp AS (SELECT name, min(label) AS entity_id FROM reach GROUP BY name),
+resolved AS (
+  SELECT n.name AS name, coalesce(c.entity_id, n.name) AS entity_id
+  FROM all_names n LEFT JOIN comp c ON c.name = n.name
+)
+SELECT name, entity_id,
+       count(*) OVER (PARTITION BY entity_id) AS n_names
+FROM resolved
+"""
+
+
 # ---------------------------------------------------------------------------
 # Threshold-sensitivity report (dedup tuning)
 # ---------------------------------------------------------------------------

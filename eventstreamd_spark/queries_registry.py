@@ -2407,6 +2407,14 @@ def pca_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("entity_resolution", dedup_op.sql_resolve_entities())
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ER cascade: fuzzy pairs -> transitive closure -> canonical
+    entity_id per distinct part name (min name of the component),
+    singletons included, with resolved member counts."""
+    return dedup_op.resolve_entities(load_table(spark, sf_dir, "part"))
+
+
 # ---------------------------------------------------------------------------
 # Graph tier (graph.py): integer PageRank canonical-copy selection on
 # the near-dup graph — "which duplicate do we keep".
@@ -2580,6 +2588,7 @@ _COST_HINT = {
     # round-5 additions (linalg + graph tiers)
     "embedding_covariance": 0.90, "random_projection": 0.40,
     "pca_projection_topk": 1.50, "pagerank_canonical": 7.50,
+    "entity_resolution": 4.50,
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,

@@ -61,3 +61,30 @@ def test_pagerank_symmetric_pair_equal_ranks(spark) -> None:
     edges = spark.createDataFrame([Row(src=5, dst=7)])
     pr = {r["node"]: r["pr"] for r in graph.pagerank(edges).collect()}
     assert pr[5] == pr[7]
+
+
+def test_resolve_entities_transitive_merge(spark) -> None:
+    """A~B and B~C (each within 2 edits) must land in ONE entity even
+    though A and C are 4 edits apart; unrelated names stay singleton."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(p_name="alpha beta gamma"),
+        Row(p_name="alpha beta gamba"),   # 2 edits from the first
+        Row(p_name="alpha beta bamba"),   # 2 edits from the second
+        Row(p_name="totally different name"),
+    ]
+    out = dedup_op.resolve_entities(
+        spark.createDataFrame(rows), name_col="p_name"
+    ).collect()
+    by_name = {r["name"]: r for r in out}
+    cluster = {
+        by_name[n]["entity_id"]
+        for n in ("alpha beta gamma", "alpha beta gamba", "alpha beta bamba")
+    }
+    assert cluster == {"alpha beta bamba"}  # min name of the component
+    assert by_name["alpha beta gamma"]["n_names"] == 3
+    assert by_name["totally different name"]["entity_id"] == (
+        "totally different name"
+    )
+    assert by_name["totally different name"]["n_names"] == 1
