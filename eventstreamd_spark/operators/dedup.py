@@ -1492,6 +1492,100 @@ WHERE levenshtein(name_a, name_b) <= {max_dist}
 """
 
 
+def source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    the number of shared distinct n-gram shingle hashes and the
+    source-level Jaccard — the "is source A scraping source B"
+    audit run before mixing corpora (shared boilerplate inflates
+    dedup pressure and double-counts tokens in the mix plan).
+
+    Scale shape: the inverted index is (source, shingle) DISTINCT —
+    already collapsed from doc granularity, so the self-join's
+    fan-out per shingle is bounded by n_sources^2 (a few hundred
+    pairs), NOT doc-frequency^2; the matrix output is
+    n_sources*(n_sources-1)/2 rows.  Integer counts divide in double:
+    engine-exact.
+    """
+    sh = (
+        fan_out(docs)
+        .select(
+            "source",
+            F.transform(tokens(F.col("text")), poly_hash).alias("__th"),
+        )
+        .select(
+            "source", hashed_shingles_from(F.col("__th"), n).alias("shingles")
+        )
+    )
+    inv = sh.select(
+        "source", F.explode_outer("shingles").alias("shingle")
+    ).distinct()
+    sizes = inv.groupBy("source").agg(F.count("*").alias("n_sh"))
+    right = inv.select(
+        F.col("shingle").alias("shingle_b"), F.col("source").alias("source_b")
+    )
+    inter = (
+        inv.join(
+            right,
+            (F.col("shingle") == F.col("shingle_b"))
+            & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy("source", "source_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select("source", F.col("n_sh").alias("n_a"))),
+            "source",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_sh").alias("n_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            F.col("source").alias("source_a"),
+            "source_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def sql_source_overlap(table: str = "documents", n: int = 3) -> str:
+    """DuckDB twin — identical shingle construction and pair algebra."""
+    shingles = sql_hashed_word_shingles(sql_tokens("text"), n)
+    return f"""
+WITH sh AS (SELECT source, {shingles} AS shingles FROM {table}),
+inv AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source, unnest(shingles) AS shingle FROM sh
+  )
+),
+sizes AS (SELECT source, count(*) AS n_sh FROM inv GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a AS source_a, i.source_b AS source_b, i.n_inter AS n_inter,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
 def resolve_entities(
     parts: DataFrame,
     name_col: str = "p_name",

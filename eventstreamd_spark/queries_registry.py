@@ -2407,6 +2407,13 @@ def pca_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("source_overlap", dedup_op.sql_source_overlap())
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap (contamination) matrix over the
+    documents table; source-level Jaccard per source pair."""
+    return dedup_op.source_overlap(load_table(spark, sf_dir, "documents"))
+
+
 @register("entity_resolution", dedup_op.sql_resolve_entities())
 def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ER cascade: fuzzy pairs -> transitive closure -> canonical
@@ -2588,7 +2595,7 @@ _COST_HINT = {
     # round-5 additions (linalg + graph tiers)
     "embedding_covariance": 0.90, "random_projection": 0.40,
     "pca_projection_topk": 1.50, "pagerank_canonical": 7.50,
-    "entity_resolution": 4.50,
+    "entity_resolution": 4.50, "source_overlap": 1.80,
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,

@@ -1793,3 +1793,26 @@ def test_zero_norm_vectors_match_oracle_in_argmax(spark) -> None:
         ).fetchall()
     }
     assert got2 == want2
+
+
+def test_source_overlap_planted_sharing(spark) -> None:
+    """Two sources sharing a verbatim passage must show shared
+    shingles; unrelated sources must not appear as a pair."""
+    from pyspark.sql import Row
+    from eventstreamd_spark.operators import dedup as dedup_op
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        Row(doc_id=1, text=shared + " iota kappa", source="srcA"),
+        Row(doc_id=2, text=shared + " lambda mu", source="srcB"),
+        Row(doc_id=3, text="one two three four five six seven", source="srcC"),
+    ]
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in dedup_op.source_overlap(spark.createDataFrame(rows)).collect()
+    }
+    assert ("srcA", "srcB") in out
+    ab = out[("srcA", "srcB")]
+    assert ab["n_inter"] >= 6  # the shared 8-token run yields 6 shingles
+    assert 0.0 < ab["jaccard"] < 1.0
+    assert all("srcC" not in k for k in out)
