@@ -125,3 +125,153 @@ def events_to_raw_lines(events: DataFrame, corrupt_every: int | None = None) -> 
             F.col("event_id") % corrupt_every == 0, F.lit("{not valid json")
         ).otherwise(line)
     return events.select(F.col("event_id"), line.alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Payload schema profiling — the observability counterpart of the
+# reference's schemaless data model (SURVEY.md §1.2: `data` is opaque
+# until a filter probes it at delivery time, evtstrd/filters.py:32-37).
+# At corpus scale you need to know what keys/types producers are
+# actually sending BEFORE someone's filter silently stops matching; this
+# is the schema-drift audit for a dynamic JSON payload column.
+# ---------------------------------------------------------------------------
+
+
+def _augmented_payload() -> Column:
+    """Deterministically enrich the fixture's single-key props into a
+    mixed-schema payload (string + int keys on most rows, an explicit
+    null key on every 7th user, original narrow payload on every 10th)
+    so the profiler demonstrably handles presence variance, nulls, and
+    heterogeneous types.  Pure string surgery with identical semantics
+    in the SQL twin."""
+    extra = F.concat(
+        F.lit(', "et": "'),
+        F.col("event_type"),
+        F.lit('", "uid": '),
+        F.col("user_id").cast("string"),
+        F.when(F.col("user_id") % 7 == 0, F.lit(', "opt": null')).otherwise(
+            F.lit("")
+        ),
+        F.lit("}"),
+    )
+    aug = F.concat(
+        F.regexp_replace(F.col("props"), "\\}$", ""), extra
+    )
+    return F.when(F.col("user_id") % 10 == 0, F.col("props")).otherwise(aug)
+
+
+_TYPE_CLASS = [
+    ("int", "^-?[0-9]+$"),
+    ("float", "^-?[0-9]*\\.[0-9]+$"),
+]
+
+
+def _value_type(val: Column) -> Column:
+    t = F.when(val.isNull(), F.lit("null"))
+    for name, pat in _TYPE_CLASS:
+        t = t.when(val.rlike(pat), F.lit(name))
+    return (
+        t.when(val.isin("true", "false"), F.lit("bool"))
+        .when(val.startswith("["), F.lit("array"))
+        .when(val.startswith("{"), F.lit("object"))
+        .otherwise(F.lit("string"))
+    )
+
+
+def payload_schema_profile(events: DataFrame) -> DataFrame:
+    """Per-key profile of a dynamic JSON payload column: presence
+    count, null count, distinct-value count, dominant inferred type
+    (count-majority, name-ascending tiebreak) and the number of
+    distinct types observed — i.e. "what schema are producers actually
+    sending".
+
+    Plan: parse once (``from_json`` to map<string,string> — the lax
+    scalar-to-string coercion is exactly DuckDB's
+    ``json_extract_string``, verified in tests), explode to (key, val)
+    pairs, two hash aggregates (per-key stats; per-(key, type) counts
+    reduced by one tiny window).  Narrow until the d-key-sized
+    aggregates; type inference is a codegen'd regex ladder over the
+    extracted strings, identical in the twin.
+    """
+    from pyspark.sql import Window
+
+    kv = events.select(
+        F.explode_outer(
+            F.from_json(_augmented_payload(), "map<string,string>")
+        ).alias("key", "val")
+    )
+    stats = kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.count_distinct(F.col("val")).alias("n_distinct"),
+    )
+    kt = (
+        kv.select("key", _value_type(F.col("val")).alias("ty"))
+        .groupBy("key", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("key").orderBy(F.col("cnt").desc(), F.col("ty"))
+    dom = (
+        kt.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_types",
+            F.count(F.lit(1)).over(Window.partitionBy("key")),
+        )
+        .filter(F.col("rk") == 1)
+        .select("key", F.col("ty").alias("dominant_type"), "n_types")
+    )
+    return stats.join(dom, "key").select(
+        "key", "n_present", "n_null", "n_distinct", "dominant_type", "n_types"
+    )
+
+
+def sql_payload_schema_profile(table: str = "events") -> str:
+    """DuckDB twin: json_keys + json_extract_string replay the same
+    (key, val) pairs; the regex ladder and window are identical."""
+    aug = (
+        "CASE WHEN user_id % 10 = 0 THEN props ELSE "
+        "regexp_replace(props, '\\}$', '') || ', \"et\": \"' || event_type "
+        "|| '\", \"uid\": ' || CAST(user_id AS VARCHAR) || "
+        "(CASE WHEN user_id % 7 = 0 THEN ', \"opt\": null' ELSE '' END) "
+        "|| '}' END"
+    )
+    ty = (
+        "CASE WHEN val IS NULL THEN 'null' "
+        "WHEN regexp_matches(val, '^-?[0-9]+$') THEN 'int' "
+        "WHEN regexp_matches(val, '^-?[0-9]*\\.[0-9]+$') THEN 'float' "
+        "WHEN val IN ('true', 'false') THEN 'bool' "
+        "WHEN val LIKE '[%' THEN 'array' "
+        "WHEN val LIKE '{%' THEN 'object' "
+        "ELSE 'string' END"
+    )
+    return f"""
+WITH p AS (SELECT {aug} AS p FROM {table}),
+kv AS (
+  SELECT key, json_extract_string(p, '$.' || key) AS val FROM (
+    SELECT p, unnest(json_keys(p)) AS key FROM p
+  )
+),
+stats AS (
+  SELECT key, count(*) AS n_present,
+         CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         count(DISTINCT val) AS n_distinct
+  FROM kv GROUP BY key
+),
+kt AS (
+  SELECT key, {ty} AS ty, count(*) AS cnt FROM kv GROUP BY 1, 2
+),
+dom AS (
+  SELECT key, ty AS dominant_type, n_types FROM (
+    SELECT key, ty, cnt,
+           row_number() OVER (PARTITION BY key
+                              ORDER BY cnt DESC, ty) AS rk,
+           count(*) OVER (PARTITION BY key) AS n_types
+    FROM kt
+  ) WHERE rk = 1
+)
+SELECT s.key AS key, s.n_present AS n_present, s.n_null AS n_null,
+       s.n_distinct AS n_distinct, d.dominant_type AS dominant_type,
+       d.n_types AS n_types
+FROM stats s JOIN dom d ON d.key = s.key
+"""

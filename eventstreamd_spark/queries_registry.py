@@ -2407,6 +2407,16 @@ def pca_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("payload_schema_profile", envelope_op.sql_payload_schema_profile())
+def payload_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit of the dynamic JSON payload: per-key
+    presence / null / distinct counts and dominant inferred type over
+    a deterministically mixed-schema payload column."""
+    return envelope_op.payload_schema_profile(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 @register("source_overlap", dedup_op.sql_source_overlap())
 def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source shingle-overlap (contamination) matrix over the
@@ -2596,6 +2606,7 @@ _COST_HINT = {
     "embedding_covariance": 0.90, "random_projection": 0.40,
     "pca_projection_topk": 1.50, "pagerank_canonical": 7.50,
     "entity_resolution": 4.50, "source_overlap": 1.80,
+    "payload_schema_profile": 1.00,
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
