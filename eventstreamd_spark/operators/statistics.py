@@ -1075,3 +1075,193 @@ SELECT b.event_type, b.minute_bucket, b.c,
 FROM b JOIN s USING (event_type)
 WHERE abs({z}) > {RATE_Z_CUTOFF}
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix (first-order Markov over event types)
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition matrix: for every (from, to)
+    pair of consecutive events in a user's timeline, the transition
+    count and the row-normalized probability — the first-order Markov
+    model behind session simulation, anomaly scoring ("this user's
+    path is improbable") and next-event prediction baselines.
+
+    One lag window keyed (user_id | ts, event_id) — the per-user sort
+    is distributed by user — then one hash aggregate on the (tiny)
+    type-pair key; probabilities divide two exact BIGINT counts in
+    double (identical in both engines).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.withColumn("n_from", F.sum("n").over(wf)).withColumn(
+        "prob", F.col("n") / F.col("n_from")
+    )
+
+
+def sql_event_transitions(table: str = "events") -> str:
+    return f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM {table}
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       sum(n) OVER (PARTITION BY from_type) AS n_from,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS prob
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment report (two-proportion z, deterministic doubles)
+# ---------------------------------------------------------------------------
+
+
+def ab_test_report(events: DataFrame) -> DataFrame:
+    """Experimentation primitive: hash-split users into A/B by parity,
+    measure per-user conversion (>= 1 ``purchase`` event), and emit
+    the two-proportion pooled z statistic.
+
+    Determinism: conversions and denominators are exact integer
+    aggregates; every double after that is ONE fixed expression tree
+    of IEEE ops (div, mul, sub, sqrt — all correctly rounded in both
+    engines), so even the z-score matches bit-for-bit.  Scale: one
+    user-keyed aggregate, then a 2-row reduction.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150.0),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    per_var = (
+        per_user.withColumn("variant", (F.col("user_id") % 2).cast("int"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("conv").cast("bigint").alias("n_conv"),
+        )
+    )
+    a = per_var.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_conv").alias("c_a")
+    )
+    b = per_var.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_conv").alias("c_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        # degenerate experiments (0% or 100% pooled conversion) have
+        # no defined z; NULL on both sides instead of a div-by-zero
+        F.when(se != 0.0, (p_a - p_b) / se).alias("z_score"),
+    )
+
+
+def sql_ab_test_report(table: str = "events") -> str:
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                  THEN 1 ELSE 0 END) AS conv
+  FROM {table} GROUP BY user_id
+),
+per_var AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         count(*) AS n_users, CAST(sum(conv) AS BIGINT) AS n_conv
+  FROM per_user GROUP BY 1
+),
+a AS (SELECT n_users AS n_a, n_conv AS c_a FROM per_var WHERE variant = 0),
+b AS (SELECT n_users AS n_b, n_conv AS c_b FROM per_var WHERE variant = 1)
+SELECT n_a, c_a, n_b, c_b,
+       CAST(c_a AS DOUBLE) / n_a AS p_a,
+       CAST(c_b AS DOUBLE) / n_b AS p_b,
+       CASE WHEN sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)) = 0.0 THEN NULL
+       ELSE (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+         / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)) END AS z_score
+FROM a CROSS JOIN b
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column statistics catalog
+# ---------------------------------------------------------------------------
+
+_CATALOG_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+]
+
+
+def column_stats_catalog(lineitem: DataFrame) -> DataFrame:
+    """ANALYZE TABLE in one scan: for every column, the non-null
+    count, null count and exact NDV — the statistics a cost-based
+    optimizer feeds on (join ordering, broadcast thresholds, skew
+    detection all start here).
+
+    One aggregate computes all 3 x n_cols metrics (Spark rewrites the
+    multi-column COUNT DISTINCT via a single Expand — one scan, n_cols
+    x row expansion collapsed map-side); the result unpivots to one
+    row per column via ``stack``.  At 100 TB you'd swap exact NDV for
+    the HLL tier (sketches.py) column-by-column; exact is kept here so
+    the oracle can assert equality.
+    """
+    aggs = []
+    for c in _CATALOG_COLS:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    one = lineitem.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __n - __nn_{c}, __nd_{c}" for c in _CATALOG_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_CATALOG_COLS)}, {stack_args}) AS "
+        "(column_name, n_nonnull, n_null, ndv)"
+    )
+
+
+def sql_column_stats_catalog(table: str = "lineitem") -> str:
+    parts = [
+        f"SELECT '{c}' AS column_name, count({c}) AS n_nonnull, "
+        f"count(*) - count({c}) AS n_null, "
+        f"count(DISTINCT {c}) AS ndv FROM {table}"
+        for c in _CATALOG_COLS
+    ]
+    return " UNION ALL ".join(parts)

@@ -2407,6 +2407,29 @@ def pca_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("event_transitions", stats_mod.sql_event_transitions())
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences; exact counts, row-normalized probabilities."""
+    return stats_mod.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@register("ab_test_report", stats_mod.sql_ab_test_report())
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test over a parity user split —
+    integer-exact counts, bit-deterministic z."""
+    return stats_mod.ab_test_report(load_table(spark, sf_dir, "events"))
+
+
+@register("column_stats_catalog", stats_mod.sql_column_stats_catalog())
+def column_stats_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (non-null/null/exact NDV)
+    for lineitem in one multi-distinct scan, unpivoted via stack."""
+    return stats_mod.column_stats_catalog(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
 @register("payload_schema_profile", envelope_op.sql_payload_schema_profile())
 def payload_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-drift audit of the dynamic JSON payload: per-key
@@ -2606,7 +2629,8 @@ _COST_HINT = {
     "embedding_covariance": 0.90, "random_projection": 0.40,
     "pca_projection_topk": 1.50, "pagerank_canonical": 7.50,
     "entity_resolution": 4.50, "source_overlap": 1.80,
-    "payload_schema_profile": 1.00,
+    "payload_schema_profile": 1.00, "event_transitions": 0.80,
+    "ab_test_report": 0.50, "column_stats_catalog": 0.60,
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
