@@ -1507,7 +1507,10 @@ def source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
     engine-exact.
     """
     sh = (
-        fan_out(docs)
+        # null/empty-text docs contribute no shingles; dropping them
+        # up front keeps the two engines' shingle-fold edge cases
+        # (NULL token lists) out of the size denominators entirely
+        fan_out(docs.filter(F.col("text").isNotNull() & (F.col("text") != "")))
         .select(
             "source",
             F.transform(tokens(F.col("text")), poly_hash).alias("__th"),
@@ -1516,9 +1519,13 @@ def source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
             "source", hashed_shingles_from(F.col("__th"), n).alias("shingles")
         )
     )
-    inv = sh.select(
-        "source", F.explode_outer("shingles").alias("shingle")
-    ).distinct()
+    # drop NULL shingles (null/empty text explodes to a NULL row that
+    # DuckDB's unnest would not produce) so sizes agree on any corpus
+    inv = (
+        sh.select("source", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
     sizes = inv.groupBy("source").agg(F.count("*").alias("n_sh"))
     right = inv.select(
         F.col("shingle").alias("shingle_b"), F.col("source").alias("source_b")
@@ -1564,7 +1571,8 @@ def sql_source_overlap(table: str = "documents", n: int = 3) -> str:
     """DuckDB twin — identical shingle construction and pair algebra."""
     shingles = sql_hashed_word_shingles(sql_tokens("text"), n)
     return f"""
-WITH sh AS (SELECT source, {shingles} AS shingles FROM {table}),
+WITH sh AS (SELECT source, {shingles} AS shingles FROM {table}
+            WHERE text IS NOT NULL AND text <> ''),
 inv AS (
   SELECT DISTINCT source, shingle FROM (
     SELECT source, unnest(shingles) AS shingle FROM sh

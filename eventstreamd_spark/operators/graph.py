@@ -22,10 +22,13 @@ Scale notes (100 TB): each iteration is one join of the rank table
 against the symmetrized edge list plus one hash aggregate — the
 standard Pregel-as-joins shape; ranks are ``localCheckpoint``ed per
 round so iteration i+1 does not replay i's lineage (same idiom as
-connected_components).  Integer bounds: total mass is ~n_nodes * 1e9,
-so BIGINT accumulators are safe below ~9e9 graph nodes; past that,
-lower the scale or lift the aggregate to DECIMAL(38,0) — documented
-here rather than silently approximated.
+connected_components).  Integer bounds: total mass is ~n_nodes * 1e9
+and the damping step multiplies a neighbor sum by 17, so BIGINT
+accumulators are safe below ~5e8 graph nodes (2^63 / (17 * 1e9));
+past that, lower the rank scale or lift the aggregate to
+DECIMAL(38,0) — documented here rather than silently approximated,
+and Spark's ANSI mode turns any overflow into a loud error, never a
+wrap.
 
 Reference parity: srittau/eventstreamd has no graph surface (SURVEY.md
 §0); layer-B scope.

@@ -73,9 +73,11 @@ def _gram_partials(q: DataFrame, dim: int) -> DataFrame:
     The quantization happened JVM-side (``_qvec``, the canonical
     F.round) — this kernel sees only int64 codes, so Python introduces
     no float rounding at all: numpy does a pure-int64 ``Q^T @ Q``
-    (C-speed, exact; per-entry bound rows_per_chunk * max_q^2 stays
-    far under 2^63 at the 16k chunk size for |v| <= ~200), and the
-    d^2-row partials are summed exactly in DECIMAL downstream.  This
+    (C-speed, exact; per-entry bound rows_per_chunk * max_q^2 < 2^63
+    requires |q| <= ~2.3e7, i.e. |v| <= ~23 at the 1e6 scale and 16k
+    chunk size — the kernel RAISES past that rather than let int64
+    wrap silently), and the d^2-row partials are summed exactly in
+    DECIMAL downstream.  This
     replaces a per-row nested-HOF pair expansion that evaluated
     interpreted at ~3 ms/row — the Arrow kernel is the BLAS-shaped
     O(N d^2) inner loop, the tiny (d^2 x n_batches) shuffle is
@@ -95,6 +97,11 @@ def _gram_partials(q: DataFrame, dim: int) -> DataFrame:
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            if mat.size and int(np.abs(mat).max()) > 23_000_000:
+                raise ValueError(
+                    "gram kernel overflow guard: |q| > 2.3e7 — lower "
+                    "the quantization scale (linalg._Q) for this data"
+                )
             for lo in range(0, mat.shape[0], 16384):
                 chunk = mat[lo : lo + 16384]
                 g = chunk.T @ chunk

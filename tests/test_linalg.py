@@ -142,3 +142,15 @@ def test_pca_handles_constant_embeddings(spark) -> None:
     out = linalg.pca_projection_topk(df, dim=4, iters=3, topk=5).collect()
     assert len(out) == 5
     assert len({r["score"] for r in out}) == 1
+
+
+def test_gram_kernel_overflow_guard(spark) -> None:
+    """Values past the int64-safe quantization bound must raise, not
+    silently wrap inside the numpy matmul."""
+    import pytest
+    from pyspark.sql import Row
+
+    rows = [Row(vec_id=0, embedding=[50.0, 0.0]), Row(vec_id=1, embedding=[1.0, 1.0])]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(Exception, match="overflow guard"):
+        linalg.embedding_covariance(df, dim=2).collect()

@@ -1816,3 +1816,29 @@ def test_source_overlap_planted_sharing(spark) -> None:
     assert ab["n_inter"] >= 6  # the shared 8-token run yields 6 shingles
     assert 0.0 < ab["jaccard"] < 1.0
     assert all("srcC" not in k for k in out)
+
+
+def test_source_overlap_null_text_doc(spark) -> None:
+    """A null-text doc must not inflate its source's shingle count
+    (Spark's explode_outer emits a NULL row DuckDB's unnest lacks)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import Row
+    from eventstreamd_spark.operators import dedup as dedup_op
+
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon", source="s1"),
+        Row(doc_id=2, text=None, source="s1"),
+        Row(doc_id=3, text="alpha beta gamma delta zeta", source="s2"),
+    ]
+    got = {
+        tuple(r)
+        for r in dedup_op.source_overlap(spark.createDataFrame(rows)).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame([r.asDict() for r in rows]))
+    want = {
+        tuple(r)
+        for r in con.sql(dedup_op.sql_source_overlap("documents")).fetchall()
+    }
+    assert got == want and len(got) == 1

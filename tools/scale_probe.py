@@ -60,6 +60,14 @@ PROBES = [
     ("hll_distinct", "~N (m registers, map-side max)"),
     ("cms_heavy_hitters", "~N (d x w cells, map-side sum)"),
     ("late_data_audit", "~N (bucket prefix max, bucket-local windows)"),
+    # late round-5: linalg / graph / profile tiers
+    ("embedding_covariance", "~N (Arrow int64-Gram, d^2 partials/batch)"),
+    ("random_projection", "~N (row-local int64 matmul)"),
+    ("pca_projection_topk", "~N (Gram control plane + narrow projection)"),
+    ("pagerank_canonical", "~E log n components + 5 E-join rank rounds"),
+    ("source_overlap", "~N shingles (source-collapsed inverted index)"),
+    ("event_transitions", "~N (one lag window + tiny pair agg)"),
+    ("column_stats_catalog", "~N (one multi-distinct scan)"),
 ]
 
 
