@@ -69,3 +69,40 @@ FROM (SELECT doc_id, CAST({quality} AS INT) AS quality_ok,
              {detected} AS detected_lang FROM {base_sql}) f
 JOIN ({clusters}) c ON c.doc_id = f.doc_id
 """
+
+
+def corpus_build_manifest(docs: DataFrame) -> DataFrame:
+    """The whole corpus-construction pipeline as ONE composed plan:
+    curation verdicts (quality + language + canonical-dedup) gate the
+    corpus, survivors get token counts and deterministic token-budget
+    shard assignments — i.e. the (doc_id, n_tokens, shard_id,
+    shard_start_token) manifest a training job actually consumes.
+
+    Composition is the point (module docstring): every stage is
+    DataFrame -> DataFrame, so Catalyst sees one plan — the feature
+    pass stays narrow, the dedup closure and the packing prefix-sum
+    are the only wide stages, and nothing is materialized between
+    "pipeline steps" because there are no steps, just one expression.
+    """
+    from eventstreamd_spark.operators.layout import token_shard_assignments
+
+    kept_ids = (
+        curation_decisions(docs).filter(F.col("keep") == 1).select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    return token_shard_assignments(kept)
+
+
+def sql_corpus_build_manifest(table: str = "documents") -> str:
+    """DuckDB twin: the same composition, curation verdict subquery
+    gating the packing CTE."""
+    from eventstreamd_spark.operators.layout import (
+        sql_token_shard_assignments,
+    )
+
+    decisions = sql_curation_decisions(table)
+    kept = (
+        f"(SELECT d.* FROM {table} d "
+        f"JOIN ({decisions}) c ON c.doc_id = d.doc_id WHERE c.keep = 1)"
+    )
+    return sql_token_shard_assignments(table=kept)

@@ -2407,6 +2407,19 @@ def pca_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_build_manifest",
+    curation_op.sql_corpus_build_manifest(dedup_op.sql_planted_near_dups()),
+)
+def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus construction in one plan: curation verdicts
+    gate the corpus, survivors get token counts + deterministic shard
+    assignments — the manifest a training job consumes."""
+    return curation_op.corpus_build_manifest(
+        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    )
+
+
 @register("event_transitions", stats_mod.sql_event_transitions())
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
@@ -2631,6 +2644,7 @@ _COST_HINT = {
     "entity_resolution": 4.50, "source_overlap": 1.80,
     "payload_schema_profile": 1.00, "event_transitions": 0.80,
     "ab_test_report": 0.50, "column_stats_catalog": 0.60,
+    "corpus_build_manifest": 5.00,
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
