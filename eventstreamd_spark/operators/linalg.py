@@ -377,15 +377,20 @@ def pca_projection_topk(
     """
     n, s, gram = _collect_second_moments(embeddings, dim)
     w = _power_iterate(n, s, gram, dim, iters)
-    q = _qvec(F.col("embedding"))
     w_arr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    # bind the quantized array to a real column BEFORE the fold —
+    # F.get on an unbound transform expression re-evaluates the whole
+    # transform per element (the dedup.py CollapseProject note)
     score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.zip_with(F.col("q"), w_arr, lambda a, b: a * b),
         F.lit(0).cast("long"),
-        lambda acc, i: acc + F.get(q, i) * F.get(w_arr, i),
+        lambda acc, x: acc + x,
     )
     return (
-        embeddings.select("vec_id", score.alias("score"))
+        embeddings.select(
+            "vec_id", _qvec(F.col("embedding")).alias("q")
+        )
+        .select("vec_id", score.alias("score"))
         .orderBy(F.col("score").desc(), "vec_id")
         .limit(topk)
     )
