@@ -88,3 +88,42 @@ def test_resolve_entities_transitive_merge(spark) -> None:
         "totally different name"
     )
     assert by_name["totally different name"]["n_names"] == 1
+
+
+def _pagerank_reference(edges: list[tuple[int, int]], iters: int = 5):
+    """Pure-Python replica of the integer iteration — the third
+    independent implementation (after Spark and the DuckDB twin)."""
+    sym = edges + [(b, a) for a, b in edges]
+    deg: dict[int, int] = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {n: graph.PR_SCALE for n in deg}
+    for _ in range(iters):
+        nxt: dict[int, int] = {n: 0 for n in deg}
+        for s, d in sym:
+            nxt[d] += pr[s] // deg[s]
+        pr = {n: graph._BASE + (17 * v) // 20 for n, v in nxt.items()}
+    return pr
+
+
+def test_pagerank_matches_python_reference_random_graphs(spark) -> None:
+    """Exact equality against an independent pure-Python fixed-point
+    implementation on pseudo-random graphs (hash-derived edges, no
+    RNG) — any divergence in div/damping/sum order would show here."""
+    from pyspark.sql import Row
+
+    for seed in (1, 2, 3):
+        edges = []
+        for i in range(25):
+            a = (i * 7 + seed * 13) % 18
+            b = (i * 11 + seed * 5) % 18
+            if a != b:
+                edges.append((min(a, b), max(a, b)))
+        edges = sorted(set(edges))
+        got = {
+            r["node"]: r["pr"]
+            for r in graph.pagerank(
+                spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+            ).collect()
+        }
+        assert got == _pagerank_reference(edges)
