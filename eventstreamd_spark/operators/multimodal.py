@@ -92,13 +92,18 @@ def _png_decode(blob: bytes) -> list[float]:
 
 
 def _decode(blob: bytes) -> list[float]:
-    """Dispatch: real PNG decode when the payload is a decodable
-    baseline PNG, byte-histogram fallback otherwise."""
+    """Dispatch: real PNG / WAV decode when the payload carries the
+    magic bytes and parses, byte-histogram fallback otherwise."""
     if blob is not None and blob[:8] == b"\x89PNG\r\n\x1a\n":
         try:
             return _png_decode(blob)
         except ValueError:
             pass  # corrupt/unsupported PNG -> histogram fallback
+    if blob is not None and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        try:
+            return _wav_decode(blob)
+        except ValueError:
+            pass  # corrupt/non-PCM WAV -> histogram fallback
     return _fake_decode(blob)
 
 
@@ -312,3 +317,73 @@ SELECT content_md5, media_type,
 FROM media
 GROUP BY content_md5, media_type
 """
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: RIFF/WAVE PCM (functions/wav.py), the audio
+# sibling of the PNG path — same closed-form-synthesis / arithmetic-
+# oracle discipline.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+WAV_N_MOD = 33  # sample counts 64..96
+
+
+def _wav_decode(blob: bytes) -> list[float]:
+    """REAL audio decode: parse the RIFF container, emit
+    [sample_rate, channels, n_samples, mean, min, max, energy] —
+    mean and energy are exact integer sums with ONE float64 division
+    each, bit-reproducible by an arithmetic oracle."""
+    from eventstreamd_spark.functions.wav import decode_wav
+
+    rate, channels, _bits, samples = decode_wav(blob)
+    n = max(len(samples), 1)
+    s = sum(samples)
+    sq = sum(x * x for x in samples)
+    return [
+        float(rate),
+        float(channels),
+        float(len(samples)),
+        s / n,
+        float(min(samples)) if samples else 0.0,
+        float(max(samples)) if samples else 0.0,
+        sq / n,
+    ]
+
+
+def _synth_wav(doc_id: int) -> bytes:
+    """Deterministic synthetic mono 16-bit WAV for ``doc_id``:
+    n = 64 + doc_id % 33 samples, sample(i) = ((doc_id*131 + i*17)
+    % 4096) - 2048 — closed-form, so the oracle can state the decoded
+    statistics without touching WAV bytes (encode->decode is identity
+    on samples)."""
+    from eventstreamd_spark.functions.wav import encode_wav
+
+    n = 64 + doc_id % WAV_N_MOD
+    samples = [((doc_id * 131 + i * 17) % 4096) - 2048 for i in range(n)]
+    return encode_wav(WAV_RATE, 1, samples)
+
+
+def documents_as_wav_media(docs: DataFrame) -> DataFrame:
+    """Adapter: one REAL synthetic WAV per document (mapInPandas blob
+    synthesis), same typed-metadata columns as documents_as_media."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": pdf["doc_id"].map(lambda d: _synth_wav(int(d))),
+                }
+            )
+
+    blobs = fan_out(docs.select("doc_id")).mapInPandas(
+        synth, schema="doc_id bigint, blob binary"
+    )
+    return blobs.select(
+        "doc_id",
+        F.lit("audio/wav").alias("media_type"),
+        "blob",
+        F.length("blob").cast("int").alias("byte_len"),
+        F.md5("blob").alias("content_md5"),
+    )

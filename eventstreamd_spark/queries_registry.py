@@ -789,6 +789,56 @@ FROM s
 """
 
 
+def _sql_multimodal_wav_features() -> str:
+    """Arithmetic twin of the REAL WAV decode: the synthetic clip for
+    doc_id has closed-form samples s(i) = ((doc_id*131 + i*17) % 4096)
+    - 2048 over n = 64 + doc_id % 33, and encode->decode is identity
+    on samples, so the decoded statistics equal the direct sums —
+    computed here without touching WAV bytes.  A RIFF-walk or PCM
+    parsing bug surfaces as a wrong mean/energy."""
+    return """
+WITH m AS (
+  SELECT doc_id, 64 + doc_id % 33 AS n FROM documents
+), sm AS (
+  SELECT m.doc_id, m.n,
+         sum(g.v) AS sv, sum(g.v * g.v) AS sq,
+         min(g.v) AS mn, max(g.v) AS mx
+  FROM m, LATERAL (
+    SELECT ((m.doc_id * 131 + ii.i * 17) % 4096) - 2048 AS v
+    FROM (SELECT unnest(range(m.n)) AS i) ii
+  ) g
+  GROUP BY m.doc_id, m.n
+)
+SELECT doc_id,
+       8000 AS sample_rate, 1 AS channels, CAST(n AS INT) AS n_samples,
+       CAST(sv AS DOUBLE) / n AS mean_amp,
+       CAST(mn AS INT) AS min_amp, CAST(mx AS INT) AS max_amp,
+       CAST(sq AS DOUBLE) / n AS energy
+FROM sm
+"""
+
+
+@register("multimodal_wav_features", _sql_multimodal_wav_features())
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize one RIFF/PCM WAV per
+    document, parse it with the pure-stdlib codec (chunk walk + 16-bit
+    PCM unpack), emit true sample statistics — verified against an
+    arithmetic oracle on the sample-generation formula."""
+    media = mm_op.documents_as_wav_media(load_table(spark, sf_dir, "documents"))
+    feats = mm_op.extract_features(media)
+    f = F.col("feature")
+    return feats.select(
+        "doc_id",
+        f[0].cast("int").alias("sample_rate"),
+        f[1].cast("int").alias("channels"),
+        f[2].cast("int").alias("n_samples"),
+        f[3].alias("mean_amp"),
+        f[4].cast("int").alias("min_amp"),
+        f[5].cast("int").alias("max_amp"),
+        f[6].alias("energy"),
+    )
+
+
 @register("multimodal_png_features", _sql_multimodal_png_features())
 def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: synthesize one PNG per document
@@ -2644,7 +2694,7 @@ _COST_HINT = {
     "entity_resolution": 4.50, "source_overlap": 1.80,
     "payload_schema_profile": 1.00, "event_transitions": 0.80,
     "ab_test_report": 0.50, "column_stats_catalog": 0.60,
-    "corpus_build_manifest": 5.00,
+    "corpus_build_manifest": 5.00, "multimodal_wav_features": 0.70,
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
