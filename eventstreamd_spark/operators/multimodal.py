@@ -104,6 +104,11 @@ def _decode(blob: bytes) -> list[float]:
             return _wav_decode(blob)
         except ValueError:
             pass  # corrupt/non-PCM WAV -> histogram fallback
+    if blob is not None and len(blob) >= 12 and blob[4:8] == b"ftyp":
+        try:
+            return _mp4_decode(blob)
+        except ValueError:
+            pass  # malformed box tree -> histogram fallback
     return _fake_decode(blob)
 
 
@@ -383,6 +388,67 @@ def documents_as_wav_media(docs: DataFrame) -> DataFrame:
     return blobs.select(
         "doc_id",
         F.lit("audio/wav").alias("media_type"),
+        "blob",
+        F.length("blob").cast("int").alias("byte_len"),
+        F.md5("blob").alias("content_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL video metadata parse: ISO-BMFF box walk (functions/mp4.py) —
+# the third fixture media type, same discipline as PNG/WAV.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_decode(blob: bytes) -> list[float]:
+    """REAL container parse: walk ftyp/moov/mvhd/trak boxes, emit
+    [timescale, duration, n_tracks, seconds] — seconds is one float64
+    division of two exact integers, bit-reproducible by an arithmetic
+    oracle."""
+    from eventstreamd_spark.functions.mp4 import decode_mp4
+
+    timescale, duration, n_tracks = decode_mp4(blob)
+    return [
+        float(timescale),
+        float(duration),
+        float(n_tracks),
+        duration / timescale if timescale else 0.0,
+    ]
+
+
+def _synth_mp4(doc_id: int) -> bytes:
+    """Deterministic minimal MP4 for ``doc_id``: timescale
+    1000 + 100*(doc_id % 7), duration 10000 + (doc_id * 37) % 90000,
+    1 + doc_id % 3 tracks — closed-form, so the oracle states the
+    parsed metadata without touching MP4 bytes."""
+    from eventstreamd_spark.functions.mp4 import encode_minimal_mp4
+
+    return encode_minimal_mp4(
+        1000 + 100 * (doc_id % 7),
+        10000 + (doc_id * 37) % 90000,
+        1 + doc_id % 3,
+    )
+
+
+def documents_as_mp4_media(docs: DataFrame) -> DataFrame:
+    """Adapter: one REAL minimal MP4 per document (mapInPandas blob
+    synthesis), same typed-metadata columns as documents_as_media."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": pdf["doc_id"].map(lambda d: _synth_mp4(int(d))),
+                }
+            )
+
+    blobs = fan_out(docs.select("doc_id")).mapInPandas(
+        synth, schema="doc_id bigint, blob binary"
+    )
+    return blobs.select(
+        "doc_id",
+        F.lit("video/mp4").alias("media_type"),
         "blob",
         F.length("blob").cast("int").alias("byte_len"),
         F.md5("blob").alias("content_md5"),

@@ -818,6 +818,39 @@ FROM sm
 """
 
 
+def _sql_multimodal_mp4_features() -> str:
+    """Arithmetic twin of the REAL MP4 box walk: the synthetic file
+    for doc_id carries closed-form mvhd metadata, and encode->parse is
+    identity, so the parsed values equal the formulas directly."""
+    return """
+SELECT doc_id,
+       CAST(1000 + 100 * (doc_id % 7) AS INT) AS timescale,
+       CAST(10000 + (doc_id * 37) % 90000 AS INT) AS duration,
+       CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+       CAST(10000 + (doc_id * 37) % 90000 AS DOUBLE)
+         / (1000 + 100 * (doc_id % 7)) AS seconds
+FROM documents
+"""
+
+
+@register("multimodal_mp4_features", _sql_multimodal_mp4_features())
+def multimodal_mp4_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container parse end-to-end: synthesize one minimal
+    ISO-BMFF file per document, walk ftyp/moov/mvhd/trak with the
+    pure-stdlib parser, emit timescale/duration/track metadata —
+    verified against an arithmetic oracle on the synthesis formulas."""
+    media = mm_op.documents_as_mp4_media(load_table(spark, sf_dir, "documents"))
+    feats = mm_op.extract_features(media)
+    f = F.col("feature")
+    return feats.select(
+        "doc_id",
+        f[0].cast("int").alias("timescale"),
+        f[1].cast("int").alias("duration"),
+        f[2].cast("int").alias("n_tracks"),
+        f[3].alias("seconds"),
+    )
+
+
 @register("multimodal_wav_features", _sql_multimodal_wav_features())
 def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: synthesize one RIFF/PCM WAV per
@@ -2694,7 +2727,7 @@ _COST_HINT = {
     "entity_resolution": 4.50, "source_overlap": 1.80,
     "payload_schema_profile": 1.00, "event_transitions": 0.80,
     "ab_test_report": 0.50, "column_stats_catalog": 0.60,
-    "corpus_build_manifest": 5.00, "multimodal_wav_features": 0.70,
+    "corpus_build_manifest": 5.00, "multimodal_wav_features": 0.70, "multimodal_mp4_features": 0.70,
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,

@@ -1,0 +1,70 @@
+"""Pure-stdlib ISO-BMFF box walker + the multimodal decode dispatch."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from eventstreamd_spark.functions.mp4 import (
+    _box,
+    decode_mp4,
+    encode_minimal_mp4,
+)
+from eventstreamd_spark.operators.multimodal import (
+    _decode,
+    _fake_decode,
+    _mp4_decode,
+    _synth_mp4,
+)
+
+
+def test_roundtrip_metadata() -> None:
+    blob = encode_minimal_mp4(90000, 123456, 2)
+    assert decode_mp4(blob) == (90000, 123456, 2)
+
+
+def test_mvhd_version1_64bit_times() -> None:
+    """Version-1 mvhd carries 64-bit creation/modification/duration —
+    the walker must read the shifted offsets."""
+    mvhd_v1 = (
+        bytes([1, 0, 0, 0])  # version 1 + flags
+        + struct.pack(">QQ", 0, 0)  # creation, modification (64-bit)
+        + struct.pack(">I", 600)  # timescale
+        + struct.pack(">Q", 6000)  # duration (64-bit)
+    )
+    blob = (
+        _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+        + _box(b"moov", _box(b"mvhd", mvhd_v1))
+    )
+    assert decode_mp4(blob) == (600, 6000, 0)
+
+
+def test_skips_unknown_sibling_boxes() -> None:
+    base = encode_minimal_mp4(1000, 5000, 1)
+    ftyp_len = 8 + 12  # header + "isom"/minor/"isom" payload
+    blob = (
+        base[:ftyp_len] + _box(b"free", b"junkjunk") + base[ftyp_len:]
+    )
+    assert decode_mp4(blob) == (1000, 5000, 1)
+
+
+def test_malformed_size_raises() -> None:
+    blob = bytearray(encode_minimal_mp4(1000, 5000, 1))
+    moov_off = bytes(blob).index(b"moov") - 4
+    blob[moov_off : moov_off + 4] = struct.pack(">I", 4)  # size < header
+    with pytest.raises(ValueError):
+        decode_mp4(bytes(blob))
+
+
+def test_dispatch_falls_back_on_malformed() -> None:
+    bad = b"\x00\x00\x00\x08ftyp" + b"\x00" * 4
+    assert _decode(bad) == _fake_decode(bad)
+
+
+def test_synth_mp4_closed_form() -> None:
+    doc_id = 23
+    f = _mp4_decode(_synth_mp4(doc_id))
+    ts = 1000 + 100 * (doc_id % 7)
+    dur = 10000 + (doc_id * 37) % 90000
+    assert f == [float(ts), float(dur), float(1 + doc_id % 3), dur / ts]
