@@ -107,8 +107,11 @@ def sql_planted_near_dups(table: str = "documents", every: int = 5) -> str:
     )
 
 
-def with_hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id + distinct n-word shingle hashes (BIGINT).
+def with_hashed_shingles(
+    docs: DataFrame, n: int = 3, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """doc_id (+ any ``keep`` passthrough columns) + distinct n-word
+    shingle hashes (BIGINT).
 
     The near-dup tiers run on these: one md5 per TOKEN, windows folded
     with cheap second-level arithmetic — no shingle strings are ever
@@ -125,8 +128,16 @@ def with_hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         # per-token md5 runs exactly once.  Inlining it (the previous
         # form) re-tokenized and re-hashed every document ~4x — measured
         # 4x slower on the sf0.1 dedup tier.
-        .select("doc_id", F.transform(tokens(F.col("text")), poly_hash).alias("__th"))
-        .select("doc_id", hashed_shingles_from(F.col("__th"), n).alias("shingles"))
+        .select(
+            *keep,
+            "doc_id",
+            F.transform(tokens(F.col("text")), poly_hash).alias("__th"),
+        )
+        .select(
+            *keep,
+            "doc_id",
+            hashed_shingles_from(F.col("__th"), n).alias("shingles"),
+        )
     )
 
 
@@ -1506,19 +1517,14 @@ def source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
     n_sources*(n_sources-1)/2 rows.  Integer counts divide in double:
     engine-exact.
     """
-    sh = (
-        # null/empty-text docs contribute no shingles; dropping them
-        # up front keeps the two engines' shingle-fold edge cases
-        # (NULL token lists) out of the size denominators entirely
-        fan_out(docs.filter(F.col("text").isNotNull() & (F.col("text") != "")))
-        .select(
-            "source",
-            F.transform(tokens(F.col("text")), poly_hash).alias("__th"),
-        )
-        .select(
-            "source", hashed_shingles_from(F.col("__th"), n).alias("shingles")
-        )
-    )
+    # null/empty-text docs contribute no shingles; dropping them up
+    # front keeps the two engines' shingle-fold edge cases (NULL token
+    # lists) out of the size denominators entirely
+    sh = with_hashed_shingles(
+        docs.filter(F.col("text").isNotNull() & (F.col("text") != "")),
+        n,
+        keep=("source",),
+    ).select("source", "shingles")
     # drop NULL shingles (null/empty text explodes to a NULL row that
     # DuckDB's unnest would not produce) so sizes agree on any corpus
     inv = (

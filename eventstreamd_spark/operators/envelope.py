@@ -144,8 +144,10 @@ def _augmented_payload() -> Column:
     so the profiler demonstrably handles presence variance, nulls, and
     heterogeneous types.  Pure string surgery with identical semantics
     in the SQL twin."""
+    sep = F.when(F.col("props") == "{}", F.lit("")).otherwise(F.lit(", "))
     extra = F.concat(
-        F.lit(', "et": "'),
+        sep,
+        F.lit('"et": "'),
         F.col("event_type"),
         F.lit('", "uid": '),
         F.col("user_id").cast("string"),
@@ -195,8 +197,11 @@ def payload_schema_profile(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # inner explode: a malformed payload parses to a NULL map and an
+    # empty object to an empty map — both contribute zero (key, val)
+    # rows, exactly matching the twin's json_valid(p) gate + key unnest
     kv = events.select(
-        F.explode_outer(
+        F.explode(
             F.from_json(_augmented_payload(), "map<string,string>")
         ).alias("key", "val")
     )
@@ -230,7 +235,9 @@ def sql_payload_schema_profile(table: str = "events") -> str:
     (key, val) pairs; the regex ladder and window are identical."""
     aug = (
         "CASE WHEN user_id % 10 = 0 THEN props ELSE "
-        "regexp_replace(props, '\\}$', '') || ', \"et\": \"' || event_type "
+        "regexp_replace(props, '\\}$', '') "
+        "|| (CASE WHEN props = '{}' THEN '' ELSE ', ' END) "
+        "|| '\"et\": \"' || event_type "
         "|| '\", \"uid\": ' || CAST(user_id AS VARCHAR) || "
         "(CASE WHEN user_id % 7 = 0 THEN ', \"opt\": null' ELSE '' END) "
         "|| '}' END"
@@ -245,7 +252,7 @@ def sql_payload_schema_profile(table: str = "events") -> str:
         "ELSE 'string' END"
     )
     return f"""
-WITH p AS (SELECT {aug} AS p FROM {table}),
+WITH p AS (SELECT {aug} AS p FROM {table} WHERE json_valid({aug})),
 kv AS (
   SELECT key, json_extract_string(p, '$.' || key) AS val FROM (
     SELECT p, unnest(json_keys(p)) AS key FROM p

@@ -118,6 +118,17 @@ def _gram_partials(q: DataFrame, dim: int) -> DataFrame:
     return q.mapInPandas(kernel, schema="i int, j int, sp long")
 
 
+def _exact_gram_agg(q: DataFrame, dim: int) -> DataFrame:
+    """Exact DECIMAL reduction of the per-batch Gram partials — the
+    single determinism-critical aggregate shared by the covariance
+    query and the PCA control plane."""
+    return (
+        _gram_partials(q, dim)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("sp").cast(DEC)).alias("sp"))
+    )
+
+
 def embedding_covariance(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     """Exact corpus covariance: cov(i, j) for the upper triangle
     (d*(d+1)/2 rows), computed as (n*S_ij - S_i*S_j) / (n^2 * 1e12)
@@ -133,12 +144,7 @@ def embedding_covariance(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     q = embeddings.select(_qvec(F.col("embedding")).alias("q"))
     # one kernel pass; the (d^2/2 + d + 1)-row exact aggregate is
     # checkpointed so the three consumers below don't re-run it
-    agg = (
-        _gram_partials(q, dim)
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("sp").cast(DEC)).alias("sp"))
-        .localCheckpoint()
-    )
+    agg = _exact_gram_agg(q, dim).localCheckpoint()
     gram = agg.filter(F.col("j") >= 0)
     marg = agg.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
         "i", F.col("sp").alias("s")
@@ -263,6 +269,14 @@ def random_projection(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            # sq_norm sums k squares of d-term sums: the int64 bound
+            # k*(d*|q|)^2 < 2^63 requires |q| <= ~1.1e7 at d=64, k=16;
+            # raise rather than let numpy wrap (gram-kernel idiom)
+            if mat.size and int(np.abs(mat).max()) > 11_000_000:
+                raise ValueError(
+                    "projection kernel overflow guard: |q| > 1.1e7 — "
+                    "lower the quantization scale (linalg._Q)"
+                )
             proj = mat @ sgn
             yield pd.DataFrame(
                 {
@@ -313,12 +327,7 @@ def _collect_second_moments(
     all exact Python ints.  O(d^2) numbers cross the driver boundary
     (control plane, same budget as clustering.py's k x d centroids)."""
     q = embeddings.select(_qvec(F.col("embedding")).alias("q"))
-    rows = (
-        _gram_partials(q, dim)
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("sp").cast(DEC)).alias("sp"))
-        .collect()
-    )
+    rows = _exact_gram_agg(q, dim).collect()
     n = 0
     s = [0] * dim
     gram = [[0] * dim for _ in range(dim)]
@@ -348,9 +357,11 @@ def _power_iterate(
     w = [10**6] * dim
     for _ in range(iters):
         u = [sum(a[i][j] * w[j] for j in range(dim)) for i in range(dim)]
-        m = max(abs(x) for x in u)
-        if m == 0:
-            break
+        # degenerate (all-zero) step: divide by 1, zeroing w — the
+        # EXACT mirror of the twin's greatest(max(abs(u)), 1); an
+        # early break here would keep the previous w and diverge from
+        # the unrolled SQL on constant corpora
+        m = max(abs(x) for x in u) or 1
         w = [
             (1 if x >= 0 else -1) * (abs(x) * 10**6 // m) for x in u
         ]

@@ -127,21 +127,38 @@ def test_power_iteration_finds_dominant_direction() -> None:
 
 
 def test_power_iteration_zero_matrix_guard() -> None:
+    """Zero matrix -> every step divides by greatest(m, 1) = 1 and w
+    collapses to zeros — matching the SQL twin's unrolled CTEs."""
     dim = 4
     w = linalg._power_iterate(
         0, [0] * dim, [[0] * dim for _ in range(dim)], dim, iters=8
     )
-    assert w == [10**6] * dim
+    assert w == [0] * dim
 
 
 def test_pca_handles_constant_embeddings(spark) -> None:
-    """All-identical vectors -> zero covariance -> the m=0 guard keeps
-    the iteration stable and scores stay deterministic."""
+    """All-identical vectors -> zero covariance -> the degenerate
+    divide-by-greatest(m,1) path must agree WITH THE TWIN, not just
+    run (the early-break variant of the guard kept the previous w on
+    the Spark side while the unrolled SQL zeroed it)."""
+    import pandas as pd
+
     rows = [Row(vec_id=i, embedding=[1.0, 2.0, 3.0, 4.0]) for i in range(5)]
     df = spark.createDataFrame(rows)
-    out = linalg.pca_projection_topk(df, dim=4, iters=3, topk=5).collect()
-    assert len(out) == 5
-    assert len({r["score"] for r in out}) == 1
+    got = [
+        tuple(r)
+        for r in linalg.pca_projection_topk(
+            df, dim=4, iters=3, topk=5
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame([r.asDict() for r in rows]))
+    want = con.sql(
+        linalg.sql_pca_projection_topk(dim=4, iters=3, topk=5)
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+    assert len(got) == 5
+    assert {r[1] for r in got} == {0}  # zero matrix -> zero scores
 
 
 def test_gram_kernel_overflow_guard(spark) -> None:
