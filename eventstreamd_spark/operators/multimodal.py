@@ -1,13 +1,16 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, batch-shaped Pandas-UDF decode/feature stages.
 
-Image decode is REAL for PNG payloads: a pure-stdlib baseline PNG
-decoder (functions/png.py — zlib inflate + scanline unfilter, written
-from the public W3C spec) computes true width/height/channel means.
-Payloads in formats the container cannot decode (no PIL/ffmpeg) fall
-back to a deterministic byte-histogram stand-in, clearly marked;
-swapping in a codec library is a one-function change that does not
-touch the plan.  Everything Spark-side — schema, partitioning, Arrow
+All three fixture media types parse for REAL: a pure-stdlib baseline
+PNG decoder (functions/png.py — zlib inflate + scanline unfilter,
+written from the public W3C spec) computes true width/height/channel
+means; a RIFF/WAVE PCM codec (functions/wav.py) extracts true sample
+statistics; an ISO-BMFF box walker (functions/mp4.py) reads movie
+timescale/duration/track metadata.  Payloads these parsers cannot
+handle (compressed audio, video frame data — no PIL/ffmpeg in the
+container) fall back to a deterministic byte-histogram stand-in,
+clearly marked; swapping in a codec library is a one-function change
+that does not touch the plan.  Everything Spark-side — schema, partitioning, Arrow
 batch shape, UDF signatures — is real and tested either way.
 
 Design for 100 TB of blobs:
