@@ -615,3 +615,92 @@ def start_cms_topk_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_payload_schema_monitor(
+    stream_events: DataFrame,
+    sink: Callable[[list, list, dict, int], None],
+    checkpoint_dir: str,
+    payload_col: str = "props",
+) -> StreamingQuery:
+    """Streaming schema-drift monitor over a dynamic JSON payload
+    column: per micro-batch, aggregate (key, inferred-type) counts
+    with the SAME regex ladder as the batch profiler
+    (operators/envelope.py::payload_schema_profile), ADD them into
+    persisted per-(key, type) counters, and call
+    ``sink(novel_keys, novel_types, counters, epoch)`` — novel_keys
+    lists payload keys never seen before this batch, novel_types
+    lists (key, type) pairs where a KNOWN key shows a NEW value type
+    (the "producer changed their schema" page before someone's filter
+    silently stops matching, SURVEY.md §1.2).
+
+    State is O(|schema|) — keys x types, independent of stream length.
+    Count merge is additive (not idempotent), so this uses the
+    count-min monitor's replay fence: the persisted state carries the
+    last applied epoch, re-delivered epochs are skipped, and state +
+    epoch move together under one atomic rename.
+    """
+    import json
+    import os
+
+    from eventstreamd_spark.operators.envelope import _value_type
+
+    state_path = os.path.join(checkpoint_dir, "payload_schema.json")
+    counts: dict = {}
+    last_epoch = -1
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            saved = json.load(f)
+        last_epoch = saved["last_epoch"]
+        counts = {(k, t): n for k, t, n in saved["counts"]}
+
+    def _per_batch(batch: DataFrame, epoch: int) -> None:
+        nonlocal counts, last_epoch
+        if epoch <= last_epoch:
+            return  # replayed epoch: already folded into the state
+        kv = batch.select(
+            F.explode(
+                F.from_json(F.col(payload_col), "map<string,string>")
+            ).alias("key", "val")
+        )
+        batch_counts = {
+            (r["key"], r["ty"]): r["n"]
+            for r in kv.select(
+                "key", _value_type(F.col("val")).alias("ty")
+            )
+            .groupBy("key", "ty")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        known_keys = {k for k, _ in counts}
+        novel_keys = sorted(
+            {k for k, _ in batch_counts} - known_keys
+        )
+        novel_types = sorted(
+            (k, t)
+            for k, t in batch_counts
+            if k in known_keys and (k, t) not in counts
+        )
+        for kt, n in batch_counts.items():
+            counts[kt] = counts.get(kt, 0) + n
+        last_epoch = epoch
+        tmp = state_path + ".tmp"
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "last_epoch": last_epoch,
+                    "counts": [[k, t, n] for (k, t), n in counts.items()],
+                },
+                f,
+            )
+        os.replace(tmp, state_path)
+        sink(novel_keys, novel_types, dict(counts), epoch)
+
+    return (
+        stream_events.writeStream.outputMode("append")
+        .foreachBatch(_per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -883,3 +883,49 @@ def test_stream_cms_monitor_state_and_replay_guard(spark, sf_dir, tmp_path) -> N
     )
     est = sk.cms_estimate_from_cells(final, str(top_user["user_id"]))
     assert est >= top_user["count"]
+
+
+def test_stream_payload_schema_monitor(spark, tmp_path) -> None:
+    """Schema-drift alerts: batch 1 establishes the key set; batch 2
+    introduces a brand-new key AND a new type for a known key — both
+    must surface as novelties, and the counters must accumulate."""
+    import os
+
+    from eventstreamd_spark.streaming.pipeline import (
+        start_payload_schema_monitor,
+    )
+
+    src = str(tmp_path / "psm_src")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [(i, '{"k": %d, "s": "a"}' % i) for i in range(4)],
+        "event_id long, props string",
+    )
+    b2 = spark.createDataFrame(
+        [(9, '{"k": "oops", "fresh": true}')],
+        "event_id long, props string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    seen: list = []
+    q = start_payload_schema_monitor(
+        (
+            spark.readStream.schema("event_id long, props string")
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+        ),
+        sink=lambda nk, nt, st, ep, acc=seen: acc.append((ep, nk, nt, st)),
+        checkpoint_dir=str(tmp_path / "psm_ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len(seen) == 2
+    # epoch order follows file order (maxFilesPerTrigger=1)
+    first, second = sorted(seen)
+    assert first[1] == ["k", "s"] and first[2] == []
+    assert second[1] == ["fresh"]
+    assert ("k", "string") in second[2]
+    final = second[3]
+    assert final[("k", "int")] == 4 and final[("k", "string")] == 1
+    assert final[("fresh", "bool")] == 1
