@@ -456,3 +456,66 @@ def documents_as_mp4_media(docs: DataFrame) -> DataFrame:
         F.length("blob").cast("int").alias("byte_len"),
         F.md5("blob").alias("content_md5"),
     )
+
+
+def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
+    """Adapter: a MIXED media corpus — doc_id % 3 picks PNG / WAV /
+    MP4, each synthesized for real — the realistic shape where one
+    decode stage must dispatch per row on content, not on a column."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        synths = {0: _synth_png, 1: _synth_wav, 2: _synth_mp4}
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": pdf["doc_id"].map(
+                        lambda d: synths[int(d) % 3](int(d))
+                    ),
+                }
+            )
+
+    blobs = fan_out(docs.select("doc_id")).mapInPandas(
+        synth, schema="doc_id bigint, blob binary"
+    )
+    return blobs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("media_type"),
+        "blob",
+        F.length("blob").cast("int").alias("byte_len"),
+        F.md5("blob").alias("content_md5"),
+    )
+
+
+def mixed_media_manifest(docs: DataFrame) -> DataFrame:
+    """Capstone over the three real parsers: decode a MIXED corpus in
+    one ``extract_features`` pass (content-dispatched per row) and
+    emit a normalized manifest — (doc_id, media_type, primary_dim, span).
+    ``primary_dim`` is the format's leading magnitude (image width / audio
+    sample count / movie timescale) and ``span`` a per-format extent
+    (image height / audio mean amplitude / movie seconds) — the
+    flattened shape a packing or curriculum stage consumes regardless
+    of modality."""
+    media = documents_as_mixed_media(docs)
+    feats = extract_features(media)
+    f = F.col("feature")
+    primary = (
+        F.when(F.col("media_type") == "image/png", f[0])
+        .when(F.col("media_type") == "audio/wav", f[2])
+        .otherwise(f[0])
+        .cast("int")
+    )
+    span = (
+        F.when(F.col("media_type") == "image/png", f[1])
+        .when(F.col("media_type") == "audio/wav", f[3])
+        .otherwise(f[3])
+    )
+    return feats.select(
+        "doc_id",
+        "media_type",
+        primary.alias("primary_dim"),
+        span.alias("span"),
+    )

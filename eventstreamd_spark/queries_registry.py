@@ -789,6 +789,47 @@ FROM s
 """
 
 
+def _sql_mixed_media_manifest() -> str:
+    """Arithmetic twin of the mixed-corpus dispatch: doc_id % 3 picks
+    the synthesis formula, so each branch's metadata is closed-form."""
+    return """
+WITH wav AS (
+  SELECT m.doc_id,
+         CAST(m.n AS INT) AS primary_dim,
+         CAST(sum(g.v) AS DOUBLE) / m.n AS span
+  FROM (SELECT doc_id, 64 + doc_id % 33 AS n
+        FROM documents WHERE doc_id % 3 = 1) m,
+       LATERAL (
+         SELECT ((m.doc_id * 131 + ii.i * 17) % 4096) - 2048 AS v
+         FROM (SELECT unnest(range(m.n)) AS i) ii
+       ) g
+  GROUP BY m.doc_id, m.n
+)
+SELECT doc_id, 'image/png' AS media_type,
+       CAST(8 + doc_id % 9 AS INT) AS primary_dim,
+       CAST(8 + (doc_id * 7) % 9 AS DOUBLE) AS span
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'audio/wav' AS media_type, primary_dim, span FROM wav
+UNION ALL
+SELECT doc_id, 'video/mp4' AS media_type,
+       CAST(1000 + 100 * (doc_id % 7) AS INT) AS primary_dim,
+       CAST(10000 + (doc_id * 37) % 90000 AS DOUBLE)
+         / (1000 + 100 * (doc_id % 7)) AS span
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+@register("mixed_media_manifest", _sql_mixed_media_manifest())
+def mixed_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed PNG/WAV/MP4 corpus through ONE content-dispatched decode
+    pass -> normalized (primary_dim, span) manifest; each branch verified
+    against its synthesis formula."""
+    return mm_op.mixed_media_manifest(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _sql_multimodal_wav_features() -> str:
     """Arithmetic twin of the REAL WAV decode: the synthetic clip for
     doc_id has closed-form samples s(i) = ((doc_id*131 + i*17) % 4096)
@@ -2727,7 +2768,7 @@ _COST_HINT = {
     "entity_resolution": 4.50, "source_overlap": 1.80,
     "payload_schema_profile": 1.00, "event_transitions": 0.80,
     "ab_test_report": 0.50, "column_stats_catalog": 0.60,
-    "corpus_build_manifest": 5.00, "multimodal_wav_features": 0.70, "multimodal_mp4_features": 0.70,
+    "corpus_build_manifest": 5.00, "multimodal_wav_features": 0.70, "multimodal_mp4_features": 0.70, "mixed_media_manifest": 0.90,
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,

@@ -86,3 +86,31 @@ try:
         assert decode_mp4(blob) == (timescale, duration, n_tracks)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_mixed_media_manifest_dispatch(spark) -> None:
+    """One decode pass over a mixed PNG/WAV/MP4 corpus must dispatch
+    per row on content and produce each format's closed-form
+    metadata."""
+    from pyspark.sql import Row
+    from eventstreamd_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(9)])
+    out = {r["doc_id"]: r for r in mm.mixed_media_manifest(docs).collect()}
+    assert len(out) == 9
+    for d, r in out.items():
+        if d % 3 == 0:
+            assert r["media_type"] == "image/png"
+            assert r["primary_dim"] == 8 + d % 9
+            assert r["span"] == float(8 + (d * 7) % 9)
+        elif d % 3 == 1:
+            assert r["media_type"] == "audio/wav"
+            n = 64 + d % 33
+            assert r["primary_dim"] == n
+            samples = [((d * 131 + i * 17) % 4096) - 2048 for i in range(n)]
+            assert r["span"] == sum(samples) / n
+        else:
+            assert r["media_type"] == "video/mp4"
+            ts = 1000 + 100 * (d % 7)
+            assert r["primary_dim"] == ts
+            assert r["span"] == (10000 + (d * 37) % 90000) / ts
