@@ -45,6 +45,15 @@ FEATURE_SCHEMA = (
 )
 
 
+def _media_type_by_doc_id() -> F.Column:
+    """The fixture's modality assignment: doc_id % 3 -> png/wav/mp4."""
+    return (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: fake a media table from ``documents`` (text bytes stand
     in for image/audio payloads).  Metadata columns are real Spark
@@ -52,13 +61,37 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     blob = F.col("text").cast("binary")
     return docs.select(
         "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
-        .otherwise(F.lit("video/mp4"))
-        .alias("media_type"),
+        _media_type_by_doc_id().alias("media_type"),
         blob.alias("blob"),
         F.length(blob).cast("int").alias("byte_len"),
         F.md5(blob).alias("content_md5"),
+    )
+
+
+def _synth_media_adapter(docs, synth_fn, media_type) -> DataFrame:
+    """Shared blob-synthesis adapter (stands in for the object-store
+    fetch stage): one mapInPandas synthesizing ``synth_fn(doc_id)``
+    blobs plus the typed-metadata projection every media table
+    carries."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": pdf["doc_id"].map(lambda d: synth_fn(int(d))),
+                }
+            )
+
+    blobs = fan_out(docs.select("doc_id")).mapInPandas(
+        synth, schema="doc_id bigint, blob binary"
+    )
+    return blobs.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        "blob",
+        F.length("blob").cast("int").alias("byte_len"),
+        F.md5("blob").alias("content_md5"),
     )
 
 
@@ -141,29 +174,8 @@ def _synth_png(doc_id: int) -> bytes:
 
 
 def documents_as_png_media(docs: DataFrame) -> DataFrame:
-    """Adapter: one REAL synthetic PNG per document (mapInPandas blob
-    synthesis — stands in for the object-store fetch stage), with the
-    same typed-metadata columns as documents_as_media."""
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "blob": pdf["doc_id"].map(lambda d: _synth_png(int(d))),
-                }
-            )
-
-    blobs = fan_out(docs.select("doc_id")).mapInPandas(
-        synth, schema="doc_id bigint, blob binary"
-    )
-    return blobs.select(
-        "doc_id",
-        F.lit("image/png").alias("media_type"),
-        "blob",
-        F.length("blob").cast("int").alias("byte_len"),
-        F.md5("blob").alias("content_md5"),
-    )
+    """Adapter: one REAL synthetic PNG per document."""
+    return _synth_media_adapter(docs, _synth_png, F.lit("image/png"))
 
 
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
@@ -183,8 +195,13 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             yield out
 
     # fan_out: the Python decode kernel is the per-row cost — make sure
-    # Arrow batches land on every core, not one file split's worth
-    return fan_out(media).mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+    # Arrow batches land on every core, not one file split's worth.
+    # Project to the consumed columns FIRST: the optimizer cannot
+    # prune through the mapInPandas barrier, so without this every
+    # adapter's content_md5 (a full-blob hash) would be computed and
+    # shipped just to be dropped here.
+    pruned = media.select("doc_id", "media_type", "byte_len", "blob")
+    return fan_out(pruned).mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
 def media_metadata_summary(media: DataFrame) -> DataFrame:
@@ -373,28 +390,8 @@ def _synth_wav(doc_id: int) -> bytes:
 
 
 def documents_as_wav_media(docs: DataFrame) -> DataFrame:
-    """Adapter: one REAL synthetic WAV per document (mapInPandas blob
-    synthesis), same typed-metadata columns as documents_as_media."""
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "blob": pdf["doc_id"].map(lambda d: _synth_wav(int(d))),
-                }
-            )
-
-    blobs = fan_out(docs.select("doc_id")).mapInPandas(
-        synth, schema="doc_id bigint, blob binary"
-    )
-    return blobs.select(
-        "doc_id",
-        F.lit("audio/wav").alias("media_type"),
-        "blob",
-        F.length("blob").cast("int").alias("byte_len"),
-        F.md5("blob").alias("content_md5"),
-    )
+    """Adapter: one REAL synthetic WAV per document."""
+    return _synth_media_adapter(docs, _synth_wav, F.lit("audio/wav"))
 
 
 # ---------------------------------------------------------------------------
@@ -434,28 +431,8 @@ def _synth_mp4(doc_id: int) -> bytes:
 
 
 def documents_as_mp4_media(docs: DataFrame) -> DataFrame:
-    """Adapter: one REAL minimal MP4 per document (mapInPandas blob
-    synthesis), same typed-metadata columns as documents_as_media."""
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "blob": pdf["doc_id"].map(lambda d: _synth_mp4(int(d))),
-                }
-            )
-
-    blobs = fan_out(docs.select("doc_id")).mapInPandas(
-        synth, schema="doc_id bigint, blob binary"
-    )
-    return blobs.select(
-        "doc_id",
-        F.lit("video/mp4").alias("media_type"),
-        "blob",
-        F.length("blob").cast("int").alias("byte_len"),
-        F.md5("blob").alias("content_md5"),
-    )
+    """Adapter: one REAL minimal MP4 per document."""
+    return _synth_media_adapter(docs, _synth_mp4, F.lit("video/mp4"))
 
 
 def documents_as_mixed_media(docs: DataFrame) -> DataFrame:

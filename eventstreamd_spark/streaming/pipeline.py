@@ -486,6 +486,18 @@ def start_drift_monitor(
     )
 
 
+def _atomic_json_write(checkpoint_dir: str, state_path: str, obj) -> None:
+    """Atomic-rename JSON persist shared by the monitor family."""
+    import json
+    import os
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, state_path)
+
+
 def start_hll_distinct_monitor(
     stream_events: DataFrame,
     sink: Callable[[dict, float, int], None],
@@ -532,11 +544,7 @@ def start_hll_distinct_monitor(
             ).collect()
         }
         state = sk.hll_merge_registers(state, regs)
-        tmp = state_path + ".tmp"
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, state_path)
+        _atomic_json_write(checkpoint_dir, state_path, state)
         sink(dict(state), sk.hll_estimate_from_registers(state), epoch)
 
     return (
@@ -592,20 +600,21 @@ def start_cms_topk_monitor(
             (r["i"], r["col"]): r["cell_count"]
             for r in sk.cms_cells(batch, F.col("user_id").cast("string")).collect()
         }
+        # merge into a LOCAL copy and persist BEFORE advancing the
+        # in-memory fence: if the write fails, the retried/replayed
+        # epoch is not fenced out by memory the disk never saw
+        merged = dict(cells)
         for k, v in batch_cells.items():
-            cells[k] = cells.get(k, 0) + v
-        last_epoch = epoch
-        tmp = state_path + ".tmp"
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "last_epoch": last_epoch,
-                    "cells": [[i, c, n] for (i, c), n in cells.items()],
-                },
-                f,
-            )
-        os.replace(tmp, state_path)
+            merged[k] = merged.get(k, 0) + v
+        _atomic_json_write(
+            checkpoint_dir,
+            state_path,
+            {
+                "last_epoch": epoch,
+                "cells": [[i, c, n] for (i, c), n in merged.items()],
+            },
+        )
+        cells, last_epoch = merged, epoch
         sink(dict(cells), epoch)
 
     return (
@@ -638,7 +647,12 @@ def start_payload_schema_monitor(
     Count merge is additive (not idempotent), so this uses the
     count-min monitor's replay fence: the persisted state carries the
     last applied epoch, re-delivered epochs are skipped, and state +
-    epoch move together under one atomic rename.
+    epoch move together under one atomic rename.  Delivery semantics
+    are split deliberately: ALERTS are at-least-once (sink runs before
+    the persist, so a sink failure fails the batch and the replay
+    re-raises the novelty — a duplicated page beats a lost one),
+    COUNTERS are exactly-once (the fence only advances after the
+    rename succeeds).
     """
     import json
     import os
@@ -681,21 +695,25 @@ def start_payload_schema_monitor(
             for k, t in batch_counts
             if k in known_keys and (k, t) not in counts
         )
+        merged = dict(counts)
         for kt, n in batch_counts.items():
-            counts[kt] = counts.get(kt, 0) + n
-        last_epoch = epoch
-        tmp = state_path + ".tmp"
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "last_epoch": last_epoch,
-                    "counts": [[k, t, n] for (k, t), n in counts.items()],
-                },
-                f,
-            )
-        os.replace(tmp, state_path)
-        sink(novel_keys, novel_types, dict(counts), epoch)
+            merged[kt] = merged.get(kt, 0) + n
+        # ALERT FIRST (at-least-once): a sink failure fails the batch
+        # before the state is folded, so the replay re-detects and
+        # re-delivers the novelty instead of silently swallowing the
+        # one page this monitor exists to raise.  Counters stay
+        # exactly-once: the fence below only advances after the
+        # atomic rename succeeds.
+        sink(novel_keys, novel_types, dict(merged), epoch)
+        _atomic_json_write(
+            checkpoint_dir,
+            state_path,
+            {
+                "last_epoch": epoch,
+                "counts": [[k, t, n] for (k, t), n in merged.items()],
+            },
+        )
+        counts, last_epoch = merged, epoch
 
     return (
         stream_events.writeStream.outputMode("append")

@@ -70,22 +70,20 @@ def test_synth_mp4_closed_form() -> None:
     assert f == [float(ts), float(dur), float(1 + doc_id % 3), dur / ts]
 
 
-try:
-    from hypothesis import given, settings, strategies as st
+from hypothesis import given, settings, strategies as st
 
-    @given(
-        timescale=st.integers(min_value=1, max_value=2**32 - 1),
-        duration=st.integers(min_value=0, max_value=2**32 - 1),
-        n_tracks=st.integers(min_value=0, max_value=8),
-    )
-    @settings(max_examples=50, deadline=None)
-    def test_roundtrip_property(
-        timescale: int, duration: int, n_tracks: int
-    ) -> None:
-        blob = encode_minimal_mp4(timescale, duration, n_tracks)
-        assert decode_mp4(blob) == (timescale, duration, n_tracks)
-except ImportError:  # pragma: no cover
-    pass
+
+@given(
+    timescale=st.integers(min_value=1, max_value=2**32 - 1),
+    duration=st.integers(min_value=0, max_value=2**32 - 1),
+    n_tracks=st.integers(min_value=0, max_value=8),
+)
+@settings(max_examples=50, deadline=None)
+def test_roundtrip_property(
+    timescale: int, duration: int, n_tracks: int
+) -> None:
+    blob = encode_minimal_mp4(timescale, duration, n_tracks)
+    assert decode_mp4(blob) == (timescale, duration, n_tracks)
 
 
 def test_mixed_media_manifest_dispatch(spark) -> None:

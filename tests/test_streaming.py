@@ -905,23 +905,29 @@ def test_stream_payload_schema_monitor(spark, tmp_path) -> None:
         [(9, '{"k": "oops", "fresh": true}')],
         "event_id long, props string",
     )
-    b1.coalesce(1).write.mode("append").parquet(src)
-    b2.coalesce(1).write.mode("append").parquet(src)
-
     seen: list = []
-    q = start_payload_schema_monitor(
-        (
-            spark.readStream.schema("event_id long, props string")
-            .option("maxFilesPerTrigger", 1)
-            .format("parquet")
-            .load(src)
-        ),
-        sink=lambda nk, nt, st, ep, acc=seen: acc.append((ep, nk, nt, st)),
-        checkpoint_dir=str(tmp_path / "psm_ckpt"),
-    )
-    q.awaitTermination(120)
+
+    def run_once() -> None:
+        q = start_payload_schema_monitor(
+            (
+                spark.readStream.schema("event_id long, props string")
+                .format("parquet")
+                .load(src)
+            ),
+            sink=lambda nk, nt, st, ep, acc=seen: acc.append(
+                (ep, nk, nt, st)
+            ),
+            checkpoint_dir=str(tmp_path / "psm_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    # two separate availableNow runs => deterministic batch order
+    # (a single run with maxFilesPerTrigger depends on file mtimes)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
     assert len(seen) == 2
-    # epoch order follows file order (maxFilesPerTrigger=1)
     first, second = sorted(seen)
     assert first[1] == ["k", "s"] and first[2] == []
     assert second[1] == ["fresh"]

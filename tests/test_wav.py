@@ -60,20 +60,18 @@ def test_synth_wav_stats_closed_form() -> None:
     assert f[6] == sum(x * x for x in samples) / n
 
 
-try:
-    from hypothesis import given, settings, strategies as st
+from hypothesis import given, settings, strategies as st
 
-    @given(
-        samples=st.lists(
-            st.integers(min_value=-32768, max_value=32767),
-            min_size=1,
-            max_size=200,
-        ),
-        rate=st.sampled_from([8000, 16000, 44100, 48000]),
-    )
-    @settings(max_examples=50, deadline=None)
-    def test_roundtrip_property(samples: list[int], rate: int) -> None:
-        got_rate, ch, bits, out = decode_wav(encode_wav(rate, 1, samples))
-        assert (got_rate, ch, bits, out) == (rate, 1, 16, samples)
-except ImportError:  # pragma: no cover
-    pass
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=200,
+    ),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+)
+@settings(max_examples=50, deadline=None)
+def test_roundtrip_property(samples: list[int], rate: int) -> None:
+    got_rate, ch, bits, out = decode_wav(encode_wav(rate, 1, samples))
+    assert (got_rate, ch, bits, out) == (rate, 1, 16, samples)
