@@ -1265,3 +1265,105 @@ def sql_column_stats_catalog(table: str = "lineitem") -> str:
         for c in _CATALOG_COLS
     ]
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test (continuous complement of
+# the TVD drift monitor: TVD needs bins; KS compares the full
+# empirical CDFs and is binning-free)
+# ---------------------------------------------------------------------------
+
+
+def ks_drift_test(events: DataFrame) -> DataFrame:
+    """Per event_type, the exact two-sample KS statistic between the
+    even- and odd-event_id halves of the value distribution:
+    D = max_v |F1(v) - F2(v)|, computed as an INTEGER numerator
+    max |c1*n2 - c2*n1| over the merged support (ties handled by
+    evaluating AFTER all rows of each distinct value), divided once in
+    double — deterministic on both engines.
+
+    Plan: one (event_type, value) aggregate, one event_type-keyed
+    window over the distinct-value rows (partition width = distinct
+    values per type, not rows), one final max.  Products are DECIMAL
+    so c*n stays exact at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    labeled = events.select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(2).alias("grp"),
+    )
+    per_val = labeled.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("k2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = Window.partitionBy("event_type")
+    cum = per_val.select(
+        "event_type",
+        F.sum("k1").over(w).alias("c1"),
+        F.sum("k2").over(w).alias("c2"),
+        F.sum("k1").over(wa).alias("n1"),
+        F.sum("k2").over(wa).alias("n2"),
+    )
+    dec = "decimal(38,0)"
+    diff = F.abs(
+        F.col("c1").cast(dec) * F.col("n2").cast(dec)
+        - F.col("c2").cast(dec) * F.col("n1").cast(dec)
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.max(diff).cast("long").alias("d_num"),
+        )
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            "d_num",
+            (
+                F.col("d_num")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("d_stat"),
+        )
+    )
+
+
+def sql_ks_drift_test(table: str = "events") -> str:
+    return f"""
+WITH per_val AS (
+  SELECT event_type, value,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
+         sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS k2
+  FROM {table} GROUP BY event_type, value
+),
+cum AS (
+  SELECT event_type,
+         sum(k1) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS c1,
+         sum(k2) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS c2,
+         sum(k1) OVER (PARTITION BY event_type) AS n1,
+         sum(k2) OVER (PARTITION BY event_type) AS n2
+  FROM per_val
+)
+SELECT event_type,
+       CAST(any_value(n1) AS BIGINT) AS n1,
+       CAST(any_value(n2) AS BIGINT) AS n2,
+       CAST(max(abs(CAST(c1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+                    - CAST(c2 AS HUGEINT) * CAST(n1 AS HUGEINT)))
+            AS BIGINT) AS d_num,
+       CAST(max(abs(CAST(c1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+                    - CAST(c2 AS HUGEINT) * CAST(n1 AS HUGEINT)))
+            AS BIGINT)
+         / (CAST(any_value(n1) AS DOUBLE) * CAST(any_value(n2) AS DOUBLE))
+         AS d_stat
+FROM cum GROUP BY event_type
+"""

@@ -52,3 +52,55 @@ def test_column_stats_catalog_matches_duckdb(spark, sf_dir) -> None:
     }
     assert got == want
     assert len(got) == 11
+
+
+def test_ks_drift_identical_halves_zero(spark) -> None:
+    """If both halves carry the same value multiset, D must be 0; a
+    fully shifted half must give D = 1."""
+    from pyspark.sql import Row
+
+    same = [
+        Row(event_id=i, event_type="a", value=float(i % 5))
+        for i in range(20)
+    ]  # parity halves see identical value multisets {0..4}x2
+    out = stats_mod.ks_drift_test(spark.createDataFrame(same)).collect()
+    assert out[0]["d_num"] == 0 and out[0]["d_stat"] == 0.0
+
+    shifted = [
+        Row(
+            event_id=i,
+            event_type="b",
+            value=float(i % 2),  # even ids -> 0.0, odd ids -> 1.0
+        )
+        for i in range(20)
+    ]
+    out = stats_mod.ks_drift_test(spark.createDataFrame(shifted)).collect()
+    assert out[0]["d_stat"] == 1.0
+
+
+def test_ks_drift_matches_scipy_formula(spark) -> None:
+    """Cross-check the exact statistic against a direct two-sample
+    computation in Python on the fixture data."""
+    from eventstreamd_spark.session import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = {
+        r["event_type"]: r for r in stats_mod.ks_drift_test(events).collect()
+    }
+    rows = events.select("event_id", "event_type", "value").collect()
+    by_type: dict = {}
+    for r in rows:
+        g = by_type.setdefault(r["event_type"], ([], []))
+        g[0 if r["event_id"] % 2 == 0 else 1].append(r["value"])
+    for et, (a, b) in by_type.items():
+        n1, n2 = len(a), len(b)
+        support = sorted(set(a) | set(b))
+        d_num = max(
+            abs(
+                sum(1 for x in a if x <= v) * n2
+                - sum(1 for x in b if x <= v) * n1
+            )
+            for v in support
+        )
+        assert got[et]["d_num"] == d_num
+        assert got[et]["d_stat"] == d_num / (float(n1) * float(n2))
