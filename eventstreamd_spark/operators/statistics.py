@@ -1367,3 +1367,87 @@ SELECT event_type,
          AS d_stat
 FROM cum GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Least-squares trend per event type (exact-moment linear regression)
+# ---------------------------------------------------------------------------
+
+
+def value_trend_regression(events: DataFrame) -> DataFrame:
+    """Per event_type OLS of value on time: slope (value units per
+    second) and intercept from the closed-form moment solution,
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) — every moment an exact
+    DECIMAL sum (x = integer epoch seconds; y carries <= 4 dp, the
+    module's DECIMAL(28,4) value idiom), so both engines divide the
+    SAME two doubles.  Degenerate types (all events in one second)
+    emit NULL slope/intercept instead of a division error.
+
+    Plan: ONE map-side-combining aggregate per event_type — the
+    canonical one-pass regression; no window, no second scan.
+    """
+    # integer discipline end-to-end: x = epoch seconds (BIGINT),
+    # y scaled to 1e-4 units via round() (half-away in both engines);
+    # all moments are then exact integer sums, and BOTH engines apply
+    # the identical two-step double conversion (exact-int -> double,
+    # then the same division chain), so slope/intercept match
+    # bit-for-bit
+    x = F.expr("unix_micros(ts) div 1000000")
+    y = F.round(F.col("value") * F.lit(10000.0), 0).cast("long")
+    dec = "decimal(38,0)"
+    agg = events.select(
+        "event_type", x.alias("x"), y.alias("y")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy_i"),
+        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy_i"),
+    )
+    n_dec = F.col("n").cast(dec)
+    num = (
+        n_dec * F.col("sxy_i") - F.col("sx") * F.col("sy_i")
+    ).cast("double")
+    den = (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = (num / F.lit(10000.0)) / den
+    xbar = F.col("sx").cast("double") / F.col("n").cast("double")
+    ybar = (
+        F.col("sy_i").cast("double") / F.lit(10000.0)
+    ) / F.col("n").cast("double")
+    return agg.select(
+        "event_type",
+        "n",
+        F.when(den != 0.0, slope).alias("slope_per_sec"),
+        F.when(den != 0.0, ybar - slope * xbar).alias("intercept"),
+    )
+
+
+def sql_value_trend_regression(table: str = "events") -> str:
+    def d2d(expr: str) -> str:
+        return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+    num = (
+        "CAST(n AS HUGEINT) * sxy_i - sx * sy_i"
+    )
+    den = "CAST(n AS HUGEINT) * sxx - sx * sx"
+    return f"""
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(CAST(epoch_us(ts) // 1000000 AS HUGEINT)) AS sx,
+         sum(CAST(round(value * 10000.0, 0) AS HUGEINT)) AS sy_i,
+         sum(CAST(epoch_us(ts) // 1000000 AS HUGEINT)
+             * CAST(epoch_us(ts) // 1000000 AS HUGEINT)) AS sxx,
+         sum(CAST(epoch_us(ts) // 1000000 AS HUGEINT)
+             * CAST(round(value * 10000.0, 0) AS HUGEINT)) AS sxy_i
+  FROM {table} GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN {d2d(den)} = 0.0 THEN NULL
+            ELSE ({d2d(num)} / 10000.0) / {d2d(den)} END AS slope_per_sec,
+       CASE WHEN {d2d(den)} = 0.0 THEN NULL
+            ELSE ({d2d("sy_i")} / 10000.0) / CAST(n AS DOUBLE)
+                 - (({d2d(num)} / 10000.0) / {d2d(den)})
+                   * ({d2d("sx")} / CAST(n AS DOUBLE)) END AS intercept
+FROM m
+"""

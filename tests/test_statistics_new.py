@@ -104,3 +104,37 @@ def test_ks_drift_matches_scipy_formula(spark) -> None:
         )
         assert got[et]["d_num"] == d_num
         assert got[et]["d_stat"] == d_num / (float(n1) * float(n2))
+
+
+def test_trend_regression_recovers_planted_slope(spark) -> None:
+    """A perfectly linear series must regress to its exact slope and
+    intercept; a one-timestamp group must yield NULLs, not an error."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            event_type="lin",
+            ts=t0 + datetime.timedelta(seconds=i),
+            value=5.0 + 2.5 * i,  # slope 2.5 per second
+        )
+        for i in range(50)
+    ] + [
+        Row(event_id=100 + i, event_type="flat", ts=t0, value=1.0)
+        for i in range(3)
+    ]
+    out = {
+        r["event_type"]: r
+        for r in stats_mod.value_trend_regression(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    assert abs(out["lin"]["slope_per_sec"] - 2.5) < 1e-9
+    # intercept is at epoch 0, extrapolated: y(t0) - slope * t0_seconds
+    t0_s = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert abs(out["lin"]["intercept"] - (5.0 - 2.5 * t0_s)) < 1e-4
+    assert out["flat"]["slope_per_sec"] is None
+    assert out["flat"]["intercept"] is None
