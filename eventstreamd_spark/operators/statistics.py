@@ -1451,3 +1451,119 @@ SELECT event_type, n,
                    * ({d2d("sx")} / CAST(n AS DOUBLE)) END AS intercept
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U / AUC effect size (rank-based sibling of ks_drift_test
+# and the parametric ab_test_report z)
+# ---------------------------------------------------------------------------
+
+
+def mannwhitney_auc(events: DataFrame) -> DataFrame:
+    """Per event_type, the exact Mann-Whitney U between the even- and
+    odd-event_id halves, reported as doubled integers (midranks for
+    ties are half-integers, so 2R and 2U are exact BIGINTs) plus the
+    AUC normalization U / (n1*n2) = P(X1 > X2) + 0.5*P(X1 = X2) —
+    the common-language effect size a metrics review actually reads.
+
+    Rank sums come from one ordered window over the DISTINCT-value
+    rows (tied blocks contribute k1 * (2*before + block + 1) to 2R1 —
+    the midrank formula cleared of halves), so no per-row global sort
+    ever happens.  One double division at the end; everything before
+    it is integer-exact on both engines.
+    """
+    from pyspark.sql import Window
+
+    labeled = events.select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(2).alias("grp"),
+    )
+    per_val = labeled.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("k2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = Window.partitionBy("event_type")
+    dec = "decimal(38,0)"
+    cum = per_val.select(
+        "event_type",
+        "k1",
+        "k2",
+        (F.sum("k1").over(w) - F.col("k1")).alias("b1"),
+        (F.sum("k2").over(w) - F.col("k2")).alias("b2"),
+        F.sum("k1").over(wa).alias("n1"),
+        F.sum("k2").over(wa).alias("n2"),
+    )
+    contrib = F.col("k1").cast(dec) * (
+        F.lit(2).cast(dec)
+        * (F.col("b1").cast(dec) + F.col("b2").cast(dec))
+        + F.col("k1").cast(dec)
+        + F.col("k2").cast(dec)
+        + F.lit(1).cast(dec)
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.sum(contrib).alias("r1_x2"),
+    )
+    u1_x2 = (
+        F.col("r1_x2")
+        - F.col("n1").cast(dec) * (F.col("n1").cast(dec) + F.lit(1).cast(dec))
+    )
+    return agg.select(
+        "event_type",
+        "n1",
+        "n2",
+        u1_x2.cast("long").alias("u1_x2"),
+        (
+            u1_x2.cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n1").cast("double")
+                * F.col("n2").cast("double")
+            )
+        ).alias("auc"),
+    )
+
+
+def sql_mannwhitney_auc(table: str = "events") -> str:
+    return f"""
+WITH per_val AS (
+  SELECT event_type, value,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
+         sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS k2
+  FROM {table} GROUP BY event_type, value
+),
+cum AS (
+  SELECT event_type, k1, k2,
+         sum(k1) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) - k1 AS b1,
+         sum(k2) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) - k2 AS b2,
+         sum(k1) OVER (PARTITION BY event_type) AS n1,
+         sum(k2) OVER (PARTITION BY event_type) AS n2
+  FROM per_val
+),
+agg AS (
+  SELECT event_type,
+         any_value(n1) AS n1, any_value(n2) AS n2,
+         sum(CAST(k1 AS HUGEINT)
+             * (2 * (CAST(b1 AS HUGEINT) + CAST(b2 AS HUGEINT))
+                + CAST(k1 AS HUGEINT) + CAST(k2 AS HUGEINT) + 1))
+           AS r1_x2
+  FROM cum GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(r1_x2 - CAST(n1 AS HUGEINT) * (CAST(n1 AS HUGEINT) + 1)
+            AS BIGINT) AS u1_x2,
+       CAST(r1_x2 - CAST(n1 AS HUGEINT) * (CAST(n1 AS HUGEINT) + 1)
+            AS BIGINT)
+         / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
+FROM agg
+"""

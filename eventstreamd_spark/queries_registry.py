@@ -2544,6 +2544,14 @@ def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mannwhitney_auc", stats_mod.sql_mannwhitney_auc())
+def mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (doubled-integer midranks) + AUC effect
+    size per event type — the rank-based sibling of the KS and z
+    tests."""
+    return stats_mod.mannwhitney_auc(load_table(spark, sf_dir, "events"))
+
+
 @register("value_trend_regression", stats_mod.sql_value_trend_regression())
 def value_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass OLS trend per event type (exact integer moments, the
@@ -2781,7 +2789,7 @@ _COST_HINT = {
     "embedding_covariance": 0.90, "random_projection": 0.40,
     "pca_projection_topk": 1.50, "pagerank_canonical": 7.50,
     "entity_resolution": 4.50, "source_overlap": 1.80,
-    "payload_schema_profile": 1.00, "event_transitions": 0.80, "ks_drift_test": 0.70, "value_trend_regression": 0.60,
+    "payload_schema_profile": 1.00, "event_transitions": 0.80, "ks_drift_test": 0.70, "value_trend_regression": 0.60, "mannwhitney_auc": 0.70,
     "ab_test_report": 0.50, "column_stats_catalog": 0.60,
     "corpus_build_manifest": 5.00, "multimodal_wav_features": 0.70, "multimodal_mp4_features": 0.70, "mixed_media_manifest": 0.90,
     # round-5 additions (sketch tier)

@@ -138,3 +138,33 @@ def test_trend_regression_recovers_planted_slope(spark) -> None:
     assert abs(out["lin"]["intercept"] - (5.0 - 2.5 * t0_s)) < 1e-4
     assert out["flat"]["slope_per_sec"] is None
     assert out["flat"]["intercept"] is None
+
+
+def test_mannwhitney_auc_reference(spark) -> None:
+    """AUC = P(X1 > X2) + 0.5 P(X1 = X2): verify against a direct
+    O(n1*n2) computation, including ties; fully separated groups give
+    AUC 1 (or 0)."""
+    from pyspark.sql import Row
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    rows = [
+        Row(event_id=i, event_type="m", value=v) for i, v in enumerate(vals)
+    ] + [
+        # group 1 (even ids) strictly above group 2 -> AUC exactly 1
+        Row(event_id=100 + i, event_type="sep", value=float(10 + (i % 2) * -9 + (0 if i % 2 else 10)))
+        for i in range(8)
+    ]
+    out = {
+        r["event_type"]: r
+        for r in stats_mod.mannwhitney_auc(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    a = [v for i, v in enumerate(vals) if i % 2 == 0]
+    b = [v for i, v in enumerate(vals) if i % 2 == 1]
+    auc_ref = sum(
+        1.0 if x > y else (0.5 if x == y else 0.0) for x in a for y in b
+    ) / (len(a) * len(b))
+    assert out["m"]["auc"] == auc_ref
+    assert out["m"]["n1"] == len(a) and out["m"]["n2"] == len(b)
+    assert out["sep"]["auc"] == 1.0
