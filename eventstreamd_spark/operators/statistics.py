@@ -1567,3 +1567,135 @@ SELECT event_type,
          / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM level-shift detection (drawup form: S_i = cum_i - min cum_<=i,
+# the window-expressible equivalent of the reset-at-zero recurrence)
+# ---------------------------------------------------------------------------
+
+CUSUM_SCALE = 10_000  # value quantization: 1e-4 units, exact BIGINTs
+
+
+def cusum_shift_detection(
+    events: DataFrame, threshold: float = 500.0
+) -> DataFrame:
+    """Per event_type, one-sided CUSUM against the type's own mean:
+    with d_i = y_i - mean(y) (both in exact 1e-4 integer units),
+    S_i = cum_i - min(cum_j, j <= i) is the classic upward-shift
+    statistic (identical to the max(0, S+d) recurrence), and the type
+    is flagged when max S_i clears ``threshold``.  Emits the maximum
+    excursion, where it peaked, and the first crossing event.
+
+    Everything is integer until the final unscaling: values quantize
+    by round(v * 1e4) (half-away both engines), the mean subtraction
+    is cleared of division by working on n*cum (compare n-scaled
+    excursions against n*threshold), so no rational ever rounds.
+    One ordered window per type over (ts, event_id); no global sort.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    yi = F.round(F.col("value") * F.lit(float(CUSUM_SCALE)), 0).cast("long")
+    base = events.select(
+        "event_type", "ts", "event_id", yi.alias("yi")
+    )
+    wa = Window.partitionBy("event_type")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # n-scaled deviations: n*d_i = n*y_i - sum(y)  (exact integers)
+    scaled = base.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.count(F.lit(1)).over(wa).cast(dec) * F.col("yi").cast(dec)
+            - F.sum(F.col("yi").cast(dec)).over(wa)
+        ).alias("nd"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    cum = (
+        scaled.select(
+            "event_type",
+            "ts",
+            "event_id",
+            "n",
+            F.sum("nd").over(w).alias("c"),
+        )
+        .withColumn("s", F.col("c") - F.min("c").over(w))
+        .select("event_type", "event_id", "n", "s")
+    )
+    # n-scaled threshold: flag when s >= n * threshold * SCALE
+    h = F.col("n").cast(dec) * F.lit(
+        int(threshold * CUSUM_SCALE)
+    ).cast(dec)
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.max("s").alias("max_s"),
+            F.min(
+                F.when(F.col("s") >= h, F.col("event_id"))
+            ).alias("first_crossing_event"),
+        )
+        .select(
+            "event_type",
+            "n",
+            # unscale: max excursion back in value units (one division)
+            (
+                F.col("max_s").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.lit(float(CUSUM_SCALE))
+                )
+            ).alias("max_excursion"),
+            (F.col("max_s") >= h).alias("shift_detected"),
+            "first_crossing_event",
+        )
+    )
+
+
+def sql_cusum_shift_detection(
+    table: str = "events", threshold: float = 500.0
+) -> str:
+    h_scaled = int(threshold * CUSUM_SCALE)
+    return f"""
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * {CUSUM_SCALE}.0, 0) AS HUGEINT) AS yi
+  FROM {table}
+),
+scaled AS (
+  SELECT event_type, ts, event_id,
+         count(*) OVER (PARTITION BY event_type) * yi
+           - sum(yi) OVER (PARTITION BY event_type) AS nd,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+cum AS (
+  SELECT event_type, ts, event_id, n,
+         sum(nd) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS c
+  FROM scaled
+),
+s AS (
+  SELECT event_type, event_id, n,
+         c - min(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS s
+  FROM cum
+)
+SELECT event_type,
+       CAST(any_value(n) AS BIGINT) AS n,
+       CAST(CAST(max(s) AS VARCHAR) AS DOUBLE)
+         / (CAST(any_value(n) AS DOUBLE) * {CUSUM_SCALE}.0)
+         AS max_excursion,
+       max(s) >= any_value(n) * CAST({h_scaled} AS HUGEINT)
+         AS shift_detected,
+       CAST(min(CASE WHEN s >= n * CAST({h_scaled} AS HUGEINT)
+                     THEN event_id END) AS BIGINT)
+         AS first_crossing_event
+FROM s GROUP BY event_type
+"""

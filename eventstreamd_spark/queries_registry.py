@@ -2544,6 +2544,15 @@ def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cusum_shift_detection", stats_mod.sql_cusum_shift_detection())
+def cusum_shift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per event type (drawup form,
+    n-scaled exact integers; flags, peak excursion, first crossing)."""
+    return stats_mod.cusum_shift_detection(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 @register("mannwhitney_auc", stats_mod.sql_mannwhitney_auc())
 def mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Mann-Whitney U (doubled-integer midranks) + AUC effect
@@ -2789,7 +2798,7 @@ _COST_HINT = {
     "embedding_covariance": 0.90, "random_projection": 0.40,
     "pca_projection_topk": 1.50, "pagerank_canonical": 7.50,
     "entity_resolution": 4.50, "source_overlap": 1.80,
-    "payload_schema_profile": 1.00, "event_transitions": 0.80, "ks_drift_test": 0.70, "value_trend_regression": 0.60, "mannwhitney_auc": 0.70,
+    "payload_schema_profile": 1.00, "event_transitions": 0.80, "ks_drift_test": 0.70, "value_trend_regression": 0.60, "mannwhitney_auc": 0.70, "cusum_shift_detection": 0.70,
     "ab_test_report": 0.50, "column_stats_catalog": 0.60,
     "corpus_build_manifest": 5.00, "multimodal_wav_features": 0.70, "multimodal_mp4_features": 0.70, "mixed_media_manifest": 0.90,
     # round-5 additions (sketch tier)

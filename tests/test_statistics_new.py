@@ -168,3 +168,43 @@ def test_mannwhitney_auc_reference(spark) -> None:
     assert out["m"]["auc"] == auc_ref
     assert out["m"]["n1"] == len(a) and out["m"]["n2"] == len(b)
     assert out["sep"]["auc"] == 1.0
+
+
+def test_cusum_detects_planted_level_shift(spark) -> None:
+    """A mid-series level jump must cross the threshold with the
+    crossing localized after the shift; a flat series must not."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            event_type="shifted",
+            ts=t0 + datetime.timedelta(seconds=i),
+            value=10.0 if i < 50 else 110.0,  # +100 jump at i=50
+        )
+        for i in range(100)
+    ] + [
+        Row(
+            event_id=200 + i,
+            event_type="flat",
+            ts=t0 + datetime.timedelta(seconds=i),
+            value=10.0,
+        )
+        for i in range(100)
+    ]
+    out = {
+        r["event_type"]: r
+        for r in stats_mod.cusum_shift_detection(
+            spark.createDataFrame(rows), threshold=500.0
+        ).collect()
+    }
+    assert out["shifted"]["shift_detected"]
+    assert out["shifted"]["first_crossing_event"] >= 50
+    # drawup of the centered walk peaks at the series end: 50 * 50
+    assert abs(out["shifted"]["max_excursion"] - 2500.0) < 1e-6
+    assert not out["flat"]["shift_detected"]
+    assert out["flat"]["first_crossing_event"] is None
+    assert out["flat"]["max_excursion"] == 0.0
