@@ -25,6 +25,17 @@ D4 = "decimal(28,4)"
 D8 = "decimal(38,8)"
 
 
+def _d2d(expr: str) -> str:
+    """DuckDB exact DECIMAL/HUGEINT -> DOUBLE: the VARCHAR round-trip
+    is correctly rounded (the direct cast can be 1 ULP off above 2^53,
+    dividing separately-rounded int128 value and 10^scale doubles),
+    matching Spark's BigDecimal.doubleValue().  The module's one
+    cross-engine canonicalization idiom — keep every SQL twin on it.
+    """
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
+
 def _power_sums(x: F.Column, y: F.Column) -> list[F.Column]:
     """Exact power sums for two 2-dp metric columns."""
     xd = x.cast(D4)
@@ -66,13 +77,7 @@ def price_quantity_moments(lineitem: DataFrame) -> DataFrame:
 
 
 def sql_price_quantity_moments(lineitem: str = "lineitem") -> str:
-    # decimal -> double goes through VARCHAR: DuckDB's direct
-    # DECIMAL(38,8)->DOUBLE cast divides two separately-rounded doubles
-    # (int128 value, 10^scale) and lands 1 ULP off correctly-rounded for
-    # some sums; the string round-trip is correctly rounded, matching
-    # Spark's BigDecimal.doubleValue().
-    def d2d(expr: str) -> str:
-        return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+    d2d = _d2d  # exact decimal->double canonicalization (module helper)
 
     sums = (
         "SELECT l_returnflag, CAST(COUNT(1) AS BIGINT) AS n, "
@@ -950,8 +955,7 @@ def contingency_profile(lineitem: DataFrame) -> DataFrame:
 
 
 def sql_contingency_profile(table: str = "lineitem") -> str:
-    def d2d(expr: str) -> str:
-        return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+    d2d = _d2d
 
     # mirror the Spark formulation op-for-op: exact DECIMAL deviation
     # -> one correctly-rounded double, then plain double arithmetic in
@@ -1267,6 +1271,34 @@ def sql_column_stats_catalog(table: str = "lineitem") -> str:
     return " UNION ALL ".join(parts)
 
 
+def _parity_value_counts(events: DataFrame) -> DataFrame:
+    """Shared split for the two-sample tests: per (event_type, value),
+    counts from the even- (k1) and odd- (k2) event_id halves.  NULL
+    values are not samples and are dropped explicitly — the engines
+    disagree on NULL placement in ORDER BY, so letting them through
+    would silently break the hash-exact oracle."""
+    labeled = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(2).alias("grp"),
+    )
+    return labeled.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("k2"),
+    )
+
+
+def _sql_parity_value_counts(table: str) -> str:
+    """DuckDB twin of _parity_value_counts (same NULL drop)."""
+    return (
+        "SELECT event_type, value, "
+        "sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS k1, "
+        "sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS k2 "
+        f"FROM {table} WHERE value IS NOT NULL "
+        "GROUP BY event_type, value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov drift test (continuous complement of
 # the TVD drift monitor: TVD needs bins; KS compares the full
@@ -1280,7 +1312,10 @@ def ks_drift_test(events: DataFrame) -> DataFrame:
     D = max_v |F1(v) - F2(v)|, computed as an INTEGER numerator
     max |c1*n2 - c2*n1| over the merged support (ties handled by
     evaluating AFTER all rows of each distinct value), divided once in
-    double — deterministic on both engines.
+    double — deterministic on both engines.  D_num is bounded by
+    n1*n2, so the BIGINT output holds to ~3e9 rows per half per type;
+    past that both engines fail LOUDLY (ANSI cast / out-of-range), a
+    signal to widen the output column, never a silent wrap.
 
     Plan: one (event_type, value) aggregate, one event_type-keyed
     window over the distinct-value rows (partition width = distinct
@@ -1289,15 +1324,7 @@ def ks_drift_test(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    labeled = events.select(
-        "event_type",
-        "value",
-        F.when(F.col("event_id") % 2 == 0, 1).otherwise(2).alias("grp"),
-    )
-    per_val = labeled.groupBy("event_type", "value").agg(
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("k1"),
-        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("k2"),
-    )
+    per_val = _parity_value_counts(events)
     w = (
         Window.partitionBy("event_type")
         .orderBy("value")
@@ -1338,12 +1365,7 @@ def ks_drift_test(events: DataFrame) -> DataFrame:
 
 def sql_ks_drift_test(table: str = "events") -> str:
     return f"""
-WITH per_val AS (
-  SELECT event_type, value,
-         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
-         sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS k2
-  FROM {table} GROUP BY event_type, value
-),
+WITH per_val AS ({_sql_parity_value_counts(table)}),
 cum AS (
   SELECT event_type,
          sum(k1) OVER (PARTITION BY event_type ORDER BY value
@@ -1423,8 +1445,7 @@ def value_trend_regression(events: DataFrame) -> DataFrame:
 
 
 def sql_value_trend_regression(table: str = "events") -> str:
-    def d2d(expr: str) -> str:
-        return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+    d2d = _d2d
 
     num = (
         "CAST(n AS HUGEINT) * sxy_i - sx * sy_i"
@@ -1474,15 +1495,7 @@ def mannwhitney_auc(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    labeled = events.select(
-        "event_type",
-        "value",
-        F.when(F.col("event_id") % 2 == 0, 1).otherwise(2).alias("grp"),
-    )
-    per_val = labeled.groupBy("event_type", "value").agg(
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("k1"),
-        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("k2"),
-    )
+    per_val = _parity_value_counts(events)
     w = (
         Window.partitionBy("event_type")
         .orderBy("value")
@@ -1533,12 +1546,7 @@ def mannwhitney_auc(events: DataFrame) -> DataFrame:
 
 def sql_mannwhitney_auc(table: str = "events") -> str:
     return f"""
-WITH per_val AS (
-  SELECT event_type, value,
-         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
-         sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS k2
-  FROM {table} GROUP BY event_type, value
-),
+WITH per_val AS ({_sql_parity_value_counts(table)}),
 cum AS (
   SELECT event_type, k1, k2,
          sum(k1) OVER (PARTITION BY event_type ORDER BY value
@@ -1625,12 +1633,20 @@ def cusum_shift_detection(
             "n",
             F.sum("nd").over(w).alias("c"),
         )
-        .withColumn("s", F.col("c") - F.min("c").over(w))
+        # least(0, running min): the empty prefix contributes cum_0=0
+        # to the min, making this EXACTLY the max(0, S+d) recurrence —
+        # without it a series whose centered cumsum stays positive
+        # early (shift at the very first events) under-reports S
+        .withColumn(
+            "s",
+            F.col("c")
+            - F.least(F.lit(0).cast("decimal(38,0)"), F.min("c").over(w)),
+        )
         .select("event_type", "event_id", "n", "s")
     )
     # n-scaled threshold: flag when s >= n * threshold * SCALE
     h = F.col("n").cast(dec) * F.lit(
-        int(threshold * CUSUM_SCALE)
+        round(threshold * CUSUM_SCALE)
     ).cast(dec)
     return (
         cum.groupBy("event_type")
@@ -1661,7 +1677,7 @@ def cusum_shift_detection(
 def sql_cusum_shift_detection(
     table: str = "events", threshold: float = 500.0
 ) -> str:
-    h_scaled = int(threshold * CUSUM_SCALE)
+    h_scaled = round(threshold * CUSUM_SCALE)
     return f"""
 WITH base AS (
   SELECT event_type, ts, event_id,
@@ -1683,8 +1699,9 @@ cum AS (
 ),
 s AS (
   SELECT event_type, event_id, n,
-         c - min(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS s
+         c - least(CAST(0 AS HUGEINT),
+                   min(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING)) AS s
   FROM cum
 )
 SELECT event_type,

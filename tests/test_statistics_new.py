@@ -78,12 +78,12 @@ def test_ks_drift_identical_halves_zero(spark) -> None:
     assert out[0]["d_stat"] == 1.0
 
 
-def test_ks_drift_matches_scipy_formula(spark) -> None:
+def test_ks_drift_matches_scipy_formula(spark, sf_dir) -> None:
     """Cross-check the exact statistic against a direct two-sample
     computation in Python on the fixture data."""
     from eventstreamd_spark.session import load_table
 
-    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events = load_table(spark, sf_dir, "events")
     got = {
         r["event_type"]: r for r in stats_mod.ks_drift_test(events).collect()
     }
@@ -208,3 +208,31 @@ def test_cusum_detects_planted_level_shift(spark) -> None:
     assert not out["flat"]["shift_detected"]
     assert out["flat"]["first_crossing_event"] is None
     assert out["flat"]["max_excursion"] == 0.0
+
+
+
+def test_cusum_detects_shift_at_series_start(spark) -> None:
+    """Regression for the empty-prefix baseline: a one-sided upward
+    deviation on the FIRST event must register (the drawup without the
+    cum_0 = 0 term reports 0 here)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            event_type="early",
+            ts=t0 + datetime.timedelta(seconds=i),
+            value=160.0 if i == 0 else 59.0,
+        )
+        for i in range(100)
+    ]
+    out = stats_mod.cusum_shift_detection(
+        spark.createDataFrame(rows), threshold=50.0
+    ).collect()[0]
+    # centered series: first deviation is +(160 - mean) ~ +99.99
+    assert out["max_excursion"] > 99.0
+    assert out["shift_detected"]
+    assert out["first_crossing_event"] == 0
