@@ -1766,6 +1766,13 @@ def split_leakage_check(
     split join keys are 8-byte doc ids against a 2-column broadcastable
     projection — the expensive part (pair generation) is the existing
     bounded LSH plan, reused as-is.
+
+    Two-leg audit note: the ``splits`` frame feeds BOTH join legs, but
+    deliberately stays un-checkpointed — it is a hash of doc_id over a
+    pruned single-column scan (no text read), so recomputing it costs
+    two narrow column scans while materializing it would add an
+    exchange plus corpus-sized checkpoint storage.  The expensive
+    subtree (LSH pair generation) feeds exactly one leg.
     """
     from eventstreamd_spark.operators.sampling import dataset_split
 

@@ -36,6 +36,7 @@ from eventstreamd_spark.functions.vectors import (
     sql_cosine_guarded,
     to_double,
 )
+from eventstreamd_spark.plans.memo import memo_checkpoint
 from eventstreamd_spark.session import fan_out
 
 N_PLANES = 16
@@ -757,8 +758,16 @@ def pq_topk(
     one explicit left-associative sum (no float-sum accumulation-order
     nondeterminism), which keeps ranks oracle-exact.  Ties (two corpus
     vectors sharing all 8 codes) break on vec_id.
+
+    The code table (vec_id + 8 small ints — the 64x-compressed corpus)
+    is ``memo_checkpoint``ed: ``pq_ann`` and ``ann_recall_pq`` run over
+    the SAME codes, and re-encoding the corpus per query is exactly the
+    work a persisted PQ index exists to avoid.  Likewise the per-query
+    LUT (|Q| x PQ_K rows): without materialization each of the 8
+    broadcast legs below re-executes the LUT subtree (8 redundant scans
+    of the embeddings source just to rebuild an 80-row frame).
     """
-    codes = pq_codes(embeddings)
+    codes = memo_checkpoint(pq_codes(embeddings))
     cents = embeddings.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("k"), F.col("embedding").alias("cvec")
     )
@@ -767,10 +776,15 @@ def pq_topk(
     # distances (|Q| x 16 rows), then 8 cheap column-slices of it for
     # the per-subspace joins — same shape as the SQL twin, and far
     # fewer driver-side plan nodes than an 8-part union.
-    lut = q.join(F.broadcast(cents)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("k"),
-        *[_sub_l2("embedding", "cvec", m).alias(f"d{m}") for m in range(PQ_M)],
+    lut = memo_checkpoint(
+        q.join(F.broadcast(cents)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("k"),
+            *[
+                _sub_l2("embedding", "cvec", m).alias(f"d{m}")
+                for m in range(PQ_M)
+            ],
+        )
     )
     scored = codes
     for m in range(PQ_M):
@@ -920,11 +934,18 @@ def ann_recall_report(
 
     Composes the two existing operators and joins on (query, neighbor):
     the exact side is the |Q|-bounded brute-force scan, so the report
-    costs one corpus pass more than the ANN query it audits.
+    costs one corpus pass more than the ANN query it audits — and only
+    for the FIRST tier audited: the exact ranking (|Q| x k rows) is
+    ``memo_checkpoint``ed, so auditing the IVF and PQ rungs
+    back-to-back pays the brute-force corpus scan once, not per rung
+    (the in-session analog of persisting the eval ranking an index
+    rebuild reuses across its recall dashboards).
     """
     approx_fn = {"ivf": ivf_topk, "pq": pq_topk}[tier]
-    exact = brute_force_topk(embeddings, query_ids, k=k).select(
-        "query_id", "neighbor_id"
+    exact = memo_checkpoint(
+        brute_force_topk(embeddings, query_ids, k=k).select(
+            "query_id", "neighbor_id"
+        )
     )
     approx = approx_fn(embeddings, query_ids, k=k).select(
         "query_id", F.col("neighbor_id").alias("approx_neighbor")

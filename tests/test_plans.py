@@ -420,3 +420,45 @@ def test_media_dedup_prunes_blob_from_exchange(plans) -> None:
     ex = phys.split("Exchange hashpartitioning", 1)
     assert len(ex) == 2
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in phys
+
+
+def test_recall_tiers_share_one_exact_ranking(spark, sf_dir) -> None:
+    # ann_recall (IVF) and ann_recall_pq audit against the SAME exact
+    # brute-force ranking; memo_checkpoint must materialize it once and
+    # serve the second tier (and repeated eval passes) from the memo.
+    from eventstreamd_spark.plans import memo
+
+    memo.memo_clear()
+    before = memo.HITS
+    qr.QUERIES["ann_recall"](spark, sf_dir).collect()
+    assert memo.HITS == before  # first tier: all misses
+    qr.QUERIES["ann_recall_pq"](spark, sf_dir).collect()
+    # second tier reuses the exact ranking checkpoint (>=1 hit); the
+    # pq codes + LUT entries are fresh (different plans)
+    assert memo.HITS >= before + 1
+
+
+def test_pq_ann_and_recall_share_code_table(spark, sf_dir) -> None:
+    # the PQ code table is the persisted-index analog: pq_ann builds
+    # it, ann_recall_pq (and any later pq_topk caller) reuses it.
+    from eventstreamd_spark.plans import memo
+
+    memo.memo_clear()
+    qr.QUERIES["pq_ann"](spark, sf_dir).collect()
+    before = memo.HITS
+    qr.QUERIES["pq_ann"](spark, sf_dir).collect()
+    # codes + LUT both served from the memo on the second build
+    assert memo.HITS >= before + 2
+
+
+def test_memo_checkpoint_plan_is_leaf(spark, sf_dir) -> None:
+    # the memoized exact ranking enters downstream plans as a
+    # materialized leaf (ExistingRDD/LogicalRDD), not a re-expanded
+    # corpus scan: the recall report's plan must contain exactly the
+    # approx tier's parquet scans plus a checkpoint leaf.
+    from eventstreamd_spark.plans import memo
+
+    memo.memo_clear()
+    df = qr.QUERIES["ann_recall"](spark, sf_dir)
+    plan = explain_string(df, "extended")
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
