@@ -19,8 +19,12 @@ Design for 100 TB of blobs:
 - decode runs in ``mapInPandas`` so each task processes Arrow batches
   (zero-copy into numpy), and ``spark.sql.files.maxPartitionBytes`` /
   ``maxRecordsPerBatch`` bound executor memory per batch;
-- features come back as fixed-width arrays -> downstream similarity /
-  dedup reuse the vector operators unchanged.
+- features come back as arrays whose width is FIXED PER MEDIA TYPE
+  (PNG: 8 = w/h/channels/4 channel means/overall mean; WAV: 7; MP4: 4;
+  the undecodable-payload fallback: FEATURE_DIM = 8 histogram bins) —
+  so a single-modality corpus feeds the vector operators unchanged,
+  while a mixed corpus must first project/pad per type (what
+  ``mixed_media_manifest`` does) before cross-modal vector reuse.
 """
 
 from __future__ import annotations
@@ -438,32 +442,12 @@ def documents_as_mp4_media(docs: DataFrame) -> DataFrame:
 def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
     """Adapter: a MIXED media corpus — doc_id % 3 picks PNG / WAV /
     MP4, each synthesized for real — the realistic shape where one
-    decode stage must dispatch per row on content, not on a column."""
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        synths = {0: _synth_png, 1: _synth_wav, 2: _synth_mp4}
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "blob": pdf["doc_id"].map(
-                        lambda d: synths[int(d) % 3](int(d))
-                    ),
-                }
-            )
-
-    blobs = fan_out(docs.select("doc_id")).mapInPandas(
-        synth, schema="doc_id bigint, blob binary"
-    )
-    return blobs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
-        .otherwise(F.lit("video/mp4"))
-        .alias("media_type"),
-        "blob",
-        F.length("blob").cast("int").alias("byte_len"),
-        F.md5("blob").alias("content_md5"),
+    decode stage must dispatch per row on content, not on a column.
+    Same adapter as the single-modality tables; only the synth
+    dispatch and the media_type projection vary."""
+    synths = {0: _synth_png, 1: _synth_wav, 2: _synth_mp4}
+    return _synth_media_adapter(
+        docs, lambda d: synths[d % 3](d), _media_type_by_doc_id()
     )
 
 

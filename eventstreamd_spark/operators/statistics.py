@@ -1139,9 +1139,13 @@ FROM counts
 
 
 def ab_test_report(events: DataFrame) -> DataFrame:
-    """Experimentation primitive: hash-split users into A/B by parity,
-    measure per-user conversion (>= 1 ``purchase`` event), and emit
-    the two-proportion pooled z statistic.
+    """Experimentation primitive: split users into A/B by user_id
+    parity (A = even, B = odd — swap in a salted hash of the id for a
+    production assignment; parity keeps the oracle trivially exact),
+    measure per-user conversion — here >= 1 ``purchase`` event with
+    ``value >= 150.0`` (a big-ticket-purchase conversion predicate;
+    adjust the threshold to taste) — and emit the two-proportion
+    pooled z statistic.
 
     Determinism: conversions and denominators are exact integer
     aggregates; every double after that is ONE fixed expression tree
@@ -1355,9 +1359,14 @@ def ks_drift_test(events: DataFrame) -> DataFrame:
             "n1",
             "n2",
             "d_num",
-            (
+            # a type whose events all landed in one parity half has no
+            # two-sample statistic: NULL, never Infinity/NaN (engines
+            # disagree on inf/NaN ordering — the value_trend_regression
+            # degenerate-denominator pattern)
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
                 F.col("d_num")
-                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
             ).alias("d_stat"),
         )
     )
@@ -1382,11 +1391,12 @@ SELECT event_type,
        CAST(max(abs(CAST(c1 AS HUGEINT) * CAST(n2 AS HUGEINT)
                     - CAST(c2 AS HUGEINT) * CAST(n1 AS HUGEINT)))
             AS BIGINT) AS d_num,
-       CAST(max(abs(CAST(c1 AS HUGEINT) * CAST(n2 AS HUGEINT)
-                    - CAST(c2 AS HUGEINT) * CAST(n1 AS HUGEINT)))
-            AS BIGINT)
-         / (CAST(any_value(n1) AS DOUBLE) * CAST(any_value(n2) AS DOUBLE))
-         AS d_stat
+       CASE WHEN any_value(n1) > 0 AND any_value(n2) > 0 THEN
+         CAST(max(abs(CAST(c1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+                      - CAST(c2 AS HUGEINT) * CAST(n1 AS HUGEINT)))
+              AS BIGINT)
+           / (CAST(any_value(n1) AS DOUBLE) * CAST(any_value(n2) AS DOUBLE))
+       END AS d_stat
 FROM cum GROUP BY event_type
 """
 
@@ -1491,7 +1501,13 @@ def mannwhitney_auc(events: DataFrame) -> DataFrame:
     rows (tied blocks contribute k1 * (2*before + block + 1) to 2R1 —
     the midrank formula cleared of halves), so no per-row global sort
     ever happens.  One double division at the end; everything before
-    it is integer-exact on both engines.
+    it is integer-exact on both engines.  ``u1_x2`` is bounded by
+    ~2*n1*n2 + n1^2, so the BIGINT output column holds to ~2e9 rows
+    per half per type; past that both engines fail LOUDLY on the cast
+    (ANSI mode / HUGEINT out-of-range — never a silent wrap), the
+    signal to widen the output to DECIMAL(38,0).  A type whose events
+    all landed in one parity half has no two-sample statistic: auc is
+    NULL (same degenerate-denominator rule as ks_drift_test).
     """
     from pyspark.sql import Window
 
@@ -1533,13 +1549,14 @@ def mannwhitney_auc(events: DataFrame) -> DataFrame:
         "n1",
         "n2",
         u1_x2.cast("long").alias("u1_x2"),
-        (
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
             u1_x2.cast("double")
             / (
                 F.lit(2.0)
                 * F.col("n1").cast("double")
                 * F.col("n2").cast("double")
-            )
+            ),
         ).alias("auc"),
     )
 
@@ -1570,9 +1587,11 @@ SELECT event_type,
        CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
        CAST(r1_x2 - CAST(n1 AS HUGEINT) * (CAST(n1 AS HUGEINT) + 1)
             AS BIGINT) AS u1_x2,
-       CAST(r1_x2 - CAST(n1 AS HUGEINT) * (CAST(n1 AS HUGEINT) + 1)
-            AS BIGINT)
-         / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
+       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         CAST(r1_x2 - CAST(n1 AS HUGEINT) * (CAST(n1 AS HUGEINT) + 1)
+              AS BIGINT)
+           / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       END AS auc
 FROM agg
 """
 

@@ -113,3 +113,25 @@ def test_digest_raises_on_manifest_drift(spark) -> None:
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     with pytest.raises(ValueError, match="stale"):
         dg.digest_frame(df, "t", [("id", "int")])
+
+
+def test_manifest_regeneration_is_noop(spark) -> None:
+    """A forgotten `gen_digest_manifest` regeneration after a tail-query
+    schema change must fail CI in BOTH directions: the registry import
+    already raises on live-schema drift; this asserts the committed file
+    is byte-identical to what the generator would write now, so a stale
+    (silently narrower) manifest can't survive either."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    import gen_digest_manifest as gen
+
+    committed = open(gen.OUT).read()
+    assert gen.render(gen.build_manifest(spark)) == committed
