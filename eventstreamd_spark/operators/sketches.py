@@ -464,6 +464,96 @@ ORDER BY n_exact DESC, user_id ASC
 """
 
 
+def cms_state_merge(
+    events: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Batch twin of the streaming CMS monitor's MERGE step
+    (streaming/pipeline.py::start_cms_topk_monitor): split the corpus
+    into two "epochs" by event_id parity, sketch each epoch
+    independently, fold the two cell tables additively — exactly the
+    per-epoch ``merged[k] = merged.get(k, 0) + v`` arithmetic behind
+    the monitor's replay fence — and emit the merged state NEXT TO the
+    one-shot sketch of the union.  ``merge_exact`` pins the property
+    the whole monitor rests on: a cell-wise sum of per-epoch count-min
+    states equals the sketch of the concatenated stream, cell for
+    cell, so replay-fenced epoch folds can never drift from a
+    from-scratch rebuild.
+
+    Plan: three sketch aggregates over two pushdown-partitioned scans
+    (each at most d x w partial rows per task after map-side combine)
+    joined on the d x w cell spine — state-table-in, state-table-out,
+    never a per-event shuffle.
+    """
+    key = F.col("user_id").cast("string")
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 != 0)
+    merged = (
+        cms_cells(even, key, depth, width)
+        .unionByName(cms_cells(odd, key, depth, width))
+        .groupBy("i", "col")
+        .agg(F.sum("cell_count").cast("bigint").alias("merged_count"))
+    )
+    full = cms_cells(events, key, depth, width).select(
+        "i", "col", F.col("cell_count").alias("full_count")
+    )
+    return merged.join(full, ["i", "col"], "full_outer").select(
+        "i",
+        "col",
+        F.coalesce(F.col("merged_count"), F.lit(0)).alias("merged_count"),
+        F.coalesce(F.col("full_count"), F.lit(0)).alias("full_count"),
+        (
+            F.coalesce(F.col("merged_count"), F.lit(0))
+            == F.coalesce(F.col("full_count"), F.lit(0))
+        ).alias("merge_exact"),
+    )
+
+
+def sql_cms_state_merge(
+    table: str = "events", depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    """DuckDB twin of cms_state_merge (same fan-out coordinates, same
+    parity epochs, same additive fold)."""
+
+    def col_expr(i: int) -> str:
+        keyed = "('" + str(i) + ":' || CAST(user_id AS VARCHAR))"
+        return f"({_sql_h60(keyed)} % {width})"
+
+    def fanout(pred: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {i} AS i, {col_expr(i)} AS col "
+            f"FROM {table} WHERE {pred}"
+            for i in range(depth)
+        )
+
+    return f"""
+WITH even_cells AS (
+  SELECT i, col, CAST(count(*) AS BIGINT) AS cell_count
+  FROM ({fanout("event_id % 2 = 0")}) GROUP BY i, col
+),
+odd_cells AS (
+  SELECT i, col, CAST(count(*) AS BIGINT) AS cell_count
+  FROM ({fanout("event_id % 2 <> 0")}) GROUP BY i, col
+),
+merged AS (
+  SELECT i, col, CAST(sum(cell_count) AS BIGINT) AS merged_count
+  FROM (SELECT * FROM even_cells UNION ALL SELECT * FROM odd_cells)
+  GROUP BY i, col
+),
+full_sketch AS (
+  SELECT i, col, CAST(count(*) AS BIGINT) AS full_count
+  FROM ({fanout("TRUE")}) GROUP BY i, col
+)
+SELECT COALESCE(m.i, f.i) AS i,
+       COALESCE(m.col, f.col) AS col,
+       COALESCE(m.merged_count, 0) AS merged_count,
+       COALESCE(f.full_count, 0) AS full_count,
+       COALESCE(m.merged_count, 0) = COALESCE(f.full_count, 0)
+         AS merge_exact
+FROM merged m FULL OUTER JOIN full_sketch f
+  ON m.i = f.i AND m.col = f.col
+"""
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter join pruning
 # ---------------------------------------------------------------------------

@@ -2482,6 +2482,15 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_op.cms_heavy_hitters(load_table(spark, sf_dir, "events"))
 
 
+@register("cms_state_merge", sketch_op.sql_cms_state_merge())
+def cms_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming CMS monitor's merge step: per-epoch
+    sketches folded cell-wise vs the one-shot union sketch; the oracle
+    pins merge_exact = true for every cell (the replay-fence fold can
+    never drift from a rebuild)."""
+    return sketch_op.cms_state_merge(load_table(spark, sf_dir, "events"))
+
+
 @register("bloom_join_prune", sketch_op.sql_bloom_join_prune())
 def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-join pruning report (the AQE runtime-filter /
@@ -2803,6 +2812,7 @@ _COST_HINT = {
     "corpus_build_manifest": 5.00, "multimodal_wav_features": 0.70, "multimodal_mp4_features": 0.70, "mixed_media_manifest": 0.90,
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
+    "cms_state_merge": 0.40,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
     "ivm_priority_revenue": 0.20, "kmv_join_size": 0.30,
     "expectations_report": 0.30, "late_data_audit": 0.35,

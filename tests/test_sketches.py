@@ -458,3 +458,39 @@ def test_ivf_index_serving_matches_in_memory(spark, sf_dir, tmp_path) -> None:
     assert "PartitionFilters" in plan and "cell_id" in plan
     # the probed-cell filter must actually reach the scan
     assert "cell_id IN" in plan or "cell_id#" in plan
+
+
+def test_cms_sketch_agg_combines_map_side(spark, sf_dir) -> None:
+    """The d x w shuffle-volume cap (SCALE.md: cms a=0.71) rests on the
+    explode collapsing INSIDE its stage: the sketch aggregate must have
+    a partial phase below the exchange, so each task ships at most
+    depth x width partial rows, never one row per event."""
+    from eventstreamd_spark.plans import explain_string
+
+    events = load_table(spark, sf_dir, "events")
+    cells = sk.cms_cells(events, F.col("user_id").cast("string"))
+    phys = explain_string(cells, "formatted")
+    # partial aggregate exists and sits below the exchange (formatted
+    # mode numbers operators leaf-to-root: partial_count's HashAggregate
+    # must appear before Exchange in the tree dump)
+    assert "partial_count" in phys
+    lines = phys.split("\n\n")[0].splitlines()
+    ex_line = next(i for i, ln in enumerate(lines) if "Exchange" in ln)
+    # root-first dump: a HashAggregate BELOW the Exchange line is the
+    # map-side partial (the final agg sits above it)
+    assert any(
+        "HashAggregate" in ln for ln in lines[ex_line + 1 :]
+    ), "no partial aggregate below the exchange"
+    # and the Generate (explode) feeds that partial in the SAME stage
+    assert any("Generate" in ln for ln in lines[ex_line + 1 :])
+
+
+def test_cms_state_merge_all_cells_exact(spark, sf_dir) -> None:
+    """Value-level: every merged cell equals the union-sketch cell (the
+    streaming monitor's fold arithmetic, oracle-pinned in the registry;
+    asserted here too so the property fails fast in pytest)."""
+    events = load_table(spark, sf_dir, "events")
+    out = sk.cms_state_merge(events)
+    assert out.filter(~F.col("merge_exact")).count() == 0
+    # the merged state is the full d x w-bounded table, nothing dropped
+    assert out.count() == out.select("i", "col").distinct().count()
