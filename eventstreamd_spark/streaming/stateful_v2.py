@@ -6,12 +6,26 @@ first-class processing-/event-time timers — at 100 TB the practical
 wins are per-variable TTL (bounded state without watermark gymnastics)
 and schema-evolvable state.
 
-GATED: the runtime path needs the ``google.protobuf`` Python package
-for state-server messaging, which this container lacks — import and
-construction work, execution raises in the Python worker.  The
-companion test skips when protobuf is unavailable; operators here keep
-the applyInPandasWithState twins in streaming/stateful.py as the
-always-runnable path.
+Runtime dependency note: the state-server messaging needs the
+``google.protobuf`` runtime.  Where no real wheel exists, the vendored
+pure-stdlib shim (eventstreamd_spark/_vendor — written from the public
+wire-format spec, activated by ``session._ensure_protobuf_shim``)
+carries the protocol; a real installation always wins.  All three
+operators below run end-to-end either way (tests/test_streaming.py).
+
+The ``*_v2`` operators mirror their applyInPandasWithState twins so
+the two API generations can be asserted equivalent on the same input:
+
+- ``subsystem_running_counts_v2`` — the reference's ``/stats`` counter
+  (stats.py:28-50 + dispatcher.py:56) as a value-state processor.
+- ``expiry_tracker_v2`` — O9: the reference's session-expiry timers
+  (listener.py:80-84, util.py:24-33) as NAMED STATE + a real
+  processing-time timer per key: a refresh deletes the old timer and
+  registers a new one; the timer firing emits the logout row and
+  clears state — exactly the reset-on-activity TTL semantics of the
+  reference's ``Timer.reset()``.
+- ``streaming_sessionizer_v2`` — gap-closed sessions via the same
+  timer mechanism (register at last-activity + gap).
 """
 
 from __future__ import annotations
@@ -20,6 +34,8 @@ from pyspark.sql import DataFrame
 
 
 def protobuf_available() -> bool:
+    """True when ``google.protobuf`` (real or vendored shim) resolves —
+    kept as a probe for environments that strip the vendored tree."""
     try:  # runtime dependency of the transformWithState state server
         from google.protobuf import descriptor  # noqa: F401
 
@@ -61,4 +77,126 @@ def subsystem_running_counts_v2(events: DataFrame) -> DataFrame:
         outputStructType="subsystem string, n_events bigint",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def expiry_tracker_v2(sessions: DataFrame) -> DataFrame:
+    """O9 on the Spark 4 API: sessions (id, ttl_ms) -> logout rows when
+    the TTL lapses without a refreshing event.
+
+    Each refresh re-arms ONE processing-time timer at now + ttl_ms
+    (delete-then-register, the reference's ``Timer.reset()``); the
+    expired-timer callback emits the logout row and clears the named
+    state.  State per live session: one bigint + one timer — bounded
+    by live sessions, independent of event volume, and TTL eviction is
+    enforced by the engine's timer service rather than by the
+    processor re-checking timestamps on every batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ExpiryProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.ttl = handle.getValueState("ttl_ms", "ttl_ms bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            ttl_ms = self.ttl.get()[0] if self.ttl.exists() else 0
+            for pdf in rows:
+                if len(pdf):
+                    ttl_ms = int(pdf["ttl_ms"].iloc[-1])
+            self.ttl.update((int(ttl_ms),))
+            # reset-on-activity: drop any armed timer, re-arm at now+ttl
+            for t in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t)
+            now = timerValues.getCurrentProcessingTimeInMs()
+            self.handle.registerTimer(now + max(int(ttl_ms), 1))
+            yield pd.DataFrame({"id": [], "reason": []})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self.ttl.clear()
+            yield pd.DataFrame({"id": [key[0]], "reason": ["expire"]})
+
+        def close(self) -> None:
+            pass
+
+    return sessions.groupBy("id").transformWithStateInPandas(
+        ExpiryProcessor(),
+        outputStructType="id string, reason string",
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )
+
+
+def streaming_sessionizer_v2(events: DataFrame, gap_ms: int = 2000) -> DataFrame:
+    """Gap-closed sessions on the Spark 4 API: events (user_id, ts) ->
+    one row per closed session, the timer re-armed to last activity +
+    ``gap_ms`` on every batch (test-scale gap; the reference uses a 30
+    minute session window).
+
+    State: (n_events, first/last activity as epoch micros) in ONE named
+    value state + one timer per live user.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.agg = handle.getValueState(
+                "sess", "n bigint, first_us bigint, last_us bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, first_us, last_us = (
+                self.agg.get() if self.agg.exists() else (0, None, None)
+            )
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                us = pdf["ts"].astype("int64") // 1000  # ns -> us
+                lo, hi = int(us.min()), int(us.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            self.agg.update((n, first_us, last_us))
+            for t in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t)
+            now = timerValues.getCurrentProcessingTimeInMs()
+            self.handle.registerTimer(now + gap_ms)
+            # append-mode sessions emit ONLY from the timer callback;
+            # yielding an untyped empty frame would make Arrow infer
+            # float64 for the timestamp columns, so emit nothing here
+            return
+            yield  # pragma: no cover — marks this as a generator
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            n, first_us, last_us = self.agg.get()
+            self.agg.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "first_ts": [pd.Timestamp(first_us, unit="us")],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        Sessionizer(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, "
+            "first_ts timestamp, last_ts timestamp"
+        ),
+        outputMode="Append",
+        timeMode="ProcessingTime",
     )

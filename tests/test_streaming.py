@@ -432,6 +432,109 @@ def test_transform_with_state_running_counts(spark, tmp_path) -> None:
     assert dict(got) == {"a": 2, "b": 1}
 
 
+def test_transform_with_state_timers_expiry_and_sessions(
+    spark, tmp_path
+) -> None:
+    """O9 on the Spark 4 API: named state + real TTL timers.  Same
+    assertions as the applyInPandasWithState twins
+    (test_stateful_sessionizer_and_expiry), so the two API generations
+    are pinned equivalent on the same inputs."""
+    import datetime
+    import os
+    import time
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from eventstreamd_spark.streaming import stateful_v2
+
+    if not stateful_v2.protobuf_available():
+        pytest.skip("google.protobuf unavailable and vendored shim absent")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    # -- expiry tracker: TTL lapse emits the logout row ---------------
+    sess_src = str(tmp_path / "sessions")
+    os.makedirs(sess_src)
+    sschema = StructType(
+        [StructField("id", StringType()), StructField("ttl_ms", LongType())]
+    )
+    spark.createDataFrame([("s1", 1500)], sschema).coalesce(1).write.parquet(
+        sess_src + "/b0"
+    )
+    q = (
+        stateful_v2.expiry_tracker_v2(
+            spark.readStream.schema(sschema).parquet(sess_src + "/*")
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("expiry_v2_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_exp"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM expiry_v2_out").collect()
+            if rows:
+                break
+            time.sleep(1)
+        assert [(r["id"], r["reason"]) for r in rows] == [("s1", "expire")]
+    finally:
+        q.stop()
+
+    # -- sessionizer: gap timer closes the session with exact bounds --
+    src = str(tmp_path / "events_v2")
+    os.makedirs(src)
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(1, t0), (1, t0 + datetime.timedelta(seconds=10)), (2, t0)], schema
+    ).coalesce(1).write.parquet(src + "/batch0")
+    q2 = (
+        stateful_v2.streaming_sessionizer_v2(
+            spark.readStream.schema(schema).parquet(src + "/*")
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_v2_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM sessions_v2_out ORDER BY user_id"
+            ).collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+        assert [r["user_id"] for r in rows] == [1, 2]
+        assert rows[0]["n_events"] == 2 and rows[1]["n_events"] == 1
+        assert rows[0]["first_ts"] == t0
+        assert rows[0]["last_ts"] == t0 + datetime.timedelta(seconds=10)
+    finally:
+        q2.stop()
+
+
 def test_stream_static_broadcast_enrich(spark, sf_dir, tmp_path) -> None:
     """Stream-static join: unbounded events enriched with a static
     customer dimension; broadcast, stateless, no watermark required."""

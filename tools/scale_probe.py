@@ -78,11 +78,49 @@ def build_blowup(spark) -> None:
 
     os.makedirs(SCRATCH, exist_ok=True)
     for t in TABLES:
-        if t in ("documents", "embeddings", "events"):
+        if t in ("documents", "embeddings", "events", "lineitem", "part"):
             continue
         dst = os.path.join(SCRATCH, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copyfile(os.path.join(BASE, f"{t}.parquet"), dst)
+
+    # lineitem + part: replicated with CONSISTENT key offsets (the
+    # l_partkey -> p_partkey join stays valid across replicas) so the
+    # fact-table tiers (column_stats_catalog at 6M rows ~ sf1) measure
+    # real 10x data — an earlier probe revision copied lineitem
+    # verbatim, which made its a=0.02 reading vacuous.  p_name gets the
+    # per-replica word suffix (replicas mutually dissimilar, intra-
+    # replica fuzzy-name structure preserved) for the entity tier.
+    li = load_table(spark, BASE, "lineitem")
+    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0]
+    pt = load_table(spark, BASE, "part")
+    max_pk = pt.agg(F.max("p_partkey")).collect()[0][0]
+    reps0 = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    blown_li = li.crossJoin(reps0).select(
+        (F.col("l_orderkey") + F.col("rep") * (max_ok + 1)).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("rep") * (max_pk + 1)).alias("l_partkey"),
+        *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
+    )
+    blown_li.coalesce(16).write.mode("overwrite").parquet(
+        os.path.join(SCRATCH, "lineitem.parquet")
+    )
+    p_resuffixed = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("p_name"), r"\s+"),
+            lambda w: F.concat(w, F.lit("~"), F.col("rep").cast("string")),
+        ),
+    )
+    blown_pt = pt.crossJoin(reps0).select(
+        (F.col("p_partkey") + F.col("rep") * (max_pk + 1)).alias("p_partkey"),
+        F.when(F.col("rep") == 0, F.col("p_name"))
+        .otherwise(p_resuffixed)
+        .alias("p_name"),
+        *[c for c in pt.columns if c not in ("p_partkey", "p_name")],
+    )
+    blown_pt.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(SCRATCH, "part.parquet")
+    )
 
     # events: replicate with distinct event_ids (distinct-count probes
     # must see 10x cardinality) and the same users/types/timestamps

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""One full-weight pass of the HEAVY tiers at sf1-equivalent scale
+(VERDICT r5 ask #3): ~6M lineitem rows / 50k docs / 20k vectors via the
+scale-probe blow-up (mutually-dissimilar replicas, consistent join
+keys), wall-times recorded next to the exponent-extrapolated
+predictions from SCALE.md §8.
+
+Gate: a query exceeding 3x its extrapolated time is flagged FAIL — the
+signal that the 5k-doc corpus was hiding a scale cliff and the plan
+(not the footnote) needs fixing.  Queries without a measured exponent
+extrapolate with a = 1.0 (their claimed ~N bound), which is the
+CONSERVATIVE direction: a sublinear reality only widens the margin.
+
+Writes tools/SF1_PASS.json and prints the markdown table for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEAVY = [
+    "corpus_build_manifest",
+    "pagerank_canonical",
+    "entity_resolution",
+    "column_stats_catalog",
+    "dedup_clusters",
+    "similarity_lsh_ann",
+]
+
+
+def main() -> None:
+    from eventstreamd_spark.session import get_spark
+
+    spark = get_spark(
+        "sf1-pass", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from eventstreamd_spark import queries_registry as reg
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import scale_probe as probe
+
+    probe.build_blowup(spark)
+
+    probes_path = os.path.join(REPO, "tools", "SCALE_PROBE.json")
+    exponents: dict[str, float] = {}
+    base_times: dict[str, float] = {}
+    if os.path.exists(probes_path):
+        with open(probes_path) as fh:
+            for name, r in json.load(fh)["probes"].items():
+                exponents[name] = float(r["exponent"])
+                base_times[name] = float(r["t_base_sec"])
+
+    results = {}
+    any_fail = False
+    for name in HEAVY:
+        fn = reg.QUERIES[name]
+        t_base = probe.steady(fn, spark, BASE)
+        t0 = time.perf_counter()
+        fn(spark, probe.SCRATCH).write.format("noop").mode("overwrite").save()
+        cold = time.perf_counter() - t0
+        t_sf1 = probe.steady(fn, spark, probe.SCRATCH)
+        a = exponents.get(name, 1.0)
+        t_pred = t_base * (10.0 ** a)
+        ratio = t_sf1 / t_pred if t_pred > 0 else float("inf")
+        ok = ratio <= 3.0
+        any_fail |= not ok
+        results[name] = {
+            "t_sf0.1_sec": round(t_base, 3),
+            "t_sf1_sec": round(t_sf1, 3),
+            "t_sf1_cold_sec": round(cold, 3),
+            "exponent_used": a,
+            "exponent_measured": name in exponents,
+            "t_extrapolated_sec": round(t_pred, 3),
+            "ratio": round(ratio, 3),
+            "ok": ok,
+        }
+        print(
+            f"{name}: sf0.1 {t_base:.2f}s -> sf1 {t_sf1:.2f}s "
+            f"(pred {t_pred:.2f}s via a={a}, ratio {ratio:.2f}) "
+            f"{'OK' if ok else 'FAIL'}"
+        )
+
+    out = os.path.join(REPO, "tools", "SF1_PASS.json")
+    with open(out, "w") as fh:
+        json.dump(
+            {"base": BASE, "scratch": probe.SCRATCH, "results": results},
+            fh,
+            indent=1,
+        )
+    print(f"\nwrote {out}\n")
+    print("| query | t(sf0.1) | t(sf1) | a | extrapolated | ratio | verdict |")
+    print("|---|---|---|---|---|---|---|")
+    for name, r in results.items():
+        a_note = f"{r['exponent_used']}" + (
+            "" if r["exponent_measured"] else " (assumed)"
+        )
+        print(
+            f"| {name} | {r['t_sf0.1_sec']}s | {r['t_sf1_sec']}s | {a_note} "
+            f"| {r['t_extrapolated_sec']}s | {r['ratio']} "
+            f"| {'OK' if r['ok'] else 'FAIL'} |"
+        )
+    sys.exit(1 if any_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
