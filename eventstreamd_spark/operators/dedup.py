@@ -1838,3 +1838,168 @@ SELECT least(split_a, split_b) AS split_lo,
 FROM tagged
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH recall report (dedup-quality observability — the dedup analog of
+# similarity.ann_recall_report)
+# ---------------------------------------------------------------------------
+
+
+def lsh_recall_report(
+    docs: DataFrame, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Per-similarity-bucket recall of the MinHash-LSH tier against the
+    exact inverted-index ground truth — the eval a dedup pipeline runs
+    when tuning bands/rows: LSH recall is a FUNCTION of the true
+    Jaccard (the banding S-curve), so a single recall number hides
+    exactly the marginal pairs the banding drops.  Buckets are
+    floor(jaccard*10); per bucket: ground-truth pair count, pairs the
+    LSH tier caught, recall.
+
+    Precision needs no row here: the LSH tier's verify stage recomputes
+    EXACT Jaccard over the same shingle sets, so false positives are
+    impossible by construction (pinned by test, not report).
+
+    Plan: the two existing pair tiers joined on (doc_a, doc_b) — both
+    candidate-bounded — then a tiny bucket aggregate.  Bucketing
+    arithmetic (one IEEE multiply + floor of an integer-ratio double)
+    is bit-identical across engines.
+    """
+    exact = ngram_jaccard_pairs(docs, n, threshold)
+    caught = minhash_lsh_dedup(docs, n, threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    labeled = exact.join(caught, ["doc_a", "doc_b"], "left")
+    bucket = F.floor(F.col("jaccard") * 10).cast("bigint")
+    return (
+        labeled.groupBy(bucket.alias("j_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_caught"),
+        )
+        .select(
+            "j_bucket",
+            "n_pairs",
+            "n_caught",
+            (F.col("n_caught") / F.col("n_pairs")).alias("recall"),
+        )
+    )
+
+
+def sql_lsh_recall_report(
+    base_sql: str, n: int = 3, threshold: float = 0.6
+) -> str:
+    """DuckDB twin of lsh_recall_report (nests both pair oracles)."""
+    exact = sql_ngram_jaccard_pairs(base_sql, n, threshold)
+    caught = sql_minhash_lsh_dedup(base_sql, n, threshold)
+    return f"""
+WITH exact_pairs AS ({exact}),
+caught AS ({caught})
+SELECT CAST(floor(e.jaccard * 10) AS BIGINT) AS j_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_caught,
+       CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS recall
+FROM exact_pairs e
+LEFT JOIN caught c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Survivorship merge (golden-record construction after entity resolution)
+# ---------------------------------------------------------------------------
+
+
+def survivorship_merge(parts: DataFrame, name_col: str = "p_name") -> DataFrame:
+    """Golden records: one surviving row per resolved entity, with the
+    classic survivorship rules applied attribute-by-attribute — the
+    step after ``resolve_entities`` that MDM/catalog pipelines actually
+    ship (the closure says WHICH rows co-refer; this says what the
+    merged record contains):
+
+    - surviving key   = MIN member p_partkey (stable, join-preserving);
+    - price           = MAX member p_retailprice (latest-list heuristic);
+    - brand           = modal member p_brand, ties to the smaller brand
+                        string (frequency consensus);
+    - n_members       = component size.
+
+    Determinism: min/max over ints and doubles are order-free; the mode
+    is a row_number window ordered (count DESC, brand ASC) — integer
+    counts + binary string order, identical in both engines.
+
+    Plan: the ER closure (bounded edge set) + one member join + two
+    entity-keyed aggregates; everything after the closure shuffles on
+    entity_id only.
+    """
+    from pyspark.sql import Window
+
+    resolved = resolve_entities(parts, name_col).select("name", "entity_id")
+    members = parts.join(
+        resolved, parts[name_col] == resolved["name"]
+    ).select(
+        "entity_id",
+        F.col("p_partkey").alias("member_key"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_brand").alias("brand"),
+    )
+    base = members.groupBy("entity_id").agg(
+        F.min("member_key").cast("bigint").alias("surviving_key"),
+        F.max("price").alias("max_price"),
+        F.count("*").cast("bigint").alias("n_members"),
+    )
+    brand_counts = members.groupBy("entity_id", "brand").agg(
+        F.count("*").alias("bn")
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("bn"), F.asc("brand")
+    )
+    modal = (
+        brand_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("entity_id", F.col("brand").alias("modal_brand"))
+    )
+    return base.join(modal, "entity_id").select(
+        "entity_id", "surviving_key", "modal_brand", "max_price", "n_members"
+    )
+
+
+def sql_survivorship_merge(
+    table: str = "part", name_col: str = "p_name"
+) -> str:
+    """DuckDB twin of survivorship_merge (same ER closure + rules)."""
+    resolved = sql_resolve_entities(table, name_col)
+    return f"""
+WITH resolved AS ({resolved}),
+members AS (
+  SELECT r.entity_id, t.p_partkey AS member_key,
+         t.p_retailprice AS price, t.p_brand AS brand
+  FROM {table} t JOIN resolved r ON r.name = t.{name_col}
+),
+base AS (
+  SELECT entity_id,
+         CAST(min(member_key) AS BIGINT) AS surviving_key,
+         max(price) AS max_price,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM members GROUP BY entity_id
+),
+brand_counts AS (
+  SELECT entity_id, brand, count(*) AS bn
+  FROM members GROUP BY entity_id, brand
+),
+modal AS (
+  SELECT entity_id, brand AS modal_brand FROM (
+    SELECT entity_id, brand,
+           row_number() OVER (PARTITION BY entity_id
+                              ORDER BY bn DESC, brand ASC) AS rk
+    FROM brand_counts
+  ) WHERE rk = 1
+)
+SELECT b.entity_id, b.surviving_key, m.modal_brand, b.max_price,
+       b.n_members
+FROM base b JOIN modal m ON m.entity_id = b.entity_id
+"""

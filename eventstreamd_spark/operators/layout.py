@@ -614,3 +614,92 @@ SELECT s.layout, s.dim, s.n_buckets, s.n_scanned, s.rows_scanned,
          AS scan_fraction
 FROM summary s JOIN matches m USING (dim)
 """
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (difficulty-staged training export)
+# ---------------------------------------------------------------------------
+
+
+def curriculum_order(docs: DataFrame, seed: str = "epoch0") -> DataFrame:
+    """Curriculum sort keys: order the corpus easy -> hard (difficulty
+    deciles of ``n_chars``, the stand-in complexity score — swap in a
+    model-scored column without touching the plan) with a SEED-STABLE
+    shuffle inside each stage, as one integer key per doc:
+
+        curriculum_key = difficulty_decile * 2e9 + poly_hash(doc_id:seed)
+
+    Training runs that pace data simple-to-complex consume the corpus
+    in ``curriculum_key`` order; a new seed reshuffles within stages
+    without moving any doc across stages.
+
+    Scale: the decile comes from the value-frequency CDF idiom
+    (percentile_rank_features) — one narrow aggregate, a cumulative
+    window over the KB-sized value table, one broadcast join back;
+    positions are never materialized (no global sort, no row_number
+    over the corpus): writers lay out the order via
+    ``repartitionByRange(curriculum_key)`` exactly like
+    write_training_export does with its flat shuffle key.  Integer
+    discipline: strict-below prefix sums, nonneg integer div (== in
+    both engines), decile * 2_000_000_000 + hash < 2^35 — no overflow.
+    """
+    from eventstreamd_spark.functions.text import poly_hash
+    from pyspark.sql import Window as W
+
+    freq = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cdf = freq.withColumn(
+        "below", F.coalesce(F.sum("c").over(wcum), F.lit(0)).cast("bigint")
+    )
+    tot = docs.agg(F.count("*").cast("bigint").alias("n"))
+    h = poly_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":" + seed))
+    )
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(cdf), F.col("n_chars") == F.col("v"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr("least(10, (below * 10) div n + 1)")
+            .cast("bigint")
+            .alias("difficulty_decile"),
+            (
+                F.expr("least(10, (below * 10) div n + 1)")
+                * F.lit(2_000_000_000).cast("bigint")
+                + h
+            ).cast("bigint").alias("curriculum_key"),
+        )
+    )
+
+
+def sql_curriculum_order(table: str = "documents", seed: str = "epoch0") -> str:
+    """DuckDB twin of curriculum_order (same CDF, div, and hash)."""
+    from eventstreamd_spark.functions.text import sql_poly_hash
+
+    quoted = (":" + seed).replace("'", "''")
+    h = sql_poly_hash(f"(CAST(doc_id AS VARCHAR) || '{quoted}')")
+    return f"""
+WITH freq AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY n_chars
+),
+cdf AS (
+  SELECT v,
+         CAST(coalesce(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM freq
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {table})
+SELECT d.doc_id,
+       CAST(least(10, (c.below * 10) // t.n + 1) AS BIGINT)
+         AS difficulty_decile,
+       CAST(least(10, (c.below * 10) // t.n + 1) * 2000000000 + {h}
+            AS BIGINT) AS curriculum_key
+FROM {table} d
+JOIN cdf c ON c.v = d.n_chars
+CROSS JOIN tot t
+"""

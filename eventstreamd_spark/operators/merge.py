@@ -299,3 +299,137 @@ SELECT CASE WHEN NOT in_a THEN 'added'
 FROM flagged
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Cascade delete report (right-to-be-forgotten propagation)
+# ---------------------------------------------------------------------------
+
+FORGET_MODULUS = 97  # deterministic stand-in for a real deletion-request list
+
+
+def cascade_delete_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    modulus: int = FORGET_MODULUS,
+) -> DataFrame:
+    """GDPR/CCPA delete propagation audit: given a deletion-request key
+    set (here: c_custkey % modulus == 0, a deterministic stand-in for
+    the request table), report — per table along the FK cascade
+    customer -> orders -> lineitem — how many rows the delete removes,
+    how many remain, and an exact DECIMAL checksum (key sum) of the
+    SURVIVING rows, so downstream replicas can verify the post-delete
+    state without exchanging the rows themselves.
+
+    Plan at 100 TB: the request set is broadcast (deletion batches are
+    small); orders resolves deletions with one broadcast semi-join; the
+    lineitem hop joins on the DOOMED ORDER KEYS — also broadcast-sized
+    (|doomed customers| x orders-per-customer), so no fact-to-fact
+    shuffle anywhere.  Each per-table report row is one conditional
+    aggregate over a single scan: n_deleted + n_remaining + checksum in
+    the same pass, never a delete-then-rescan.
+    """
+    dec = "decimal(38,0)"
+    doomed_cust = customer.filter(
+        F.col("c_custkey") % modulus == 0
+    ).select("c_custkey")
+    doomed_orders = orders.join(
+        F.broadcast(doomed_cust),
+        orders["o_custkey"] == doomed_cust["c_custkey"],
+    ).select("o_orderkey")
+
+    def report(df: DataFrame, table: str, key: str, doom_flag) -> DataFrame:
+        # checksum accumulates in DECIMAL(38,0) (exact at any scale);
+        # the BIGINT output cast holds to key sums < 2^63 — ~6e9 rows
+        # of 3e9-ish keys overflow it LOUDLY (ANSI cast), the signal to
+        # widen the output column, never a silent wrap
+        return (
+            df.select(
+                doom_flag.cast("int").alias("doomed"),
+                F.col(key).alias("k"),
+            )
+            .groupBy(F.lit(table).alias("table_name"))
+            .agg(
+                F.sum("doomed").cast("bigint").alias("n_deleted"),
+                (F.count(F.lit(1)) - F.sum("doomed"))
+                .cast("bigint")
+                .alias("n_remaining"),
+                F.sum(
+                    F.when(F.col("doomed") == 0, F.col("k"))
+                    .otherwise(0)
+                    .cast(dec)
+                )
+                .cast("bigint")
+                .alias("surviving_key_sum"),
+            )
+        )
+
+    cust_rep = report(
+        customer, "customer", "c_custkey",
+        F.col("c_custkey") % modulus == 0,
+    )
+    ord_rep = report(
+        orders.join(
+            F.broadcast(doomed_cust.select(F.col("c_custkey").alias("dk"))),
+            orders["o_custkey"] == F.col("dk"),
+            "left",
+        ),
+        "orders", "o_orderkey", F.col("dk").isNotNull(),
+    )
+    li_rep = report(
+        lineitem.join(
+            F.broadcast(doomed_orders.select(F.col("o_orderkey").alias("dok"))),
+            lineitem["l_orderkey"] == F.col("dok"),
+            "left",
+        ),
+        "lineitem", "l_orderkey", F.col("dok").isNotNull(),
+    )
+    return cust_rep.unionByName(ord_rep).unionByName(li_rep)
+
+
+def sql_cascade_delete_report(
+    customer: str = "customer",
+    orders: str = "orders",
+    lineitem: str = "lineitem",
+    modulus: int = FORGET_MODULUS,
+) -> str:
+    """DuckDB twin of cascade_delete_report (same request-set rule,
+    cascade hops, and exact surviving-key checksums)."""
+    return f"""
+WITH doomed_cust AS (
+  SELECT c_custkey FROM {customer} WHERE c_custkey % {modulus} = 0
+),
+doomed_orders AS (
+  SELECT o_orderkey FROM {orders} o
+  JOIN doomed_cust d ON o.o_custkey = d.c_custkey
+)
+SELECT 'customer' AS table_name,
+       CAST(sum(CASE WHEN c_custkey % {modulus} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_deleted,
+       CAST(count(*) - sum(CASE WHEN c_custkey % {modulus} = 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_remaining,
+       CAST(sum(CAST(CASE WHEN c_custkey % {modulus} = 0 THEN 0
+                ELSE c_custkey END AS HUGEINT)) AS BIGINT)
+         AS surviving_key_sum
+FROM {customer}
+UNION ALL
+SELECT 'orders',
+       CAST(sum(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(count(*) - sum(CASE WHEN d.c_custkey IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CAST(CASE WHEN d.c_custkey IS NOT NULL THEN 0
+                ELSE o.o_orderkey END AS HUGEINT)) AS BIGINT)
+FROM {orders} o LEFT JOIN doomed_cust d ON o.o_custkey = d.c_custkey
+UNION ALL
+SELECT 'lineitem',
+       CAST(sum(CASE WHEN k.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(count(*) - sum(CASE WHEN k.o_orderkey IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CAST(CASE WHEN k.o_orderkey IS NOT NULL THEN 0
+                ELSE l.l_orderkey END AS HUGEINT)) AS BIGINT)
+FROM {lineitem} l LEFT JOIN doomed_orders k
+  ON l.l_orderkey = k.o_orderkey
+"""

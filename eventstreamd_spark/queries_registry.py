@@ -2633,6 +2633,48 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.resolve_entities(load_table(spark, sf_dir, "part"))
 
 
+@register("survivorship_merge", dedup_op.sql_survivorship_merge())
+def survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden records after ER: one surviving row per resolved entity
+    with classic survivorship rules (min key, max price, modal brand,
+    member count)."""
+    return dedup_op.survivorship_merge(load_table(spark, sf_dir, "part"))
+
+
+@register(
+    "lsh_recall_report",
+    dedup_op.sql_lsh_recall_report(dedup_op.sql_planted_near_dups()),
+)
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Jaccard-bucket recall of the MinHash-LSH tier vs the exact
+    inverted-index ground truth — the banding S-curve eval a dedup
+    pipeline runs when tuning bands/rows (the dedup analog of
+    ann_recall)."""
+    docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    return dedup_op.lsh_recall_report(docs)
+
+
+@register("cascade_delete_report", merge_op.sql_cascade_delete_report())
+def cascade_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit down the FK cascade
+    customer -> orders -> lineitem: per-table delete/remain counts plus
+    exact surviving-key checksums, one conditional aggregate per
+    table."""
+    return merge_op.cascade_delete_report(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("curriculum_order", layout_mod.sql_curriculum_order())
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum sort keys: difficulty deciles (CDF idiom, no global
+    sort) + seed-stable intra-stage shuffle folded into one integer
+    key a range-partitioned writer lays out."""
+    return layout_mod.curriculum_order(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Graph tier (graph.py): integer PageRank canonical-copy selection on
 # the near-dup graph — "which duplicate do we keep".
@@ -2813,6 +2855,9 @@ _COST_HINT = {
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "cms_state_merge": 0.40,
+    # round-6 additions
+    "survivorship_merge": 4.60, "lsh_recall_report": 3.00,
+    "cascade_delete_report": 0.50, "curriculum_order": 0.45,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
     "ivm_priority_revenue": 0.20, "kmv_join_size": 0.30,
     "expectations_report": 0.30, "late_data_audit": 0.35,

@@ -462,3 +462,19 @@ def test_memo_checkpoint_plan_is_leaf(spark, sf_dir) -> None:
     df = qr.QUERIES["ann_recall"](spark, sf_dir)
     plan = explain_string(df, "extended")
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_cascade_delete_broadcasts_request_set(plans) -> None:
+    # the deletion-request set and the doomed-order hop must broadcast;
+    # a fact-to-fact shuffle here would be the 100 TB killer
+    phys = plans("cascade_delete_report").split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
+
+
+def test_curriculum_order_no_global_sort(plans) -> None:
+    # deciles come from the broadcast CDF, not percent_rank/ntile over
+    # the corpus: no range partitioning, no corpus-wide window
+    phys = plans("curriculum_order").split("== Physical Plan ==")[-1]
+    assert "rangepartitioning" not in phys.lower()
+    assert "BroadcastHashJoin" in phys
