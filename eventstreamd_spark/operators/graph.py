@@ -158,3 +158,138 @@ SELECT c.doc_id AS doc_id, c.cluster_id AS cluster_id,
                           ORDER BY p.pr DESC, c.doc_id) = 1 AS is_canonical
 FROM comp c JOIN pr{iters} p ON p.node = c.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Triangle census (dedup-graph quality diagnostics)
+# ---------------------------------------------------------------------------
+
+
+def triangle_stats(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """Triangle census of the near-dup graph: node/edge counts, exact
+    triangle count, wedge (open 2-path) count, and the global
+    clustering coefficient 3T/W — the one-number health check of a
+    dedup graph (near-1 means the LSH pairs form clean cliques, the
+    transitive closure is safe to union; near-0 means chains of
+    borderline pairs are daisy-chaining unrelated docs into one
+    cluster and the threshold is too loose).
+
+    Algorithm: degree-ordered edge orientation (Chiba-Nishizeki) — the
+    (degree, id) total order is packed into ONE sortable BIGINT key
+    kappa(v) = deg(v) * 2^32 + v, each undirected edge points
+    kappa-small -> kappa-large, and a wedge's two out-neighbors are
+    canonicalized by the SAME key, so the closing edge (if present) is
+    oriented exactly (v, w) and the closure probe is a single
+    EQUI-join (hash-joinable; an OR-of-directions probe would force a
+    nested-loop scan).  Each triangle is counted once, from its
+    kappa-minimal corner.  At scale the orientation caps out-degree at
+    O(sqrt E), bounding candidate wedges at O(E^1.5) worst-case and
+    far less on the clique-ish graphs dedup produces.  Wedges use
+    symmetric degrees: W = sum_v C(deg_v, 2), one tiny aggregate.
+
+    Everything is BIGINT counting (kappa < 2^63 below ~2^31 max
+    degree); the single coefficient divide runs once in double (3T
+    and W exact) — bit-identical across engines.
+    """
+    pairs = dedup_op.minhash_lsh_dedup(docs, n, threshold)
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint()
+    sym = edges.select(F.col("a").alias("v")).union(
+        edges.select(F.col("b").alias("v"))
+    )
+    kappa = (F.col("deg") * F.lit(1 << 32) + F.col("v")).cast("bigint")
+    deg = sym.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    keyed = deg.select("v", "deg", kappa.alias("kap"))
+    ka = keyed.select(F.col("v").alias("a"), F.col("kap").alias("kap_a"))
+    kb = keyed.select(F.col("v").alias("b"), F.col("kap").alias("kap_b"))
+    oriented = (
+        edges.join(ka, "a")
+        .join(kb, "b")
+        .select(
+            F.when(F.col("kap_a") < F.col("kap_b"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("src"),
+            F.when(F.col("kap_a") < F.col("kap_b"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("dst"),
+            F.greatest("kap_a", "kap_b").alias("dst_kap"),
+        )
+        .localCheckpoint()
+    )
+    e1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("dst_kap").alias("kv")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("dst_kap").alias("kw")
+    )
+    wedge = e1.join(e2, "u").filter(F.col("kv") < F.col("kw")).select("v", "w")
+    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedge.join(closer, ["v", "w"], "inner")
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_wedge = deg.agg(
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).cast("bigint").alias("n_wedges")
+    )
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .crossJoin(F.broadcast(n_wedge))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            (
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("global_clustering"),
+        )
+    )
+
+
+def sql_triangle_stats(base_sql: str, n: int = 3, threshold: float = 0.6) -> str:
+    """DuckDB twin — same kappa orientation, wedge join, equi-probe."""
+    pairs = dedup_op.sql_minhash_lsh_dedup(base_sql, n, threshold)
+    return f"""
+WITH pairs AS ({pairs}),
+edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),
+deg AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY v
+),
+keyed AS MATERIALIZED (
+  SELECT v, deg, CAST(deg * 4294967296 + v AS BIGINT) AS kap FROM deg
+),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN ka.kap < kb.kap THEN e.a ELSE e.b END AS src,
+         CASE WHEN ka.kap < kb.kap THEN e.b ELSE e.a END AS dst,
+         greatest(ka.kap, kb.kap) AS dst_kap
+  FROM edges e
+  JOIN keyed ka ON ka.v = e.a
+  JOIN keyed kb ON kb.v = e.b
+),
+wedge AS (
+  SELECT e1.v, e2.w FROM
+    (SELECT src AS u, dst AS v, dst_kap AS kv FROM oriented) e1
+    JOIN (SELECT src AS u, dst AS w, dst_kap AS kw FROM oriented) e2 USING (u)
+  WHERE e1.kv < e2.kw
+),
+tri AS (
+  SELECT count(*) AS t FROM wedge wd
+  JOIN oriented o ON o.src = wd.v AND o.dst = wd.w
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+       (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg)
+         AS n_wedges,
+       3.0 * (SELECT CAST(t AS DOUBLE) FROM tri)
+         / (SELECT CAST(sum((deg * (deg - 1)) // 2) AS DOUBLE) FROM deg)
+         AS global_clustering
+"""

@@ -433,3 +433,76 @@ SELECT 'lineitem',
 FROM {lineitem} l LEFT JOIN doomed_orders k
   ON l.l_orderkey = k.o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Changelog compaction (latest-wins upserts + tombstones)
+# ---------------------------------------------------------------------------
+
+
+def changelog_compaction(events: DataFrame) -> DataFrame:
+    """Compact an upsert/tombstone changelog to current state — the
+    maintenance pass every CDC-fed table needs (Kafka log compaction /
+    Delta-Hudi compaction semantics): keep only each key's LATEST
+    record, and drop the key entirely when that latest record is a
+    tombstone.
+
+    The event stream is read as a changelog keyed by user_id: an
+    ``error`` event is the tombstone sentinel (account torn down), any
+    other event upserts the user's state with its value; (ts, event_id)
+    is the total version order.  Output, per SURVIVING key: the live
+    version's id and value, total versions absorbed, and how many
+    tombstones the history contained (a resurrected account shows
+    n_tombstones > 0 — the audit column compaction debugging wants).
+
+    Scale: ONE descending time window per key yields the version rank,
+    version count, and tombstone count in a single pass (distributed
+    by user_id, the same shape as sessionization); the filter keeps
+    one row per key, so output is |keys| rows and nothing shuffles
+    after the window sort.  At 100 TB the changelog arrives
+    partitioned by key from the CDC source, so the window sort is
+    partition-local.  All columns are exact (BIGINT counts, cent-exact
+    value passthrough).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wall = Window.partitionBy("user_id")
+    is_tomb = (F.col("event_type") == "error").cast("bigint")
+    ranked = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        is_tomb.alias("tomb"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_versions"),
+        F.sum(is_tomb).over(wall).cast("bigint").alias("n_tombstones"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("tomb") == 0)).select(
+        "user_id",
+        F.col("event_id").alias("live_event_id"),
+        F.col("value").alias("live_value"),
+        "n_versions",
+        "n_tombstones",
+    )
+
+
+def sql_changelog_compaction(table: str = "events") -> str:
+    return f"""
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS tomb,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_versions,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id) AS BIGINT) AS n_tombstones
+  FROM {table}
+)
+SELECT user_id,
+       event_id AS live_event_id,
+       value AS live_value,
+       n_versions,
+       n_tombstones
+FROM ranked WHERE rn = 1 AND tomb = 0
+"""

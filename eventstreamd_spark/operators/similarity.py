@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from eventstreamd_spark.functions.vectors import (
     cosine,
+    cosine_guarded,
     sql_cosine,
     sql_cosine_guarded,
     to_double,
@@ -1325,3 +1326,289 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# nDCG ranking-quality eval (graded relevance, exact rational discounts)
+# ---------------------------------------------------------------------------
+
+NDCG_LCM = 27720  # lcm(2..11): clears every 1/(1+rank) denominator at k<=10
+
+
+def ndcg_eval(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    tier: str = "ivf",
+) -> DataFrame:
+    """Graded ranking quality of an ANN tier: per-query nDCG@k and
+    reciprocal rank against the exact cosine ranking.  recall@k (the
+    ann_recall report) treats every exact top-k neighbor as equally
+    relevant; nDCG grades them (relevance of the exact rank-r neighbor
+    is k+1-r) and discounts by result position, so it catches the
+    failure recall hides — the tier returning the right set in the
+    wrong order.
+
+    Exactness: the textbook log2 discount would put engine-libm
+    ``log`` bits in the hash; instead the discount is the rational
+    1/(1+rank) family scaled by LCM(2..11)=27720, so DCG and ideal DCG
+    are EXACT BIGINT sums (dcg_num = sum rel * 27720/(1+rank)); nDCG
+    and RR are each one double divide of exact integers.  Same
+    rank-weighting family as RRF (hybrid_search) — consistent eval
+    semantics across the retrieval stack.
+
+    Plan: the |Q|-bounded exact ranking is memo_checkpoint'ed (shared
+    with the recall reports when run in-session); the approx leg is
+    the audited ANN query itself; everything downstream is joins and
+    aggregates on |Q| x k rows.
+    """
+    approx_fn = {"ivf": ivf_topk, "pq": pq_topk}[tier]
+    exact = memo_checkpoint(
+        brute_force_topk(embeddings, query_ids, k=k).select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(k + 1) - F.col("rank")).cast("bigint").alias("rel"),
+            F.col("rank").alias("exact_rank"),
+        )
+    )
+    idcg = exact.groupBy("query_id").agg(
+        F.sum(F.expr(f"rel * ({NDCG_LCM} div (1 + exact_rank))"))
+        .cast("bigint")
+        .alias("idcg_num")
+    )
+    approx = approx_fn(embeddings, query_ids, k=k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("approx_rank")
+    )
+    labeled = approx.join(
+        exact.select("query_id", "neighbor_id", "rel"),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per = labeled.groupBy("query_id").agg(
+        F.sum(F.expr(f"coalesce(rel, 0) * ({NDCG_LCM} div (1 + approx_rank))"))
+        .cast("bigint")
+        .alias("dcg_num"),
+        F.min(
+            F.when(F.col("rel").isNotNull(), F.col("approx_rank"))
+        ).alias("first_hit_rank"),
+    )
+    return per.join(idcg, "query_id").select(
+        "query_id",
+        "dcg_num",
+        "idcg_num",
+        (F.col("dcg_num").cast("double") / F.col("idcg_num").cast("double")).alias(
+            "ndcg"
+        ),
+        F.col("first_hit_rank").cast("bigint").alias("first_hit_rank"),
+        F.coalesce(
+            F.lit(1.0) / F.col("first_hit_rank").cast("double"), F.lit(0.0)
+        ).alias("reciprocal_rank"),
+    )
+
+
+def sql_ndcg_eval(
+    query_ids: list[int],
+    k: int = 10,
+    table: str = "embeddings",
+    tier: str = "ivf",
+) -> str:
+    """DuckDB twin — same grading, LCM discounts, and tie handling."""
+    sql_fn = {"ivf": sql_ivf_topk, "pq": sql_pq_topk}[tier]
+    exact = sql_brute_force_topk(query_ids, k=k, table=table)
+    approx = sql_fn(query_ids, k=k, table=table)
+    return f"""
+WITH exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+         CAST({k + 1} - rank AS BIGINT) AS rel,
+         rank AS exact_rank
+  FROM ({exact})
+),
+idcg AS (
+  SELECT query_id,
+         CAST(sum(rel * ({NDCG_LCM} // (1 + exact_rank))) AS BIGINT)
+           AS idcg_num
+  FROM exact GROUP BY query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id, rank AS approx_rank FROM ({approx})
+),
+labeled AS (
+  SELECT a.query_id, a.approx_rank, e.rel
+  FROM approx a LEFT JOIN exact e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+),
+per AS (
+  SELECT query_id,
+         CAST(sum(coalesce(rel, 0) * ({NDCG_LCM} // (1 + approx_rank)))
+              AS BIGINT) AS dcg_num,
+         min(CASE WHEN rel IS NOT NULL THEN approx_rank END)
+           AS first_hit_rank
+  FROM labeled GROUP BY query_id
+)
+SELECT p.query_id, p.dcg_num, i.idcg_num,
+       CAST(p.dcg_num AS DOUBLE) / CAST(i.idcg_num AS DOUBLE) AS ndcg,
+       CAST(p.first_hit_rank AS BIGINT) AS first_hit_rank,
+       coalesce(1.0 / CAST(p.first_hit_rank AS DOUBLE), 0.0)
+         AS reciprocal_rank
+FROM per p JOIN idcg i USING (query_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (greedy re-ranking, unrolled iterations)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7  # relevance/diversity trade-off (Carbonell & Goldstein 1998)
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    candidates: int = 20,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): from the query's top-``candidates`` cosine neighbors,
+    greedily pick k results maximizing
+
+        mmr(d) = lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)
+
+    — the diversified retrieval a RAG pipeline wants when the plain
+    top-k is five paraphrases of the same passage.
+
+    Determinism: every sim is the guarded cosine (zero-norm sentinel
+    -2.0, never NaN); the greedy score is multiply/subtract/max of
+    IEEE doubles — bit-identical across engines — and every argmax
+    tie-breaks on vec_id.
+
+    Scale shape: ONE corpus pass scores the query leg (broadcast
+    1-row query, TakeOrdered candidates); everything after operates on
+    the |candidates|-row frame and its |candidates|^2 pair table —
+    KB-sized, broadcast — with the k greedy rounds unrolled as plan
+    stages the same way PageRank unrolls its iterations.  The
+    pair table is ``localCheckpoint``ed so round t does not replay the
+    corpus scan t times.
+    """
+    qvec = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = memo_checkpoint(
+        fan_out(embeddings)
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine_guarded(F.col("embedding"), F.col("qv")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(candidates)
+    )
+    a = cand.select(F.col("vec_id").alias("i"), F.col("embedding").alias("vi"))
+    b = cand.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vj"))
+    pair = memo_checkpoint(
+        a.join(F.broadcast(b), F.col("i") != F.col("j")).select(
+            "i", "j", cosine_guarded(F.col("vi"), F.col("vj")).alias("sim")
+        )
+    )
+    base = cand.select("vec_id", "rel")
+    picks = []
+    sel = None
+    for t in range(1, k + 1):
+        remaining = base if sel is None else base.join(sel, "vec_id", "anti")
+        if sel is None:
+            scored = remaining.select(
+                "vec_id", "rel", (F.lit(lam) * F.col("rel")).alias("mmr_score")
+            )
+        else:
+            pen = (
+                pair.join(
+                    sel.select(F.col("vec_id").alias("j")), "j"
+                )
+                .groupBy(F.col("i").alias("vec_id"))
+                .agg(F.max("sim").alias("max_sim_sel"))
+            )
+            scored = remaining.join(pen, "vec_id").select(
+                "vec_id",
+                "rel",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("max_sim_sel")
+                ).alias("mmr_score"),
+            )
+        top = (
+            scored.orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(t).cast("bigint").alias("selection_rank"),
+                "vec_id",
+                "rel",
+                "mmr_score",
+            )
+            .localCheckpoint()
+        )
+        picks.append(top)
+        sel = (
+            top.select("vec_id")
+            if sel is None
+            else sel.union(top.select("vec_id"))
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out
+
+
+def sql_mmr_topk(
+    query_vec_id: int,
+    k: int = 5,
+    candidates: int = 20,
+    lam: float = MMR_LAMBDA,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin — same candidate bound, guarded sims, unrolled
+    greedy rounds (MATERIALIZED so DuckDB doesn't re-inline the
+    selection CTEs exponentially)."""
+    cos_q = sql_cosine_guarded("e.embedding", "q.embedding")
+    cos_p = sql_cosine_guarded("a.embedding", "b.embedding")
+    parts = [
+        f"""cand AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, {cos_q} AS rel
+  FROM {table} e, {table} q
+  WHERE q.vec_id = {query_vec_id} AND e.vec_id <> {query_vec_id}
+  ORDER BY rel DESC, e.vec_id LIMIT {candidates}
+)""",
+        f"""pair AS MATERIALIZED (
+  SELECT a.vec_id AS i, b.vec_id AS j, {cos_p} AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+)""",
+        f"""pick1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS selection_rank, vec_id, rel,
+         {lam!r} * rel AS mmr_score
+  FROM cand ORDER BY mmr_score DESC, vec_id LIMIT 1
+)""",
+        "sel1 AS MATERIALIZED (SELECT vec_id FROM pick1)",
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f"""pick{t} AS MATERIALIZED (
+  SELECT CAST({t} AS BIGINT) AS selection_rank, c.vec_id, c.rel,
+         {lam!r} * c.rel - {1.0 - lam!r} * p.max_sim_sel AS mmr_score
+  FROM cand c
+  JOIN (SELECT i AS vec_id, max(sim) AS max_sim_sel
+        FROM pair WHERE j IN (SELECT vec_id FROM sel{t - 1})
+        GROUP BY i) p USING (vec_id)
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+  ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+)"""
+        )
+        parts.append(
+            f"sel{t} AS MATERIALIZED (SELECT vec_id FROM sel{t - 1} "
+            f"UNION ALL SELECT vec_id FROM pick{t})"
+        )
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM pick{t}" for t in range(1, k + 1)
+    )
+    return f"WITH {body}\n{union}"

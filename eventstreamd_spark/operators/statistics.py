@@ -1735,3 +1735,442 @@ SELECT event_type,
          AS first_crossing_event
 FROM s GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity report (privacy profiling before a training-data release)
+# ---------------------------------------------------------------------------
+
+K_ANON_THRESHOLDS = (2, 5, 10, 25)
+
+
+def k_anonymity_report(customer: DataFrame) -> DataFrame:
+    """Re-identification risk profile of a release: group the table by
+    its quasi-identifiers (nation, market segment, account-balance
+    thousand-band — the attribute combination an adversary can link
+    from outside data) and, for each k threshold, count the
+    equivalence classes smaller than k and the rows inside them (the
+    k-anonymity failure set of Sweeney 2002).  A release is k-anonymous
+    iff n_rows_at_risk = 0 at that k.
+
+    Scale: ONE shuffle on the QI key with map-side combine; the class
+    size table is |distinct QI| rows, and the per-threshold report is a
+    4-conditional-sum aggregate over it collapsed to one row, then
+    unrolled with a literal-array explode — nothing after the first
+    aggregate touches the corpus.  Arithmetic: the band is
+    floor(balance/1000.0), one IEEE divide + floor (bit-identical both
+    engines, negative balances land in band -1); everything else is
+    BIGINT counting.
+    """
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0))
+    classes = (
+        customer.groupBy(
+            F.col("c_nationkey").alias("qi_nation"),
+            F.col("c_mktsegment").alias("qi_segment"),
+            band.alias("qi_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    aggs = [F.sum("class_size").cast("bigint").alias("total_rows")]
+    for k in K_ANON_THRESHOLDS:
+        aggs.append(
+            F.sum(F.when(F.col("class_size") < k, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"c{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("class_size") < k, F.col("class_size")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias(f"r{k}")
+        )
+    one = classes.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("bigint").alias("k"),
+                F.col(f"c{k}").alias("n_classes_below"),
+                F.col(f"r{k}").alias("n_rows_at_risk"),
+            )
+            for k in K_ANON_THRESHOLDS
+        ]
+    )
+    return (
+        one.select("total_rows", F.explode(rows).alias("t"))
+        .select(
+            F.col("t.k").alias("k"),
+            F.col("t.n_classes_below").alias("n_classes_below"),
+            F.col("t.n_rows_at_risk").alias("n_rows_at_risk"),
+            (
+                F.col("t.n_rows_at_risk").cast("double")
+                / F.col("total_rows").cast("double")
+            ).alias("risk_frac"),
+        )
+    )
+
+
+def sql_k_anonymity_report(table: str = "customer") -> str:
+    """DuckDB twin — same QI banding, thresholds unrolled as UNION ALL."""
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k,
+       CAST(sum(CASE WHEN class_size < {k} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below,
+       CAST(sum(CASE WHEN class_size < {k} THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_rows_at_risk,
+       CAST(sum(CASE WHEN class_size < {k} THEN class_size ELSE 0 END)
+            AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) AS risk_frac
+FROM classes"""
+        for k in K_ANON_THRESHOLDS
+    )
+    return f"""
+WITH classes AS (
+  SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+         floor(c_acctbal / 1000.0) AS qi_band,
+         count(*) AS class_size
+  FROM {table} GROUP BY 1, 2, 3
+),
+tot AS (SELECT sum(class_size) AS t FROM classes)
+{arms}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration report (reliability deciles, exact Brier/ECE)
+# ---------------------------------------------------------------------------
+
+
+def calibration_report(events: DataFrame) -> DataFrame:
+    """Reliability diagram + exact Brier score for a deterministic
+    scorer: predicted conversion probability p = min(value, 200)/200
+    (a rational score — swap in a model column without touching the
+    plan), outcome y = the event being a purchase or signup.  Per
+    score decile: n, mean predicted p, observed rate, calibration gap,
+    exact per-bucket Brier, and the global expected calibration error
+    (ECE = sum_b |gap_b| * n_b / N).
+
+    Exactness: p is one IEEE divide; it is then quantized to integer
+    millionths with half-away rounding (identical both engines), and
+    ALL aggregation runs on those integers — sum p, sum p^2, sum p*y
+    in DECIMAL(38,0) — so Brier = (sum p^2 - 2e6 sum p y + 1e12 n_pos)
+    / 1e12 n is exact-integer up to the final divide.  ECE folds the
+    10-row bucket table with an unpartitioned window (KB-sized frame,
+    the documented spine-table idiom) — and stays order-free because
+    |gap_b| * n_b scales to the exact integer |sp_b - 1e6 n_pos_b|:
+    the window sums DECIMALs, never doubles, so row order inside the
+    single window partition cannot move a bit.
+    """
+    from pyspark.sql import Window
+
+    p = F.least(F.col("value"), F.lit(200.0)) / F.lit(200.0)
+    pu = F.round(p * F.lit(1000000.0), 0).cast("bigint")
+    y = F.col("event_type").isin("purchase", "signup").cast("bigint")
+    bucket = F.least(F.lit(9), F.floor(p * F.lit(10.0))).cast("bigint")
+    base = events.select(
+        bucket.alias("score_decile"), pu.alias("pu"), y.alias("y")
+    )
+    g = base.groupBy("score_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pu").cast("decimal(38,0)").alias("sp"),
+        F.sum((F.col("pu") * F.col("pu")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sp2"),
+        F.sum(F.col("pu") * F.col("y")).cast("decimal(38,0)").alias("spy"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    nd = F.col("n").cast("double")
+    mean_pred = F.col("sp").cast("double") / (nd * F.lit(1000000.0))
+    obs_rate = F.col("n_pos").cast("double") / nd
+    brier = (
+        F.col("sp2").cast("double")
+        - F.lit(2000000.0) * F.col("spy").cast("double")
+        + F.lit(1.0e12) * F.col("n_pos").cast("double")
+    ) / (F.lit(1.0e12) * nd)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per = g.select(
+        "score_decile",
+        "n",
+        "n_pos",
+        mean_pred.alias("mean_pred"),
+        obs_rate.alias("obs_rate"),
+        (mean_pred - obs_rate).alias("gap"),
+        brier.alias("brier"),
+        F.abs(
+            F.col("sp")
+            - (F.lit(1000000).cast("decimal(38,0)") * F.col("n_pos")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("_w"),
+        F.col("n").alias("_n"),
+    )
+    ece = (
+        F.sum("_w").over(wall).cast("double")
+        / (F.lit(1000000.0) * F.sum("_n").over(wall).cast("double"))
+    )
+    return per.withColumn("ece", ece).drop("_w", "_n")
+
+
+def sql_calibration_report(table: str = "events") -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(least(9, floor(least(value, 200.0) / 200.0 * 10.0))
+              AS BIGINT) AS score_decile,
+         CAST(round(least(value, 200.0) / 200.0 * 1000000.0, 0)
+              AS BIGINT) AS pu,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN 1 ELSE 0 END AS y
+  FROM {table}
+),
+g AS (
+  SELECT score_decile,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(pu AS HUGEINT)) AS sp,
+         sum(CAST(pu AS HUGEINT) * pu) AS sp2,
+         sum(CAST(pu AS HUGEINT) * y) AS spy,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM base GROUP BY 1
+)
+SELECT score_decile, n, n_pos,
+       CAST(CAST(sp AS VARCHAR) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * 1000000.0) AS mean_pred,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS obs_rate,
+       CAST(CAST(sp AS VARCHAR) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * 1000000.0)
+         - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS gap,
+       (CAST(CAST(sp2 AS VARCHAR) AS DOUBLE)
+          - 2000000.0 * CAST(CAST(spy AS VARCHAR) AS DOUBLE)
+          + 1.0e12 * CAST(n_pos AS DOUBLE))
+         / (1.0e12 * CAST(n AS DOUBLE)) AS brier,
+       CAST(CAST(sum(abs(sp - CAST(1000000 AS HUGEINT) * n_pos)) OVER ()
+                 AS VARCHAR) AS DOUBLE)
+         / (1000000.0 * CAST(sum(n) OVER () AS DOUBLE)) AS ece
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation profile (lag-k ACF per series, exact power sums)
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 2, 3)
+
+
+def acf_profile(events: DataFrame) -> DataFrame:
+    """Lag-k autocorrelation of ``value`` per event_type series
+    (ordered by ts, event_id) for lags 1..3 — the seasonality /
+    burstiness fingerprint a feed monitor keeps per source: ACF near
+    zero says the stream is memoryless, a spike at lag k says values
+    repeat on a k-event cycle.
+
+    Pearson correlation over the (x_t, x_{t-k}) pairs, computed the
+    module's portable way: values quantized to exact cents, all five
+    power sums accumulated in DECIMAL(38,0), the correlation formula
+    run once per (type, lag) in double with the SQL twin mirroring the
+    expression shape exactly.
+
+    Scale: ONE per-type time-sort window produces all three lags
+    (Spark evaluates the lag family in a single window pass), an
+    explode stacks them (3x pair rows, narrow), and the aggregate
+    collapses map-side onto the tiny (type, lag) key.  The per-type
+    sort is the same distributed-window shape as sessionization /
+    event_transitions; at 100 TB the input arrives time-bucketed so
+    the sort is per (type, day-bucket) merge, not a corpus sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("bigint")
+    lagged = events.select(
+        "event_type",
+        cents.alias("x"),
+        *[F.lag(cents, k).over(w).alias(f"x_lag{k}") for k in ACF_LAGS],
+    )
+    stacked = lagged.select(
+        "event_type",
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("lag"),
+                        F.col(f"x_lag{k}").alias("prev"),
+                    )
+                    for k in ACF_LAGS
+                ]
+            )
+        ).alias("t"),
+    ).select(
+        "event_type", F.col("t.lag").alias("lag"), "x", F.col("t.prev").alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    D = "decimal(38,0)"
+    g = stacked.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("x").cast(D)).cast("double").alias("sx"),
+        F.sum(F.col("prev").cast(D)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(D)).cast("double").alias("sxx"),
+        F.sum((F.col("prev") * F.col("prev")).cast(D)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("prev")).cast(D)).cast("double").alias("sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    den = F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / n) * F.sqrt(
+        F.col("syy") - F.col("sy") * F.col("sy") / n
+    )
+    return g.select(
+        "event_type", "lag", "n_pairs", (num / den).alias("acf")
+    ).orderBy("event_type", "lag")
+
+
+def sql_acf_profile(table: str = "events") -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+        f" AS x_lag{k}"
+        for k in ACF_LAGS
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT event_type, CAST({k} AS BIGINT) AS lag, x, x_lag{k} AS prev "
+        f"FROM lagged WHERE x_lag{k} IS NOT NULL"
+        for k in ACF_LAGS
+    )
+    d2d = _d2d
+    sx, sy = d2d("sum(CAST(x AS HUGEINT))"), d2d("sum(CAST(prev AS HUGEINT))")
+    sxx = d2d("sum(CAST(x AS HUGEINT) * x)")
+    syy = d2d("sum(CAST(prev AS HUGEINT) * prev)")
+    sxy = d2d("sum(CAST(x AS HUGEINT) * prev)")
+    return f"""
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 100.0, 0) AS BIGINT) AS x
+  FROM {table}
+),
+lagged AS (
+  SELECT event_type,
+         x,
+         {lag_cols}
+  FROM base
+),
+stacked AS (
+{arms}
+),
+g AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         {sx} AS sx, {sy} AS sy, {sxx} AS sxx, {syy} AS syy, {sxy} AS sxy
+  FROM stacked GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs,
+       (sxy - sx * sy / CAST(n_pairs AS DOUBLE))
+         / (sqrt(sxx - sx * sx / CAST(n_pairs AS DOUBLE))
+            * sqrt(syy - sy * sy / CAST(n_pairs AS DOUBLE))) AS acf
+FROM g
+ORDER BY event_type, lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# EWMA user score (dyadic decay => exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+EWMA_DEPTH = 16  # window depth; alpha = 1/2 (dyadic, exact)
+
+
+def ewma_user_score(events: DataFrame) -> DataFrame:
+    """Per-user recency-decayed activity score: the exponentially
+    weighted moving average of the user's event values at their LAST
+    event, with decay 1/2 per step over the trailing 16 events — the
+    classic engagement feature (recent behavior dominates, ancient
+    history fades) exported per user into a feature store.
+
+    The decay being DYADIC makes the whole thing exact integer math:
+    weight of the j-th most recent event is 2^(15-j), so
+    score = sum_j(cents_j * 2^(15-j)) / sum_j(2^(15-j)) is a ratio of
+    two exact BIGINTs (numerator < 2^16 * max_cents — no overflow),
+    divided once in double at the end.  The truncation at depth 16
+    discards weights below 2^-16 — invisible at double precision and
+    what makes the window (vs infinite recursion) form exact.
+
+    Scale: ONE descending time window per user computes the row_number
+    and all 15 leads in a single pass; the filter keeps one row per
+    user, so the output is |users| rows and nothing shuffles after the
+    window sort (distributed by user_id).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("bigint")
+    leads = [cents] + [
+        F.lead(cents, j).over(w) for j in range(1, EWMA_DEPTH)
+    ]
+    num = None
+    den = None
+    for j, c in enumerate(leads):
+        wt = 1 << (EWMA_DEPTH - 1 - j)
+        term = F.when(c.isNotNull(), c * F.lit(wt)).otherwise(F.lit(0))
+        dterm = F.when(c.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    ranked = events.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_events"),
+        num.cast("bigint").alias("ewma_num"),
+        den.cast("bigint").alias("ewma_den"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "ewma_num",
+        "ewma_den",
+        (
+            F.col("ewma_num").cast("double")
+            / (F.col("ewma_den").cast("double") * F.lit(100.0))
+        ).alias("ewma_value"),
+    )
+
+
+def sql_ewma_user_score(table: str = "events") -> str:
+    num_terms, den_terms, lead_cols = [], [], []
+    for j in range(EWMA_DEPTH):
+        wt = 1 << (EWMA_DEPTH - 1 - j)
+        col = (
+            "x"
+            if j == 0
+            else f"lead(x, {j}) OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC)"
+        )
+        name = f"c{j}"
+        lead_cols.append(f"{col} AS {name}")
+        num_terms.append(f"CASE WHEN {name} IS NOT NULL THEN {name} * {wt} ELSE 0 END")
+        den_terms.append(f"CASE WHEN {name} IS NOT NULL THEN {wt} ELSE 0 END")
+    leads = ",\n         ".join(lead_cols)
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100.0, 0) AS BIGINT) AS x
+  FROM {table}
+),
+led AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events,
+         {leads}
+  FROM base
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST({num} AS BIGINT) AS ewma_num,
+       CAST({den} AS BIGINT) AS ewma_den,
+       CAST({num} AS DOUBLE) / (CAST({den} AS DOUBLE) * 100.0) AS ewma_value
+FROM led WHERE rn = 1
+"""

@@ -2675,6 +2675,37 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_mod.curriculum_order(load_table(spark, sf_dir, "documents"))
 
 
+@register("k_anonymity_report", stats_mod.sql_k_anonymity_report())
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy profiling: rows-at-risk per k threshold over the
+    (nation, segment, balance-band) quasi-identifier classes — one QI
+    shuffle, then a one-row conditional aggregate unrolled per k."""
+    return stats_mod.k_anonymity_report(load_table(spark, sf_dir, "customer"))
+
+
+@register("calibration_report", stats_mod.sql_calibration_report())
+def calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability deciles with exact scaled-integer
+    Brier per bucket and a DECIMAL-summed (order-free) global ECE."""
+    return stats_mod.calibration_report(load_table(spark, sf_dir, "events"))
+
+
+@register("acf_profile", stats_mod.sql_acf_profile())
+def acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation per event_type series: one window
+    pass emits all lags, exact DECIMAL power sums, closed-form Pearson
+    in double mirrored across engines."""
+    return stats_mod.acf_profile(load_table(spark, sf_dir, "events"))
+
+
+@register("ewma_user_score", stats_mod.sql_ewma_user_score())
+def ewma_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-decayed activity score at the last event —
+    dyadic alpha=1/2 makes numerator/denominator exact BIGINTs (one
+    descending window pass, one row out per user)."""
+    return stats_mod.ewma_user_score(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Graph tier (graph.py): integer PageRank canonical-copy selection on
 # the near-dup graph — "which duplicate do we keep".
@@ -2694,6 +2725,46 @@ def pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_op.pagerank_canonical(
         dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
     )
+
+
+@register(
+    "triangle_stats",
+    graph_op.sql_triangle_stats(dedup_op.sql_planted_near_dups()),
+)
+def triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the near-dup
+    graph via degree-ordered orientation (each triangle counted once,
+    out-degree capped at O(sqrt E)) — the cluster-chaining health
+    check for the LSH threshold."""
+    return graph_op.triangle_stats(
+        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@register("ndcg_eval", sim_op.sql_ndcg_eval(_ANN_QUERY_IDS, k=10))
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded nDCG@10 + reciprocal rank of the IVF tier vs the exact
+    ranking — LCM-scaled rational discounts keep DCG sums exact
+    BIGINTs (no libm log in the hash)."""
+    return sim_op.ndcg_eval(
+        load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=10
+    )
+
+
+@register("mmr_diversified_topk", sim_op.sql_mmr_topk(0, k=5, candidates=20))
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking of the query's top-20
+    cosine candidates: k greedy rounds unrolled as plan stages over a
+    broadcast KB-sized pair table, guarded cosines, id tie-breaks."""
+    return sim_op.mmr_topk(load_table(spark, sf_dir, "embeddings"), 0, k=5)
+
+
+@register("changelog_compaction", merge_op.sql_changelog_compaction())
+def changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins + tombstone compaction of the event changelog keyed
+    by user: one descending window pass emits live state, version
+    count, and tombstones absorbed."""
+    return merge_op.changelog_compaction(load_table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
@@ -2858,6 +2929,10 @@ _COST_HINT = {
     # round-6 additions
     "survivorship_merge": 4.60, "lsh_recall_report": 3.00,
     "cascade_delete_report": 0.50, "curriculum_order": 0.45,
+    "k_anonymity_report": 0.30, "calibration_report": 0.35,
+    "acf_profile": 0.45, "ewma_user_score": 0.50,
+    "triangle_stats": 2.60, "ndcg_eval": 1.60,
+    "changelog_compaction": 0.40, "mmr_diversified_topk": 2.20,
     "bloom_join_prune": 0.35, "zorder_skipping": 0.40,
     "ivm_priority_revenue": 0.20, "kmv_join_size": 0.30,
     "expectations_report": 0.30, "late_data_audit": 0.35,

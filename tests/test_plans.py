@@ -478,3 +478,32 @@ def test_curriculum_order_no_global_sort(plans) -> None:
     phys = plans("curriculum_order").split("== Physical Plan ==")[-1]
     assert "rangepartitioning" not in phys.lower()
     assert "BroadcastHashJoin" in phys
+
+
+def test_triangle_probe_is_equi_join(plans) -> None:
+    # the kappa orientation makes the closure probe an equi-join; an
+    # OR-of-directions probe would plan as an Inner nested-loop scan.
+    # The only nested-loop nodes allowed are the final Cross joins of
+    # the four broadcast 1-row aggregate frames.
+    phys = plans("triangle_stats").split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    for line in phys.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+
+
+def test_ewma_single_window_pass(plans) -> None:
+    # all 15 leads + row_number share ONE descending window sort; a
+    # second Sort node would mean the lead family split across passes
+    phys = plans("ewma_user_score").split("== Physical Plan ==")[-1]
+    assert phys.count("WindowGroupLimit") <= 1
+    assert phys.count("Sort ") <= 2  # one window sort (+AQE variance)
+
+
+def test_calibration_windows_over_bucket_table_only(plans) -> None:
+    # the ECE window runs over the 10-row decile table, after the
+    # corpus aggregate — the corpus itself is never window-sorted
+    plan = plans("calibration_report")
+    agg_pos = plan.index("== Physical Plan ==")
+    phys = plan[agg_pos:]
+    assert "hashpartitioning(score_decile" in phys or "HashAggregate" in phys

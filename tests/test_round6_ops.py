@@ -1,0 +1,331 @@
+"""Round-6 operator tier: privacy, calibration, ACF, EWMA, triangle
+census, nDCG ranking eval, changelog compaction.
+
+Value-hash parity with DuckDB is the registry gate's job; these tests
+pin the SEMANTIC laws each operator must satisfy (monotonicity,
+normalization, closed-form invariants, hand-computed fixtures) so a
+refactor that stays self-consistent across engines but drifts from
+the intended math still fails loudly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from eventstreamd_spark.operators import (
+    dedup as dedup_op,
+    graph as graph_op,
+    merge as merge_op,
+    similarity as sim_op,
+    statistics as stats_mod,
+)
+from eventstreamd_spark.session import load_table
+
+
+# --- k-anonymity -----------------------------------------------------------
+
+
+def test_k_anonymity_monotone_in_k(spark, sf_dir) -> None:
+    rows = sorted(
+        stats_mod.k_anonymity_report(
+            load_table(spark, sf_dir, "customer")
+        ).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == list(stats_mod.K_ANON_THRESHOLDS)
+    for lo, hi in zip(rows, rows[1:]):
+        # a class below k is also below every larger k
+        assert lo["n_classes_below"] <= hi["n_classes_below"]
+        assert lo["n_rows_at_risk"] <= hi["n_rows_at_risk"]
+    for r in rows:
+        assert 0.0 <= r["risk_frac"] <= 1.0
+
+
+def test_k_anonymity_fixture(spark) -> None:
+    rows = [
+        Row(c_custkey=i, c_nationkey=1, c_mktsegment="A", c_acctbal=500.0)
+        for i in range(4)
+    ] + [Row(c_custkey=9, c_nationkey=2, c_mktsegment="B", c_acctbal=500.0)]
+    out = {
+        r["k"]: r
+        for r in stats_mod.k_anonymity_report(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    # class sizes: {4, 1}; k=2 -> only the singleton at risk
+    assert out[2]["n_classes_below"] == 1
+    assert out[2]["n_rows_at_risk"] == 1
+    # k=5 -> both classes below threshold, all 5 rows at risk
+    assert out[5]["n_classes_below"] == 2
+    assert out[5]["n_rows_at_risk"] == 5
+    assert out[5]["risk_frac"] == 1.0
+
+
+# --- calibration -----------------------------------------------------------
+
+
+def test_calibration_totals_and_ece(spark, sf_dir) -> None:
+    rows = stats_mod.calibration_report(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    n_total = sum(r["n"] for r in rows)
+    assert n_total == load_table(spark, sf_dir, "events").count()
+    # every row carries the same global ECE, equal to the n-weighted
+    # mean absolute gap
+    ece = rows[0]["ece"]
+    assert all(abs(r["ece"] - ece) < 1e-15 for r in rows)
+    recomputed = sum(abs(r["gap"]) * r["n"] for r in rows) / n_total
+    assert abs(ece - recomputed) < 1e-9
+    for r in rows:
+        assert 0.0 <= r["mean_pred"] <= 1.0
+        assert 0.0 <= r["obs_rate"] <= 1.0
+        assert 0.0 <= r["brier"] <= 1.0
+
+
+def test_calibration_perfect_scorer(spark) -> None:
+    # p=1 & y=1 and p=0 & y=0 -> brier 0, gap 0, ece 0
+    rows = [
+        Row(event_id=1, event_type="purchase", value=200.0),
+        Row(event_id=2, event_type="view", value=0.0),
+    ]
+    out = stats_mod.calibration_report(spark.createDataFrame(rows)).collect()
+    assert all(r["brier"] == 0.0 and r["ece"] == 0.0 for r in out)
+
+
+# --- ACF -------------------------------------------------------------------
+
+
+def test_acf_bounds_and_pair_counts(spark, sf_dir) -> None:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    type_counts = {
+        r["event_type"]: r["c"]
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    rows = stats_mod.acf_profile(events).collect()
+    assert len(rows) == len(type_counts) * len(stats_mod.ACF_LAGS)
+    for r in rows:
+        assert -1.0 <= r["acf"] <= 1.0
+        assert r["n_pairs"] == type_counts[r["event_type"]] - r["lag"]
+
+
+def test_acf_perfect_alternation(spark) -> None:
+    # strictly alternating series: ACF(1) = -1, ACF(2) = +1
+    import datetime
+
+    rows = [
+        Row(
+            event_id=i,
+            event_type="t",
+            ts=datetime.datetime(2024, 1, 1, 0, 0, i),
+            value=1.0 if i % 2 == 0 else 3.0,
+        )
+        for i in range(40)
+    ]
+    out = {
+        r["lag"]: r["acf"]
+        for r in stats_mod.acf_profile(spark.createDataFrame(rows)).collect()
+    }
+    assert abs(out[1] + 1.0) < 1e-9
+    assert abs(out[2] - 1.0) < 1e-9
+
+
+# --- EWMA ------------------------------------------------------------------
+
+
+def test_ewma_matches_reference_recursion(spark, sf_dir) -> None:
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        r["user_id"]: r
+        for r in stats_mod.ewma_user_score(events).collect()
+    }
+    # reference: plain python over each user's last-16 values
+    pdf = events.select("user_id", "ts", "event_id", "value").toPandas()
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    for uid, grp in pdf.groupby("user_id"):
+        vals = [round(v * 100) for v in grp["value"].tolist()][-stats_mod.EWMA_DEPTH:]
+        num = sum(c * (1 << i) for i, c in enumerate(vals))
+        den = sum(1 << i for i in range(len(vals)))
+        r = got[uid]
+        # weights: the j-th most recent carries 2^(15-j); with full
+        # depth both formulations agree after scaling
+        scale = 1 << (stats_mod.EWMA_DEPTH - len(vals))
+        assert r["ewma_num"] == num * scale
+        assert r["ewma_den"] == den * scale
+        assert abs(r["ewma_value"] - num / den / 100.0) < 1e-9
+        assert r["n_events"] == len(grp)
+
+
+def test_ewma_recency_dominates(spark) -> None:
+    import datetime
+
+    rows = [
+        Row(event_id=i, user_id=1,
+            ts=datetime.datetime(2024, 1, 1, 0, 0, i),
+            event_type="t", value=0.0)
+        for i in range(15)
+    ] + [
+        Row(event_id=99, user_id=1,
+            ts=datetime.datetime(2024, 1, 1, 1, 0, 0),
+            event_type="t", value=100.0)
+    ]
+    out = stats_mod.ewma_user_score(spark.createDataFrame(rows)).collect()
+    # newest event carries weight 2^15 of the 2^16-1 total: just over half
+    assert abs(out[0]["ewma_value"] - 100.0 * (1 << 15) / ((1 << 16) - 1)) < 1e-9
+
+
+# --- triangle census -------------------------------------------------------
+
+
+def test_triangle_invariants(spark, sf_dir) -> None:
+    docs = dedup_op.with_planted_near_dups(
+        load_table(spark, sf_dir, "documents")
+    )
+    row = graph_op.triangle_stats(docs).collect()[0]
+    # every triangle contains exactly 3 wedges
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
+    assert 0.0 <= row["global_clustering"] <= 1.0
+    assert row["n_nodes"] <= 2 * row["n_edges"]
+    # planted near-dup groups are cliques: expect real triangles
+    assert row["n_triangles"] > 0
+
+
+# --- nDCG ------------------------------------------------------------------
+
+
+def test_ndcg_bounds_and_idcg_closed_form(spark, sf_dir) -> None:
+    k = 10
+    idcg_expected = sum(
+        (k + 1 - r) * (sim_op.NDCG_LCM // (1 + r)) for r in range(1, k + 1)
+    )
+    rows = sim_op.ndcg_eval(
+        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=k
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["idcg_num"] == idcg_expected
+        assert 0 <= r["dcg_num"] <= r["idcg_num"]
+        assert 0.0 <= r["ndcg"] <= 1.0
+        if r["first_hit_rank"] is not None:
+            assert r["reciprocal_rank"] == 1.0 / r["first_hit_rank"]
+        else:
+            assert r["reciprocal_rank"] == 0.0
+
+
+def test_ndcg_saturates_at_exact_agreement(spark, sf_dir) -> None:
+    # a query whose approx list reproduces the exact ranking must score
+    # exactly 1.0 (the integer numerators make this an == check, no
+    # tolerance), and any missed/misordered neighbor must cost ndcg
+    emb = load_table(spark, sf_dir, "embeddings")
+    recall = {
+        r["query_id"]: r["recall_at_k"]
+        for r in sim_op.ann_recall_report(
+            emb, [0, 1, 2, 3, 4], k=10, tier="ivf"
+        ).collect()
+    }
+    for r in sim_op.ndcg_eval(emb, [0, 1, 2, 3, 4], k=10).collect():
+        if r["dcg_num"] == r["idcg_num"]:
+            assert r["ndcg"] == 1.0
+        if recall[r["query_id"]] < 1.0:
+            # missing any exact-top-k neighbor strictly lowers DCG
+            assert r["dcg_num"] < r["idcg_num"]
+
+
+# --- changelog compaction --------------------------------------------------
+
+
+def test_changelog_compaction_matches_direct_recompute(spark, sf_dir) -> None:
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        r["user_id"]: r
+        for r in merge_op.changelog_compaction(events).collect()
+    }
+    pdf = events.select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).toPandas()
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    seen = 0
+    for uid, grp in pdf.groupby("user_id"):
+        last = grp.iloc[-1]
+        tombs = int((grp["event_type"] == "error").sum())
+        if last["event_type"] == "error":
+            assert uid not in got
+            continue
+        seen += 1
+        r = got[uid]
+        assert r["live_event_id"] == last["event_id"]
+        assert r["live_value"] == last["value"]
+        assert r["n_versions"] == len(grp)
+        assert r["n_tombstones"] == tombs
+    assert seen == len(got)
+
+
+def test_changelog_tombstone_drops_key(spark) -> None:
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=1, user_id=7, ts=t, event_type="view", value=5.0),
+        Row(event_id=2, user_id=7,
+            ts=t + datetime.timedelta(seconds=1),
+            event_type="error", value=0.0),
+        Row(event_id=3, user_id=8, ts=t, event_type="error", value=0.0),
+        Row(event_id=4, user_id=8,
+            ts=t + datetime.timedelta(seconds=1),
+            event_type="view", value=9.0),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in merge_op.changelog_compaction(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    assert 7 not in out  # latest is a tombstone
+    assert out[8]["live_value"] == 9.0  # resurrected after tombstone
+    assert out[8]["n_tombstones"] == 1
+
+
+# --- MMR -------------------------------------------------------------------
+
+
+def test_mmr_matches_numpy_greedy(spark, sf_dir) -> None:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = sorted(
+        sim_op.mmr_topk(emb, 0, k=5, candidates=20).collect(),
+        key=lambda r: r["selection_rank"],
+    )
+    pdf = emb.toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+    q = vecs[0]
+
+    def cos(a, b):
+        na, nb = np.sqrt(a @ a), np.sqrt(b @ b)
+        return -2.0 if na * nb == 0 else float(a @ b) / (na * nb)
+
+    rel = {i: cos(v, q) for i, v in vecs.items() if i != 0}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:20]
+    lam = sim_op.MMR_LAMBDA
+    sel: list[int] = []
+    for _ in range(5):
+        best, best_score = None, None
+        for i in cand:
+            if i in sel:
+                continue
+            pen = max((cos(vecs[i], vecs[j]) for j in sel), default=0.0)
+            score = lam * rel[i] - (1 - lam) * pen if sel else lam * rel[i]
+            if best is None or score > best_score or (
+                score == best_score and i < best
+            ):
+                best, best_score = i, score
+        sel.append(best)
+    assert [r["vec_id"] for r in got] == sel
+    # diversity law: the MMR list must not be a pure relevance sort
+    # unless relevance order already is diverse — at minimum ranks are
+    # 1..5 with distinct ids and scores finite
+    assert [r["selection_rank"] for r in got] == [1, 2, 3, 4, 5]
+    assert len({r["vec_id"] for r in got}) == 5
