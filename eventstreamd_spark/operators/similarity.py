@@ -1612,3 +1612,109 @@ def sql_mmr_topk(
         f"SELECT * FROM pick{t}" for t in range(1, k + 1)
     )
     return f"WITH {body}\n{union}"
+
+
+# --- kNN label-noise audit (Confident-Learning-style mislabel screen) -------
+
+NOISE_ANCHOR_MOD = 13  # hash-defined anchor sample: vec_id % 13 == 0
+NOISE_K = 10
+
+
+def knn_label_noise(
+    embeddings: DataFrame,
+    k: int = NOISE_K,
+    anchor_mod: int = NOISE_ANCHOR_MOD,
+) -> DataFrame:
+    """Per-label kNN label-disagreement audit: for a hash-defined anchor
+    sample (vec_id % anchor_mod == 0), find each anchor's exact top-k
+    cosine neighbors and score the fraction whose label differs — the
+    neighborhood-consistency screen behind Confident Learning /
+    cleanlab-style mislabel detection (a label whose neighborhood
+    majority disagrees is a candidate annotation error).
+
+    Output per label: anchor count, mean disagreement fraction (exact
+    small-integer divide: sum of disagreeing neighbors over sum of
+    neighbors), and the number of anchors flagged (>= half the
+    neighborhood disagrees).
+
+    Scale: the anchor set is a fixed-rate hash sample, broadcast
+    against one corpus stream — |A| x N dot products, the same exact
+    tier as ``brute_force_topk`` (the labeled baseline); at 100 TB the
+    swap is per-anchor IVF probes (``ivf_topk``) which prunes the
+    candidate set before any dot product, with this exact tier as the
+    oracle.  The disagreement aggregation shuffles |A| rows, then
+    |labels| rows.
+    """
+    anchors = embeddings.filter(
+        F.col("vec_id") % anchor_mod == 0
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        fan_out(embeddings)
+        .join(F.broadcast(anchors), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine_guarded(F.col("qvec"), F.col("embedding")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    nb = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    per_anchor = nb.groupBy("query_id", "qlabel").agg(
+        F.sum((F.col("label") != F.col("qlabel")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_diff"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nb"),
+    )
+    return (
+        per_anchor.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            (
+                F.sum("n_diff").cast("double")
+                / F.sum("n_nb").cast("double")
+            ).alias("mean_noise"),
+            F.sum(
+                (F.col("n_diff") * 2 >= F.col("n_nb")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+    )
+
+
+def sql_knn_label_noise(
+    k: int = NOISE_K,
+    anchor_mod: int = NOISE_ANCHOR_MOD,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin — same anchor gate, guarded cosine, tie order, and
+    integer disagreement arithmetic."""
+    cos = sql_cosine_guarded("q.embedding", "c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS qlabel,
+         c.vec_id AS neighbor_id, c.label AS nlabel, {cos} AS cos
+  FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % {anchor_mod} = 0
+), ranked AS (
+  SELECT query_id, qlabel, nlabel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+), per_anchor AS (
+  SELECT query_id, qlabel,
+         CAST(sum(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_diff,
+         CAST(count(*) AS BIGINT) AS n_nb
+  FROM ranked WHERE rank <= {k}
+  GROUP BY 1, 2
+)
+SELECT qlabel AS label,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(sum(n_diff) AS DOUBLE) / CAST(sum(n_nb) AS DOUBLE) AS mean_noise,
+       CAST(sum(CASE WHEN n_diff * 2 >= n_nb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM per_anchor GROUP BY 1
+"""

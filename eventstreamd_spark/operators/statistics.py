@@ -2174,3 +2174,270 @@ SELECT user_id,
        CAST({num} AS DOUBLE) / (CAST({den} AS DOUBLE) * 100.0) AS ewma_value
 FROM led WHERE rn = 1
 """
+
+# ---------------------------------------------------------------------------
+# Multiplier-bootstrap confidence intervals (deterministic, hash-seeded)
+# ---------------------------------------------------------------------------
+
+BOOT_B = 64  # replicates; two 60-bit hashes yield 32 base-3 weights each
+_BOOT_TRITS = 32  # 3**32 = 1.85e15 < 2**60, so each trit is near-uniform
+BOOT_CI_SCALE = 1.224744871391589  # sqrt(3/2): Rao-Wu rescale for Var(w)=2/3
+
+
+def bootstrap_ci(events: DataFrame) -> DataFrame:
+    """95% confidence interval for the mean event value per event_type
+    via a deterministic multiplier bootstrap — the resampling scheme
+    that actually runs at stream scale (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams": per-record replicate weights,
+    never a gather-and-resample).
+
+    Replicate weights: record i gets w_{i,b} in {0,1,2} (mean 1,
+    variance 2/3) carved out of TWO md5-based 60-bit hashes — trit b of
+    h60(event_id || ':bsS') — so the weight stream is replayable on any
+    engine and costs 2 hashes per row for all 64 replicates, not 64.
+    Because Var(w) = 2/3 rather than the Poisson(1) bootstrap's 1, the
+    percentile deviations are rescaled by sqrt(3/2) (Rao & Wu 1988
+    rescaling; sqrt is IEEE-exact so the constant is written out).
+
+    CI: nearest-rank 2.5%/97.5% percentiles of the 64 replicate means
+    (values quantized to integer cents, replicate sums in DECIMAL, one
+    double divide per replicate), deviations rescaled around the exact
+    full-sample mean.  Replicates with zero total weight (possible only
+    for near-empty groups) are excluded identically on both engines and
+    the ranks recomputed from the surviving count.
+
+    100 TB shape: the explode is a 64x NARROW map (CPU, no extra I/O);
+    the only shuffle is |event_type| x 64 partial rows after map-side
+    combine.  The rank/percentile window runs over a <=64-row frame per
+    group.  This is the canonical bootstrap-on-MapReduce plan.
+    """
+    from pyspark.sql import Window
+
+    from eventstreamd_spark.functions.text import h60
+
+    reps = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.lit(b // _BOOT_TRITS).alias("s"),
+                F.lit(3 ** (b % _BOOT_TRITS)).alias("dv"),
+            )
+            for b in range(BOOT_B)
+        ]
+    )
+    base = events.select(
+        "event_type",
+        F.round(F.col("value") * F.lit(100.0), 0).cast("bigint").alias("x"),
+        h60(F.concat(F.col("event_id").cast("string"), F.lit(":bs0"))).alias("h0"),
+        h60(F.concat(F.col("event_id").cast("string"), F.lit(":bs1"))).alias("h1"),
+    )
+    ex = base.select(
+        "event_type",
+        "x",
+        "h0",
+        "h1",
+        F.explode(reps).alias("r"),
+    ).select(
+        "event_type",
+        "x",
+        F.col("r.b").alias("b"),
+        F.expr("(CASE WHEN r.s = 0 THEN h0 ELSE h1 END) div r.dv % 3").alias("w"),
+    )
+    rep = ex.groupBy("event_type", "b").agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum((F.col("w") * F.col("x")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("swx"),
+    )
+    mean_b = F.col("swx").cast("double") / (F.lit(100.0) * F.col("sw").cast("double"))
+    wr = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    wc = Window.partitionBy("event_type")
+    ranked = (
+        rep.filter(F.col("sw") > 0)
+        .withColumn("mean_b", mean_b)
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+    )
+    lo_rank = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(0.025) * F.col("cnt")))
+    hi_rank = F.ceil(F.lit(0.975) * F.col("cnt"))
+    agg = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("mean_b"))).alias("q_lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("mean_b"))).alias("q_hi"),
+        F.max("cnt").cast("bigint").alias("n_replicates"),
+    )
+    full = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * F.lit(100.0), 0).cast("bigint").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+    )
+    mean = F.col("sx").cast("double") / (F.lit(100.0) * F.col("n").cast("double"))
+    c = F.lit(BOOT_CI_SCALE)
+    return (
+        full.join(agg, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            mean.alias("mean_value"),
+            (mean + c * (F.col("q_lo") - mean)).alias("ci_lo"),
+            (mean + c * (F.col("q_hi") - mean)).alias("ci_hi"),
+            F.coalesce(F.col("n_replicates"), F.lit(0).cast("bigint")).alias(
+                "n_replicates"
+            ),
+        )
+    )
+
+
+def sql_bootstrap_ci(table: str = "events") -> str:
+    from eventstreamd_spark.functions.text import sql_h60
+
+    rows = ", ".join(
+        f"({b}, {b // _BOOT_TRITS}, {3 ** (b % _BOOT_TRITS)})" for b in range(BOOT_B)
+    )
+    h0 = sql_h60(f"(CAST(event_id AS VARCHAR) || ':bs0')")
+    h1 = sql_h60(f"(CAST(event_id AS VARCHAR) || ':bs1')")
+    return f"""
+WITH reps(b, s, dv) AS (VALUES {rows}),
+base AS (
+  SELECT event_type,
+         CAST(round(value * 100.0, 0) AS BIGINT) AS x,
+         {h0} AS h0, {h1} AS h1
+  FROM {table}
+),
+ex AS (
+  SELECT event_type, x, b,
+         ((CASE WHEN s = 0 THEN h0 ELSE h1 END) // dv) % 3 AS w
+  FROM base CROSS JOIN reps
+),
+rep AS (
+  SELECT event_type, b,
+         CAST(sum(w) AS BIGINT) AS sw,
+         sum(CAST(w AS HUGEINT) * x) AS swx
+  FROM ex GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type,
+         CAST(CAST(swx AS VARCHAR) AS DOUBLE)
+           / (100.0 * CAST(sw AS DOUBLE)) AS mean_b,
+         b,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY CAST(CAST(swx AS VARCHAR) AS DOUBLE)
+             / (100.0 * CAST(sw AS DOUBLE)), b) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM rep WHERE sw > 0
+),
+agg AS (
+  SELECT event_type,
+         max(CASE WHEN rn = greatest(1, CAST(ceil(0.025 * cnt) AS BIGINT))
+                  THEN mean_b END) AS q_lo,
+         max(CASE WHEN rn = CAST(ceil(0.975 * cnt) AS BIGINT)
+                  THEN mean_b END) AS q_hi,
+         CAST(max(cnt) AS BIGINT) AS n_replicates
+  FROM ranked GROUP BY 1
+),
+fullagg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(CAST(round(value * 100.0, 0) AS BIGINT) AS HUGEINT)) AS sx
+  FROM {table} GROUP BY 1
+)
+SELECT f.event_type, f.n,
+       CAST(CAST(f.sx AS VARCHAR) AS DOUBLE)
+         / (100.0 * CAST(f.n AS DOUBLE)) AS mean_value,
+       CAST(CAST(f.sx AS VARCHAR) AS DOUBLE) / (100.0 * CAST(f.n AS DOUBLE))
+         + {BOOT_CI_SCALE} * (a.q_lo
+             - CAST(CAST(f.sx AS VARCHAR) AS DOUBLE)
+               / (100.0 * CAST(f.n AS DOUBLE))) AS ci_lo,
+       CAST(CAST(f.sx AS VARCHAR) AS DOUBLE) / (100.0 * CAST(f.n AS DOUBLE))
+         + {BOOT_CI_SCALE} * (a.q_hi
+             - CAST(CAST(f.sx AS VARCHAR) AS DOUBLE)
+               / (100.0 * CAST(f.n AS DOUBLE))) AS ci_hi,
+       coalesce(a.n_replicates, 0) AS n_replicates
+FROM fullagg f LEFT JOIN agg a ON f.event_type = a.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct active users (DAU + trailing-window WAU)
+# ---------------------------------------------------------------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+def rolling_active_users(
+    events: DataFrame, window_days: int = WAU_WINDOW_DAYS
+) -> DataFrame:
+    """Daily active users plus trailing-N-day distinct actives per
+    calendar day (the DAU/WAU pair) over a gap-free generated date
+    spine — distinct-over-a-sliding-window, which no plain window
+    function expresses (COUNT(DISTINCT) OVER RANGE is unsupported in
+    both engines).
+
+    Exact tier: dedup to (day, user) pairs — the one corpus-sized
+    shuffle — then fan each pair to the <=N spine days it covers via a
+    range join against the broadcast day spine (spine is |days| rows,
+    always tiny) and re-count distinct.  Intermediate volume is
+    bounded by N x |day-user pairs|, and the second distinct collapses
+    map-side because the fan-out preserves (day, user) clustering.
+
+    100 TB swap (documented, not built here): keep per-day HLL
+    register vectors (sketches.grouped_hll) and OR-merge N registers
+    per spine day — O(|days| x m) state, no second distinct, at the
+    standard HLL error.  The exact tier stays as the oracle.
+    """
+    day = F.to_date(F.col("ts"))
+    pairs = events.select(day.alias("d"), "user_id").distinct()
+    spine = (
+        events.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+        .select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"))
+    )
+    dau = pairs.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    wau = (
+        pairs.join(
+            F.broadcast(spine),
+            (F.col("day") >= F.col("d"))
+            & (F.col("day") <= F.date_add(F.col("d"), window_days - 1)),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct(F.col("user_id")).cast("bigint").alias("wau"))
+    )
+    return (
+        spine.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0).cast("bigint")).alias("dau"),
+            F.coalesce(F.col("wau"), F.lit(0).cast("bigint")).alias("wau"),
+        )
+    )
+
+
+def sql_rolling_active_users(
+    table: str = "events", window_days: int = WAU_WINDOW_DAYS
+) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM {table}
+),
+bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM {table}
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+dau AS (
+  SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY 1
+),
+wau AS (
+  SELECT s.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+  FROM pairs p JOIN spine s
+    ON s.day >= p.d AND s.day <= p.d + INTERVAL {window_days - 1} DAY
+  GROUP BY 1
+)
+SELECT CAST(s.day AS TIMESTAMP) AS day,
+       coalesce(d.dau, 0) AS dau, coalesce(w.wau, 0) AS wau
+FROM spine s LEFT JOIN dau d ON s.day = d.day LEFT JOIN wau w ON s.day = w.day
+"""

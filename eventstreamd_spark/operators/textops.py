@@ -1740,3 +1740,95 @@ def compression_ratio_signal(docs: DataFrame, level: int = 6) -> DataFrame:
         "doc_id long, n_raw_bytes long, n_compressed_bytes long, "
         "compression_ratio double",
     )
+
+
+# --- tokenizer fertility / corpus text-economics report ---------------------
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per (lang, source) tokenizer-economics report: document count,
+    token volume, chars-per-token (the "fertility" a tokenizer team
+    watches per language — a language whose chars/token drifts high is
+    being over-fragmented and eats budget), tokens-per-doc, distinct
+    token types, and the type-token ratio (lexical diversity).
+
+    One corpus scan computes the additive sums (docs, tokens, chars)
+    narrowly; the distinct-type count is the one genuinely wide piece —
+    an explode + per-group distinct whose shuffle keys are (lang,
+    source, token), map-side combinable.  Final ratios are exact
+    integer divides.  At 100 TB the type count is the only term that
+    grows super-linearly in state (Heaps-law vocab) — the documented
+    swap is the grouped HLL register (sketches.grouped_hll), with this
+    exact tier as the oracle.
+    """
+    from eventstreamd_spark.functions.text import tokens
+
+    sums = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.sum(F.length(F.col("text")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_chars"),
+    )
+    types = (
+        docs.select(
+            "lang", "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("lang", "source")
+        .agg(F.count_distinct(F.col("tok")).cast("bigint").alias("n_types"))
+    )
+    return (
+        sums.join(types, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.coalesce(F.col("n_types"), F.lit(0).cast("bigint")).alias(
+                "n_types"
+            ),
+            (
+                F.col("n_chars").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("tokens_per_doc"),
+            (
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("type_token_ratio"),
+        )
+    )
+
+
+def sql_tokenizer_fertility(table: str = "documents") -> str:
+    from eventstreamd_spark.functions.text import sql_tokens
+
+    toks = sql_tokens("text")
+    return f"""
+WITH sums AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({toks})) AS BIGINT) AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM {table} GROUP BY 1, 2
+),
+types AS (
+  SELECT lang, source, CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+  FROM (SELECT lang, source, unnest({toks}) AS tok FROM {table})
+  GROUP BY 1, 2
+)
+SELECT s.lang, s.source, s.n_docs, s.n_tokens,
+       coalesce(t.n_types, 0) AS n_types,
+       CAST(s.n_chars AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+         AS chars_per_token,
+       CAST(s.n_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE)
+         AS tokens_per_doc,
+       CAST(coalesce(t.n_types, 0) AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+         AS type_token_ratio
+FROM sums s LEFT JOIN types t ON s.lang = t.lang AND s.source = t.source
+"""

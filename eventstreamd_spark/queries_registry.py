@@ -2767,6 +2767,39 @@ def changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_op.changelog_compaction(load_table(spark, sf_dir, "events"))
 
 
+@register("bootstrap_ci", stats_mod.sql_bootstrap_ci())
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multiplier-bootstrap 95% CI for the mean value per
+    event type: 64 hash-replayable {0,1,2}-weight replicates (2 md5s/row),
+    DECIMAL replicate sums, nearest-rank percentiles, Rao-Wu sqrt(3/2)
+    rescale — the bootstrap shape that runs on a stream, never a gather."""
+    return stats_mod.bootstrap_ci(load_table(spark, sf_dir, "events"))
+
+
+@register("rolling_active_users", stats_mod.sql_rolling_active_users())
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day distinct actives per spine day: one
+    (day,user) dedup shuffle, then a broadcast range join against the
+    generated date spine (documented HLL-merge swap at 100 TB)."""
+    return stats_mod.rolling_active_users(load_table(spark, sf_dir, "events"))
+
+
+@register("knn_label_noise", sim_op.sql_knn_label_noise())
+def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-Learning-style mislabel screen: exact top-10 cosine
+    neighborhoods for a hash-defined anchor sample, per-label
+    disagreement fractions and flagged-anchor counts."""
+    return sim_op.knn_label_noise(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("tokenizer_fertility", text_op.sql_tokenizer_fertility())
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) tokenizer economics: token volume,
+    chars-per-token fertility, tokens-per-doc, distinct types, and
+    type-token ratio (grouped-HLL swap documented for the type count)."""
+    return text_op.tokenizer_fertility(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -2939,6 +2972,9 @@ _COST_HINT = {
     "last_touch_attribution": 0.30, "hll_distinct_by_type": 0.30,
     "percentile_rank_features": 0.35, "snapshot_diff": 0.25,
     "contingency_profile": 0.25, "event_rate_anomalies": 0.30,
+    # round-6 second wave (uncertainty / engagement / label-quality tier)
+    "bootstrap_ci": 1.00, "rolling_active_users": 0.60,
+    "knn_label_noise": 1.50, "tokenizer_fertility": 0.70,
 }
 
 

@@ -329,3 +329,166 @@ def test_mmr_matches_numpy_greedy(spark, sf_dir) -> None:
     # 1..5 with distinct ids and scores finite
     assert [r["selection_rank"] for r in got] == [1, 2, 3, 4, 5]
     assert len({r["vec_id"] for r in got}) == 5
+
+
+# --- bootstrap CI ------------------------------------------------------------
+
+
+def test_bootstrap_ci_constant_collapses(spark) -> None:
+    rows = [
+        Row(event_id=i, event_type="t", value=7.0) for i in range(50)
+    ]
+    out = stats_mod.bootstrap_ci(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # every replicate mean of a constant IS the constant: the CI has
+    # zero width and sits exactly on the mean
+    assert r["mean_value"] == 7.0
+    assert r["ci_lo"] == 7.0 and r["ci_hi"] == 7.0
+    assert r["n_replicates"] == stats_mod.BOOT_B
+    assert r["n"] == 50
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir) -> None:
+    out = stats_mod.bootstrap_ci(load_table(spark, sf_dir, "events")).collect()
+    assert out
+    for r in out:
+        assert r["n_replicates"] == stats_mod.BOOT_B
+        assert r["ci_lo"] <= r["ci_hi"]
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
+        # Rao-Wu rescale keeps the half-widths finite and nonzero on
+        # real (non-constant) data
+        assert r["ci_hi"] - r["ci_lo"] > 0.0
+
+
+# --- rolling active users ----------------------------------------------------
+
+
+def test_rolling_active_users_fixture(spark) -> None:
+    from datetime import datetime
+
+    rows = [
+        Row(event_id=1, ts=datetime(2024, 3, 1, 8), user_id=1),
+        Row(event_id=2, ts=datetime(2024, 3, 1, 9), user_id=2),
+        Row(event_id=3, ts=datetime(2024, 3, 6, 9), user_id=2),
+    ]
+    out = {
+        r["day"].date().isoformat(): r
+        for r in stats_mod.rolling_active_users(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    assert sorted(out) == [f"2024-03-0{d}" for d in range(1, 7)]  # gap-free
+    assert out["2024-03-01"]["dau"] == 2
+    assert all(out[d]["dau"] == 0 for d in ("2024-03-02", "2024-03-05"))
+    assert out["2024-03-06"]["dau"] == 1
+    # both users stay inside every trailing-7d window of the span
+    assert all(out[d]["wau"] == 2 for d in out)
+
+
+def test_rolling_active_users_laws(spark, sf_dir) -> None:
+    rows = stats_mod.rolling_active_users(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    assert rows
+    days = sorted(r["day"] for r in rows)
+    # contiguous daily spine
+    assert len(days) == (days[-1] - days[0]).days + 1
+    by_day = {r["day"]: r for r in rows}
+    for d, r in by_day.items():
+        assert r["wau"] >= r["dau"]
+        window = [
+            by_day[x]["dau"] for x in by_day
+            if 0 <= (d - x).days <= stats_mod.WAU_WINDOW_DAYS - 1
+        ]
+        assert r["wau"] <= sum(window)  # distinct <= sum of dailies
+
+
+# --- kNN label noise ---------------------------------------------------------
+
+
+def test_knn_label_noise_flags_planted_mislabel(spark) -> None:
+    import math
+
+    def vec(axis: int, jitter: int) -> list[float]:
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 4) % 8] = 0.01 * jitter
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        Row(vec_id=i, embedding=vec(0, i), label=0) for i in range(5)
+    ] + [
+        Row(vec_id=5 + i, embedding=vec(1, i), label=1) for i in range(5)
+    ]
+    # plant a mislabel: vec 4 lives in cluster 0 but claims label 9
+    rows[4] = Row(vec_id=4, embedding=vec(0, 4), label=9)
+    out = {
+        r["label"]: r
+        for r in sim_op.knn_label_noise(
+            spark.createDataFrame(rows), k=4, anchor_mod=1
+        ).collect()
+    }
+    # the planted point: all 4 nearest neighbors disagree
+    assert out[9]["n_anchors"] == 1
+    assert out[9]["mean_noise"] == 1.0
+    assert out[9]["n_flagged"] == 1
+    # clean cluster-1 anchors: nearest 4 are their own cluster
+    assert out[1]["mean_noise"] == 0.0
+    assert out[1]["n_flagged"] == 0
+    # cluster 0 sees the planted intruder among its neighbors but is
+    # never majority-disagreed
+    assert out[0]["n_flagged"] == 0
+    assert 0.0 < out[0]["mean_noise"] < 0.5
+
+
+def test_knn_label_noise_bounds(spark, sf_dir) -> None:
+    rows = sim_op.knn_label_noise(
+        load_table(spark, sf_dir, "embeddings")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["mean_noise"] <= 1.0
+        assert 0 <= r["n_flagged"] <= r["n_anchors"]
+
+
+# --- tokenizer fertility -----------------------------------------------------
+
+
+def test_tokenizer_fertility_fixture(spark) -> None:
+    from eventstreamd_spark.operators import textops as text_mod
+
+    rows = [
+        Row(doc_id=1, text="the cat the cat", lang="en", source="a"),
+        Row(doc_id=2, text="dog", lang="en", source="a"),
+        Row(doc_id=3, text="xy zz", lang="de", source="b"),
+    ]
+    out = {
+        (r["lang"], r["source"]): r
+        for r in text_mod.tokenizer_fertility(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    en = out[("en", "a")]
+    assert en["n_docs"] == 2 and en["n_tokens"] == 5 and en["n_types"] == 3
+    assert en["chars_per_token"] == (15 + 3) / 5
+    assert en["tokens_per_doc"] == 2.5
+    assert en["type_token_ratio"] == 3 / 5
+    de = out[("de", "b")]
+    assert de["n_tokens"] == 2 and de["n_types"] == 2
+    assert de["type_token_ratio"] == 1.0
+
+
+def test_tokenizer_fertility_laws(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import textops as text_mod
+
+    rows = text_mod.tokenizer_fertility(
+        load_table(spark, sf_dir, "documents")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_types"] <= r["n_tokens"]
+        assert 0.0 < r["type_token_ratio"] <= 1.0
+        # tokens are whitespace-delimited: chars/token >= 1 always
+        assert r["chars_per_token"] >= 1.0
