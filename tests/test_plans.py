@@ -507,3 +507,41 @@ def test_calibration_windows_over_bucket_table_only(plans) -> None:
     agg_pos = plan.index("== Physical Plan ==")
     phys = plan[agg_pos:]
     assert "hashpartitioning(score_decile" in phys or "HashAggregate" in phys
+
+
+def test_bootstrap_explode_stays_narrow(plans) -> None:
+    # the 64x replicate explode must run as a narrow Generate feeding a
+    # partial aggregate — the shuffle carries only (type, b) partials,
+    # never the exploded corpus
+    phys = plans("bootstrap_ci").split("== Physical Plan ==")[-1]
+    assert "Generate explode" in phys
+    assert "partial_sum" in phys
+    # the percentile window partitions by event_type over <=64-row
+    # groups; no range partitioning of the corpus anywhere
+    assert "rangepartitioning" not in phys.lower()
+
+
+def test_rolling_active_users_spine_broadcasts(plans) -> None:
+    # the range join fans pairs at a BROADCAST date spine; a shuffled
+    # or cartesian range join over the corpus is the scale killer
+    phys = plans("rolling_active_users").split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in phys
+    assert "CartesianProduct" not in phys
+    # both distinct aggregates keep map-side partials
+    assert "partial_count" in phys or "HashAggregate" in phys
+
+
+def test_knn_label_noise_broadcasts_anchors(plans) -> None:
+    # anchors are the broadcast side; the corpus streams exactly once
+    phys = plans("knn_label_noise").split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in phys or "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
+
+
+def test_tokenizer_fertility_single_wide_distinct(plans) -> None:
+    # the only wide stage is the (lang, source, token) distinct; the
+    # additive sums collapse map-side and the final join keys are the
+    # KB-sized (lang, source) group table
+    phys = plans("tokenizer_fertility").split("== Physical Plan ==")[-1]
+    assert "partial_count" in phys
+    assert "rangepartitioning" not in phys.lower()
