@@ -931,3 +931,159 @@ SELECT t.event_type, t.s_total AS register_sum_scaled,
          AS within_bound
 FROM tot t JOIN exact e USING (event_type)
 """
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct via mergeable HLL registers (the 100 TB path
+# for rolling_active_users, built and evaluated rather than footnoted)
+# ---------------------------------------------------------------------------
+
+
+def rolling_wau_hll(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing-``window_days`` distinct active users per spine day from
+    PER-DAY HLL registers max-merged over the window — the sketch
+    answer to "COUNT(DISTINCT) OVER RANGE", which no engine's window
+    functions express and whose exact form needs a second corpus-scale
+    distinct (statistics.rolling_active_users).
+
+    Why this is the 100 TB shape: the one corpus pass aggregates to
+    (day, bucket) registers — map-side combine caps every task's
+    shuffle contribution at |days| x m rows, STRICTLY SMALLER than the
+    exact tier's (day, user) dedup state — and every downstream step
+    (spine fan-out, window max-merge, estimate) runs over a
+    |days| x m = KB-sized table.  Registers are mergeable, so daily /
+    weekly / monthly windows all re-merge the SAME per-day state:
+    compute once, re-window forever.
+
+    The exact trailing distinct rides along as the evaluation column
+    (same pattern as hll_distinct_by_type), with the standard
+    1.04/sqrt(m) ~ 13% error budget asserted at 4 sigma.
+    """
+    day = F.to_date(F.col("ts"))
+    h = _h60(F.col("user_id").cast("string"))
+    rem = F.expr(f"h % CAST({1 << _REM_BITS} AS BIGINT)")
+    rho = F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
+        F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
+    )
+    day_regs = (
+        events.select(day.alias("d"), h.alias("h"))
+        .select(
+            "d",
+            F.expr(f"shiftright(h, {_REM_BITS})").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    spine = events.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"))
+    win_regs = (
+        day_regs.join(
+            F.broadcast(spine),
+            (F.col("day") >= F.col("d"))
+            & (F.col("day") <= F.date_add(F.col("d"), window_days - 1)),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    scaled = win_regs.groupBy("day").agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({_REM_BITS + 1} - m_rho AS INT))"
+            )
+        ).alias("s_present"),
+        F.count(F.lit(1)).cast("int").alias("n_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(_HLL_M) - F.col("n_present")).cast("bigint")
+        * F.lit(1 << (_REM_BITS + 1))
+    )
+    est = _hll_est_columns(
+        s_total, (F.lit(_HLL_M) - F.col("n_present")).cast("int")
+    )
+    pairs = events.select(day.alias("d"), "user_id").distinct()
+    exact = (
+        pairs.join(
+            F.broadcast(spine),
+            (F.col("day") >= F.col("d"))
+            & (F.col("day") <= F.date_add(F.col("d"), window_days - 1)),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct(F.col("user_id")).cast("bigint").alias("wau_exact"))
+    )
+    return (
+        scaled.join(exact, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            s_total.alias("register_sum_scaled"),
+            est.alias("wau_est"),
+            "wau_exact",
+            (
+                F.abs(est - F.col("wau_exact").cast("double"))
+                <= F.lit(0.52) * F.col("wau_exact").cast("double")
+            ).alias("within_bound"),
+        )
+    )
+
+
+def sql_rolling_wau_hll(table: str = "events", window_days: int = 7) -> str:
+    h = _sql_h60("CAST(user_id AS VARCHAR)")
+    rb, m = _REM_BITS, _HLL_M
+    est = _sql_hll_est("t.s_total", f"({m} - t.n_present)")
+    return f"""
+WITH hashes AS (
+  SELECT CAST(ts AS DATE) AS d, {h} AS h FROM {table}
+),
+day_regs AS (
+  SELECT d, (h >> {rb}) AS bucket,
+         max(CASE WHEN h % CAST({1 << rb} AS BIGINT) = 0 THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(h % CAST({1 << rb} AS BIGINT)))
+             END) AS m_rho
+  FROM hashes GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM {table}
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+win_regs AS (
+  SELECT s.day, r.bucket, max(r.m_rho) AS m_rho
+  FROM day_regs r JOIN spine s
+    ON s.day >= r.d AND s.day <= r.d + INTERVAL {window_days - 1} DAY
+  GROUP BY 1, 2
+),
+scaled AS (
+  SELECT day,
+         sum((1::BIGINT << CAST({rb + 1} - m_rho AS INT)))::BIGINT
+           AS s_present,
+         CAST(count(*) AS INT) AS n_present
+  FROM win_regs GROUP BY 1
+),
+tot AS (
+  SELECT day,
+         s_present + CAST({m} - n_present AS BIGINT) * {1 << (rb + 1)}
+           AS s_total,
+         n_present
+  FROM scaled
+),
+pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM {table}
+),
+exact AS (
+  SELECT s.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau_exact
+  FROM pairs p JOIN spine s
+    ON s.day >= p.d AND s.day <= p.d + INTERVAL {window_days - 1} DAY
+  GROUP BY 1
+)
+SELECT CAST(t.day AS TIMESTAMP) AS day, t.s_total AS register_sum_scaled,
+       {est} AS wau_est, e.wau_exact,
+       (abs({est} - CAST(e.wau_exact AS DOUBLE))
+          <= CAST(0.52 AS DOUBLE) * CAST(e.wau_exact AS DOUBLE))
+         AS within_bound
+FROM tot t JOIN exact e ON t.day = e.day
+"""

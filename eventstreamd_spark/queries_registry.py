@@ -2792,6 +2792,15 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.knn_label_noise(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("rolling_wau_hll", sketch_op.sql_rolling_wau_hll())
+def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for rolling_active_users, built: per-day HLL
+    registers max-merged over the trailing window (corpus shuffle
+    capped at |days| x m register rows/task), exact trailing distinct
+    riding along as the eval column with a 4-sigma bound."""
+    return sketch_op.rolling_wau_hll(load_table(spark, sf_dir, "events"))
+
+
 @register("tokenizer_fertility", text_op.sql_tokenizer_fertility())
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (lang, source) tokenizer economics: token volume,
@@ -2975,6 +2984,7 @@ _COST_HINT = {
     # round-6 second wave (uncertainty / engagement / label-quality tier)
     "bootstrap_ci": 1.00, "rolling_active_users": 0.60,
     "knn_label_noise": 1.50, "tokenizer_fertility": 0.70,
+    "rolling_wau_hll": 0.80,
 }
 
 

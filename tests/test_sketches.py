@@ -494,3 +494,53 @@ def test_cms_state_merge_all_cells_exact(spark, sf_dir) -> None:
     assert out.filter(~F.col("merge_exact")).count() == 0
     # the merged state is the full d x w-bounded table, nothing dropped
     assert out.count() == out.select("i", "col").distinct().count()
+
+
+# --- rolling WAU via merged HLL registers ------------------------------------
+
+
+def test_rolling_wau_hll_matches_window_semantics(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import sketches as sk
+    from eventstreamd_spark.operators import statistics as st
+    from eventstreamd_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hll = {r["day"]: r for r in sk.rolling_wau_hll(ev).collect()}
+    exact = {
+        r["day"]: r for r in st.rolling_active_users(ev).collect()
+    }
+    assert set(hll) == set(exact)  # same spine
+    for d, r in hll.items():
+        # the eval column IS the exact tier's wau
+        assert r["wau_exact"] == exact[d]["wau"]
+        assert r["within_bound"]
+        assert r["wau_est"] > 0.0
+
+
+def test_rolling_wau_hll_registers_merge_monotonically(spark, sf_dir) -> None:
+    # widening the window can only grow the sketch estimate: merged
+    # registers are element-wise max, so s_total shrinks and est grows
+    from eventstreamd_spark.operators import sketches as sk
+    from eventstreamd_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w1 = {r["day"]: r["wau_est"] for r in sk.rolling_wau_hll(ev, 1).collect()}
+    w7 = {r["day"]: r["wau_est"] for r in sk.rolling_wau_hll(ev, 7).collect()}
+    for d in w1:
+        assert w7[d] >= w1[d]
+
+
+def test_rolling_wau_hll_shuffle_is_register_bounded(spark, sf_dir) -> None:
+    # the corpus-side aggregate must keep map-side partials on
+    # (day, bucket) — the cap that makes this the 100 TB tier — and the
+    # spine must broadcast
+    from eventstreamd_spark.operators import sketches as sk
+    from eventstreamd_spark.plans import explain_string
+    from eventstreamd_spark.session import load_table
+
+    plan = explain_string(
+        sk.rolling_wau_hll(load_table(spark, sf_dir, "events")), "extended"
+    ).split("== Physical Plan ==")[-1]
+    assert "partial_max" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
