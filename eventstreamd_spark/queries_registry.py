@@ -2792,6 +2792,14 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.knn_label_noise(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("centroid_shift", linalg_op.sql_centroid_shift())
+def centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift: cosine between half-corpus centroids
+    from exact DECIMAL component sums (scale-invariance means no mean
+    division); one (label, dim)-capped corpus shuffle."""
+    return linalg_op.centroid_shift(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("rolling_wau_hll", sketch_op.sql_rolling_wau_hll())
 def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for rolling_active_users, built: per-day HLL
@@ -2984,7 +2992,7 @@ _COST_HINT = {
     # round-6 second wave (uncertainty / engagement / label-quality tier)
     "bootstrap_ci": 1.00, "rolling_active_users": 0.60,
     "knn_label_noise": 1.50, "tokenizer_fertility": 0.70,
-    "rolling_wau_hll": 0.80,
+    "rolling_wau_hll": 0.80, "centroid_shift": 0.80,
 }
 
 

@@ -171,3 +171,64 @@ def test_gram_kernel_overflow_guard(spark) -> None:
     df = spark.createDataFrame(rows)
     with pytest.raises(Exception, match="overflow guard"):
         linalg.embedding_covariance(df, dim=2).collect()
+
+
+# --- centroid shift ----------------------------------------------------------
+
+
+def test_centroid_shift_identical_halves(spark) -> None:
+    from pyspark.sql import Row
+
+    from eventstreamd_spark.operators import linalg as la
+
+    # even/odd halves contain the SAME two vectors -> centroids equal,
+    # cosine exactly 1.0 (integer sums are identical, so the divide is
+    # x/x with x > 0)
+    rows = []
+    for i in range(4):
+        v = [1.0, 2.0, 3.0] if i < 2 else [0.5, 0.25, 4.0]
+        rows.append(Row(vec_id=2 * i, embedding=v, label=7))
+        rows.append(Row(vec_id=2 * i + 1, embedding=v, label=7))
+    out = la.centroid_shift(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_a"] == 4 and r["n_b"] == 4
+    assert r["cos_shift"] == 1.0
+    assert r["norm_mean_a"] == r["norm_mean_b"]
+
+
+def test_centroid_shift_orthogonal_and_empty_half(spark) -> None:
+    from pyspark.sql import Row
+
+    from eventstreamd_spark.operators import linalg as la
+
+    rows = [
+        # label 1: half A on e1, half B on e2 -> cosine exactly 0
+        Row(vec_id=0, embedding=[1.0, 0.0], label=1),
+        Row(vec_id=1, embedding=[0.0, 1.0], label=1),
+        # label 2: only an even vec_id -> half B empty -> NULL cosine
+        Row(vec_id=2, embedding=[1.0, 1.0], label=2),
+    ]
+    out = {
+        r["label"]: r
+        for r in la.centroid_shift(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1]["cos_shift"] == 0.0
+    assert out[2]["cos_shift"] is None
+    assert out[2]["norm_mean_b"] is None and out[2]["n_b"] == 0
+
+
+def test_centroid_shift_bounds_on_real_data(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import linalg as la
+    from eventstreamd_spark.session import load_table
+
+    rows = la.centroid_shift(
+        load_table(spark, sf_dir, "embeddings")
+    ).collect()
+    assert rows
+    for r in rows:
+        if r["cos_shift"] is not None:
+            assert -1.0 - 1e-9 <= r["cos_shift"] <= 1.0 + 1e-9
+        # two random halves of the same label cluster should agree in
+        # direction far more than orthogonal
+        assert r["n_a"] + r["n_b"] > 0

@@ -34,6 +34,15 @@ HEAVY = [
     "column_stats_catalog",
     "dedup_clusters",
     "similarity_lsh_ann",
+    # round-6 second wave (linear tiers; knn_label_noise is excluded —
+    # its exact tier is |A| x N quadratic BY DESIGN, the labeled
+    # baseline for the IVF swap, same adjudication as embedding_near_dup)
+    "triangle_stats",
+    "survivorship_merge",
+    "bootstrap_ci",
+    "rolling_wau_hll",
+    "centroid_shift",
+    "tokenizer_fertility",
 ]
 
 
