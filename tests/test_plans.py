@@ -510,12 +510,18 @@ def test_calibration_windows_over_bucket_table_only(plans) -> None:
 
 
 def test_bootstrap_explode_stays_narrow(plans) -> None:
-    # the 64x replicate explode must run as a narrow Generate feeding a
-    # partial aggregate — the shuffle carries only (type, b) partials,
-    # never the exploded corpus
+    # all 64 replicates fold as unrolled accumulator columns in ONE
+    # partial-aggregated pass; the only Generate (the unpivot) runs
+    # over the tiny aggregated frame, never the corpus — asserted by
+    # the generate appearing on the post-exchange side of the plan
     phys = plans("bootstrap_ci").split("== Physical Plan ==")[-1]
     assert "Generate explode" in phys
     assert "partial_sum" in phys
+    gen = phys.index("Generate explode")
+    scan = phys.index("Scan parquet")
+    # root-first text: the unpivot Generate sits ABOVE (before) the
+    # corpus scan and at least one Exchange separates them
+    assert "Exchange" in phys[gen:scan]
     # the percentile window partitions by event_type over <=64-row
     # groups; no range partitioning of the corpus anywhere
     assert "rangepartitioning" not in phys.lower()
