@@ -939,6 +939,30 @@ FROM tot t JOIN exact e USING (event_type)
 # ---------------------------------------------------------------------------
 
 
+def day_hll_registers(events: DataFrame) -> DataFrame:
+    """(d, bucket, m_rho) per-day HLL register table over user_id — the
+    shared mergeable state consumed by both the batch window merge
+    (rolling_wau_hll) and the streaming monitor
+    (streaming/pipeline.start_rolling_wau_monitor); one definition so
+    the two faces cannot fork."""
+    day = F.to_date(F.col("ts"))
+    h = _h60(F.col("user_id").cast("string"))
+    rem = F.expr(f"h % CAST({1 << _REM_BITS} AS BIGINT)")
+    rho = F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
+        F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
+    )
+    return (
+        events.select(day.alias("d"), h.alias("h"))
+        .select(
+            "d",
+            F.expr(f"shiftright(h, {_REM_BITS})").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+
+
 def rolling_wau_hll(events: DataFrame, window_days: int = 7) -> DataFrame:
     """Trailing-``window_days`` distinct active users per spine day from
     PER-DAY HLL registers max-merged over the window — the sketch
@@ -960,21 +984,7 @@ def rolling_wau_hll(events: DataFrame, window_days: int = 7) -> DataFrame:
     1.04/sqrt(m) ~ 13% error budget asserted at 4 sigma.
     """
     day = F.to_date(F.col("ts"))
-    h = _h60(F.col("user_id").cast("string"))
-    rem = F.expr(f"h % CAST({1 << _REM_BITS} AS BIGINT)")
-    rho = F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
-        F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
-    )
-    day_regs = (
-        events.select(day.alias("d"), h.alias("h"))
-        .select(
-            "d",
-            F.expr(f"shiftright(h, {_REM_BITS})").alias("bucket"),
-            rho.alias("rho"),
-        )
-        .groupBy("d", "bucket")
-        .agg(F.max("rho").alias("m_rho"))
-    )
+    day_regs = day_hll_registers(events)
     spine = events.agg(
         F.min(day).alias("lo"), F.max(day).alias("hi")
     ).select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"))

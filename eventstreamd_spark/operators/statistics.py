@@ -2453,3 +2453,102 @@ SELECT CAST(s.day AS TIMESTAMP) AS day,
        coalesce(d.dau, 0) AS dau, coalesce(w.wau, 0) AS wau
 FROM spine s LEFT JOIN dau d ON s.day = d.day LEFT JOIN wau w ON s.day = w.day
 """
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor of daily counts) per event type
+# ---------------------------------------------------------------------------
+
+
+def fano_burstiness(events: DataFrame) -> DataFrame:
+    """Overdispersion profile: the Fano factor (variance-to-mean ratio
+    of DAILY event counts, zero-days included via the generated spine)
+    per event type — Fano ~ 1 is Poisson-like arrivals; >> 1 flags
+    bursty/clumped traffic (bot storms, batch backfills) that rate
+    monitors tuned to Poisson noise will misjudge.
+
+    Exactness: daily counts are integers; population variance comes
+    from integer power sums over the |days|-row count table
+    (n*Sum c^2 - S^2), so Fano = (n*Sc2 - S*S) / (n*S) is one exact-
+    integer expression and one final IEEE divide.  Zero-days enter the
+    sums as exact zeros via a broadcast spine x type frame, not a
+    corpus scan.  A type with zero total events yields NULL (0/0
+    guarded — the ADVICE r5 two-sample rule).
+
+    Plan: one (type, day) count aggregate (map-side combinable), then
+    everything runs over the |types| x |days| KB-sized table.
+    """
+    day = F.to_date(F.col("ts"))
+    counts = events.groupBy(
+        "event_type", day.alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    spine = events.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"))
+    types = events.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    filled = grid.join(counts, ["event_type", "d"], "left").select(
+        "event_type", F.coalesce(F.col("c"), F.lit(0).cast("bigint")).alias("c")
+    )
+    g = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    fano = F.when(F.col("s") == 0, F.lit(None).cast("double")).otherwise(
+        (
+            F.col("n_days") * F.col("sc2") - F.col("s") * F.col("s")
+        ).cast("double")
+        / (F.col("n_days") * F.col("s")).cast("double")
+    )
+    return g.select(
+        "event_type",
+        "n_days",
+        (F.col("s").cast("double") / F.col("n_days").cast("double")).alias(
+            "mean_daily"
+        ),
+        fano.alias("fano"),
+        (fano > F.lit(1.5)).alias("is_bursty"),
+    )
+
+
+def sql_fano_burstiness(table: str = "events") -> str:
+    return f"""
+WITH counts AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM {table}
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+grid AS (
+  SELECT t.event_type, s.d
+  FROM (SELECT DISTINCT event_type FROM {table}) t CROSS JOIN spine s
+),
+filled AS (
+  SELECT g.event_type, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type AND g.d = c.d
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS sc2
+  FROM filled GROUP BY 1
+)
+SELECT event_type, n_days,
+       CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+       CASE WHEN s = 0 THEN NULL
+            ELSE CAST(n_days * sc2 - s * s AS DOUBLE)
+                 / CAST(n_days * s AS DOUBLE) END AS fano,
+       CASE WHEN s = 0 THEN NULL
+            ELSE CAST(n_days * sc2 - s * s AS DOUBLE)
+                 / CAST(n_days * s AS DOUBLE) > 1.5 END AS is_bursty
+FROM agg
+"""

@@ -1832,3 +1832,97 @@ SELECT s.lang, s.source, s.n_docs, s.n_tokens,
          AS type_token_ratio
 FROM sums s LEFT JOIN types t ON s.lang = t.lang AND s.source = t.source
 """
+
+
+# --- hapax legomena / vocabulary-novelty diagnostic --------------------------
+
+
+def hapax_report(docs: DataFrame) -> DataFrame:
+    """Per-source hapax-legomena report: how much of each source's
+    token mass and type inventory is corpus-hapax (tokens occurring
+    exactly once anywhere) — the Zipf-tail diagnostic that separates
+    genuinely novel vocabulary (healthy long tail) from OCR garbage /
+    mojibake sources (pathological hapax shares), and the empirical
+    input to Good-Turing unseen-mass estimates.
+
+    Plan: one explode pass feeds BOTH aggregates — corpus-wide token
+    counts (shuffle keyed by token, map-side combinable; the Heaps-law
+    state that would swap to a CMS "count = 1" filter at 100 TB) and
+    per-source totals.  A corpus-hapax occurs exactly once, so joining
+    occurrences against the hapax set returns |hapax| rows and each
+    hapax attributes to exactly one source.  Ratios are exact integer
+    divides.
+    """
+    from eventstreamd_spark.functions.text import tokens
+
+    # explode_OUTER avoids InferFiltersFromGenerate inlining the token
+    # fold into the scan (SCALE.md §5); the post-Generate null filter
+    # restores plain-explode semantics (DuckDB's unnest drops empties)
+    # and cannot be pushed below the Generate (tok is its output).
+    tok = docs.select(
+        "source", F.explode_outer(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    counts = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    hapax = counts.filter(F.col("n_occ") == 1).select("tok")
+    per_source = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count_distinct(F.col("tok")).cast("bigint").alias("n_types"),
+    )
+    hapax_src = (
+        tok.join(hapax, "tok")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hapax"))
+    )
+    return (
+        per_source.join(hapax_src, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.coalesce(F.col("n_hapax"), F.lit(0).cast("bigint")).alias(
+                "n_hapax"
+            ),
+            (
+                F.coalesce(F.col("n_hapax"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("hapax_token_share"),
+            (
+                F.coalesce(F.col("n_hapax"), F.lit(0)).cast("double")
+                / F.col("n_types").cast("double")
+            ).alias("hapax_type_share"),
+        )
+    )
+
+
+def sql_hapax_report(table: str = "documents") -> str:
+    from eventstreamd_spark.functions.text import sql_tokens
+
+    toks = sql_tokens("text")
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({toks}) AS tok FROM {table}
+),
+counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_occ FROM tok GROUP BY 1
+),
+hapax AS (SELECT tok FROM counts WHERE n_occ = 1),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+  FROM tok GROUP BY 1
+),
+hapax_src AS (
+  SELECT t.source, CAST(count(*) AS BIGINT) AS n_hapax
+  FROM tok t JOIN hapax h ON t.tok = h.tok
+  GROUP BY 1
+)
+SELECT p.source, p.n_tokens, p.n_types,
+       coalesce(h.n_hapax, 0) AS n_hapax,
+       CAST(coalesce(h.n_hapax, 0) AS DOUBLE)
+         / CAST(p.n_tokens AS DOUBLE) AS hapax_token_share,
+       CAST(coalesce(h.n_hapax, 0) AS DOUBLE)
+         / CAST(p.n_types AS DOUBLE) AS hapax_type_share
+FROM per_source p LEFT JOIN hapax_src h ON p.source = h.source
+"""

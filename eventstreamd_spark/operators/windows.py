@@ -531,3 +531,132 @@ SELECT coalesce(touch_type, 'none') AS channel,
 FROM attributed
 GROUP BY coalesce(touch_type, 'none')
 """
+
+
+# --- multi-touch (linear) attribution ----------------------------------------
+
+MT_LOOKBACK_US = 3 * 24 * 3600 * 1000000  # 3-day lookback window
+
+
+def multi_touch_attribution(events: DataFrame) -> DataFrame:
+    """Linear multi-touch attribution with EXACT integer credits: every
+    touch in the conversion's 3-day lookback shares the conversion's
+    1000 milli-credits as ``1000 div k`` each, with the remainder
+    ``1000 mod k`` granted to the LAST touch (deterministic tie-break
+    by touch id) — so each conversion's credits sum to exactly 1000 and
+    every aggregate stays integer (a 40/20/40 U-shape needs 200/(k-2)
+    fractional credits whose doubles sum order-dependently; the
+    remainder convention keeps multi-touch exact instead).
+    Touchless conversions credit the 'none' channel — the organic
+    share must not vanish.
+
+    Plan: one user-keyed equi self-join (purchases x touches) with the
+    lookback as the band predicate — per-user pair volume is bounded
+    by activity within the 3-day window (the same per-user bound the
+    as-of tier documents; skewed power users hit AQE skew-join).  The
+    credit split is a per-conversion window over that user's <=window
+    touches; channel rollup is |channels| rows, and the share divides
+    by the window-summed total exactly.
+    """
+    from pyspark.sql import Window
+
+    p = events.filter(F.col("event_type") == ATTR_CONVERSION).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros(F.col("ts")).alias("p_us"),
+    )
+    t = events.filter(F.col("event_type").isin(*ATTR_TOUCHES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros(F.col("ts")).alias("touch_us"),
+    )
+    pairs = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("touch_us") <= F.col("p_us"))
+        & (F.col("touch_us") > F.col("p_us") - F.lit(MT_LOOKBACK_US)),
+        "left",
+    )
+    wk = Window.partitionBy("purchase_id")
+    wlast = Window.partitionBy("purchase_id").orderBy(
+        F.desc("touch_us"), F.desc("touch_id")
+    )
+    credited = (
+        pairs.withColumn("k", F.count("touch_id").over(wk))
+        .withColumn("rn", F.row_number().over(wlast))
+        .select(
+            F.coalesce(F.col("channel"), F.lit("none")).alias("channel"),
+            F.when(F.col("k") == 0, F.lit(1000).cast("bigint"))
+            .otherwise(
+                F.expr("1000 div k")
+                + F.when(F.col("rn") == 1, F.expr("1000 % k")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("milli_credit"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("milli_credit").cast("bigint").alias("milli_credit"),
+    )
+    return out.select(
+        "channel",
+        "n_touches",
+        "milli_credit",
+        (
+            F.col("milli_credit").cast("double")
+            / F.sum("milli_credit").over(wall).cast("double")
+        ).alias("credit_share"),
+    )
+
+
+def sql_multi_touch_attribution(table: str = "events") -> str:
+    touch_set = ", ".join(f"'{t}'" for t in ATTR_TOUCHES)
+    return f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user, epoch_us(ts) AS p_us
+  FROM {table} WHERE event_type = '{ATTR_CONVERSION}'
+),
+t AS (
+  SELECT user_id AS t_user, event_id AS touch_id, event_type AS channel,
+         epoch_us(ts) AS touch_us
+  FROM {table} WHERE event_type IN ({touch_set})
+),
+pairs AS (
+  SELECT p.purchase_id, t.channel, t.touch_id, t.touch_us
+  FROM p LEFT JOIN t
+    ON p.p_user = t.t_user
+   AND t.touch_us <= p.p_us
+   AND t.touch_us > p.p_us - {MT_LOOKBACK_US}
+),
+credited AS (
+  SELECT coalesce(channel, 'none') AS channel,
+         CASE WHEN count(touch_id) OVER (PARTITION BY purchase_id) = 0
+              THEN 1000
+              ELSE 1000 // count(touch_id) OVER (PARTITION BY purchase_id)
+                   + CASE WHEN row_number() OVER (
+                            PARTITION BY purchase_id
+                            ORDER BY touch_us DESC, touch_id DESC) = 1
+                          THEN 1000 % count(touch_id)
+                                 OVER (PARTITION BY purchase_id)
+                          ELSE 0 END
+         END AS milli_credit
+  FROM pairs
+),
+rolled AS (
+  SELECT channel,
+         CAST(count(*) AS BIGINT) AS n_touches,
+         CAST(sum(milli_credit) AS BIGINT) AS milli_credit
+  FROM credited GROUP BY 1
+)
+SELECT channel, n_touches, milli_credit,
+       CAST(milli_credit AS DOUBLE)
+         / CAST(sum(milli_credit) OVER () AS DOUBLE) AS credit_share
+FROM rolled
+"""

@@ -2792,6 +2792,30 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.knn_label_noise(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("multi_touch_attribution", windows_op.sql_multi_touch_attribution())
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution with exact integer milli-credits
+    (1000 div k per touch, remainder to the last touch): user-keyed
+    banded self-join, per-conversion window split, channel rollup."""
+    return windows_op.multi_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register("fano_burstiness", stats_mod.sql_fano_burstiness())
+def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor of daily counts per event type (zero-days via the
+    broadcast spine grid): integer power sums, one final divide;
+    flags bursty arrival processes rate monitors misjudge."""
+    return stats_mod.fano_burstiness(load_table(spark, sf_dir, "events"))
+
+
+@register("hapax_report", text_op.sql_hapax_report())
+def hapax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena shares (Zipf-tail / OCR-garbage
+    diagnostic): one explode pass feeds corpus token counts and
+    per-source totals; exact integer ratios."""
+    return text_op.hapax_report(load_table(spark, sf_dir, "documents"))
+
+
 @register("centroid_shift", linalg_op.sql_centroid_shift())
 def centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding drift: cosine between half-corpus centroids
@@ -2993,6 +3017,8 @@ _COST_HINT = {
     "bootstrap_ci": 1.00, "rolling_active_users": 0.60,
     "knn_label_noise": 1.50, "tokenizer_fertility": 0.70,
     "rolling_wau_hll": 0.80, "centroid_shift": 0.80,
+    "multi_touch_attribution": 0.70, "fano_burstiness": 0.40,
+    "hapax_report": 0.60,
 }
 
 

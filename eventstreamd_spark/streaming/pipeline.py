@@ -722,3 +722,77 @@ def start_payload_schema_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_rolling_wau_monitor(
+    stream_events: DataFrame,
+    sink: Callable[[dict, dict, int], None],
+    checkpoint_dir: str,
+    window_days: int = 7,
+) -> StreamingQuery:
+    """Streaming trailing-window distinct-actives monitor: per micro-
+    batch, build the batch's PER-DAY HLL register table (the tiny
+    (day, bucket) groupBy from sketches.day_hll_registers — the only
+    distributed work) and max-merge it into day-keyed accumulated
+    registers; hand ``sink(day_registers, wau_estimates, epoch)`` the
+    running state plus, per day seen so far, the trailing-
+    ``window_days`` merged estimate.
+
+    State is |days| x m integers — it grows with CALENDAR TIME, never
+    with stream volume — and every per-day register set stays
+    mergeable, so the same state serves daily/weekly/monthly windows
+    (re-merge, never re-scan).  The day-keyed max-merge is associative,
+    commutative, and idempotent, so at-least-once replay of a whole
+    batch is harmless (same effectively-once argument as
+    start_hll_distinct_monitor), and the estimates are computed with
+    the identical fixed-order arithmetic as the batch twin
+    (sketches.rolling_wau_hll) — parity is asserted exactly, not
+    approximately, in tests/test_streaming.py.
+
+    State persists beside the streaming checkpoint (atomic rename per
+    batch) and reloads on restart, so committed-batch skipping cannot
+    silently drop pre-restart days.
+    """
+    import datetime
+    import json
+    import os
+
+    from eventstreamd_spark.operators import sketches as sk
+
+    state_path = os.path.join(checkpoint_dir, "wau_registers.json")
+    state: dict[str, dict[int, int]] = {}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = {
+                d: {int(b): r for b, r in regs.items()}
+                for d, regs in json.load(f).items()
+            }
+
+    def _per_batch(batch: DataFrame, epoch: int) -> None:
+        nonlocal state
+        for row in sk.day_hll_registers(batch).collect():
+            d = row["d"].isoformat()
+            state[d] = sk.hll_merge_registers(
+                state.get(d, {}), {row["bucket"]: row["m_rho"]}
+            )
+        _atomic_json_write(checkpoint_dir, state_path, state)
+        days = sorted(state)
+        ests: dict[str, float] = {}
+        for d in days:
+            end = datetime.date.fromisoformat(d)
+            start = end - datetime.timedelta(days=window_days - 1)
+            merged: dict[int, int] = {}
+            for o in days:
+                od = datetime.date.fromisoformat(o)
+                if start <= od <= end:
+                    merged = sk.hll_merge_registers(merged, state[o])
+            ests[d] = sk.hll_estimate_from_registers(merged)
+        sink({d: dict(r) for d, r in state.items()}, ests, epoch)
+
+    return (
+        stream_events.writeStream.outputMode("append")
+        .foreachBatch(_per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -492,3 +492,126 @@ def test_tokenizer_fertility_laws(spark, sf_dir) -> None:
         assert 0.0 < r["type_token_ratio"] <= 1.0
         # tokens are whitespace-delimited: chars/token >= 1 always
         assert r["chars_per_token"] >= 1.0
+
+
+# --- multi-touch attribution -------------------------------------------------
+
+
+def test_multi_touch_credits_sum_exactly(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import windows as win_mod
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = win_mod.multi_touch_attribution(ev).collect()
+    assert rows
+    total_credit = sum(r["milli_credit"] for r in rows)
+    n_conversions = ev.filter("event_type = 'purchase'").count()
+    # the remainder-to-last convention makes credits EXACT: 1000 per
+    # conversion, no float drift anywhere
+    assert total_credit == 1000 * n_conversions
+    assert abs(sum(r["credit_share"] for r in rows) - 1.0) < 1e-12
+
+
+def test_multi_touch_fixture(spark) -> None:
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from eventstreamd_spark.operators import windows as win_mod
+
+    rows = [
+        # conversion with 3 prior touches inside the 3-day window:
+        # 1000 div 3 = 333 each, remainder 1 to the LAST touch (click t3)
+        Row(event_id=1, ts=datetime(2024, 5, 10, 12), user_id=1,
+            event_type="purchase"),
+        Row(event_id=2, ts=datetime(2024, 5, 10, 9), user_id=1,
+            event_type="view"),
+        Row(event_id=3, ts=datetime(2024, 5, 10, 10), user_id=1,
+            event_type="view"),
+        Row(event_id=4, ts=datetime(2024, 5, 10, 11), user_id=1,
+            event_type="click"),
+        # touch OUTSIDE the lookback: ignored
+        Row(event_id=5, ts=datetime(2024, 5, 1, 11), user_id=1,
+            event_type="click"),
+        # touchless conversion: organic
+        Row(event_id=6, ts=datetime(2024, 5, 10, 12), user_id=2,
+            event_type="purchase"),
+    ]
+    out = {
+        r["channel"]: r
+        for r in win_mod.multi_touch_attribution(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    assert out["view"]["milli_credit"] == 666
+    assert out["click"]["milli_credit"] == 334  # 333 + remainder 1
+    assert out["none"]["milli_credit"] == 1000
+    assert out["view"]["n_touches"] == 2
+
+
+# --- Fano burstiness ---------------------------------------------------------
+
+
+def test_fano_poisson_vs_bursty_fixture(spark) -> None:
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    rows = []
+    eid = 0
+    # 'steady': exactly 2 events every day for 10 days -> variance 0
+    for d in range(1, 11):
+        for _ in range(2):
+            eid += 1
+            rows.append(Row(event_id=eid, ts=datetime(2024, 3, d, 8),
+                            event_type="steady"))
+    # 'bursty': all 20 events on one day
+    for _ in range(20):
+        eid += 1
+        rows.append(Row(event_id=eid, ts=datetime(2024, 3, 5, 8),
+                        event_type="bursty"))
+    out = {
+        r["event_type"]: r
+        for r in stats_mod.fano_burstiness(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    assert out["steady"]["fano"] == 0.0 and not out["steady"]["is_bursty"]
+    # bursty: n=10, s=20, sc2=400 -> (10*400-400)/(10*20) = 18
+    assert out["bursty"]["fano"] == 18.0 and out["bursty"]["is_bursty"]
+    assert out["steady"]["mean_daily"] == 2.0
+
+
+# --- hapax report ------------------------------------------------------------
+
+
+def test_hapax_fixture(spark) -> None:
+    from pyspark.sql import Row
+
+    from eventstreamd_spark.operators import textops as text_mod
+
+    rows = [
+        Row(doc_id=1, text="alpha beta alpha", source="a"),
+        Row(doc_id=2, text="beta gamma", source="b"),
+    ]
+    out = {
+        r["source"]: r
+        for r in text_mod.hapax_report(spark.createDataFrame(rows)).collect()
+    }
+    # corpus counts: alpha=2, beta=2, gamma=1 -> hapax = {gamma}
+    assert out["a"]["n_tokens"] == 3 and out["a"]["n_hapax"] == 0
+    assert out["b"]["n_tokens"] == 2 and out["b"]["n_hapax"] == 1
+    assert out["b"]["hapax_token_share"] == 0.5
+    assert out["b"]["hapax_type_share"] == 0.5
+    assert out["a"]["n_types"] == 2
+
+
+def test_hapax_laws(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import textops as text_mod
+
+    rows = text_mod.hapax_report(
+        load_table(spark, sf_dir, "documents")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
+        assert 0.0 <= r["hapax_token_share"] <= r["hapax_type_share"] <= 1.0

@@ -1038,3 +1038,55 @@ def test_stream_payload_schema_monitor(spark, tmp_path) -> None:
     final = second[3]
     assert final[("k", "int")] == 4 and final[("k", "string")] == 1
     assert final[("fresh", "bool")] == 1
+
+
+def test_stream_rolling_wau_monitor_matches_batch(spark, sf_dir, tmp_path) -> None:
+    """Day-keyed registers merged across micro-batches must equal the
+    batch day_hll_registers over the union, and the monitor's trailing
+    estimates must EXACTLY equal the batch twin's wau_est column —
+    same registers, same fixed-order arithmetic, zero tolerance."""
+    import os
+
+    from eventstreamd_spark.operators import sketches as sk
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import start_rolling_wau_monitor
+
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    src = str(tmp_path / "wau_src")
+    os.makedirs(src)
+    events.filter("user_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    events.filter("user_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    states: list = []
+    q = start_rolling_wau_monitor(
+        stream,
+        sink=lambda regs, ests, ep, acc=states: acc.append((ep, regs, ests)),
+        checkpoint_dir=str(tmp_path / "wau_ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len(states) >= 2
+
+    batch_regs: dict[str, dict[int, int]] = {}
+    for r in sk.day_hll_registers(events).collect():
+        batch_regs.setdefault(r["d"].isoformat(), {})[r["bucket"]] = r["m_rho"]
+    final_regs = states[-1][1]
+    assert final_regs == batch_regs
+
+    batch_est = {
+        r["day"].date().isoformat(): r["wau_est"]
+        for r in sk.rolling_wau_hll(events).collect()
+    }
+    ests = states[-1][2]
+    # the batch spine is gap-free; the monitor only has days with data —
+    # every monitored day must match the batch estimate bit-for-bit
+    for d, est in ests.items():
+        assert est == batch_est[d], (d, est, batch_est[d])
+    # idempotent replay: re-merging any day's registers is a no-op
+    for d, regs in final_regs.items():
+        assert sk.hll_merge_registers(regs, regs) == regs
