@@ -42,3 +42,28 @@ def test_digest_manifest_covers_the_whole_tail() -> None:
     assert not missing, f"rerun tools/gen_digest_manifest.py: {missing}"
     # every digested query must have an oracle for the SQL twin arm
     assert all(n in qr.ORACLES for n in tail)
+
+
+def test_oracles_avoid_engine_libm_and_nondeterminism() -> None:
+    """The cross-engine exactness discipline, enforced repo-wide: no
+    oracle may evaluate a transcendental (ln/log/exp/pow — Java's
+    Math.* and DuckDB's libm disagree in the last ulp) or any
+    nondeterministic function in SQL that feeds hashed values.  sqrt
+    is exempt (IEEE 754 requires correct rounding).  Allowlisted:
+    tfidf_top_terms uses ln for ORDERING ONLY and never emits the
+    float score (documented in its docstring)."""
+    import re
+
+    allow = {"tfidf_top_terms": {"ln"}}
+    pat = re.compile(
+        r"(?<![a-z_])(ln|log|log2|log10|exp|pow|power|random|now|"
+        r"current_date|current_timestamp)\s*\(",
+        re.I,
+    )
+    offenders = {}
+    for name, sql in qr.ORACLES.items():
+        hits = {m.group(1).lower() for m in pat.finditer(sql)}
+        hits -= allow.get(name, set())
+        if hits:
+            offenders[name] = sorted(hits)
+    assert not offenders, offenders
