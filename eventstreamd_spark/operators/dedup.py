@@ -1304,10 +1304,21 @@ def incremental_dedup_decisions(
     """
     c_sh = with_hashed_shingles(corpus, n)
     b_sh = with_hashed_shingles(batch, n)
-    c_hash = corpus.select(F.sha2(F.col("text"), 256).alias("h")).distinct()
+    c_hash = corpus.select(F.sha2(F.col("text"), 256).alias("ch")).distinct()
     b_hash = batch.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
-    exact = b_hash.join(c_hash, "h").select("doc_id").distinct().withColumn(
-        "exact_dup", F.lit(True)
+    # NULL-SAFE equality, deliberately: a plain equi-join lets
+    # InferFiltersFromConstraints add isnotnull(h), which pushdown
+    # rewrites through the projection into isnotnull(sha2(<whole text
+    # expression>)) at the SCAN — re-evaluating the hash chain per row
+    # (the same inference trap as the generate tier, join-key flavored;
+    # caught by plans/audit.py's predicate markers).  <=> infers no
+    # null filter, and text is non-null by the envelope contract, so
+    # the join result is identical to the equi-join on both engines.
+    exact = (
+        b_hash.join(c_hash, F.col("h").eqNullSafe(F.col("ch")))
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_dup", F.lit(True))
     )
     # pair identity is (batch doc, corpus doc): grouping must key on the
     # corpus doc_id, not its shingle count (two corpus docs with equal

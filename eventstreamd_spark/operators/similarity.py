@@ -1161,12 +1161,19 @@ def hybrid_search_rrf(
     kw_score = F.size(
         F.array_intersect(F.array_distinct(tokens(F.col("text"))), terms)
     )
+    # the positivity filter sits ABOVE the TakeOrdered limit, not below:
+    # filtered-first it pushes through the projection and inlines the
+    # whole tokenize+intersect into the scan predicate (2x tokenization
+    # per doc — the audit's join/filter inference trap); Catalyst never
+    # pushes filters through a Limit, and the result is identical (a
+    # zero-score doc can only enter the top-k when fewer than
+    # ``candidates`` docs score positive, and the post-filter drops it).
     kw_cand = (
         docs.filter(F.col("doc_id") != query_vec_id)
         .select("doc_id", kw_score.alias("kw_score"))
-        .filter(F.col("kw_score") > 0)
         .orderBy(F.desc("kw_score"), F.asc("doc_id"))
         .limit(candidates)
+        .filter(F.col("kw_score") > 0)
     )
     wk = W.orderBy(F.desc("kw_score"), F.asc("doc_id"))
     kw_ranked = kw_cand.withColumn("kw_rank", F.row_number().over(wk)).select(

@@ -47,7 +47,12 @@ def audit_plan(df: DataFrame) -> list[str]:
         pred = m.group(1)
         # HOF/array-fold markers have no business inside a filter: their
         # presence means a non-cheap alias was inlined into a predicate
-        if any(k in pred for k in ("zip_with(", "aggregate(", "transform(")):
+        # (filter( and split( catch the tokenization fold the original
+        # three markers missed — tokens() compiles to filter(split(...)))
+        if any(
+            k in pred
+            for k in ("zip_with(", "aggregate(", "transform(", "filter(", "split(")
+        ):
             warnings.append(
                 "expensive expression inlined into a filter "
                 "(inferred-predicate pushdown past a non-cheap alias?)"

@@ -69,9 +69,27 @@ def test_semi_join_stays_semi(plans) -> None:
 def test_audit_flags_no_registered_query(spark, sf_dir) -> None:
     """audit_plan must be clean for every registered (non-Python-kernel)
     query — a new query that introduces a cartesian product or loses
-    pruning fails here before it ever meets real data."""
+    pruning fails here before it ever meets real data.
+
+    Allowlist: corpus_build_manifest's quality gate IS the token fold
+    pushed to the scan — column pruning then drops every quality column
+    from the projection above, so the scan filter is the expression's
+    ONLY evaluation (filter-at-scan is optimal there, not the
+    double-eval trap the marker exists to catch; verified by reading
+    the formatted plan: no Project above that scan re-references the
+    fold).  Every other query must stay clean."""
+    allow = {
+        "corpus_build_manifest": {
+            "expensive expression inlined into a filter "
+            "(inferred-predicate pushdown past a non-cheap alias?)"
+        }
+    }
     for name, fn in qr.QUERIES.items():
-        warnings = audit_plan(fn(spark, sf_dir))
+        warnings = [
+            w
+            for w in audit_plan(fn(spark, sf_dir))
+            if w not in allow.get(name, set())
+        ]
         assert not warnings, f"{name}: {warnings}"
 
 
