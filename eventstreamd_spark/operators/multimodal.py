@@ -480,3 +480,82 @@ def mixed_media_manifest(docs: DataFrame) -> DataFrame:
         primary.alias("primary_dim"),
         span.alias("span"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Media corpus build manifest — the multimodal mirror of
+# curation.corpus_build_manifest: gate -> blob-dedup -> byte-budget
+# shards as ONE composed Catalyst plan.
+# ---------------------------------------------------------------------------
+
+MEDIA_MIN_BYTES = 64  # admission gate: drop sub-64-byte junk payloads
+
+
+def media_corpus_manifest(docs: DataFrame) -> DataFrame:
+    """The whole MEDIA corpus-construction pipeline as one composed
+    plan: a byte-length admission gate drops junk payloads, exact
+    blob dedup (16-byte digests, blobs never shuffled) keeps one
+    canonical copy per (digest, modality), and survivors get
+    WebDataset-style byte-budget tar-shard assignments — the
+    (doc_id, media_type, n_bytes, shard_id, shard_start_byte)
+    manifest a multimodal loader consumes.
+
+    Composition is the point (same argument as corpus_build_manifest):
+    every stage is DataFrame -> DataFrame so Catalyst sees one plan —
+    the metadata projection stays narrow, the only wide stages are the
+    digest group-aggregate (digest+id keys only) and the packing's
+    two-phase prefix sum.  At 100 TB the blob column is pruned from
+    every exchange; the gate is a cheap length() predicate the scan
+    absorbs.
+    """
+    from eventstreamd_spark.operators.layout import media_shard_assignments
+
+    media = documents_as_media(docs)
+    gated = media.filter(F.col("byte_len") >= MEDIA_MIN_BYTES)
+    canon_ids = (
+        gated.groupBy("content_md5", "media_type")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = gated.join(canon_ids, "doc_id")
+    shards = media_shard_assignments(kept)
+    return shards.select(
+        "doc_id",
+        _media_type_by_doc_id().alias("media_type"),
+        "n_bytes",
+        "shard_id",
+        "shard_start_byte",
+    )
+
+
+def sql_media_corpus_manifest(table: str = "documents") -> str:
+    """DuckDB twin — same gate, canonical rule, and prefix-sum packing."""
+    from eventstreamd_spark.operators.layout import SHARD_BYTES
+
+    return f"""
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         md5(text) AS content_md5,
+         octet_length(encode(text)) AS byte_len
+  FROM {table}
+),
+gated AS (SELECT * FROM media WHERE byte_len >= {MEDIA_MIN_BYTES}),
+canon AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY content_md5, media_type
+),
+kept AS (SELECT g.* FROM gated g JOIN canon c USING (doc_id)),
+c AS (
+  SELECT doc_id, media_type, byte_len,
+         sum(CAST(byte_len AS BIGINT)) OVER (ORDER BY doc_id)
+           - byte_len AS excl
+  FROM kept
+)
+SELECT doc_id, media_type,
+       CAST(byte_len AS BIGINT) AS n_bytes,
+       CAST(excl // {SHARD_BYTES} AS BIGINT) AS shard_id,
+       CAST(excl AS BIGINT) AS shard_start_byte
+FROM c
+"""

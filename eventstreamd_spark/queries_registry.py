@@ -2792,6 +2792,14 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.knn_label_noise(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("media_corpus_manifest", mm_op.sql_media_corpus_manifest())
+def media_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal mirror of corpus_build_manifest: byte-length
+    gate -> exact blob dedup (digests only on the wire) -> WebDataset
+    byte-budget shard packing, composed as ONE Catalyst plan."""
+    return mm_op.media_corpus_manifest(load_table(spark, sf_dir, "documents"))
+
+
 @register("multi_touch_attribution", windows_op.sql_multi_touch_attribution())
 def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution with exact integer milli-credits
@@ -3018,7 +3026,7 @@ _COST_HINT = {
     "knn_label_noise": 1.50, "tokenizer_fertility": 0.70,
     "rolling_wau_hll": 0.80, "centroid_shift": 0.80,
     "multi_touch_attribution": 0.70, "fano_burstiness": 0.40,
-    "hapax_report": 0.60,
+    "hapax_report": 0.60, "media_corpus_manifest": 0.60,
 }
 
 

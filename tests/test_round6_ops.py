@@ -615,3 +615,35 @@ def test_hapax_laws(spark, sf_dir) -> None:
     for r in rows:
         assert 0 <= r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
         assert 0.0 <= r["hapax_token_share"] <= r["hapax_type_share"] <= 1.0
+
+
+# --- media corpus manifest ----------------------------------------------------
+
+
+def test_media_manifest_composition_laws(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import multimodal as mm_mod
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        mm_mod.media_corpus_manifest(docs).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows
+    # gate: every survivor meets the byte floor
+    assert all(r["n_bytes"] >= mm_mod.MEDIA_MIN_BYTES for r in rows)
+    # dedup: survivors' blobs (text bytes here) are pairwise distinct
+    kept_ids = {r["doc_id"] for r in rows}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(docs.doc_id.isin(list(kept_ids))).collect()
+    }
+    assert len(set(texts.values())) == len(kept_ids)
+    # packing: exclusive prefix sums are consistent and shard-monotone
+    acc = 0
+    for r in rows:  # doc_id order IS the packing order
+        assert r["shard_start_byte"] == acc
+        assert r["shard_id"] == acc // 16_384
+        acc += r["n_bytes"]
+    # modality column matches the fixture dispatch
+    mt = {0: "image/png", 1: "audio/wav", 2: "video/mp4"}
+    assert all(r["media_type"] == mt[r["doc_id"] % 3] for r in rows)
