@@ -647,3 +647,44 @@ def test_media_manifest_composition_laws(spark, sf_dir) -> None:
     # modality column matches the fixture dispatch
     mt = {0: "image/png", 1: "audio/wav", 2: "video/mp4"}
     assert all(r["media_type"] == mt[r["doc_id"] % 3] for r in rows)
+
+
+# --- partition/order invariance (the 100 TB safety claim, asserted) ----------
+
+
+def test_round6_tier_invariant_under_partitioning(spark, sf_dir) -> None:
+    """Every round-6 operator must produce IDENTICAL rows regardless of
+    partitioning — the property that makes hash-derived weights and
+    exact integer/decimal aggregation safe on any cluster layout.
+    (Float-accumulating designs fail exactly this test.)"""
+    from eventstreamd_spark.operators import (
+        linalg as la,
+        multimodal as mm_mod,
+        sketches as sk,
+        textops as text_mod,
+        windows as win_mod,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    cases = [
+        (stats_mod.bootstrap_ci, ev, "user_id"),
+        (stats_mod.rolling_active_users, ev, "user_id"),
+        (stats_mod.fano_burstiness, ev, "event_type"),
+        (sk.rolling_wau_hll, ev, "user_id"),
+        (win_mod.multi_touch_attribution, ev, "event_type"),
+        (text_mod.tokenizer_fertility, docs, "lang"),
+        (text_mod.hapax_report, docs, "source"),
+        (la.centroid_shift, emb, "label"),
+        (mm_mod.media_corpus_manifest, docs, "source"),
+        (sim_op.knn_label_noise, emb, "label"),
+    ]
+    for fn, df, skew_col in cases:
+        base = sorted(tuple(r) for r in fn(df.repartition(1)).collect())
+        redist = sorted(
+            tuple(r) for r in fn(df.repartition(7, skew_col)).collect()
+        )
+        assert base == redist, fn.__name__
+        assert base, fn.__name__
