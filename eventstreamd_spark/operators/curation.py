@@ -83,14 +83,39 @@ def corpus_build_manifest(docs: DataFrame) -> DataFrame:
     pass stays narrow, the dedup closure and the packing prefix-sum
     are the only wide stages, and nothing is materialized between
     "pipeline steps" because there are no steps, just one expression.
-    """
-    from eventstreamd_spark.operators.layout import token_shard_assignments
 
-    kept_ids = (
-        curation_decisions(docs).filter(F.col("keep") == 1).select("doc_id")
+    Single-tokenize composition: the feature projection computes
+    n_tokens ALONGSIDE the quality/language gates and carries it
+    through the cluster join, so the packer consumes the bound count
+    instead of re-scanning and re-tokenizing the survivors (the
+    original two-leg form paid the corpus text scan and the token fold
+    twice; this one pays once — same two wide stages, one corpus read).
+    """
+    from eventstreamd_spark.operators.layout import (
+        SHARD_TOKENS,
+        weighted_shard_assignments,
     )
-    kept = docs.join(kept_ids, "doc_id")
-    return token_shard_assignments(kept)
+
+    feats = fan_out(docs).select(
+        "doc_id",
+        quality_ok_col(F.col("text")).alias("quality_ok"),
+        lang_id(tokens(F.col("text"))).alias("detected_lang"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    clusters = dedup_clusters(docs)
+    keep = (
+        F.col("quality_ok")
+        & (F.col("cluster_id") == F.col("doc_id"))
+        & (F.col("detected_lang") != "und")
+    )
+    kept = (
+        feats.join(clusters, "doc_id")
+        .filter(keep)
+        .select("doc_id", "n_tokens")
+    )
+    return weighted_shard_assignments(
+        kept, "doc_id", "n_tokens", SHARD_TOKENS
+    ).withColumnRenamed("shard_start", "shard_start_token")
 
 
 def sql_corpus_build_manifest(table: str = "documents") -> str:

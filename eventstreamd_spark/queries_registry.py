@@ -3004,7 +3004,7 @@ _COST_HINT = {
     "entity_resolution": 4.50, "source_overlap": 1.80,
     "payload_schema_profile": 1.00, "event_transitions": 0.80, "ks_drift_test": 0.70, "value_trend_regression": 0.60, "mannwhitney_auc": 0.70, "cusum_shift_detection": 0.70,
     "ab_test_report": 0.50, "column_stats_catalog": 0.60,
-    "corpus_build_manifest": 5.00, "multimodal_wav_features": 0.70, "multimodal_mp4_features": 0.70, "mixed_media_manifest": 0.90,
+    "corpus_build_manifest": 4.90, "multimodal_wav_features": 0.70, "multimodal_mp4_features": 0.70, "mixed_media_manifest": 0.90,
     # round-5 additions (sketch tier)
     "kmv_distinct": 0.40, "hll_distinct": 0.25, "cms_heavy_hitters": 0.35,
     "cms_state_merge": 0.40,
