@@ -2206,16 +2206,19 @@ def bootstrap_ci(events: DataFrame) -> DataFrame:
     for near-empty groups) are excluded identically on both engines and
     the ranks recomputed from the surviving count.
 
-    100 TB shape: all 64 replicates fold in ONE aggregate pass as 128
-    unrolled accumulator columns (sum w_b, sum w_b*x) — the corpus is
-    NEVER row-multiplied (the naive explode form was measured 3x
-    slower at sf0.1: 6.4M generated rows' hash-probe overhead vs 128
-    codegen'd column updates on 100k rows).  The shuffle carries
-    |event_type| partial rows of 128 columns; the per-type 64-row
-    replicate table is then unpivoted from the TINY aggregated frame
-    and ranked in a <=64-row window per group.  This is the canonical
-    bootstrap-on-MapReduce plan with the fan-out pushed into the
-    accumulator, not the row stream.
+    100 TB shape: ONE corpus scan total.  All 64 replicates fold in a
+    single aggregate pass as 128 unrolled accumulator columns
+    (sum w_b, sum w_b*x) alongside the full-sample (n, sum x) — the
+    corpus is never row-multiplied and never re-scanned for the exact
+    mean (an order-controlled A/B at sf0.1 measured the unrolled and
+    explode aggregates within noise of each other, 1.56s vs 1.36s, so
+    the unrolled form wins on scans, not on agg micro-cost).  The
+    shuffle carries |event_type| partial rows; the aggregated frame is
+    localCheckpoint'ed (5-ish rows) so the replicate-unpivot leg and
+    the mean leg cannot re-execute the scan; the 64-row-per-group
+    replicate table is then ranked in a tiny window.  This is the
+    canonical bootstrap-on-MapReduce plan with the fan-out pushed into
+    the accumulator, not the row stream.
     """
     from pyspark.sql import Window
 
@@ -2233,7 +2236,10 @@ def bootstrap_ci(events: DataFrame) -> DataFrame:
     # under ANSI past ~9.2e18 (n ~ 5e13 rows at 1e3-valued events);
     # the documented fallback past that cliff is DECIMAL(38,0)
     # accumulators at the measured cost.
-    aggs = []
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_full"),
+        F.sum("x").cast("decimal(38,0)").alias("sx_full"),
+    ]
     for b in range(BOOT_B):
         s, dv = b // _BOOT_TRITS, 3 ** (b % _BOOT_TRITS)
         w = F.expr(f"h{s} div {dv} % 3")
@@ -2241,7 +2247,10 @@ def bootstrap_ci(events: DataFrame) -> DataFrame:
         aggs.append(
             F.sum(w * F.col("x")).cast("decimal(38,0)").alias(f"swx{b}")
         )
-    wide = base.groupBy("event_type").agg(*aggs)
+    # tiny frame (|event_type| rows), but its subtree is the corpus
+    # scan: checkpoint so the unpivot leg and the mean leg share one
+    # execution (the two-leg audit rule, plans/audit.py)
+    wide = base.groupBy("event_type").agg(*aggs).localCheckpoint()
     rep = wide.select(
         "event_type",
         F.explode(
@@ -2273,11 +2282,10 @@ def bootstrap_ci(events: DataFrame) -> DataFrame:
         F.max(F.when(F.col("rn") == hi_rank, F.col("mean_b"))).alias("q_hi"),
         F.max("cnt").cast("bigint").alias("n_replicates"),
     )
-    full = events.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.round(F.col("value") * F.lit(100.0), 0).cast("bigint").cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
-        .alias("sx"),
+    full = wide.select(
+        "event_type",
+        F.col("n_full").alias("n"),
+        F.col("sx_full").alias("sx"),
     )
     mean = F.col("sx").cast("double") / (F.lit(100.0) * F.col("n").cast("double"))
     c = F.lit(BOOT_CI_SCALE)
@@ -2302,11 +2310,15 @@ def sql_bootstrap_ci(table: str = "events") -> str:
     h0 = sql_h60(f"(CAST(event_id AS VARCHAR) || ':bs0')")
     h1 = sql_h60(f"(CAST(event_id AS VARCHAR) || ':bs1')")
     wide_aggs = ",\n         ".join(
-        f"CAST(sum((h{b // _BOOT_TRITS} // {3 ** (b % _BOOT_TRITS)}) % 3) AS BIGINT)"
-        f" AS sw{b},\n         "
-        f"sum(CAST((h{b // _BOOT_TRITS} // {3 ** (b % _BOOT_TRITS)}) % 3"
-        f" AS HUGEINT) * x) AS swx{b}"
-        for b in range(BOOT_B)
+        ["CAST(count(*) AS BIGINT) AS n_full",
+         "sum(CAST(x AS HUGEINT)) AS sx_full"]
+        + [
+            f"CAST(sum((h{b // _BOOT_TRITS} // {3 ** (b % _BOOT_TRITS)}) % 3) AS BIGINT)"
+            f" AS sw{b},\n         "
+            f"sum(CAST((h{b // _BOOT_TRITS} // {3 ** (b % _BOOT_TRITS)}) % 3"
+            f" AS HUGEINT) * x) AS swx{b}"
+            for b in range(BOOT_B)
+        ]
     )
     unpivot = ", ".join(
         f"struct_pack(b := {b}, sw := sw{b}, swx := swx{b})"
@@ -2348,9 +2360,7 @@ agg AS (
   FROM ranked GROUP BY 1
 ),
 fullagg AS (
-  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-         sum(CAST(CAST(round(value * 100.0, 0) AS BIGINT) AS HUGEINT)) AS sx
-  FROM {table} GROUP BY 1
+  SELECT event_type, n_full AS n, sx_full AS sx FROM wide
 )
 SELECT f.event_type, f.n,
        CAST(CAST(f.sx AS VARCHAR) AS DOUBLE)

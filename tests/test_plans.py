@@ -527,14 +527,15 @@ def test_calibration_windows_over_bucket_table_only(plans) -> None:
     assert "hashpartitioning(score_decile" in phys or "HashAggregate" in phys
 
 
-def test_bootstrap_explode_stays_narrow(plans) -> None:
-    # all 64 replicates fold as unrolled accumulator columns in ONE
-    # partial-aggregated pass; the only Generate (the unpivot) runs
-    # over the tiny aggregated frame, never the corpus — asserted by
-    # the generate appearing on the post-exchange side of the plan
+def test_bootstrap_single_scan_and_tiny_unpivot(plans) -> None:
+    # the 128-column accumulator aggregate is localCheckpoint'ed, so
+    # the final plan reads the |event_type|-row checkpoint blocks for
+    # BOTH legs (replicate unpivot + exact mean) and contains NO
+    # parquet scan at all — the single-corpus-scan property, asserted
+    # in the strongest possible form
     phys = plans("bootstrap_ci").split("== Physical Plan ==")[-1]
+    assert "Scan parquet" not in phys
     assert "Generate explode" in phys
-    assert "partial_sum" in phys
     gen_line = next(
         l for l in phys.splitlines() if "Generate explode" in l
     )
