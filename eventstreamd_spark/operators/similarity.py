@@ -1725,3 +1725,129 @@ SELECT qlabel AS label,
          AS n_flagged
 FROM per_anchor GROUP BY 1
 """
+
+
+# --- incremental IVF index maintenance ---------------------------------------
+
+IVF_BATCH_MOD = 7
+IVF_BATCH_REM = 3  # vec_id % 7 == 3 (and not a centroid) => the new batch
+
+
+def ivf_incremental_add(
+    embeddings: DataFrame,
+    n_cells: int = N_CELLS,
+    batch_mod: int = IVF_BATCH_MOD,
+    batch_rem: int = IVF_BATCH_REM,
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign a NEW vector batch to
+    the EXISTING cells (centroids frozen — the invariant that keeps a
+    serving index append-only between rebuilds) and report per-cell
+    growth — the daily-ingest twin of ``write_ivf_index``, and the ANN
+    sibling of dedup's incremental admission tier.
+
+    Fixture split: vectors with vec_id % mod == rem (excluding the
+    centroid seeds) are "today's batch"; the rest are the indexed
+    corpus.  Cost shape at scale: the batch assignment is
+    O(|batch| x cells) against BROADCAST centroids — the corpus is
+    never reassigned; the existing per-cell counts here recompute the
+    base assignment only because this query is self-contained (a real
+    index reads them from the persisted index's cell metadata, an
+    O(cells) lookup — see write_ivf_index's partition layout).
+    Growth skew is the actionable signal: a cell absorbing a
+    disproportionate share of new vectors is the rebuild trigger
+    (recall decays as cells unbalance).
+    """
+    from eventstreamd_spark.functions.vectors import dot, norm
+
+    is_batch = (F.col("vec_id") % batch_mod == batch_rem) & (
+        F.col("vec_id") >= n_cells
+    )
+    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    )
+    cents_n = cents.withColumn("__nc", norm(F.col("cvec")))
+
+    def assign(df: DataFrame) -> DataFrame:
+        emb_n = fan_out(df).withColumn("__nv", norm(F.col("embedding")))
+        nprod = F.col("__nv") * F.col("__nc")
+        scored = emb_n.join(F.broadcast(cents_n)).withColumn(
+            "ccos",
+            F.when(nprod == 0.0, F.lit(-2.0)).otherwise(
+                dot(F.col("embedding"), F.col("cvec")) / nprod
+            ),
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.min(
+                F.struct(
+                    (-F.col("ccos")).alias("nc"), F.col("cell_id").alias("cell_id")
+                )
+            ).alias("b")
+        )
+        return best.select("vec_id", F.col("b.cell_id").alias("cell_id"))
+
+    existing = (
+        assign(embeddings.filter(~is_batch))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_existing"))
+    )
+    added = (
+        assign(embeddings.filter(is_batch))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_added"))
+    )
+    return (
+        existing.join(added, "cell_id", "left")
+        .select(
+            "cell_id",
+            "n_existing",
+            F.coalesce(F.col("n_added"), F.lit(0).cast("bigint")).alias(
+                "n_added"
+            ),
+        )
+        .withColumn(
+            "total_after", (F.col("n_existing") + F.col("n_added")).cast("bigint")
+        )
+        .withColumn(
+            "frac_added",
+            F.col("n_added").cast("double") / F.col("total_after").cast("double"),
+        )
+    )
+
+
+def sql_ivf_incremental_add(
+    n_cells: int = N_CELLS,
+    batch_mod: int = IVF_BATCH_MOD,
+    batch_rem: int = IVF_BATCH_REM,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin — same split, frozen centroids, guarded cosine,
+    argmin tie rule."""
+    cos = sql_cosine_guarded("e.embedding", "c.embedding")
+    batch = f"(e.vec_id % {batch_mod} = {batch_rem} AND e.vec_id >= {n_cells})"
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding FROM {table} WHERE vec_id < {n_cells}
+),
+assigned AS (
+  SELECT vec_id, is_batch, cell_id FROM (
+    SELECT e.vec_id, {batch} AS is_batch, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos} DESC, c.cell_id) AS r
+    FROM {table} e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+existing AS (
+  SELECT cell_id, CAST(count(*) AS BIGINT) AS n_existing
+  FROM assigned WHERE NOT is_batch GROUP BY 1
+),
+added AS (
+  SELECT cell_id, CAST(count(*) AS BIGINT) AS n_added
+  FROM assigned WHERE is_batch GROUP BY 1
+)
+SELECT e.cell_id, e.n_existing,
+       coalesce(a.n_added, 0) AS n_added,
+       CAST(e.n_existing + coalesce(a.n_added, 0) AS BIGINT) AS total_after,
+       CAST(coalesce(a.n_added, 0) AS DOUBLE)
+         / CAST(e.n_existing + coalesce(a.n_added, 0) AS DOUBLE) AS frac_added
+FROM existing e LEFT JOIN added a ON e.cell_id = a.cell_id
+"""

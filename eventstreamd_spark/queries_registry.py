@@ -2792,6 +2792,15 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.knn_label_noise(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("ivf_incremental_add", sim_op.sql_ivf_incremental_add())
+def ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance: assign the new-vector batch to the
+    FROZEN existing cells (broadcast centroids, corpus never
+    reassigned at scale) and report per-cell growth skew — the
+    rebuild-trigger signal for a serving ANN index."""
+    return sim_op.ivf_incremental_add(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("media_corpus_manifest", mm_op.sql_media_corpus_manifest())
 def media_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal mirror of corpus_build_manifest: byte-length
@@ -3027,6 +3036,7 @@ _COST_HINT = {
     "rolling_wau_hll": 0.80, "centroid_shift": 0.80,
     "multi_touch_attribution": 0.70, "fano_burstiness": 0.40,
     "hapax_report": 0.60, "media_corpus_manifest": 0.60,
+    "ivf_incremental_add": 0.80,
 }
 
 

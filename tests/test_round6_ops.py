@@ -688,3 +688,40 @@ def test_round6_tier_invariant_under_partitioning(spark, sf_dir) -> None:
         )
         assert base == redist, fn.__name__
         assert base, fn.__name__
+
+
+# --- incremental IVF add -------------------------------------------------------
+
+
+def test_ivf_incremental_add_conservation(spark, sf_dir) -> None:
+    ev = load_table(spark, sf_dir, "embeddings")
+    rows = sim_op.ivf_incremental_add(ev).collect()
+    assert rows
+    n_total = ev.count()
+    # every vector lands in exactly one cell, batch + base partition it
+    assert sum(r["total_after"] for r in rows) == n_total
+    n_batch = ev.filter("vec_id % 7 = 3 AND vec_id >= 16").count()
+    assert sum(r["n_added"] for r in rows) == n_batch
+    for r in rows:
+        assert 0.0 <= r["frac_added"] < 1.0  # existing cells never empty
+        assert r["total_after"] == r["n_existing"] + r["n_added"]
+
+
+def test_ivf_incremental_add_agrees_with_full_assignment(spark, sf_dir) -> None:
+    """Frozen-centroid invariant: assigning the batch incrementally
+    must give every batch vector the SAME cell a full ivf_cells pass
+    would (centroids are the first 16 corpus vectors in both)."""
+    ev = load_table(spark, sf_dir, "embeddings")
+    full = {
+        r["vec_id"]: r["cell_id"] for r in sim_op.ivf_cells(ev).collect()
+    }
+    per_cell_added: dict[int, int] = {}
+    for vid, cell in full.items():
+        if vid % 7 == 3 and vid >= 16:
+            per_cell_added[cell] = per_cell_added.get(cell, 0) + 1
+    report = {
+        r["cell_id"]: r["n_added"]
+        for r in sim_op.ivf_incremental_add(ev).collect()
+    }
+    for cell, n in per_cell_added.items():
+        assert report[cell] == n
