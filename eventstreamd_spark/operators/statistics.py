@@ -2562,3 +2562,58 @@ SELECT event_type, n_days,
                  / CAST(n_days * s AS DOUBLE) > 1.5 END AS is_bursty
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Behavioral diversity per user (Gini-Simpson index, exact rational)
+# ---------------------------------------------------------------------------
+
+
+def user_diversity(events: DataFrame) -> DataFrame:
+    """Per-user behavioral diversity: the Gini-Simpson index
+    1 - sum_t (c_t/n)^2 over the user's event-type distribution — the
+    diversity measure that stays EXACT (one rational per user:
+    1 - sum c^2 / n^2), unlike Shannon entropy whose ln() has no
+    cross-engine rounding contract.  0 = monomaniac (one event type),
+    -> 1 = uniform over many types; segmentation and bot screens key
+    on exactly this (scripted accounts pin near 0).
+
+    Plan: one (user, type) count aggregate (map-side combinable), one
+    |users x types|-row fold to per-user sums — both shuffles keyed on
+    ids, integer arithmetic throughout, one final IEEE divide.
+    """
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    n2 = (F.col("n_events") * F.col("n_events")).cast("double")
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (F.lit(1.0) - F.col("sc2").cast("double") / n2).alias("diversity"),
+    )
+
+
+def sql_user_diversity(table: str = "events") -> str:
+    return f"""
+WITH counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c * c) AS BIGINT) AS sc2
+  FROM counts GROUP BY 1
+)
+SELECT user_id, n_events, n_types,
+       1.0 - CAST(sc2 AS DOUBLE)
+           / CAST(n_events * n_events AS DOUBLE) AS diversity
+FROM per_user
+"""

@@ -2792,6 +2792,14 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.knn_label_noise(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("user_diversity", stats_mod.sql_user_diversity())
+def user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Gini-Simpson behavioral diversity (exact rational —
+    the entropy stand-in with no libm in hashed values); bot screens
+    and segmentation key on it."""
+    return stats_mod.user_diversity(load_table(spark, sf_dir, "events"))
+
+
 @register("ivf_incremental_add", sim_op.sql_ivf_incremental_add())
 def ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF maintenance: assign the new-vector batch to the
@@ -3036,7 +3044,7 @@ _COST_HINT = {
     "rolling_wau_hll": 0.80, "centroid_shift": 0.80,
     "multi_touch_attribution": 0.70, "fano_burstiness": 0.40,
     "hapax_report": 0.60, "media_corpus_manifest": 0.60,
-    "ivf_incremental_add": 0.80,
+    "ivf_incremental_add": 0.80, "user_diversity": 0.35,
 }
 
 

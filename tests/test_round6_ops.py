@@ -725,3 +725,32 @@ def test_ivf_incremental_add_agrees_with_full_assignment(spark, sf_dir) -> None:
     }
     for cell, n in per_cell_added.items():
         assert report[cell] == n
+
+
+# --- user diversity -----------------------------------------------------------
+
+
+def test_user_diversity_fixture_and_bounds(spark, sf_dir) -> None:
+    from datetime import datetime
+
+    rows = [
+        # monomaniac: 4 identical events -> diversity exactly 0
+        Row(event_id=1, user_id=1, event_type="click", ts=datetime(2024, 1, 1)),
+        Row(event_id=2, user_id=1, event_type="click", ts=datetime(2024, 1, 1)),
+        Row(event_id=3, user_id=1, event_type="click", ts=datetime(2024, 1, 1)),
+        Row(event_id=4, user_id=1, event_type="click", ts=datetime(2024, 1, 1)),
+        # uniform over 2 types -> 1 - 2*(1/2)^2 = 0.5 exactly
+        Row(event_id=5, user_id=2, event_type="click", ts=datetime(2024, 1, 1)),
+        Row(event_id=6, user_id=2, event_type="view", ts=datetime(2024, 1, 1)),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in stats_mod.user_diversity(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1]["diversity"] == 0.0 and out[1]["n_types"] == 1
+    assert out[2]["diversity"] == 0.5 and out[2]["n_types"] == 2
+    # real data: bounds + the analytic max 1 - 1/n_types
+    real = stats_mod.user_diversity(load_table(spark, sf_dir, "events")).collect()
+    assert real
+    for r in real:
+        assert 0.0 <= r["diversity"] <= 1.0 - 1.0 / r["n_types"] + 1e-12
