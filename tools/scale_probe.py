@@ -68,6 +68,18 @@ PROBES = [
     ("source_overlap", "~N shingles (source-collapsed inverted index)"),
     ("event_transitions", "~N (one lag window + tiny pair agg)"),
     ("column_stats_catalog", "~N (one multi-distinct scan)"),
+    # round-6 second wave
+    ("bootstrap_ci", "~N (single scan, 128 accumulator columns)"),
+    ("rolling_active_users", "~N (one (day,user) dedup + spine fan)"),
+    ("rolling_wau_hll", "~N ((day,bucket) register partials)"),
+    ("tokenizer_fertility", "~N ((lang,source,token) distinct)"),
+    ("hapax_report", "~N (token-keyed counts + hapax join)"),
+    ("centroid_shift", "~N ((label,dim) partial sums)"),
+    ("multi_touch_attribution", "~N (user-keyed banded self-join)"),
+    ("user_diversity", "~N (two id-keyed aggregates)"),
+    ("media_corpus_manifest", "~N (digest agg + prefix-sum packing)"),
+    ("triangle_stats", "~E^1.5 worst-case (kappa orientation)"),
+    ("survivorship_merge", "~N (ER closure + entity-keyed aggs)"),
 ]
 
 
