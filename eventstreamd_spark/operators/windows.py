@@ -660,3 +660,120 @@ SELECT channel, n_touches, milli_credit,
          / CAST(sum(milli_credit) OVER () AS DOUBLE) AS credit_share
 FROM rolled
 """
+
+
+# --- session statistics rollup ------------------------------------------------
+
+
+def session_stats(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """One-row session health report over the gap sessionizer: session
+    count, bounce rate (single-event sessions — the engagement metric
+    every funnel review starts with), exact mean events/session, the
+    nearest-rank MEDIAN session length in events, and mean session
+    duration in seconds.
+
+    Exactness: counts and microsecond duration sums are BIGINTs; means
+    are one final divide each; the median comes from a nearest-rank
+    walk over the session-LENGTH HISTOGRAM (lengths are small ints, so
+    the histogram is KB — the documented spine-table window idiom), not
+    a sort of the session table.
+
+    Plan: the sessionizer's one user-keyed exchange, a small session
+    aggregate, then everything runs over the |distinct lengths|-row
+    histogram.
+    """
+    from pyspark.sql import Window
+
+    sessions = sessionize(events, gap_s=gap_s)
+    lens = sessions.select(
+        F.col("n_events").cast("bigint").alias("len"),
+        (
+            F.unix_micros(F.col("session_end"))
+            - F.unix_micros(F.col("session_start"))
+        ).alias("dur_us"),
+    )
+    hist = lens.groupBy("len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("dur_us").cast("bigint").alias("sum_dur_us"),
+    )
+    wcum = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n_sessions", F.sum("cnt").over(wall))
+        .withColumn("n_bounce", F.sum(F.when(F.col("len") == 1, F.col("cnt")).otherwise(F.lit(0))).over(wall))
+        .withColumn("sum_len", F.sum(F.col("len") * F.col("cnt")).over(wall))
+        .withColumn("sum_dur", F.sum("sum_dur_us").over(wall))
+    )
+    rank = F.ceil(F.col("n_sessions").cast("double") / 2.0)
+    return (
+        h.filter(F.col("cum") >= rank)
+        .orderBy("len")
+        .limit(1)
+        .select(
+            F.col("n_sessions"),
+            (
+                F.col("n_bounce").cast("double")
+                / F.col("n_sessions").cast("double")
+            ).alias("bounce_rate"),
+            (
+                F.col("sum_len").cast("double")
+                / F.col("n_sessions").cast("double")
+            ).alias("mean_events"),
+            F.col("len").alias("p50_events"),
+            (
+                F.col("sum_dur").cast("double")
+                / (F.col("n_sessions").cast("double") * F.lit(1000000.0))
+            ).alias("mean_duration_s"),
+        )
+    )
+
+
+def sql_session_stats(table: str = "events", gap_s: int = 1800) -> str:
+    return f"""
+WITH numbered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_s} * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, session_seq,
+         CAST(count(*) AS BIGINT) AS len,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM numbered
+  )
+  GROUP BY user_id, session_seq
+),
+hist AS (
+  SELECT len, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(dur_us) AS BIGINT) AS sum_dur_us
+  FROM sessions GROUP BY 1
+),
+cum AS (
+  SELECT len, cnt, sum_dur_us,
+         sum(cnt) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS n_sessions,
+         sum(CASE WHEN len = 1 THEN cnt ELSE 0 END) OVER () AS n_bounce,
+         sum(len * cnt) OVER () AS sum_len,
+         sum(sum_dur_us) OVER () AS sum_dur
+  FROM hist
+)
+SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(n_bounce AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS bounce_rate,
+       CAST(sum_len AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS mean_events,
+       len AS p50_events,
+       CAST(sum_dur AS DOUBLE)
+         / (CAST(n_sessions AS DOUBLE) * 1000000.0) AS mean_duration_s
+FROM cum
+WHERE cum >= ceil(CAST(n_sessions AS DOUBLE) / 2.0)
+ORDER BY len LIMIT 1
+"""

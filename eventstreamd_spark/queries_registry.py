@@ -2792,6 +2792,14 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.knn_label_noise(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("session_stats", windows_op.sql_session_stats())
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row session health report: count, bounce rate, exact mean
+    events/session, nearest-rank median length from the KB-sized
+    length histogram (never a session-table sort), mean duration."""
+    return windows_op.session_stats(load_table(spark, sf_dir, "events"))
+
+
 @register("user_diversity", stats_mod.sql_user_diversity())
 def user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Gini-Simpson behavioral diversity (exact rational —
@@ -3045,6 +3053,7 @@ _COST_HINT = {
     "multi_touch_attribution": 0.70, "fano_burstiness": 0.40,
     "hapax_report": 0.60, "media_corpus_manifest": 0.60,
     "ivf_incremental_add": 0.80, "user_diversity": 0.35,
+    "session_stats": 0.55,
 }
 
 

@@ -754,3 +754,46 @@ def test_user_diversity_fixture_and_bounds(spark, sf_dir) -> None:
     assert real
     for r in real:
         assert 0.0 <= r["diversity"] <= 1.0 - 1.0 / r["n_types"] + 1e-12
+
+
+# --- session stats -------------------------------------------------------------
+
+
+def test_session_stats_fixture(spark) -> None:
+    from datetime import datetime
+
+    from eventstreamd_spark.operators import windows as win_mod
+
+    rows = [
+        # user 1: one 3-event session (gaps < 30 min), duration 600 s
+        Row(event_id=1, user_id=1, ts=datetime(2024, 1, 1, 10, 0)),
+        Row(event_id=2, user_id=1, ts=datetime(2024, 1, 1, 10, 5)),
+        Row(event_id=3, user_id=1, ts=datetime(2024, 1, 1, 10, 10)),
+        # user 1 again after a 2 h gap: a bounce (single event)
+        Row(event_id=4, user_id=1, ts=datetime(2024, 1, 1, 12, 30)),
+        # user 2: a single bounce
+        Row(event_id=5, user_id=2, ts=datetime(2024, 1, 1, 9, 0)),
+    ]
+    out = win_mod.session_stats(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_sessions"] == 3
+    assert r["bounce_rate"] == 2 / 3
+    assert r["mean_events"] == 5 / 3
+    assert r["p50_events"] == 1  # lengths {3,1,1}: median 1
+    assert r["mean_duration_s"] == 200.0  # (600 + 0 + 0) / 3
+
+
+def test_session_stats_consistent_with_sessionize(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import windows as win_mod
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = win_mod.sessionize(ev).collect()
+    r = win_mod.session_stats(ev).collect()[0]
+    assert r["n_sessions"] == len(sessions)
+    lens = sorted(s["n_events"] for s in sessions)
+    assert r["bounce_rate"] == sum(1 for x in lens if x == 1) / len(lens)
+    # nearest-rank median
+    import math
+
+    assert r["p50_events"] == lens[math.ceil(len(lens) / 2) - 1]
