@@ -2617,3 +2617,189 @@ SELECT user_id, n_events, n_types,
            / CAST(n_events * n_events AS DOUBLE) AS diversity
 FROM per_user
 """
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE catalog, sketch tier: HLL NDV per column (the 100 TB swap
+# column_stats_catalog's docstring prescribes, built and evaluated)
+# ---------------------------------------------------------------------------
+
+_CATALOG_KINDS = {
+    "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+    "l_linenumber": "int", "l_quantity": "double",
+    "l_extendedprice": "double", "l_discount": "double", "l_tax": "double",
+    "l_returnflag": "str", "l_linestatus": "str", "l_shipdate": "date",
+}
+
+
+def column_stats_catalog_hll(lineitem: DataFrame) -> DataFrame:
+    """ANALYZE TABLE, sketch tier: per-column non-null/null counts plus
+    HLL-estimated NDV — the shape a CBO statistics job actually runs at
+    100 TB, where the exact tier's multi-COUNT-DISTINCT Expand keeps a
+    hash set per column and this keeps 64 integers per column.
+
+    One scan: columns unpivot to (column_name, canonical-string) rows
+    via a NARROW n_cols-x explode (values canonicalized by the digest
+    module's engine-portable forms — the same strings both engines
+    md5), then ONE register aggregate whose map-side combine caps every
+    task's shuffle at n_cols x m rows.  The exact NDV (the Expand tier)
+    rides along as the eval column with the standard 1.04/sqrt(m)
+    error budget asserted at ~4 sigma, exactly the
+    hll_distinct_by_type / rolling_wau_hll pattern.
+    """
+    from eventstreamd_spark.digest import _canon
+    from eventstreamd_spark.functions.text import h60
+    from eventstreamd_spark.operators.sketches import (
+        _HLL_M,
+        _REM_BITS,
+        _hll_est_columns,
+    )
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.when(F.col(c).isNull(), F.lit(None).cast("string"))
+                .otherwise(_canon(F.col(c), k))
+                .alias("val"),
+            )
+            for c, k in _CATALOG_KINDS.items()
+        ]
+    )
+    rows = lineitem.select(F.explode(structs).alias("s")).select("s.*")
+    counts = rows.groupBy("column_name").agg(
+        F.count("val").cast("bigint").alias("n_nonnull"),
+        (F.count(F.lit(1)) - F.count("val")).cast("bigint").alias("n_null"),
+    )
+    h = h60(F.col("val"))
+    rem = F.expr(f"h % CAST({1 << _REM_BITS} AS BIGINT)")
+    rho = F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
+        F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
+    )
+    regs = (
+        rows.filter(F.col("val").isNotNull())
+        .select("column_name", h.alias("h"))
+        .select(
+            "column_name",
+            F.expr(f"shiftright(h, {_REM_BITS})").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("column_name", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    scaled = regs.groupBy("column_name").agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({_REM_BITS + 1} - m_rho AS INT))"
+            )
+        ).alias("s_present"),
+        F.count(F.lit(1)).cast("int").alias("n_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(_HLL_M) - F.col("n_present")).cast("bigint")
+        * F.lit(1 << (_REM_BITS + 1))
+    )
+    est = _hll_est_columns(
+        s_total, (F.lit(_HLL_M) - F.col("n_present")).cast("int")
+    )
+    exact_aggs = [
+        F.count_distinct(F.col(c)).cast("bigint").alias(f"__nd_{c}")
+        for c in _CATALOG_KINDS
+    ]
+    one = lineitem.agg(*exact_aggs)
+    exact = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"__nd_{c}").alias("ndv_exact"),
+                    )
+                    for c in _CATALOG_KINDS
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        counts.join(scaled, "column_name")
+        .join(exact, "column_name")
+        .select(
+            "column_name",
+            "n_nonnull",
+            "n_null",
+            "ndv_exact",
+            est.alias("ndv_hll"),
+            (
+                F.abs(est - F.col("ndv_exact").cast("double"))
+                <= F.lit(0.52) * F.col("ndv_exact").cast("double")
+            ).alias("within_bound"),
+        )
+    )
+
+
+def sql_column_stats_catalog_hll(table: str = "lineitem") -> str:
+    from eventstreamd_spark.digest import _sql_canon
+    from eventstreamd_spark.functions.text import sql_h60
+    from eventstreamd_spark.operators.sketches import (
+        _HLL_M,
+        _REM_BITS,
+        _sql_hll_est,
+    )
+
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, "
+        f"CASE WHEN {c} IS NULL THEN NULL ELSE {_sql_canon(c, k)} END AS val "
+        f"FROM {table}"
+        for c, k in _CATALOG_KINDS.items()
+    )
+    exact_arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_exact FROM {table}"
+        for c in _CATALOG_KINDS
+    )
+    h = sql_h60("val")
+    rb, m = _REM_BITS, _HLL_M
+    est = _sql_hll_est("t.s_total", f"({m} - t.n_present)")
+    return f"""
+WITH rows_u AS ({arms}),
+counts AS (
+  SELECT column_name,
+         CAST(count(val) AS BIGINT) AS n_nonnull,
+         CAST(count(*) - count(val) AS BIGINT) AS n_null
+  FROM rows_u GROUP BY 1
+),
+hashes AS (
+  SELECT column_name, {h} AS h FROM rows_u WHERE val IS NOT NULL
+),
+regs AS (
+  SELECT column_name, (h >> {rb}) AS bucket,
+         max(CASE WHEN h % CAST({1 << rb} AS BIGINT) = 0 THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(h % CAST({1 << rb} AS BIGINT)))
+             END) AS m_rho
+  FROM hashes GROUP BY 1, 2
+),
+scaled AS (
+  SELECT column_name,
+         sum((1::BIGINT << CAST({rb + 1} - m_rho AS INT)))::BIGINT
+           AS s_present,
+         CAST(count(*) AS INT) AS n_present
+  FROM regs GROUP BY 1
+),
+tot AS (
+  SELECT column_name,
+         s_present + CAST({m} - n_present AS BIGINT) * {1 << (rb + 1)}
+           AS s_total,
+         n_present
+  FROM scaled
+),
+exact AS ({exact_arms})
+SELECT c.column_name, c.n_nonnull, c.n_null, e.ndv_exact,
+       {est} AS ndv_hll,
+       (abs({est} - CAST(e.ndv_exact AS DOUBLE))
+          <= CAST(0.52 AS DOUBLE) * CAST(e.ndv_exact AS DOUBLE))
+         AS within_bound
+FROM counts c
+JOIN tot t ON c.column_name = t.column_name
+JOIN exact e ON c.column_name = e.column_name
+"""

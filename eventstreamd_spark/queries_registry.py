@@ -2792,6 +2792,15 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.knn_label_noise(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("column_stats_catalog_hll", stats_mod.sql_column_stats_catalog_hll())
+def column_stats_catalog_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE sketch tier: per-column HLL NDV over digest-canonical
+    strings — 64 integers of state per column instead of the Expand
+    tier's per-column hash set; exact NDV rides along as the eval
+    column within the 4-sigma budget."""
+    return stats_mod.column_stats_catalog_hll(load_table(spark, sf_dir, "lineitem"))
+
+
 @register("session_stats", windows_op.sql_session_stats())
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row session health report: count, bounce rate, exact mean
@@ -3053,7 +3062,7 @@ _COST_HINT = {
     "multi_touch_attribution": 0.70, "fano_burstiness": 0.40,
     "hapax_report": 0.60, "media_corpus_manifest": 0.60,
     "ivf_incremental_add": 0.80, "user_diversity": 0.35,
-    "session_stats": 0.55,
+    "session_stats": 0.55, "column_stats_catalog_hll": 2.00,
 }
 
 

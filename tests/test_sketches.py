@@ -544,3 +544,29 @@ def test_rolling_wau_hll_shuffle_is_register_bounded(spark, sf_dir) -> None:
     assert "partial_max" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- ANALYZE sketch tier -------------------------------------------------------
+
+
+def test_column_stats_hll_matches_exact_counts(spark, sf_dir) -> None:
+    from eventstreamd_spark.operators import statistics as st
+    from eventstreamd_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["column_name"]: r
+        for r in st.column_stats_catalog(li).collect()
+    }
+    sketch = {
+        r["column_name"]: r
+        for r in st.column_stats_catalog_hll(li).collect()
+    }
+    assert set(sketch) == set(st._CATALOG_KINDS)
+    for c, r in sketch.items():
+        # count columns must agree exactly with the Expand tier
+        assert r["n_nonnull"] == exact[c]["n_nonnull"]
+        assert r["n_null"] == exact[c]["n_null"]
+        assert r["ndv_exact"] == exact[c]["ndv"]
+        assert r["within_bound"]
+        assert r["ndv_hll"] > 0.0
