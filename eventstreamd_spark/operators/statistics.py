@@ -2654,6 +2654,7 @@ def column_stats_catalog_hll(lineitem: DataFrame) -> DataFrame:
         _REM_BITS,
         _hll_est_columns,
     )
+    from eventstreamd_spark.session import fan_out
 
     structs = F.array(
         *[
@@ -2666,7 +2667,11 @@ def column_stats_catalog_hll(lineitem: DataFrame) -> DataFrame:
             for c, k in _CATALOG_KINDS.items()
         ]
     )
-    rows = lineitem.select(F.explode(structs).alias("s")).select("s.*")
+    # fan_out BEFORE the n_cols-x md5 unpivot: small test parquet
+    # arrives as 1-2 splits and would serialize 11 hashes/row on two
+    # cores (measured 106s at the 10x probe vs seconds when spread);
+    # a no-op at real scale where the input has thousands of splits.
+    rows = fan_out(lineitem).select(F.explode(structs).alias("s")).select("s.*")
     counts = rows.groupBy("column_name").agg(
         F.count("val").cast("bigint").alias("n_nonnull"),
         (F.count(F.lit(1)) - F.count("val")).cast("bigint").alias("n_null"),

@@ -80,6 +80,9 @@ PROBES = [
     ("media_corpus_manifest", "~N (digest agg + prefix-sum packing)"),
     ("triangle_stats", "~E^1.5 worst-case (kappa orientation)"),
     ("survivorship_merge", "~N (ER closure + entity-keyed aggs)"),
+    ("session_stats", "~N (one user-keyed window + KB histogram)"),
+    ("ivf_incremental_add", "~N x cells (broadcast centroids)"),
+    ("column_stats_catalog_hll", "~N (n_cols-x narrow unpivot, register partials)"),
 ]
 
 
