@@ -229,6 +229,33 @@ def main() -> None:
         }
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  a={a:.2f}  ({claim})")
 
+    # Outlier remeasure pass (bench.py's rule, exponent-flavored): a
+    # long 31-query session accumulates JVM state (GC pressure,
+    # checkpoint storage), and a single query occasionally reads 3-10x
+    # slow — two different runs this round pinned a=1.03 on pagerank
+    # and a=1.08 on late_data_audit that clean re-measurement put back
+    # at ~0.2-0.6.  Any exponent past 0.85 is re-measured at both
+    # scales after the sweep and min-merged, so a one-off GC stall
+    # cannot masquerade as a scale cliff (genuinely superlinear tiers
+    # would reproduce under remeasure).
+    remeasured = []
+    for name, r in results.items():
+        if r["exponent"] <= 0.85:
+            continue
+        fn = reg.QUERIES[name]
+        t1 = min(r["t_base_sec"], steady(fn, spark, BASE))
+        t10 = min(r["t_10x_sec"], steady(fn, spark, SCRATCH))
+        a = math.log(t10 / t1) / math.log(REPLICAS)
+        results[name] = {
+            "t_base_sec": round(t1, 3),
+            "t_10x_sec": round(t10, 3),
+            "exponent": round(a, 3),
+            "claimed": r["claimed"],
+            "remeasured": True,
+        }
+        remeasured.append(name)
+        print(f"REMEASURED {name}: {t1:.2f}s -> {t10:.2f}s  a={a:.2f}")
+
     out = os.path.join(REPO, "tools", "SCALE_PROBE.json")
     with open(out, "w") as fh:
         json.dump({"base": BASE, "replicas": REPLICAS, "probes": results}, fh, indent=1)
