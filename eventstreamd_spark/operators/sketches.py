@@ -1097,3 +1097,224 @@ SELECT CAST(t.day AS TIMESTAMP) AS day, t.s_total AS register_sum_scaled,
          AS within_bound
 FROM tot t JOIN exact e ON t.day = e.day
 """
+
+
+# ---------------------------------------------------------------------------
+# Production (sketch-only) twins — the registered 100 TB artifact
+# ---------------------------------------------------------------------------
+#
+# The `hll_*` family above carries the exact COUNT(DISTINCT) alongside the
+# registers as an in-query evaluation column.  That is the right shape for
+# oracle EVIDENCE and exactly the wrong shape for production: at 100 TB the
+# exact leg is the dominant cost, and the whole point of the sketch is to
+# never run it.  These twins register the SAME deterministic register
+# arithmetic (integer max-merge, fixed-order IEEE estimate — so the DuckDB
+# oracle stays value-exact) with the exact leg removed from the plan
+# entirely; the 4-sigma accuracy bound moves to pytest
+# (tests/test_sketches.py), where the eval-column siblings keep asserting it.
+
+
+def _hll_rollup(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """registers -> (groups..., register_sum_scaled BIGINT, n_present INT):
+    the exact-integer rollup shared by every sketch-only twin."""
+    gb = regs.groupBy(*group_cols) if group_cols else regs.groupBy()
+    return gb.agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({_REM_BITS + 1} - m_rho AS INT))"
+            )
+        ).alias("s_present"),
+        F.count(F.lit(1)).cast("int").alias("n_present"),
+    )
+
+
+def _hll_finish(scaled: DataFrame, group_cols: list[str], est_alias: str) -> DataFrame:
+    s_total = (
+        F.col("s_present")
+        + (F.lit(_HLL_M) - F.col("n_present")).cast("bigint")
+        * F.lit(1 << (_REM_BITS + 1))
+    )
+    est = _hll_est_columns(
+        s_total, (F.lit(_HLL_M) - F.col("n_present")).cast("int")
+    )
+    return scaled.select(
+        *group_cols,
+        s_total.alias("register_sum_scaled"),
+        est.alias(est_alias),
+    )
+
+
+def hll_distinct_events_prod(events: DataFrame) -> DataFrame:
+    """Sketch-only twin of hll_distinct_events: one register aggregate
+    (m rows/task after map-side combine), one integer rollup, one
+    fixed-order IEEE estimate — and NO exact leg anywhere in the plan.
+    Accuracy vs exact is pinned in tests/test_sketches.py via the eval
+    sibling; determinism makes the DuckDB oracle value-exact."""
+    regs = hll_registers(events, F.col("event_id").cast("string"))
+    return _hll_finish(_hll_rollup(regs, []), [], "hll_estimate")
+
+
+def sql_hll_distinct_events_prod(table: str = "events") -> str:
+    h = _sql_h60("CAST(event_id AS VARCHAR)")
+    rb, m = _REM_BITS, _HLL_M
+    est = _sql_hll_est("s_total", f"({m} - n_present)")
+    return f"""
+WITH parts AS (
+  SELECT ({h} >> {rb}) AS bucket,
+         {h} % CAST({1 << rb} AS BIGINT) AS rem
+  FROM {table}
+),
+regs AS (
+  SELECT bucket,
+         max(CASE WHEN rem = 0 THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(rem)) END) AS m_rho
+  FROM parts GROUP BY bucket
+),
+scaled AS (
+  SELECT sum((1::BIGINT << CAST({rb + 1} - m_rho AS INT)))::BIGINT AS s_present,
+         CAST(count(*) AS INT) AS n_present
+  FROM regs
+),
+tot AS (
+  SELECT s_present + CAST({m} - n_present AS BIGINT) * {1 << (rb + 1)}
+           AS s_total,
+         n_present
+  FROM scaled
+)
+SELECT s_total AS register_sum_scaled, {est} AS hll_estimate FROM tot
+"""
+
+
+def hll_distinct_by_type_prod(events: DataFrame) -> DataFrame:
+    """Sketch-only twin of hll_distinct_by_type: grouped registers,
+    |types| x m shuffle rows per task, no per-group exact distinct."""
+    h = _h60(F.col("user_id").cast("string"))
+    rem = F.expr(f"h % CAST({1 << _REM_BITS} AS BIGINT)")
+    rho = F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
+        F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
+    )
+    regs = (
+        events.select("event_type", h.alias("h"))
+        .select(
+            "event_type",
+            F.expr(f"shiftright(h, {_REM_BITS})").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    return _hll_finish(
+        _hll_rollup(regs, ["event_type"]), ["event_type"], "hll_estimate"
+    )
+
+
+def sql_hll_distinct_by_type_prod(table: str = "events") -> str:
+    h = _sql_h60("CAST(user_id AS VARCHAR)")
+    rb, m = _REM_BITS, _HLL_M
+    est = _sql_hll_est("t.s_total", f"({m} - t.n_present)")
+    return f"""
+WITH parts AS (
+  SELECT event_type, ({h} >> {rb}) AS bucket,
+         {h} % CAST({1 << rb} AS BIGINT) AS rem
+  FROM {table}
+),
+regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN rem = 0 THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(rem)) END) AS m_rho
+  FROM parts GROUP BY event_type, bucket
+),
+scaled AS (
+  SELECT event_type,
+         sum((1::BIGINT << CAST({rb + 1} - m_rho AS INT)))::BIGINT
+           AS s_present,
+         CAST(count(*) AS INT) AS n_present
+  FROM regs GROUP BY event_type
+),
+tot AS (
+  SELECT event_type,
+         s_present + CAST({m} - n_present AS BIGINT) * {1 << (rb + 1)}
+           AS s_total,
+         n_present
+  FROM scaled
+)
+SELECT t.event_type, t.s_total AS register_sum_scaled, {est} AS hll_estimate
+FROM tot t
+"""
+
+
+def rolling_wau_hll_prod(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Sketch-only twin of rolling_wau_hll: per-day registers max-merged
+    over the trailing window — the ONLY corpus pass is the (day, bucket)
+    register build; the spine fan-out, window merge, and estimate all
+    run over the |days| x m KB-sized register table.  The exact
+    trailing distinct never appears in this plan."""
+    day = F.to_date(F.col("ts"))
+    day_regs = day_hll_registers(events)
+    spine = events.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"))
+    win_regs = (
+        day_regs.join(
+            F.broadcast(spine),
+            (F.col("day") >= F.col("d"))
+            & (F.col("day") <= F.date_add(F.col("d"), window_days - 1)),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    out = _hll_finish(_hll_rollup(win_regs, ["day"]), ["day"], "wau_est")
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "register_sum_scaled",
+        "wau_est",
+    )
+
+
+def sql_rolling_wau_hll_prod(table: str = "events", window_days: int = 7) -> str:
+    h = _sql_h60("CAST(user_id AS VARCHAR)")
+    rb, m = _REM_BITS, _HLL_M
+    est = _sql_hll_est("t.s_total", f"({m} - t.n_present)")
+    return f"""
+WITH hashes AS (
+  SELECT CAST(ts AS DATE) AS d, {h} AS h FROM {table}
+),
+day_regs AS (
+  SELECT d, (h >> {rb}) AS bucket,
+         max(CASE WHEN h % CAST({1 << rb} AS BIGINT) = 0 THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(h % CAST({1 << rb} AS BIGINT)))
+             END) AS m_rho
+  FROM hashes GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM {table}
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+win_regs AS (
+  SELECT s.day, r.bucket, max(r.m_rho) AS m_rho
+  FROM day_regs r JOIN spine s
+    ON s.day >= r.d AND s.day <= r.d + INTERVAL {window_days - 1} DAY
+  GROUP BY 1, 2
+),
+scaled AS (
+  SELECT day,
+         sum((1::BIGINT << CAST({rb + 1} - m_rho AS INT)))::BIGINT
+           AS s_present,
+         CAST(count(*) AS INT) AS n_present
+  FROM win_regs GROUP BY 1
+),
+tot AS (
+  SELECT day,
+         s_present + CAST({m} - n_present AS BIGINT) * {1 << (rb + 1)}
+           AS s_total,
+         n_present
+  FROM scaled
+)
+SELECT CAST(t.day AS TIMESTAMP) AS day, t.s_total AS register_sum_scaled,
+       {est} AS wau_est
+FROM tot t
+"""

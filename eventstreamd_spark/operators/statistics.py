@@ -2808,3 +2808,138 @@ FROM counts c
 JOIN tot t ON c.column_name = t.column_name
 JOIN exact e ON c.column_name = e.column_name
 """
+
+
+def column_stats_catalog_hll_prod(lineitem: DataFrame) -> DataFrame:
+    """Production (sketch-only) twin of column_stats_catalog_hll: the
+    CBO statistics job as it would actually ship at 100 TB — per-column
+    null/non-null counts plus HLL NDV from n_cols x m integer
+    registers, with NO exact COUNT(DISTINCT) anywhere in the plan (the
+    eval-column sibling keeps the 4-sigma bound assertion; pytest pins
+    this twin's registers equal to the sibling's).
+
+    Same single narrow unpivot scan, same fan_out guard, same
+    deterministic register arithmetic — so the DuckDB oracle is still
+    value-exact — minus the Expand-tier exact leg that the sketch
+    exists to avoid."""
+    from eventstreamd_spark.digest import _canon
+    from eventstreamd_spark.functions.text import h60
+    from eventstreamd_spark.operators.sketches import (
+        _HLL_M,
+        _REM_BITS,
+        _hll_est_columns,
+    )
+    from eventstreamd_spark.session import fan_out
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.when(F.col(c).isNull(), F.lit(None).cast("string"))
+                .otherwise(_canon(F.col(c), k))
+                .alias("val"),
+            )
+            for c, k in _CATALOG_KINDS.items()
+        ]
+    )
+    rows = fan_out(lineitem).select(F.explode(structs).alias("s")).select("s.*")
+    counts = rows.groupBy("column_name").agg(
+        F.count("val").cast("bigint").alias("n_nonnull"),
+        (F.count(F.lit(1)) - F.count("val")).cast("bigint").alias("n_null"),
+    )
+    h = h60(F.col("val"))
+    rem = F.expr(f"h % CAST({1 << _REM_BITS} AS BIGINT)")
+    rho = F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
+        F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
+    )
+    regs = (
+        rows.filter(F.col("val").isNotNull())
+        .select("column_name", h.alias("h"))
+        .select(
+            "column_name",
+            F.expr(f"shiftright(h, {_REM_BITS})").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("column_name", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    scaled = regs.groupBy("column_name").agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({_REM_BITS + 1} - m_rho AS INT))"
+            )
+        ).alias("s_present"),
+        F.count(F.lit(1)).cast("int").alias("n_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(_HLL_M) - F.col("n_present")).cast("bigint")
+        * F.lit(1 << (_REM_BITS + 1))
+    )
+    est = _hll_est_columns(
+        s_total, (F.lit(_HLL_M) - F.col("n_present")).cast("int")
+    )
+    return counts.join(scaled, "column_name").select(
+        "column_name",
+        "n_nonnull",
+        "n_null",
+        s_total.alias("register_sum_scaled"),
+        est.alias("ndv_hll"),
+    )
+
+
+def sql_column_stats_catalog_hll_prod(table: str = "lineitem") -> str:
+    from eventstreamd_spark.digest import _sql_canon
+    from eventstreamd_spark.functions.text import sql_h60
+    from eventstreamd_spark.operators.sketches import (
+        _HLL_M,
+        _REM_BITS,
+        _sql_hll_est,
+    )
+
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, "
+        f"CASE WHEN {c} IS NULL THEN NULL ELSE {_sql_canon(c, k)} END AS val "
+        f"FROM {table}"
+        for c, k in _CATALOG_KINDS.items()
+    )
+    h = sql_h60("val")
+    rb, m = _REM_BITS, _HLL_M
+    est = _sql_hll_est("t.s_total", f"({m} - t.n_present)")
+    return f"""
+WITH rows_u AS ({arms}),
+counts AS (
+  SELECT column_name,
+         CAST(count(val) AS BIGINT) AS n_nonnull,
+         CAST(count(*) - count(val) AS BIGINT) AS n_null
+  FROM rows_u GROUP BY 1
+),
+hashes AS (
+  SELECT column_name, {h} AS h FROM rows_u WHERE val IS NOT NULL
+),
+regs AS (
+  SELECT column_name, (h >> {rb}) AS bucket,
+         max(CASE WHEN h % CAST({1 << rb} AS BIGINT) = 0 THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(h % CAST({1 << rb} AS BIGINT)))
+             END) AS m_rho
+  FROM hashes GROUP BY 1, 2
+),
+scaled AS (
+  SELECT column_name,
+         sum((1::BIGINT << CAST({rb + 1} - m_rho AS INT)))::BIGINT
+           AS s_present,
+         CAST(count(*) AS INT) AS n_present
+  FROM regs GROUP BY 1
+),
+tot AS (
+  SELECT column_name,
+         s_present + CAST({m} - n_present AS BIGINT) * {1 << (rb + 1)}
+           AS s_total,
+         n_present
+  FROM scaled
+)
+SELECT c.column_name, c.n_nonnull, c.n_null,
+       t.s_total AS register_sum_scaled, {est} AS ndv_hll
+FROM counts c
+JOIN tot t ON c.column_name = t.column_name
+"""

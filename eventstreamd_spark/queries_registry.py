@@ -2883,6 +2883,48 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.tokenizer_fertility(load_table(spark, sf_dir, "documents"))
 
 
+# Sketch-only production twins (round 7): the registered artifact a
+# 100 TB deployment would actually run — identical deterministic
+# register arithmetic (so the oracle stays value-exact), with the exact
+# COUNT(DISTINCT) eval leg REMOVED from the plan; the accuracy bound
+# lives in the eval-column siblings above and in tests/test_sketches.py.
+
+
+@register("hll_distinct_prod", sketch_op.sql_hll_distinct_events_prod())
+def hll_distinct_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only HLL distinct over event_id: m register rows/task
+    after map-side combine, no exact leg anywhere in the plan."""
+    return sketch_op.hll_distinct_events_prod(load_table(spark, sf_dir, "events"))
+
+
+@register("hll_distinct_by_type_prod", sketch_op.sql_hll_distinct_by_type_prod())
+def hll_distinct_by_type_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only grouped HLL rollup: |types| x m register state, the
+    per-group exact distinct never computed."""
+    return sketch_op.hll_distinct_by_type_prod(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+@register("rolling_wau_hll_prod", sketch_op.sql_rolling_wau_hll_prod())
+def rolling_wau_hll_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only rolling WAU: ONE corpus pass to (day, bucket)
+    registers; window merge + estimate run over the KB register table."""
+    return sketch_op.rolling_wau_hll_prod(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "column_stats_catalog_hll_prod",
+    stats_mod.sql_column_stats_catalog_hll_prod(),
+)
+def column_stats_catalog_hll_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only ANALYZE catalog: null/non-null counts + HLL NDV from
+    n_cols x m registers; the Expand-tier exact NDV never runs."""
+    return stats_mod.column_stats_catalog_hll_prod(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -3063,6 +3105,8 @@ _COST_HINT = {
     "hapax_report": 0.60, "media_corpus_manifest": 0.60,
     "ivf_incremental_add": 0.80, "user_diversity": 0.35,
     "session_stats": 0.55, "column_stats_catalog_hll": 2.00,
+    "hll_distinct_prod": 0.20, "hll_distinct_by_type_prod": 0.25,
+    "rolling_wau_hll_prod": 0.55, "column_stats_catalog_hll_prod": 1.20,
 }
 
 

@@ -572,3 +572,26 @@ def test_tokenizer_fertility_single_wide_distinct(plans) -> None:
     phys = plans("tokenizer_fertility").split("== Physical Plan ==")[-1]
     assert "partial_count" in phys
     assert "rangepartitioning" not in phys.lower()
+
+
+def test_sketch_prod_twins_have_no_exact_distinct(plans) -> None:
+    # the production twins exist to NOT pay the exact tier: their
+    # optimized plans must contain no COUNT(DISTINCT) over the corpus
+    # (the eval-column siblings keep it, and keep the accuracy bound)
+    for name in (
+        "hll_distinct_prod",
+        "hll_distinct_by_type_prod",
+        "rolling_wau_hll_prod",
+        "column_stats_catalog_hll_prod",
+    ):
+        plan = plans(name).lower()
+        assert "count(distinct" not in plan, name
+        assert "distinct " not in plan.split("== physical plan ==")[-1], name
+
+
+def test_sketch_prod_twins_keep_register_combine(plans) -> None:
+    # register build keeps map-side combine: m (or group x m) partial
+    # rows per task is the whole scale story of the sketch tier
+    for name in ("hll_distinct_prod", "rolling_wau_hll_prod"):
+        phys = plans(name).split("== Physical Plan ==")[-1]
+        assert "partial_max" in phys, name

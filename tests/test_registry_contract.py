@@ -67,3 +67,19 @@ def test_oracles_avoid_engine_libm_and_nondeterminism() -> None:
         if hits:
             offenders[name] = sorted(hits)
     assert not offenders, offenders
+
+
+def test_scoreboard_counts_match_registry() -> None:
+    # README/COVERAGE quote the registered-query count; tools/scoreboard.py
+    # generates it from len(QUERIES) and this pins it — evidence counts
+    # cannot drift (VERDICT r6 nit #4)
+    import re
+    import os
+
+    from eventstreamd_spark import queries_registry as qr
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for doc in ("README.md", "COVERAGE.md"):
+        text = open(os.path.join(repo, doc)).read()
+        for m in re.finditer(r"\b(\d+) registered queries\b", text):
+            assert int(m.group(1)) == len(qr.QUERIES), doc

@@ -570,3 +570,50 @@ def test_column_stats_hll_matches_exact_counts(spark, sf_dir) -> None:
         assert r["ndv_exact"] == exact[c]["ndv"]
         assert r["within_bound"]
         assert r["ndv_hll"] > 0.0
+
+
+# --- sketch-only production twins --------------------------------------------
+
+
+def test_prod_twins_match_eval_siblings_exactly(spark, sf_dir) -> None:
+    """The registered production twins drop the exact leg but must keep
+    the IDENTICAL deterministic register arithmetic: every sketch
+    column equals the eval-column sibling's, row for row.  This is the
+    bridge that lets the accuracy bound live on the sibling while the
+    twin ships sketch-only plans."""
+    from eventstreamd_spark.operators import statistics as st
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    a = sk.hll_distinct_events(ev).collect()[0]
+    b = sk.hll_distinct_events_prod(ev).collect()[0]
+    assert (a["register_sum_scaled"], a["hll_estimate"]) == (
+        b["register_sum_scaled"], b["hll_estimate"]
+    )
+
+    sib = {r["event_type"]: r for r in sk.hll_distinct_by_type(ev).collect()}
+    twin = {r["event_type"]: r for r in sk.hll_distinct_by_type_prod(ev).collect()}
+    assert set(sib) == set(twin)
+    for k in sib:
+        assert sib[k]["hll_estimate"] == twin[k]["hll_estimate"]
+        assert sib[k]["within_bound"]  # bound stays asserted via sibling
+
+    sibw = {r["day"]: r for r in sk.rolling_wau_hll(ev).collect()}
+    twinw = {r["day"]: r for r in sk.rolling_wau_hll_prod(ev).collect()}
+    assert set(sibw) == set(twinw)
+    for d in sibw:
+        assert sibw[d]["register_sum_scaled"] == twinw[d]["register_sum_scaled"]
+        assert sibw[d]["wau_est"] == twinw[d]["wau_est"]
+        assert sibw[d]["within_bound"]
+
+    sibc = {r["column_name"]: r for r in st.column_stats_catalog_hll(li).collect()}
+    twinc = {
+        r["column_name"]: r
+        for r in st.column_stats_catalog_hll_prod(li).collect()
+    }
+    assert set(sibc) == set(twinc)
+    for c in sibc:
+        assert sibc[c]["ndv_hll"] == twinc[c]["ndv_hll"]
+        assert sibc[c]["n_nonnull"] == twinc[c]["n_nonnull"]
+        assert sibc[c]["within_bound"]

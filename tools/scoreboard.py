@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Single source of truth for the scoreboard counts (VERDICT r6 nit #4).
+
+README.md / COVERAGE.md quote a registered-query count; round 6 shipped
+with 231 in prose while the registry held 232.  This tool rewrites every
+`N registered queries` occurrence from `len(queries_registry.QUERIES)`,
+and tests/test_registry_contract.py asserts the quoted number matches —
+so the count can drift in exactly zero directions.
+
+Usage: python tools/scoreboard.py        # rewrite in place, print counts
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DOCS = ["README.md", "COVERAGE.md"]
+
+
+def counts() -> dict[str, int]:
+    from eventstreamd_spark import queries_registry as qr
+
+    return {
+        "queries": len(qr.QUERIES),
+        "oracles": len(qr.ORACLES),
+        "benched": len(qr.QUERIES) - 1,  # registry_digest excluded by design
+    }
+
+
+def main() -> None:
+    c = counts()
+    pats = [
+        (re.compile(r"\b\d+ registered queries\b"),
+         f"{c['queries']} registered queries"),
+        (re.compile(r"\(\d+ queries, ALL"), f"({c['queries']} queries, ALL"),
+    ]
+    for doc in DOCS:
+        path = os.path.join(REPO, doc)
+        text = open(path).read()
+        new = text
+        for pat, repl in pats:
+            new = pat.sub(repl, new)
+        if new != text:
+            open(path, "w").write(new)
+            print(f"updated {doc}")
+    print(c)
+
+
+if __name__ == "__main__":
+    main()
