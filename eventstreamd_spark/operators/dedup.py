@@ -1538,10 +1538,18 @@ def source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
     ).select("source", "shingles")
     # drop NULL shingles (null/empty text explodes to a NULL row that
     # DuckDB's unnest would not produce) so sizes agree on any corpus
+    # the inverted index feeds THREE consumers (self-join left, right,
+    # and the size table) and Catalyst has no cross-subtree reuse — an
+    # un-materialized plan pays the explode+distinct three times.
+    # localCheckpoint materializes it once (the in-session analog of
+    # writing the inverted index to parquet, which is what a standing
+    # 100 TB contamination audit would do; same idiom as kmv_join_size's
+    # presence table and the dedup edge list).
     inv = (
         sh.select("source", F.explode_outer("shingles").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
         .distinct()
+        .localCheckpoint()
     )
     sizes = inv.groupBy("source").agg(F.count("*").alias("n_sh"))
     right = inv.select(

@@ -455,30 +455,38 @@ def last_touch_attribution(events: DataFrame) -> DataFrame:
     Time-to-convert aggregates as an exact BIGINT microsecond sum; the
     per-channel mean is one fixed-order IEEE division at the end.
     """
-    from eventstreamd_spark.operators.asof import asof_join
-
-    purchases = events.filter(F.col("event_type") == ATTR_CONVERSION).select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        "ts",
-        F.unix_micros(F.col("ts")).alias("p_us"),
+    # Single-scan specialization of asof.py's union-merge idiom: both
+    # as-of sides come from the SAME relation, so instead of two
+    # filtered scans glued by a union (what asof_join over
+    # events/events would plan), ONE scan computes the side flag and
+    # the side-gated columns per row — identical (__t, __side,
+    # touch_id) ordering, so tie semantics match asof_join and the
+    # unchanged oracle exactly; at 100 TB this halves the corpus reads.
+    is_conv = F.col("event_type") == ATTR_CONVERSION
+    is_touch = F.col("event_type").isin(*ATTR_TOUCHES)
+    base = events.filter(is_conv | is_touch).select(
+        F.col("user_id").alias("__k"),
+        F.col("ts").alias("__t"),
+        is_conv.cast("int").alias("__side"),
+        F.when(is_touch, F.col("event_id")).alias("__v_touch_id"),
+        F.when(is_touch, F.col("event_type")).alias("__v_touch_type"),
+        F.when(is_touch, F.unix_micros(F.col("ts"))).alias("__v_touch_us"),
+        F.when(is_conv, F.col("event_id")).alias("purchase_id"),
+        F.when(is_conv, F.unix_micros(F.col("ts"))).alias("p_us"),
     )
-    touches = events.filter(F.col("event_type").isin(*ATTR_TOUCHES)).select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("touch_id"),
-        F.col("event_type").alias("touch_type"),
-        F.unix_micros(F.col("ts")).alias("touch_us"),
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__t", "__side", "__v_touch_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    attributed = asof_join(
-        purchases,
-        touches,
-        left_key="user_id",
-        right_key="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        value_cols=["touch_id", "touch_type", "touch_us"],
-        left_cols=["purchase_id", "p_us"],
+    attributed = (
+        base.select(
+            "*",
+            F.last("__v_touch_type", ignorenulls=True).over(w).alias("touch_type"),
+            F.last("__v_touch_us", ignorenulls=True).over(w).alias("touch_us"),
+        )
+        .filter(F.col("__side") == 1)
+        .select("purchase_id", "p_us", "touch_type", "touch_us")
     )
     return (
         attributed.groupBy(
