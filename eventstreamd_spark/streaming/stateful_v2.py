@@ -200,3 +200,130 @@ def streaming_sessionizer_v2(events: DataFrame, gap_ms: int = 2000) -> DataFrame
         outputMode="Append",
         timeMode="ProcessingTime",
     )
+
+
+def streaming_sessionizer_v2_event_time(
+    events: DataFrame, gap_s: int = 2, watermark: str = "4 seconds"
+) -> DataFrame:
+    """Event-time gap sessionizer (round-7, VERDICT ask #5): the
+    analytics layer's ``windows.sessionize`` semantics — sessions split
+    on EVENT-time inactivity > gap — on transformWithStateInPandas
+    event-time timers, so late rows (within the watermark) land in the
+    session their TIMESTAMP belongs to, not the session that happened
+    to be open when they arrived.
+
+    Mechanics:
+
+    - state = a LIST of open candidate intervals (n, first_us,
+      last_us); every batch folds its rows in as 1-point intervals and
+      re-merges the list (intervals within ``gap_s`` coalesce) — this
+      is what absorbs out-of-order and late arrivals correctly, where
+      the processing-time twin would have mis-assigned them.
+    - an interval is emitted (session closed) only when the WATERMARK
+      strictly passes last_us + gap: by the watermark contract no
+      event with an earlier timestamp can still arrive, so nothing can
+      extend or merge it — emission order is therefore exactly batch
+      ``sessionize``'s answer (pytest pins this on a late-jitter
+      fixture).
+    - one event-time timer per key at min(open last) + gap + 1ms,
+      delete-then-register on every batch (the reference's
+      ``Timer.reset()``, util.py:24-33, transposed to event time).
+
+    State per key: open intervals only — bounded by events inside one
+    gap horizon, independent of stream length; closed sessions leave
+    state immediately.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_s * 1_000_000
+    gap_ms = gap_s * 1_000
+
+    class SessionizerET(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.open = handle.getListState(
+                "open", "n bigint, first_us bigint, last_us bigint"
+            )
+
+        @staticmethod
+        def _merge(ivs):
+            ivs.sort(key=lambda r: (r[1], r[2]))
+            out = []
+            for n, lo, hi in ivs:
+                if out and lo - out[-1][2] <= gap_us:
+                    pn, plo, phi = out[-1]
+                    out[-1] = (pn + n, plo, max(phi, hi))
+                else:
+                    out.append((n, lo, hi))
+            return out
+
+        def _close_and_rearm(self, ivs, wm_ms):
+            closed = [iv for iv in ivs if iv[2] // 1000 + gap_ms < wm_ms]
+            still = [iv for iv in ivs if iv[2] // 1000 + gap_ms >= wm_ms]
+            self.open.clear()
+            if still:
+                self.open.put(still)
+            for t in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t)
+            if still:
+                self.handle.registerTimer(
+                    min(hi for _, _, hi in still) // 1000 + gap_ms + 1
+                )
+            if closed:
+                return pd.DataFrame(
+                    {
+                        "user_id": [self._key for _ in closed],
+                        "n_events": [n for n, _, _ in closed],
+                        "first_ts": [
+                            pd.Timestamp(lo, unit="us") for _, lo, _ in closed
+                        ],
+                        "last_ts": [
+                            pd.Timestamp(hi, unit="us") for _, _, hi in closed
+                        ],
+                    }
+                )
+            return None
+
+        def handleInputRows(self, key, rows, timerValues):
+            self._key = key[0]
+            ivs = [tuple(t) for t in self.open.get()]
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                us = pdf["ts"].astype("int64") // 1000  # ns -> us
+                ivs.extend((1, int(u), int(u)) for u in us)
+            out = self._close_and_rearm(
+                self._merge(ivs), timerValues.getCurrentWatermarkInMs()
+            )
+            if out is not None:
+                yield out
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self._key = key[0]
+            ivs = [tuple(t) for t in self.open.get()]
+            out = self._close_and_rearm(
+                ivs, timerValues.getCurrentWatermarkInMs()
+            )
+            if out is not None:
+                yield out
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionizerET(),
+            outputStructType=(
+                "user_id bigint, n_events bigint, "
+                "first_ts timestamp, last_ts timestamp"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
