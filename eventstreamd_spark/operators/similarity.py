@@ -369,8 +369,15 @@ N_CELLS = 16
 N_PROBE = 2
 
 
-def ivf_cells(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+def ivf_cells(
+    embeddings: DataFrame, n_cells: int = N_CELLS, keep: tuple = ()
+) -> DataFrame:
     """Assign every vector to its nearest centroid cell (IVF-Flat).
+
+    ``keep`` carries extra per-vector columns (e.g. ``label`` for the
+    kNN noise audit) through the argmax untouched — they ride in the
+    min-struct AFTER the (score, cell_id) decision fields, so they can
+    never influence the assignment.
 
     Centroids are the first ``n_cells`` corpus vectors by vec_id —
     deterministic seeding (k-means iterations would sharpen the cells
@@ -411,6 +418,7 @@ def ivf_cells(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
                 (-F.col("ccos")).alias("nc"),
                 F.col("cell_id").alias("cell_id"),
                 F.col("embedding").alias("embedding"),
+                *[F.col(c).alias(c) for c in keep],
             )
         ).alias("b")
     )
@@ -418,6 +426,7 @@ def ivf_cells(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
         "vec_id",
         F.col("b.embedding").alias("embedding"),
         F.col("b.cell_id").alias("cell_id"),
+        *[F.col(f"b.{c}").alias(c) for c in keep],
     )
 
 
@@ -1711,6 +1720,144 @@ WITH scored AS (
                             ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored
 ), per_anchor AS (
+  SELECT query_id, qlabel,
+         CAST(sum(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_diff,
+         CAST(count(*) AS BIGINT) AS n_nb
+  FROM ranked WHERE rank <= {k}
+  GROUP BY 1, 2
+)
+SELECT qlabel AS label,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(sum(n_diff) AS DOUBLE) / CAST(sum(n_nb) AS DOUBLE) AS mean_noise,
+       CAST(sum(CASE WHEN n_diff * 2 >= n_nb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM per_anchor GROUP BY 1
+"""
+
+
+NOISE_N_PROBE = 4
+
+
+def knn_label_noise_ivf(
+    embeddings: DataFrame,
+    k: int = NOISE_K,
+    anchor_mod: int = NOISE_ANCHOR_MOD,
+    n_cells: int = N_CELLS,
+    n_probe: int = NOISE_N_PROBE,
+) -> DataFrame:
+    """The documented 100 TB swap for ``knn_label_noise``, built
+    (VERDICT r6 ask #6): per-anchor neighborhoods come from IVF probes
+    (``ivf_cells`` assignment + ``n_probe`` nearest cells per anchor)
+    instead of the |A| x N exact scan — candidates shrink to
+    ~n_probe/n_cells of the corpus BEFORE any full-width dot product,
+    and at scale the cell table is partitioned by cell_id so each
+    anchor's read is partition-pruned.  The exact tier stays registered
+    as the labeled oracle baseline; per-label recall of this tier vs
+    exact is pinned in tests/test_similarity.py (the ann_recall ladder
+    adjudication, applied to the noise audit).
+
+    Same guarded-cosine scoring, tie order, and integer disagreement
+    arithmetic as the exact tier — only the candidate set changes.
+    """
+    cells = ivf_cells(embeddings, n_cells, keep=("label",))
+    cents = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    )
+    anchors = embeddings.filter(F.col("vec_id") % anchor_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    qscored = anchors.join(F.broadcast(cents)).withColumn(
+        "ccos", cosine(F.col("qvec"), F.col("cvec"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    probes = (
+        qscored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "qvec", "qlabel", "cell_id")
+    )
+    # probes = |A| x n_probe rows; broadcast keeps the corpus-side cell
+    # table streaming once (the same |A|-bounded broadcast the exact
+    # tier already makes — at larger anchor rates this becomes a
+    # shuffle join on cell_id, which AQE picks automatically once the
+    # broadcast threshold trips)
+    cand = cells.join(F.broadcast(probes), "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cos", cosine_guarded(F.col("qvec"), F.col("embedding"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    nb = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    per_anchor = nb.groupBy("query_id", "qlabel").agg(
+        F.sum((F.col("label") != F.col("qlabel")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_diff"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nb"),
+    )
+    return (
+        per_anchor.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            (
+                F.sum("n_diff").cast("double")
+                / F.sum("n_nb").cast("double")
+            ).alias("mean_noise"),
+            F.sum(
+                (F.col("n_diff") * 2 >= F.col("n_nb")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+    )
+
+
+def sql_knn_label_noise_ivf(
+    k: int = NOISE_K,
+    anchor_mod: int = NOISE_ANCHOR_MOD,
+    n_cells: int = N_CELLS,
+    n_probe: int = NOISE_N_PROBE,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin — sql_ivf_topk's cell/probe algebra (labels carried)
+    + the exact tier's disagreement rollup."""
+    cos_cell = sql_cosine_guarded("e.embedding", "c.embedding")
+    cos_q = sql_cosine("q.embedding", "c.embedding")
+    cos_re = sql_cosine_guarded("p.qvec", "cells.embedding")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding FROM {table} WHERE vec_id < {n_cells}
+),
+cells AS (
+  SELECT vec_id, embedding, label, cell_id FROM (
+    SELECT e.vec_id, e.embedding, e.label, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_cell} DESC, c.cell_id) AS r
+    FROM {table} e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, qvec, qlabel, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qvec, q.label AS qlabel,
+           c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {cos_q} DESC, c.cell_id) AS r
+    FROM {table} q JOIN cents c ON TRUE
+    WHERE q.vec_id % {anchor_mod} = 0
+  ) WHERE r <= {n_probe}
+),
+ranked AS (
+  SELECT p.query_id, p.qlabel, cells.label AS nlabel,
+         row_number() OVER (PARTITION BY p.query_id
+           ORDER BY {cos_re} DESC, cells.vec_id) AS rank
+  FROM probes p JOIN cells ON cells.cell_id = p.cell_id
+  WHERE cells.vec_id <> p.query_id
+),
+per_anchor AS (
   SELECT query_id, qlabel,
          CAST(sum(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END) AS BIGINT)
            AS n_diff,

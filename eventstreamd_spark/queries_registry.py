@@ -2792,6 +2792,15 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.knn_label_noise(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("knn_label_noise_ivf", sim_op.sql_knn_label_noise_ivf())
+def knn_label_noise_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mislabel screen's production tier: anchor neighborhoods from
+    IVF probes (candidates pruned to ~n_probe/n_cells of the corpus
+    before any dot product), exact tier demoted to oracle baseline —
+    the ann_recall ladder pattern applied to the noise audit."""
+    return sim_op.knn_label_noise_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("column_stats_catalog_hll", stats_mod.sql_column_stats_catalog_hll())
 def column_stats_catalog_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE sketch tier: per-column HLL NDV over digest-canonical
@@ -3100,6 +3109,7 @@ _COST_HINT = {
     # round-6 second wave (uncertainty / engagement / label-quality tier)
     "bootstrap_ci": 1.00, "rolling_active_users": 0.60,
     "knn_label_noise": 1.50, "tokenizer_fertility": 0.70,
+    "knn_label_noise_ivf": 0.90,
     "rolling_wau_hll": 0.80, "centroid_shift": 0.80,
     "multi_touch_attribution": 0.70, "fano_burstiness": 0.40,
     "hapax_report": 0.60, "media_corpus_manifest": 0.60,

@@ -595,3 +595,12 @@ def test_sketch_prod_twins_keep_register_combine(plans) -> None:
     for name in ("hll_distinct_prod", "rolling_wau_hll_prod"):
         phys = plans(name).split("== Physical Plan ==")[-1]
         assert "partial_max" in phys, name
+
+
+def test_knn_label_noise_ivf_candidates_equi_join(plans) -> None:
+    # the IVF tier's candidate set comes from an EQUI join on cell_id
+    # (broadcast probes, corpus streams once, partition-prunable at
+    # scale); the only nested-loop join left is anchors x the 16-row
+    # centroid table — bounded by n_cells, not the corpus
+    phys = plans("knn_label_noise_ivf").split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin [cell_id" in phys
