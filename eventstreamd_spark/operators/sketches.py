@@ -1318,3 +1318,136 @@ SELECT CAST(t.day AS TIMESTAMP) AS day, t.s_total AS register_sum_scaled,
        {est} AS wau_est
 FROM tot t
 """
+
+
+def kmv_distinct_events_prod(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Sketch-only twin of kmv_distinct_events: the mapInPandas bottom-k
+    partials and the TakeOrdered survivor merge, with the corpus-wide
+    exact distinct REMOVED from the plan (it was the eval harness; the
+    bound stays asserted via the sibling in pytest)."""
+    import pandas as pd
+
+    hashes = events.select(_h60(F.col("event_id").cast("string")).alias("h"))
+
+    def partial_bottom_k(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({"h": pdf["h"].drop_duplicates().nsmallest(k)})
+
+    survivors = hashes.mapInPandas(partial_bottom_k, "h bigint")
+    bottom = survivors.distinct().orderBy("h").limit(k)
+    sketch = bottom.agg(
+        F.count("*").cast("bigint").alias("k_kept"),
+        F.max("h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("k_kept") < k, F.col("k_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(_B60)) / F.col("kth_hash").cast("double")
+    )
+    return sketch.select(
+        F.lit(k).cast("int").alias("k"),
+        "k_kept",
+        "kth_hash",
+        est.alias("kmv_estimate"),
+    )
+
+
+def sql_kmv_distinct_events_prod(table: str = "events", k: int = KMV_K) -> str:
+    h = _sql_h60("CAST(event_id AS VARCHAR)")
+    est = (
+        f"(CASE WHEN k_kept < {k} THEN CAST(k_kept AS DOUBLE)"
+        f" ELSE (CAST({k - 1} AS DOUBLE) * CAST({_B60} AS DOUBLE))"
+        " / CAST(kth_hash AS DOUBLE) END)"
+    )
+    return f"""
+WITH hashes AS (SELECT DISTINCT {h} AS h FROM {table}),
+bottom AS (SELECT h FROM hashes ORDER BY h LIMIT {k}),
+sketch AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_kept, max(h) AS kth_hash FROM bottom
+)
+SELECT CAST({k} AS INT) AS k, k_kept, kth_hash, {est} AS kmv_estimate
+FROM sketch
+"""
+
+
+def kmv_join_size_prod(
+    orders: DataFrame, cutoff: str = KMV_JOIN_CUTOFF, k: int = KMV_JOIN_K
+) -> DataFrame:
+    """Sketch-only twin of kmv_join_size: the planner answers |A ∩ B| /
+    |A ∪ B| from the two k-row sketches alone — the corpus-wide exact
+    intersection (the eval leg) never runs, and with a single consumer
+    the presence table needs no checkpoint."""
+    cut = F.lit(cutoff).cast("timestamp")
+    flagged = orders.select(
+        _h60(F.col("o_custkey").cast("string")).alias("h"),
+        (F.col("o_orderdate") < cut).cast("int").alias("in_a"),
+        (F.col("o_orderdate") >= cut).cast("int").alias("in_b"),
+    )
+    presence = flagged.groupBy("h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    bottom = presence.orderBy("h").limit(k)
+    theta = bottom.agg(F.max("h").alias("theta"))
+    below = bottom.crossJoin(F.broadcast(theta)).filter(
+        F.col("h") < F.col("theta")
+    )
+    sk_agg = below.agg(
+        F.count("*").cast("bigint").alias("n_below"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("int"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.max("theta").alias("theta"),
+    )
+    union_est = (
+        F.col("n_below").cast("double")
+        * F.lit(float(_B60))
+        / F.col("theta").cast("double")
+    )
+    inter_est = (
+        F.col("n_both").cast("double")
+        * F.lit(float(_B60))
+        / F.col("theta").cast("double")
+    )
+    return sk_agg.select(
+        F.lit(k).cast("int").alias("k"),
+        "theta",
+        "n_below",
+        "n_both",
+        union_est.alias("union_estimate"),
+        inter_est.alias("intersect_estimate"),
+    )
+
+
+def sql_kmv_join_size_prod(
+    orders: str = "orders", cutoff: str = KMV_JOIN_CUTOFF, k: int = KMV_JOIN_K
+) -> str:
+    h = _sql_h60("CAST(o_custkey AS VARCHAR)")
+    u_est = (
+        "(CAST(n_below AS DOUBLE)"
+        f" * CAST({_B60} AS DOUBLE) / CAST(theta AS DOUBLE))"
+    )
+    i_est = (
+        "(CAST(n_both AS DOUBLE)"
+        f" * CAST({_B60} AS DOUBLE) / CAST(theta AS DOUBLE))"
+    )
+    return f"""
+WITH presence AS (
+  SELECT {h} AS h,
+         max(CASE WHEN o_orderdate < TIMESTAMP '{cutoff}' THEN 1 ELSE 0 END)
+           AS in_a,
+         max(CASE WHEN o_orderdate >= TIMESTAMP '{cutoff}' THEN 1 ELSE 0 END)
+           AS in_b
+  FROM {orders} GROUP BY h
+),
+bottom AS (SELECT * FROM presence ORDER BY h LIMIT {k}),
+theta AS (SELECT max(h) AS theta FROM bottom),
+sk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_below,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+         max(t.theta) AS theta
+  FROM bottom b CROSS JOIN theta t WHERE b.h < t.theta
+)
+SELECT CAST({k} AS INT) AS k, theta, n_below, n_both,
+       {u_est} AS union_estimate, {i_est} AS intersect_estimate
+FROM sk
+"""

@@ -2955,6 +2955,20 @@ def rolling_wau_hll_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_op.rolling_wau_hll_prod(load_table(spark, sf_dir, "events"))
 
 
+@register("kmv_distinct_prod", sketch_op.sql_kmv_distinct_events_prod())
+def kmv_distinct_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only bottom-k cardinality: mapInPandas partials +
+    TakeOrdered merge, no corpus-wide exact distinct in the plan."""
+    return sketch_op.kmv_distinct_events_prod(load_table(spark, sf_dir, "events"))
+
+
+@register("kmv_join_size_prod", sketch_op.sql_kmv_join_size_prod())
+def kmv_join_size_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only theta-style join-size planning: |A ∩ B| and |A ∪ B|
+    from two k-row sketches, the exact intersection never computed."""
+    return sketch_op.kmv_join_size_prod(load_table(spark, sf_dir, "orders"))
+
+
 @register(
     "column_stats_catalog_hll_prod",
     stats_mod.sql_column_stats_catalog_hll_prod(),
@@ -3149,6 +3163,7 @@ _COST_HINT = {
     "ivf_incremental_add": 0.80, "user_diversity": 0.35,
     "session_stats": 0.55, "column_stats_catalog_hll": 2.00,
     "hll_distinct_prod": 0.20, "hll_distinct_by_type_prod": 0.25,
+    "kmv_distinct_prod": 0.30, "kmv_join_size_prod": 0.35,
     "rolling_wau_hll_prod": 0.55, "column_stats_catalog_hll_prod": 1.20,
 }
 

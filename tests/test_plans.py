@@ -604,3 +604,16 @@ def test_knn_label_noise_ivf_candidates_equi_join(plans) -> None:
     # centroid table — bounded by n_cells, not the corpus
     phys = plans("knn_label_noise_ivf").split("== Physical Plan ==")[-1]
     assert "BroadcastHashJoin [cell_id" in phys
+
+
+def test_kmv_prod_twins_have_no_exact_leg(plans) -> None:
+    # kmv_distinct_prod: no corpus-wide exact distinct aggregate —
+    # the only distinct left is over the <= k x n_batches survivor
+    # union; kmv_join_size_prod: no exact-intersection aggregate, and
+    # the k-row bottom plans as TakeOrderedAndProject (no global sort)
+    phys = plans("kmv_distinct_prod").split("== Physical Plan ==")[-1]
+    assert "count(distinct" not in phys.lower()
+    assert "TakeOrderedAndProject" in phys
+    phys2 = plans("kmv_join_size_prod").split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in phys2
+    assert "localCheckpoint" not in phys2  # single consumer: no materialization

@@ -617,3 +617,24 @@ def test_prod_twins_match_eval_siblings_exactly(spark, sf_dir) -> None:
         assert sibc[c]["ndv_hll"] == twinc[c]["ndv_hll"]
         assert sibc[c]["n_nonnull"] == twinc[c]["n_nonnull"]
         assert sibc[c]["within_bound"]
+
+
+def test_kmv_prod_twins_match_eval_siblings_exactly(spark, sf_dir) -> None:
+    from eventstreamd_spark.session import load_table as lt
+
+    ev = lt(spark, sf_dir, "events")
+    od = lt(spark, sf_dir, "orders")
+
+    a = sk.kmv_distinct_events(ev).collect()[0]
+    b = sk.kmv_distinct_events_prod(ev).collect()[0]
+    assert (a["k_kept"], a["kth_hash"], a["kmv_estimate"]) == (
+        b["k_kept"], b["kth_hash"], b["kmv_estimate"]
+    )
+    assert a["within_bound"]  # the bound stays pinned via the sibling
+
+    c = sk.kmv_join_size(od).collect()[0]
+    d = sk.kmv_join_size_prod(od).collect()[0]
+    for col in ("theta", "n_below", "n_both", "union_estimate",
+                "intersect_estimate"):
+        assert c[col] == d[col], col
+    assert c["within_bound"]
