@@ -282,3 +282,101 @@ SELECT s.key AS key, s.n_present AS n_present, s.n_null AS n_null,
        d.n_types AS n_types
 FROM stats s JOIN dom d ON d.key = s.key
 """
+
+
+def schema_drift_state_merge(events: DataFrame, epoch_mod: int = 2) -> DataFrame:
+    """Batch twin of the streaming schema-drift monitor's ONE fold step
+    (streaming/pipeline.start_payload_schema_monitor): split the corpus
+    into a hash-defined "persisted state" epoch (event_id % epoch_mod
+    == 0) and an "incoming batch" epoch, then reproduce exactly what
+    the monitor computes when the batch arrives — merged per-(key,
+    type) counters, novel-key flags (key absent from state under EVERY
+    type) and novel-type flags (known key, unseen type).  Registering
+    this pins the monitor's replay-fence arithmetic under the driver's
+    exact oracle, the same adjudication as cms_state_merge; the live
+    two-epoch stream is parity-tested against this twin in
+    tests/test_streaming.py.
+
+    Plan: one parse/explode pass, one (key, type) aggregate carrying
+    both epochs as conditional sums (map-side combine, |schema| rows),
+    one KB-sized window over key for the key-known flag.
+    """
+    from pyspark.sql import Window
+
+    is_state = (F.col("event_id") % epoch_mod == 0).cast("int")
+    kv = events.select(
+        is_state.alias("is_state"),
+        F.explode(
+            F.from_json(_augmented_payload(), "map<string,string>")
+        ).alias("key", "val"),
+    )
+    kt = kv.select(
+        "is_state", "key", _value_type(F.col("val")).alias("ty")
+    )
+    counts = kt.groupBy("key", "ty").agg(
+        F.sum("is_state").cast("bigint").alias("n_state"),
+        F.sum(F.lit(1) - F.col("is_state")).cast("bigint").alias("n_batch"),
+    )
+    key_known = F.max((F.col("n_state") > 0).cast("int")).over(
+        Window.partitionBy("key")
+    )
+    return counts.select(
+        "key",
+        "ty",
+        "n_state",
+        "n_batch",
+        (F.col("n_state") + F.col("n_batch")).alias("n_merged"),
+        (key_known == 0).alias("is_novel_key"),
+        ((key_known == 1) & (F.col("n_state") == 0)).alias("is_novel_type"),
+    )
+
+
+def sql_schema_drift_state_merge(
+    table: str = "events", epoch_mod: int = 2
+) -> str:
+    """DuckDB twin: identical augmentation, type ladder, epoch split,
+    and novelty algebra."""
+    aug = (
+        "CASE WHEN user_id % 10 = 0 THEN props ELSE "
+        "regexp_replace(props, '\\}$', '') "
+        "|| (CASE WHEN props = '{}' THEN '' ELSE ', ' END) "
+        "|| '\"et\": \"' || event_type "
+        "|| '\", \"uid\": ' || CAST(user_id AS VARCHAR) || "
+        "(CASE WHEN user_id % 7 = 0 THEN ', \"opt\": null' ELSE '' END) "
+        "|| '}' END"
+    )
+    ty = (
+        "CASE WHEN val IS NULL THEN 'null' "
+        "WHEN regexp_matches(val, '^-?[0-9]+$') THEN 'int' "
+        "WHEN regexp_matches(val, '^-?[0-9]*\\.[0-9]+$') THEN 'float' "
+        "WHEN val IN ('true', 'false') THEN 'bool' "
+        "WHEN val LIKE '[%' THEN 'array' "
+        "WHEN val LIKE '{%' THEN 'object' "
+        "ELSE 'string' END"
+    )
+    return f"""
+WITH p AS (
+  SELECT CASE WHEN event_id % {epoch_mod} = 0 THEN 1 ELSE 0 END AS is_state,
+         {aug} AS p
+  FROM {table} WHERE json_valid({aug})
+),
+kv AS (
+  SELECT is_state, key, json_extract_string(p, '$.' || key) AS val FROM (
+    SELECT is_state, p, unnest(json_keys(p)) AS key FROM p
+  )
+),
+kt AS (SELECT is_state, key, {ty} AS ty FROM kv),
+counts AS (
+  SELECT key, ty,
+         CAST(sum(is_state) AS BIGINT) AS n_state,
+         CAST(sum(1 - is_state) AS BIGINT) AS n_batch
+  FROM kt GROUP BY 1, 2
+)
+SELECT key, ty, n_state, n_batch,
+       n_state + n_batch AS n_merged,
+       (max(CASE WHEN n_state > 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY key) = 0) AS is_novel_key,
+       ((max(CASE WHEN n_state > 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY key) = 1) AND n_state = 0) AS is_novel_type
+FROM counts
+"""

@@ -2524,6 +2524,20 @@ def cms_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_op.cms_state_merge(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "schema_drift_state_merge", envelope_op.sql_schema_drift_state_merge()
+)
+def schema_drift_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming schema-drift monitor's fold step:
+    state epoch + incoming batch -> merged (key, type) counters with
+    novel-key / novel-type flags; pins the monitor's accumulation
+    arithmetic under the exact oracle (the cms_state_merge
+    adjudication applied to the last pytest-only monitor)."""
+    return envelope_op.schema_drift_state_merge(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 @register("bloom_join_prune", sketch_op.sql_bloom_join_prune())
 def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-join pruning report (the AQE runtime-filter /
@@ -3164,6 +3178,7 @@ _COST_HINT = {
     "session_stats": 0.55, "column_stats_catalog_hll": 2.00,
     "hll_distinct_prod": 0.20, "hll_distinct_by_type_prod": 0.25,
     "kmv_distinct_prod": 0.30, "kmv_join_size_prod": 0.35,
+    "schema_drift_state_merge": 0.40,
     "rolling_wau_hll_prod": 0.55, "column_stats_catalog_hll_prod": 1.20,
 }
 

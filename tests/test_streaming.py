@@ -1185,3 +1185,67 @@ def test_event_time_sessionizer_matches_batch_on_late_data(
     ]
     assert got == want
     assert got[0][1] == 3  # the late 0.5s row landed in session 1
+
+
+def test_stream_schema_drift_monitor_matches_batch_twin(
+    spark, sf_dir, tmp_path
+) -> None:
+    """The registered ``schema_drift_state_merge`` batch twin must
+    reproduce EXACTLY what the live monitor computes when the odd-
+    event_id batch lands on persisted even-event_id state: the same
+    merged (key, type) counters, the same novel-key alerts, the same
+    novel-type alerts — so the driver's exact oracle on the twin pins
+    the monitor's fold arithmetic (the cms_state_merge adjudication)."""
+    import os
+
+    from eventstreamd_spark.operators import envelope as env
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import (
+        start_payload_schema_monitor,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    aug = events.select(
+        "event_id", env._augmented_payload().alias("props")
+    )
+    src = str(tmp_path / "sdm_src")
+    os.makedirs(src)
+    seen: list = []
+
+    def run_once() -> None:
+        q = start_payload_schema_monitor(
+            (
+                spark.readStream.schema("event_id long, props string")
+                .format("parquet")
+                .load(src)
+            ),
+            sink=lambda nk, nt, st, ep, acc=seen: acc.append(
+                (ep, nk, nt, st)
+            ),
+            checkpoint_dir=str(tmp_path / "sdm_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    # epoch 0 = the twin's "persisted state" half, epoch 1 = "incoming
+    # batch" — two availableNow runs for deterministic batch order
+    aug.filter("event_id % 2 = 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    aug.filter("event_id % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    assert len(seen) == 2
+    _, novel_keys, novel_types, merged = sorted(seen)[-1]
+
+    twin = env.schema_drift_state_merge(events).collect()
+    assert merged  # non-degenerate fixture
+    assert (
+        sorted({r["key"] for r in twin if r["is_novel_key"]}) == novel_keys
+    )
+    assert (
+        sorted((r["key"], r["ty"]) for r in twin if r["is_novel_type"])
+        == novel_types
+    )
+    assert {(r["key"], r["ty"]): r["n_merged"] for r in twin} == merged
