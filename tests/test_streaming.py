@@ -1249,3 +1249,32 @@ def test_stream_schema_drift_monitor_matches_batch_twin(
         == novel_types
     )
     assert {(r["key"], r["ty"]): r["n_merged"] for r in twin} == merged
+
+
+def test_stream_drift_kernel_matches_batch_twin(spark, sf_dir) -> None:
+    """``drift_vs_reference`` (the drift monitor's kernel: batch-side
+    LEFT join + closed-form reference-only mass) must produce
+    BIT-IDENTICAL TVD to the registered ``event_value_drift``
+    (single-scan window formulation) on the same even/odd event_id
+    split — the driver's exact oracle on the batch query then
+    transitively pins the streaming monitor's arithmetic, closing the
+    last monitor-kernel fork risk (novel-type semantics are covered by
+    test_drift_report_surfaces_novel_event_types)."""
+    from eventstreamd_spark.operators import statistics as st
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import drift_vs_reference
+
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: (r["n_ref"], r["n_batch"], r["tvd"])
+        for r in drift_vs_reference(
+            events.filter("event_id % 2 = 1"),
+            events.filter("event_id % 2 = 0"),
+        ).collect()
+    }
+    want = {
+        r["event_type"]: (r["n_ref"], r["n_cand"], r["tvd"])
+        for r in st.event_value_drift(events).collect()
+        if r["n_cand"] > 0  # kernel reports types present in the batch
+    }
+    assert got and got == want  # same types, same counts, same IEEE tvd
