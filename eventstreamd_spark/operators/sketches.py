@@ -1451,3 +1451,151 @@ SELECT CAST({k} AS INT) AS k, theta, n_below, n_both,
        {u_est} AS union_estimate, {i_est} AS intersect_estimate
 FROM sk
 """
+
+
+# ---------------------------------------------------------------------------
+# Log-bucket quantile sketch (the missing member of the mergeable family)
+# ---------------------------------------------------------------------------
+
+QSK_M = 5  # mantissa bits per octave: bucket relative width <= 2^-M (3.1%)
+QSK_FRACS = (0.5, 0.9, 0.95, 0.99)
+
+
+def logbucket_registers(lineitem: DataFrame) -> DataFrame:
+    """Mergeable quantile-sketch registers over ``l_extendedprice``
+    (cents-scaled): DDSketch's idea (Masson et al., VLDB 2019 —
+    guaranteed RELATIVE error from log-spaced buckets) built log-free,
+    so it stays bit-deterministic across engines.  A positive value's
+    bucket is its (bit-length, top-``QSK_M``-mantissa-bits) pair packed
+    into one integer key — pure integer shifts, no libm — with values
+    below ``2^QSK_M`` stored exactly.  Bucket key order equals value
+    order, bucket width/lower-bound <= 2^-QSK_M, and the register
+    table is (key, count) with ADDITIVE merge: at most
+    64 x 2^(QSK_M+1) rows ever cross a shuffle, map-side combined, so
+    a 100 TB percentile costs one scan + a KB exchange (the exact
+    nearest-rank tier, ``exact_quantile_values``, re-reads its cut
+    buckets from the corpus; this never touches the corpus again).
+
+    Merge = ``GROUP BY key SUM(c)`` — associative, commutative; the
+    even/odd-half merge is pinned equal to the full build in
+    tests/test_sketches.py.
+    """
+    v = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+    small_cap = 1 << QSK_M
+    base = lineitem.select(v.alias("__v"))
+    e = F.length(F.bin(F.col("__v"))).cast("long")
+    sh = F.when(F.col("__v") < small_cap, F.lit(0).cast("long")).otherwise(
+        e - 1 - QSK_M
+    )
+    b = base.select(
+        "__v",
+        e.alias("__e"),
+        (F.col("__v") < small_cap).alias("__small"),
+        sh.alias("__sh"),
+    ).select(
+        "__v",
+        "__e",
+        "__small",
+        "__sh",
+        F.expr("shiftright(__v, cast(__sh as int))").alias("__sub"),
+    )
+    key = F.when(F.col("__small"), F.col("__v")).otherwise(
+        F.col("__e") * (1 << (QSK_M + 1)) + F.col("__sub")
+    )
+    lb = F.when(F.col("__small"), F.col("__v")).otherwise(
+        F.expr("shiftleft(__sub, cast(__sh as int))")
+    )
+    ub = F.when(F.col("__small"), F.col("__v")).otherwise(
+        F.expr("shiftleft(__sub + 1, cast(__sh as int))") - 1
+    )
+    return b.groupBy(
+        key.alias("bucket"), lb.alias("lb"), ub.alias("ub")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def logbucket_quantiles(
+    lineitem: DataFrame, fracs: tuple = QSK_FRACS
+) -> DataFrame:
+    """Quantile lookup over the log-bucket registers: nearest-rank
+    placement via one cumulative window over the KB bucket table (key
+    order == value order), reporting each bucket's exact [lb, ub]
+    envelope — the true nearest-rank value is INSIDE it by
+    construction (pinned against exact_quantile_values in pytest).
+
+    Plan: one corpus scan to the register table; everything after is
+    O(buckets) — the tiny-window exemption."""
+    from pyspark.sql import Window as W
+
+    regs = logbucket_registers(lineitem)
+    wcum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    cum = regs.select("bucket", "c").withColumn(
+        "cum", F.sum("c").over(wcum)
+    )
+    tot = regs.agg(F.sum("c").cast("bigint").alias("n"))
+    fr = lineitem.sparkSession.createDataFrame(
+        [(float(f),) for f in fracs], "frac double"
+    )
+    ranks = fr.crossJoin(F.broadcast(tot)).select(
+        "frac",
+        F.ceil(F.col("frac") * F.col("n")).cast("bigint").alias("rk"),
+    )
+    pick = (
+        cum.crossJoin(F.broadcast(ranks))
+        .filter(F.col("cum") >= F.col("rk"))
+        .groupBy("frac", "rk")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return pick.join(regs, "bucket").select(
+        "frac",
+        F.col("rk").alias("rank"),
+        "bucket",
+        F.col("lb").alias("lb_cents"),
+        F.col("ub").alias("ub_cents"),
+        (F.col("lb").cast("double") / 100.0).alias("est_price"),
+    )
+
+
+def sql_logbucket_quantiles(
+    table: str = "lineitem", fracs: tuple = QSK_FRACS
+) -> str:
+    """DuckDB twin: identical cents scaling, bit-length/shift bucket
+    arithmetic, cumulative placement, and single lb/100 division."""
+    m = QSK_M
+    cap = 1 << m
+    fl = ", ".join(f"({float(f)})" for f in fracs)
+    return f"""
+WITH base AS (
+  SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS v FROM {table}
+),
+b AS (
+  SELECT v, CAST(length(bin(v)) AS BIGINT) AS e, v < {cap} AS small,
+         CASE WHEN v < {cap}
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(length(bin(v)) AS BIGINT) - 1 - {m} END AS sh
+  FROM base
+),
+b2 AS (SELECT v, e, small, sh, v >> sh AS sub FROM b),
+regs AS (
+  SELECT CASE WHEN small THEN v ELSE e * {1 << (m + 1)} + sub END AS bucket,
+         CASE WHEN small THEN v ELSE sub << sh END AS lb,
+         CASE WHEN small THEN v ELSE ((sub + 1) << sh) - 1 END AS ub,
+         count(*) AS c
+  FROM b2 GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT bucket, c, sum(c) OVER (ORDER BY bucket) AS cum FROM regs
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM regs),
+fr AS (SELECT CAST(x AS DOUBLE) AS frac FROM (VALUES {fl}) t(x)),
+ranks AS (
+  SELECT frac, CAST(ceil(frac * n) AS BIGINT) AS rk FROM fr, tot
+),
+pick AS (
+  SELECT frac, rk, min(bucket) AS bucket
+  FROM cum, ranks WHERE cum >= rk GROUP BY frac, rk
+)
+SELECT p.frac AS frac, p.rk AS rank, p.bucket AS bucket,
+       r.lb AS lb_cents, r.ub AS ub_cents,
+       CAST(r.lb AS DOUBLE) / 100.0 AS est_price
+FROM pick p JOIN regs r ON r.bucket = p.bucket
+"""

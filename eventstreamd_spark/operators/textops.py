@@ -1926,3 +1926,177 @@ SELECT p.source, p.n_tokens, p.n_types,
          / CAST(p.n_types AS DOUBLE) AS hapax_type_share
 FROM per_source p LEFT JOIN hapax_src h ON p.source = h.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Inter-rater agreement between the two quality raters (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+_JUNK_TEXT = "!!! ??? #@$ %%% &&&"
+
+
+def with_planted_junk(docs: DataFrame) -> DataFrame:
+    """Deterministically replace every 9th document with punctuation
+    junk so BOTH quality raters have real work on the clean synthetic
+    corpus (the planted-input pattern of with_planted_mess): without
+    it the heuristic gate keeps everything and kappa degenerates to
+    exactly 0 (a constant rater carries no chance-corrected signal)."""
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 9 == 0, F.lit(_JUNK_TEXT)).otherwise(
+            F.col("text")
+        ),
+    )
+
+
+def sql_planted_junk(table: str = "documents") -> str:
+    return (
+        f"(SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN '{_JUNK_TEXT}' "
+        f"ELSE text END AS text, lang, source, n_chars FROM {table})"
+    )
+
+
+def rater_agreement_kappa(docs: DataFrame) -> DataFrame:
+    """Cohen's kappa between the corpus's two independent keep/drop
+    raters — the heuristic gate (``quality_ok_col``) and the frozen
+    bigram classifier (``classifier_quality_scores``) — the standard
+    agreement-beyond-chance diagnostic run before trusting either
+    filter as ground truth for the other (Cohen 1960; raw agreement
+    overstates consensus when both raters mostly say "keep").
+
+    Exactness: the 2x2 contingency reduces to four integer sums; with
+    pe_num = keep1*keep2 + drop1*drop2,
+    kappa = (n*agree - pe_num) / (n*n - pe_num).  Numerator and
+    denominator accumulate in DECIMAL(38,0) (n*n overflows int64 at
+    corpus scale), then ONE IEEE division each for p_observed,
+    p_expected, kappa — bit-equal across engines via the d2d idiom.
+
+    Plan: ONE narrow scan computes both raters per row (the token
+    array binds once and feeds both the gate ratios and the bigram
+    bag — no re-tokenize, no join between two scoring passes), then a
+    single global aggregate map-side combines to four integers.
+    """
+    from eventstreamd_spark.functions.text import HASH_MOD  # noqa: F401
+
+    half = (CLF_W_RANGE - 1) // 2
+    b1 = fan_out(docs).select(
+        F.length("text").alias("__nc"),
+        punct_count(F.col("text")).alias("__np"),
+        tokens(F.col("text")).alias("__t"),
+    )
+    n_tok = F.size("__t")
+    stop_ratio = F.when(
+        n_tok > 0, stopword_count(F.col("__t")).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.col("__nc") > 0,
+        F.col("__np").cast("double") / F.col("__nc"),
+    ).otherwise(F.lit(0.0))
+    gate = (
+        (n_tok >= 5)
+        & (stop_ratio <= F.lit(0.5))
+        & (punct_ratio <= F.lit(0.3))
+    )
+    feats = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 2),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b2 = b1.select(gate.alias("__r1"), feats.alias("__f"))
+    raw = F.aggregate(
+        F.col("__f"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (poly_hash(s) % CLF_W_RANGE - half).cast("double") / 1000.0,
+    )
+    n_feats = F.size(F.col("__f"))
+    logit = F.when(
+        n_feats > 0, F.round(raw / n_feats.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    rated = b2.select("__r1", (logit >= 0).alias("__r2"))
+    agg = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("__r1") == F.col("__r2")).cast("long"))
+        .cast("bigint")
+        .alias("n_agree"),
+        F.sum(F.col("__r1").cast("long")).cast("bigint").alias("n_gate_keep"),
+        F.sum(F.col("__r2").cast("long")).cast("bigint").alias("n_clf_keep"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pe_num = dec("n_gate_keep") * dec("n_clf_keep") + (
+        dec("n_docs") - dec("n_gate_keep")
+    ) * (dec("n_docs") - dec("n_clf_keep"))
+    nn = dec("n_docs") * dec("n_docs")
+    return agg.select(
+        "n_docs",
+        "n_agree",
+        "n_gate_keep",
+        "n_clf_keep",
+        (
+            F.col("n_agree").cast("double") / F.col("n_docs").cast("double")
+        ).alias("p_observed"),
+        (pe_num.cast("double") / nn.cast("double")).alias("p_expected"),
+        F.when(
+            nn - pe_num != 0,
+            (dec("n_docs") * dec("n_agree") - pe_num).cast("double")
+            / (nn - pe_num).cast("double"),
+        ).alias("kappa"),
+    )
+
+
+def sql_rater_agreement_kappa(table: str = "documents") -> str:
+    """DuckDB twin: identical gate, bigram bag, fold order, and HUGEINT
+    contingency algebra; decimal->double via the VARCHAR round-trip."""
+    half = (CLF_W_RANGE - 1) // 2
+    t = sql_tokens("text")
+    h = sql_poly_hash("s")
+    n_stop = sql_stopword_count("t")
+    n_punct = sql_punct_count("text")
+    d2d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH b1 AS (
+  SELECT length(text) AS nc, {n_punct} AS np, {t} AS t, text FROM {table}
+),
+rated AS (
+  SELECT (len(t) >= 5
+          AND (CASE WHEN len(t) > 0
+               THEN CAST({n_stop} AS DOUBLE) / len(t) ELSE 0.0 END) <= 0.5
+          AND (CASE WHEN nc > 0
+               THEN CAST(np AS DOUBLE) / nc ELSE 0.0 END) <= 0.3) AS r1,
+         (CASE WHEN len(t) >= 2 THEN
+            round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(
+                list_transform(range(0, len(t) - 1),
+                  i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')),
+                s -> CAST(({h}) % {CLF_W_RANGE} - {half} AS DOUBLE) / 1000.0)),
+              (acc, x) -> acc + x) / CAST(len(t) - 1 AS DOUBLE), 6)
+          ELSE 0.0 END) >= 0 AS r2
+  FROM b1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_keep,
+         CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clf_keep
+  FROM rated
+),
+alg AS (
+  SELECT *,
+         CAST(n_gate_keep AS HUGEINT) * CAST(n_clf_keep AS HUGEINT)
+         + (CAST(n_docs AS HUGEINT) - CAST(n_gate_keep AS HUGEINT))
+           * (CAST(n_docs AS HUGEINT) - CAST(n_clf_keep AS HUGEINT))
+           AS pe_num,
+         CAST(n_docs AS HUGEINT) * CAST(n_docs AS HUGEINT) AS nn
+  FROM agg
+)
+SELECT n_docs, n_agree, n_gate_keep, n_clf_keep,
+       CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p_observed,
+       {d2d('pe_num')} / {d2d('nn')} AS p_expected,
+       CASE WHEN nn - pe_num != 0 THEN
+         {d2d('CAST(n_docs AS HUGEINT) * CAST(n_agree AS HUGEINT) - pe_num')}
+         / {d2d('nn - pe_num')}
+       END AS kappa
+FROM alg
+"""

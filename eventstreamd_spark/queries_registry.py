@@ -2983,6 +2983,32 @@ def kmv_join_size_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_op.kmv_join_size_prod(load_table(spark, sf_dir, "orders"))
 
 
+@register("quantile_sketch", sketch_op.sql_logbucket_quantiles())
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-bucket quantile sketch (DDSketch semantics,
+    log-free integer bucket arithmetic): nearest-rank p50/p90/p95/p99
+    price envelopes from one corpus scan + a KB register table — the
+    quantile member of the mergeable-sketch family (KMV/HLL/CMS/
+    bloom/theta), relative error <= 2^-5 by construction."""
+    return sketch_op.logbucket_quantiles(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "rater_agreement_kappa",
+    text_op.sql_rater_agreement_kappa(text_op.sql_planted_junk()),
+)
+def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the heuristic quality gate and the frozen
+    bigram classifier over the junk-planted corpus — the agreement-
+    beyond-chance audit run before either filter is trusted as ground
+    truth for the other."""
+    return text_op.rater_agreement_kappa(
+        text_op.with_planted_junk(load_table(spark, sf_dir, "documents"))
+    )
+
+
 @register(
     "column_stats_catalog_hll_prod",
     stats_mod.sql_column_stats_catalog_hll_prod(),
@@ -3179,6 +3205,7 @@ _COST_HINT = {
     "hll_distinct_prod": 0.20, "hll_distinct_by_type_prod": 0.25,
     "kmv_distinct_prod": 0.30, "kmv_join_size_prod": 0.35,
     "schema_drift_state_merge": 0.40,
+    "quantile_sketch": 0.30, "rater_agreement_kappa": 0.45,
     "rolling_wau_hll_prod": 0.55, "column_stats_catalog_hll_prod": 1.20,
 }
 

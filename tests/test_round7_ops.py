@@ -78,3 +78,24 @@ def test_knn_label_noise_ivf_rollup_shape(spark, sf_dir) -> None:
         # (an anchor only drops if its probed cells are empty)
         assert r["n_anchors"] <= exact[lab]["n_anchors"]
         assert r["n_anchors"] >= max(1, exact[lab]["n_anchors"] - 2)
+
+
+def test_rater_agreement_kappa_chance_correction(spark, sf_dir) -> None:
+    """Cohen's kappa invariants: on the junk-planted corpus both raters
+    have real work and kappa lands strictly between 0 and p_observed
+    (chance correction bites); on the clean corpus the heuristic gate
+    keeps EVERYTHING — a constant rater carries no signal and kappa is
+    exactly 0, which is precisely why the registered query plants junk."""
+    from eventstreamd_spark.operators import textops as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    row = tx.rater_agreement_kappa(tx.with_planted_junk(docs)).collect()[0]
+    assert 0 < row["n_gate_keep"] < row["n_docs"]
+    assert 0 < row["n_clf_keep"] < row["n_docs"]
+    assert row["n_agree"] <= row["n_docs"]
+    assert -1.0 <= row["kappa"] <= 1.0
+    assert 0.0 < row["kappa"] < row["p_observed"]
+
+    clean = tx.rater_agreement_kappa(docs).collect()[0]
+    assert clean["n_gate_keep"] == clean["n_docs"]
+    assert clean["kappa"] == 0.0

@@ -638,3 +638,70 @@ def test_kmv_prod_twins_match_eval_siblings_exactly(spark, sf_dir) -> None:
                 "intersect_estimate"):
         assert c[col] == d[col], col
     assert c["within_bound"]
+
+
+# --- log-bucket quantile sketch ----------------------------------------------
+
+
+def test_logbucket_quantiles_envelope_contains_exact(spark, sf_dir) -> None:
+    """Every sketched quantile's [lb, ub] envelope must contain the
+    EXACT nearest-rank value (same ceil(frac*n) rank definition), and
+    the envelope must honor the 2^-QSK_M relative-width guarantee —
+    the two properties that make the sketch a usable percentile at
+    100 TB without ever re-reading the corpus."""
+    from eventstreamd_spark.operators import statistics as st
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = {r["frac"]: r for r in sk.logbucket_quantiles(li).collect()}
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("v")
+    )
+    exact = {
+        r["frac"]: r["value"]
+        for r in st.exact_quantile_values(
+            cents, "v", fracs=tuple(sorted(out))
+        ).collect()
+    }
+    assert set(out) == set(exact)
+    for f, r in out.items():
+        assert r["lb_cents"] <= exact[f] <= r["ub_cents"], f
+        # width bound: ub - lb + 1 = 2^shift and lb >= 2^QSK_M * 2^shift
+        assert (r["ub_cents"] - r["lb_cents"] + 1) * (1 << sk.QSK_M) <= max(
+            r["lb_cents"], 1 << sk.QSK_M
+        ), f
+        assert r["est_price"] == r["lb_cents"] / 100.0
+
+
+def test_logbucket_registers_merge_additively(spark, sf_dir) -> None:
+    """Partial sketches on disjoint halves must merge (count-add) to
+    exactly the whole-corpus register table, with identical per-bucket
+    [lb, ub] envelopes — the property that lets map-side partials
+    replace a corpus shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    full = {
+        r["bucket"]: (r["lb"], r["ub"], r["c"])
+        for r in sk.logbucket_registers(li).collect()
+    }
+    merged: dict = {}
+    for half in ("l_orderkey % 2 = 0", "l_orderkey % 2 = 1"):
+        for r in sk.logbucket_registers(li.filter(half)).collect():
+            lb, ub, c = merged.get(r["bucket"], (r["lb"], r["ub"], 0))
+            assert (lb, ub) == (r["lb"], r["ub"])  # envelope is key-determined
+            merged[r["bucket"]] = (lb, ub, c + r["c"])
+    assert merged == full
+
+
+def test_logbucket_sketch_agg_combines_map_side(spark, sf_dir) -> None:
+    """The KB shuffle cap rests on the register aggregate having a
+    partial phase below the exchange — each task ships at most
+    64 x 2^(QSK_M+1) bucket rows, never one row per lineitem."""
+    from eventstreamd_spark.plans import explain_string
+
+    li = load_table(spark, sf_dir, "lineitem")
+    phys = explain_string(sk.logbucket_registers(li), "formatted")
+    assert "partial_count" in phys
+    lines = phys.split("\n\n")[0].splitlines()
+    ex_line = next(i for i, ln in enumerate(lines) if "Exchange" in ln)
+    assert any(
+        "HashAggregate" in ln for ln in lines[ex_line + 1 :]
+    ), "no partial aggregate below the exchange"
