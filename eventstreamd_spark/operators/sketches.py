@@ -1461,7 +1461,9 @@ QSK_M = 5  # mantissa bits per octave: bucket relative width <= 2^-M (3.1%)
 QSK_FRACS = (0.5, 0.9, 0.95, 0.99)
 
 
-def logbucket_registers(lineitem: DataFrame) -> DataFrame:
+def logbucket_registers(
+    lineitem: DataFrame, group_col: str | None = None
+) -> DataFrame:
     """Mergeable quantile-sketch registers over ``l_extendedprice``
     (cents-scaled): DDSketch's idea (Masson et al., VLDB 2019 —
     guaranteed RELATIVE error from log-spaced buckets) built log-free,
@@ -1480,19 +1482,22 @@ def logbucket_registers(lineitem: DataFrame) -> DataFrame:
     even/odd-half merge is pinned equal to the full build in
     tests/test_sketches.py.
     """
+    gcols = [group_col] if group_col else []
     v = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
     small_cap = 1 << QSK_M
-    base = lineitem.select(v.alias("__v"))
+    base = lineitem.select(*gcols, v.alias("__v"))
     e = F.length(F.bin(F.col("__v"))).cast("long")
     sh = F.when(F.col("__v") < small_cap, F.lit(0).cast("long")).otherwise(
         e - 1 - QSK_M
     )
     b = base.select(
+        *gcols,
         "__v",
         e.alias("__e"),
         (F.col("__v") < small_cap).alias("__small"),
         sh.alias("__sh"),
     ).select(
+        *gcols,
         "__v",
         "__e",
         "__small",
@@ -1509,7 +1514,7 @@ def logbucket_registers(lineitem: DataFrame) -> DataFrame:
         F.expr("shiftleft(__sub + 1, cast(__sh as int))") - 1
     )
     return b.groupBy(
-        key.alias("bucket"), lb.alias("lb"), ub.alias("ub")
+        *gcols, key.alias("bucket"), lb.alias("lb"), ub.alias("ub")
     ).agg(F.count(F.lit(1)).alias("c"))
 
 
@@ -1598,4 +1603,108 @@ SELECT p.frac AS frac, p.rk AS rank, p.bucket AS bucket,
        r.lb AS lb_cents, r.ub AS ub_cents,
        CAST(r.lb AS DOUBLE) / 100.0 AS est_price
 FROM pick p JOIN regs r ON r.bucket = p.bucket
+"""
+
+
+def logbucket_quantiles_by_group(
+    lineitem: DataFrame,
+    group_col: str = "l_returnflag",
+    fracs: tuple = QSK_FRACS,
+) -> DataFrame:
+    """Per-group quantile envelopes from the grouped register table —
+    the production shape of a 100 TB percentile dashboard (p99 per
+    service / per event type): ONE corpus scan builds
+    |groups| x buckets registers (map-side combined), then per-group
+    cumulative placement over the KB table.  Nothing downstream of the
+    registers ever touches the corpus, and register merge stays
+    additive per (group, bucket), so the same state serves any group
+    rollup (the grouped-HLL argument applied to quantiles)."""
+    from pyspark.sql import Window as W
+
+    regs = logbucket_registers(lineitem, group_col=group_col)
+    wcum = (
+        W.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = regs.select(group_col, "bucket", "c").withColumn(
+        "cum", F.sum("c").over(wcum)
+    )
+    tot = regs.groupBy(group_col).agg(F.sum("c").cast("bigint").alias("n"))
+    fr = lineitem.sparkSession.createDataFrame(
+        [(float(f),) for f in fracs], "frac double"
+    )
+    ranks = tot.crossJoin(F.broadcast(fr)).select(
+        group_col,
+        "frac",
+        F.ceil(F.col("frac") * F.col("n")).cast("bigint").alias("rk"),
+    )
+    pick = (
+        cum.join(F.broadcast(ranks), group_col)
+        .filter(F.col("cum") >= F.col("rk"))
+        .groupBy(group_col, "frac", "rk")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return pick.join(regs, [group_col, "bucket"]).select(
+        group_col,
+        "frac",
+        F.col("rk").alias("rank"),
+        "bucket",
+        F.col("lb").alias("lb_cents"),
+        F.col("ub").alias("ub_cents"),
+        (F.col("lb").cast("double") / 100.0).alias("est_price"),
+    )
+
+
+def sql_logbucket_quantiles_by_group(
+    table: str = "lineitem",
+    group_col: str = "l_returnflag",
+    fracs: tuple = QSK_FRACS,
+) -> str:
+    """DuckDB twin: identical grouped registers and per-group
+    cumulative placement."""
+    m = QSK_M
+    cap = 1 << m
+    fl = ", ".join(f"({float(f)})" for f in fracs)
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g,
+         CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS v
+  FROM {table}
+),
+b AS (
+  SELECT g, v, CAST(length(bin(v)) AS BIGINT) AS e, v < {cap} AS small,
+         CASE WHEN v < {cap}
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(length(bin(v)) AS BIGINT) - 1 - {m} END AS sh
+  FROM base
+),
+b2 AS (SELECT g, v, e, small, sh, v >> sh AS sub FROM b),
+regs AS (
+  SELECT g,
+         CASE WHEN small THEN v ELSE e * {1 << (m + 1)} + sub END AS bucket,
+         CASE WHEN small THEN v ELSE sub << sh END AS lb,
+         CASE WHEN small THEN v ELSE ((sub + 1) << sh) - 1 END AS ub,
+         count(*) AS c
+  FROM b2 GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT g, bucket, c,
+         sum(c) OVER (PARTITION BY g ORDER BY bucket) AS cum
+  FROM regs
+),
+tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM regs GROUP BY g),
+fr AS (SELECT CAST(x AS DOUBLE) AS frac FROM (VALUES {fl}) t(x)),
+ranks AS (
+  SELECT g, frac, CAST(ceil(frac * n) AS BIGINT) AS rk FROM tot, fr
+),
+pick AS (
+  SELECT c.g, r.frac, r.rk, min(c.bucket) AS bucket
+  FROM cum c JOIN ranks r ON r.g = c.g
+  WHERE c.cum >= r.rk GROUP BY 1, 2, 3
+)
+SELECT p.g AS {group_col}, p.frac AS frac, p.rk AS rank, p.bucket AS bucket,
+       r.lb AS lb_cents, r.ub AS ub_cents,
+       CAST(r.lb AS DOUBLE) / 100.0 AS est_price
+FROM pick p JOIN regs r ON r.g = p.g AND r.bucket = p.bucket
 """

@@ -2996,6 +2996,18 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_sketch_by_group", sketch_op.sql_logbucket_quantiles_by_group()
+)
+def quantile_sketch_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped log-bucket quantiles (p50..p99 per return flag) — the
+    per-key percentile dashboard shape: one scan to |groups| x buckets
+    registers, per-group cumulative placement over the KB table."""
+    return sketch_op.logbucket_quantiles_by_group(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
     "rater_agreement_kappa",
     text_op.sql_rater_agreement_kappa(text_op.sql_planted_junk()),
 )
@@ -3206,6 +3218,7 @@ _COST_HINT = {
     "kmv_distinct_prod": 0.30, "kmv_join_size_prod": 0.35,
     "schema_drift_state_merge": 0.40,
     "quantile_sketch": 0.30, "rater_agreement_kappa": 0.45,
+    "quantile_sketch_by_group": 0.35,
     "rolling_wau_hll_prod": 0.55, "column_stats_catalog_hll_prod": 1.20,
 }
 

@@ -705,3 +705,31 @@ def test_logbucket_sketch_agg_combines_map_side(spark, sf_dir) -> None:
     assert any(
         "HashAggregate" in ln for ln in lines[ex_line + 1 :]
     ), "no partial aggregate below the exchange"
+
+
+def test_logbucket_grouped_quantiles_envelope(spark, sf_dir) -> None:
+    """Per-group placement: every group's sketched rank envelope must
+    contain that group's exact nearest-rank value (driver-side sort is
+    fine at fixture scale; the operator itself never sorts)."""
+    import collections
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = sk.logbucket_quantiles_by_group(li).collect()
+    vals: dict = collections.defaultdict(list)
+    for r in li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100.0, 0)
+        .cast("long")
+        .alias("v"),
+    ).collect():
+        vals[r["l_returnflag"]].append(r["v"])
+    for v in vals.values():
+        v.sort()
+    assert {r["l_returnflag"] for r in rows} == set(vals)
+    assert len(rows) == len(vals) * len(sk.QSK_FRACS)
+    for r in rows:
+        exact = vals[r["l_returnflag"]][r["rank"] - 1]
+        assert r["lb_cents"] <= exact <= r["ub_cents"], (
+            r["l_returnflag"],
+            r["frac"],
+        )
