@@ -79,7 +79,21 @@ def test_scoreboard_counts_match_registry() -> None:
     from eventstreamd_spark import queries_registry as qr
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # anchored CURRENT-count phrasings only: a blanket `\d+ registered
+    # queries` assertion forced scoreboard.py into a blanket rewrite that
+    # corrupted three HISTORICAL statements (round-3/4 delta endpoints,
+    # the "first 50" driver window) — history must be allowed to disagree
+    # with the present
+    pats = (
+        r"all (\d+) registered queries pass",
+        r"\*\*(\d+) registered queries\*\*",
+        r"\((\d+) queries, ALL",
+    )
     for doc in ("README.md", "COVERAGE.md"):
         text = open(os.path.join(repo, doc)).read()
-        for m in re.finditer(r"\b(\d+) registered queries\b", text):
-            assert int(m.group(1)) == len(qr.QUERIES), doc
+        found = False
+        for pat in pats:
+            for m in re.finditer(pat, text):
+                found = True
+                assert int(m.group(1)) == len(qr.QUERIES), (doc, pat)
+        assert found, doc

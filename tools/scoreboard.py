@@ -34,9 +34,15 @@ def counts() -> dict[str, int]:
 
 def main() -> None:
     c = counts()
+    # CURRENT-count phrasings only — a blanket `\d+ registered queries`
+    # rewrite corrupted three HISTORICAL statements in round 7 (the
+    # round-3/4 delta endpoints and the "first 50" driver window); the
+    # patterns must anchor on words that only current-state sentences use
     pats = [
-        (re.compile(r"\b\d+ registered queries\b"),
-         f"{c['queries']} registered queries"),
+        (re.compile(r"all \d+ registered queries pass"),
+         f"all {c['queries']} registered queries pass"),
+        (re.compile(r"\*\*\d+ registered queries\*\*"),
+         f"**{c['queries']} registered queries**"),
         (re.compile(r"\(\d+ queries, ALL"), f"({c['queries']} queries, ALL"),
     ]
     for doc in DOCS:
