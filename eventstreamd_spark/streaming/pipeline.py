@@ -626,6 +626,95 @@ def start_cms_topk_monitor(
     )
 
 
+def start_quantile_monitor(
+    stream_lineitem: DataFrame,
+    sink: Callable[[dict, dict, int], None],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming percentile monitor with KB state: per micro-batch,
+    build the batch's log-bucket register table (the only distributed
+    work — ``sketches.logbucket_registers``) and ADD it into the
+    persisted per-bucket counts; ``sink(registers, quantiles, epoch)``
+    receives the running state plus nearest-rank envelope quantiles
+    computed with the SAME ``ceil(frac*n)`` + key-ordered cumulative
+    walk as the registered batch twin (``sketches.logbucket_quantiles``
+    — parity asserted exactly in tests/test_streaming.py, so the
+    driver's oracle on the twin transitively pins this monitor).
+
+    Count merge is additive (not idempotent), so this rides the
+    count-min monitor's replay fence: state and last-applied epoch
+    move together under one atomic rename, re-delivered epochs are
+    skipped.  State is at most 64 x 2^(QSK_M+1) buckets — independent
+    of stream volume — and stays mergeable, so the same state serves
+    any later group rollup or cross-shard union.
+    """
+    import json
+    import math
+    import os
+
+    from eventstreamd_spark.operators import sketches as sk
+
+    state_path = os.path.join(checkpoint_dir, "quantile_registers.json")
+    counts: dict = {}
+    last_epoch = -1
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            saved = json.load(f)
+        last_epoch = saved["last_epoch"]
+        counts = {
+            int(b): (lb, ub, c) for b, lb, ub, c in saved["registers"]
+        }
+
+    def _quantiles() -> dict:
+        n = sum(c for _, _, c in counts.values())
+        out: dict = {}
+        for frac in sk.QSK_FRACS:
+            rk = math.ceil(frac * n)  # same IEEE product as the twin
+            cum = 0
+            for b in sorted(counts):
+                lb, ub, c = counts[b]
+                cum += c
+                if cum >= rk:
+                    out[frac] = {
+                        "rank": rk,
+                        "bucket": b,
+                        "lb_cents": lb,
+                        "ub_cents": ub,
+                        "est_price": lb / 100.0,
+                    }
+                    break
+        return out
+
+    def _per_batch(batch: DataFrame, epoch: int) -> None:
+        nonlocal counts, last_epoch
+        if epoch <= last_epoch:
+            return  # replayed epoch: already folded into the state
+        merged = dict(counts)
+        for r in sk.logbucket_registers(batch).collect():
+            lb, ub, c = merged.get(r["bucket"], (r["lb"], r["ub"], 0))
+            merged[r["bucket"]] = (lb, ub, c + r["c"])
+        _atomic_json_write(
+            checkpoint_dir,
+            state_path,
+            {
+                "last_epoch": epoch,
+                "registers": [
+                    [b, lb, ub, c] for b, (lb, ub, c) in merged.items()
+                ],
+            },
+        )
+        counts, last_epoch = merged, epoch
+        sink(dict(counts), _quantiles(), epoch)
+
+    return (
+        stream_lineitem.writeStream.outputMode("append")
+        .foreachBatch(_per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_payload_schema_monitor(
     stream_events: DataFrame,
     sink: Callable[[list, list, dict, int], None],

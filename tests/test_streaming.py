@@ -1278,3 +1278,74 @@ def test_stream_drift_kernel_matches_batch_twin(spark, sf_dir) -> None:
         if r["n_cand"] > 0  # kernel reports types present in the batch
     }
     assert got and got == want  # same types, same counts, same IEEE tvd
+
+
+def test_stream_quantile_monitor_matches_batch_twin(
+    spark, sf_dir, tmp_path
+) -> None:
+    """The quantile monitor's accumulated registers must equal the
+    batch register table over the union of its micro-batches, and its
+    driver-side nearest-rank walk must reproduce the registered
+    ``quantile_sketch`` twin EXACTLY (same ceil(frac*n) product, same
+    envelope, same single lb/100 division) — the additive-state
+    replay-fence monitor pinned to the oracle the same way as
+    cms_state_merge / schema_drift_state_merge."""
+    import os
+
+    from eventstreamd_spark.operators import sketches as sk
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import start_quantile_monitor
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+    )
+    src = str(tmp_path / "qmon_src")
+    os.makedirs(src)
+    li.filter("l_orderkey % 2 = 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    li.filter("l_orderkey % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    states: list = []
+    q = start_quantile_monitor(
+        (
+            spark.readStream.schema(
+                "l_orderkey long, l_extendedprice double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+        ),
+        sink=lambda regs, qs, ep, acc=states: acc.append((ep, regs, qs)),
+        checkpoint_dir=str(tmp_path / "qmon_ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len(states) >= 2
+
+    batch_regs = {
+        r["bucket"]: (r["lb"], r["ub"], r["c"])
+        for r in sk.logbucket_registers(li).collect()
+    }
+    assert states[-1][1] == batch_regs
+
+    twin = {r["frac"]: r for r in sk.logbucket_quantiles(li).collect()}
+    got = states[-1][2]
+    assert set(got) == set(twin)
+    for f, g in got.items():
+        t = twin[f]
+        assert (
+            g["rank"],
+            g["bucket"],
+            g["lb_cents"],
+            g["ub_cents"],
+            g["est_price"],
+        ) == (
+            t["rank"],
+            t["bucket"],
+            t["lb_cents"],
+            t["ub_cents"],
+            t["est_price"],
+        ), f

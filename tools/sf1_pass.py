@@ -55,6 +55,12 @@ def main() -> None:
     # queries whose cost is quadratic BY DESIGN keep their documented
     # bound as the extrapolation exponent.
     full = "--full" in sys.argv[1:]
+    # --only a,b,c (round 7): run just the named queries and MERGE their
+    # entries into the existing SF1_PASS.json — how queries registered
+    # after the full sweep get their sf1 evidence without a 90-min re-run
+    only: list[str] = []
+    if "--only" in sys.argv[1:]:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
 
     from eventstreamd_spark.session import get_spark
 
@@ -107,6 +113,8 @@ def main() -> None:
         names = [n for n in reg.QUERIES if n != "registry_digest"]
     else:
         names = HEAVY
+    if only:
+        names = only
 
     results = {}
     any_fail = False
@@ -153,12 +161,15 @@ def main() -> None:
         )
 
     out = os.path.join(REPO, "tools", "SF1_PASS.json")
+    if only and os.path.exists(out):
+        with open(out) as fh:
+            merged = json.load(fh)
+        merged["results"].update(results)
+        payload = merged
+    else:
+        payload = {"base": BASE, "scratch": probe.SCRATCH, "results": results}
     with open(out, "w") as fh:
-        json.dump(
-            {"base": BASE, "scratch": probe.SCRATCH, "results": results},
-            fh,
-            indent=1,
-        )
+        json.dump(payload, fh, indent=1)
     print(f"\nwrote {out}\n")
     print("| query | t(sf0.1) | t(sf1) | a | extrapolated | ratio | verdict |")
     print("|---|---|---|---|---|---|---|")
