@@ -460,7 +460,10 @@ def ivf_topk(
         .filter(F.col("r") <= n_probe)
         .select("query_id", "qvec", "cell_id")
     )
-    cand = cells.join(F.broadcast(probes), "cell_id").filter(
+    # fan_out: cells arrives from a KB-ish groupBy shuffle that AQE
+    # coalesces to ~1 partition — without it the interpreted-HOF
+    # re-rank runs single-core (the knn_label_noise_ivf finding)
+    cand = fan_out(cells).join(F.broadcast(probes), "cell_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cand.withColumn("cos", cosine(F.col("qvec"), F.col("embedding")))
@@ -1782,8 +1785,12 @@ def knn_label_noise_ivf(
     # table streaming once (the same |A|-bounded broadcast the exact
     # tier already makes — at larger anchor rates this becomes a
     # shuffle join on cell_id, which AQE picks automatically once the
-    # broadcast threshold trips)
-    cand = cells.join(F.broadcast(probes), "cell_id").filter(
+    # broadcast threshold trips).  fan_out: cells arrives from a KB-ish
+    # groupBy shuffle that AQE coalesces to ~1 partition, which would
+    # run the interpreted-HOF pair scoring single-core — the one stage
+    # whose cost is the whole tier (measured 3.75s -> 1.1s at sf0.1;
+    # without it the IVF tier was SLOWER than the exact tier it prunes)
+    cand = fan_out(cells).join(F.broadcast(probes), "cell_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cand.withColumn(

@@ -1462,7 +1462,9 @@ QSK_FRACS = (0.5, 0.9, 0.95, 0.99)
 
 
 def logbucket_registers(
-    lineitem: DataFrame, group_col: str | None = None
+    lineitem: DataFrame,
+    group_col: str | None = None,
+    value: Column | None = None,
 ) -> DataFrame:
     """Mergeable quantile-sketch registers over ``l_extendedprice``
     (cents-scaled): DDSketch's idea (Masson et al., VLDB 2019 —
@@ -1483,7 +1485,11 @@ def logbucket_registers(
     tests/test_sketches.py.
     """
     gcols = [group_col] if group_col else []
-    v = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+    v = (
+        value
+        if value is not None
+        else F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+    )
     small_cap = 1 << QSK_M
     base = lineitem.select(*gcols, v.alias("__v"))
     e = F.length(F.bin(F.col("__v"))).cast("long")
@@ -1610,6 +1616,7 @@ def logbucket_quantiles_by_group(
     lineitem: DataFrame,
     group_col: str = "l_returnflag",
     fracs: tuple = QSK_FRACS,
+    value: Column | None = None,
 ) -> DataFrame:
     """Per-group quantile envelopes from the grouped register table —
     the production shape of a 100 TB percentile dashboard (p99 per
@@ -1621,7 +1628,7 @@ def logbucket_quantiles_by_group(
     rollup (the grouped-HLL argument applied to quantiles)."""
     from pyspark.sql import Window as W
 
-    regs = logbucket_registers(lineitem, group_col=group_col)
+    regs = logbucket_registers(lineitem, group_col=group_col, value=value)
     wcum = (
         W.partitionBy(group_col)
         .orderBy("bucket")
@@ -1706,5 +1713,115 @@ pick AS (
 SELECT p.g AS {group_col}, p.frac AS frac, p.rk AS rank, p.bucket AS bucket,
        r.lb AS lb_cents, r.ub AS ub_cents,
        CAST(r.lb AS DOUBLE) / 100.0 AS est_price
+FROM pick p JOIN regs r ON r.g = p.g AND r.bucket = p.bucket
+"""
+
+
+QCAT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def column_quantiles_catalog(
+    lineitem: DataFrame,
+    cols: tuple = QCAT_COLS,
+    fracs: tuple = QSK_FRACS,
+) -> DataFrame:
+    """ANALYZE-style per-column quantile catalog: p50/p90/p95/p99
+    envelopes for every numeric column from ONE corpus scan — the
+    equi-depth-histogram statistics a cost-based optimizer wants,
+    produced by melting the columns into (column, value) rows and
+    reusing the grouped log-bucket machinery (group = column name).
+
+    All columns quantize x100 to two-dp integers (the repo's scaled-int
+    idiom); zero is handled exactly by the small-value path (bin(0) =
+    '0' in both engines, and the small branch never consults the
+    bit-length).  Shuffle cap: n_cols x 4096 register rows/task after
+    map-side combine — the column_stats_catalog_hll argument applied
+    to quantiles.
+    """
+    from eventstreamd_spark.session import fan_out
+
+    # fan_out before the 4x explode: a narrow local scan would otherwise
+    # run the melt+bucket fold on too few partitions (the
+    # column_stats_catalog_hll idiom)
+    melted = fan_out(lineitem).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.round(F.col(c) * 100.0, 0)
+                        .cast("long")
+                        .alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select(F.col("kv.column").alias("column"), F.col("kv.v").alias("v"))
+    out = logbucket_quantiles_by_group(
+        melted, group_col="column", fracs=fracs, value=F.col("v")
+    )
+    return out.select(
+        "column",
+        "frac",
+        "rank",
+        "bucket",
+        F.col("lb_cents").alias("lb_scaled"),
+        F.col("ub_cents").alias("ub_scaled"),
+        F.col("est_price").alias("est_value"),
+    )
+
+
+def sql_column_quantiles_catalog(
+    table: str = "lineitem",
+    cols: tuple = QCAT_COLS,
+    fracs: tuple = QSK_FRACS,
+) -> str:
+    """DuckDB twin: UNION ALL melt + the identical grouped bucket
+    arithmetic."""
+    m = QSK_M
+    cap = 1 << m
+    fl = ", ".join(f"({float(f)})" for f in fracs)
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS g, CAST(round({c} * 100.0, 0) AS BIGINT) AS v "
+        f"FROM {table}"
+        for c in cols
+    )
+    return f"""
+WITH base AS ({melt}),
+b AS (
+  SELECT g, v, CAST(length(bin(v)) AS BIGINT) AS e, v < {cap} AS small,
+         CASE WHEN v < {cap}
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(length(bin(v)) AS BIGINT) - 1 - {m} END AS sh
+  FROM base
+),
+b2 AS (SELECT g, v, e, small, sh, v >> sh AS sub FROM b),
+regs AS (
+  SELECT g,
+         CASE WHEN small THEN v ELSE e * {1 << (m + 1)} + sub END AS bucket,
+         CASE WHEN small THEN v ELSE sub << sh END AS lb,
+         CASE WHEN small THEN v ELSE ((sub + 1) << sh) - 1 END AS ub,
+         count(*) AS c
+  FROM b2 GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT g, bucket, c,
+         sum(c) OVER (PARTITION BY g ORDER BY bucket) AS cum
+  FROM regs
+),
+tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM regs GROUP BY g),
+fr AS (SELECT CAST(x AS DOUBLE) AS frac FROM (VALUES {fl}) t(x)),
+ranks AS (
+  SELECT g, frac, CAST(ceil(frac * n) AS BIGINT) AS rk FROM tot, fr
+),
+pick AS (
+  SELECT c.g, r.frac, r.rk, min(c.bucket) AS bucket
+  FROM cum c JOIN ranks r ON r.g = c.g
+  WHERE c.cum >= r.rk GROUP BY 1, 2, 3
+)
+SELECT p.g AS "column", p.frac AS frac, p.rk AS rank, p.bucket AS bucket,
+       r.lb AS lb_scaled, r.ub AS ub_scaled,
+       CAST(r.lb AS DOUBLE) / 100.0 AS est_value
 FROM pick p JOIN regs r ON r.g = p.g AND r.bucket = p.bucket
 """

@@ -3008,6 +3008,19 @@ def quantile_sketch_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "column_quantiles_catalog", sketch_op.sql_column_quantiles_catalog()
+)
+def column_quantiles_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column quantile catalog: p50..p99 envelopes
+    for every numeric lineitem column from one melt scan over the
+    grouped log-bucket registers — the equi-depth histogram statistics
+    a cost-based optimizer consumes."""
+    return sketch_op.column_quantiles_catalog(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
     "rater_agreement_kappa",
     text_op.sql_rater_agreement_kappa(text_op.sql_planted_junk()),
 )
@@ -3218,7 +3231,7 @@ _COST_HINT = {
     "kmv_distinct_prod": 0.30, "kmv_join_size_prod": 0.35,
     "schema_drift_state_merge": 0.40,
     "quantile_sketch": 0.30, "rater_agreement_kappa": 0.45,
-    "quantile_sketch_by_group": 0.35,
+    "quantile_sketch_by_group": 0.35, "column_quantiles_catalog": 0.50,
     "rolling_wau_hll_prod": 0.55, "column_stats_catalog_hll_prod": 1.20,
 }
 

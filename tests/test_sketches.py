@@ -733,3 +733,31 @@ def test_logbucket_grouped_quantiles_envelope(spark, sf_dir) -> None:
             r["l_returnflag"],
             r["frac"],
         )
+
+
+def test_column_quantiles_catalog_envelopes(spark, sf_dir) -> None:
+    """ANALYZE quantile catalog: every column's sketched rank envelope
+    must contain that column's exact nearest-rank scaled value,
+    including the zero-heavy discount/tax columns (v=0 rides the exact
+    small-value path)."""
+    import collections
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = sk.column_quantiles_catalog(li).collect()
+    vals: dict = collections.defaultdict(list)
+    for c in sk.QCAT_COLS:
+        for r in li.select(
+            F.round(F.col(c) * 100.0, 0).cast("long").alias("v")
+        ).collect():
+            vals[c].append(r["v"])
+    for v in vals.values():
+        v.sort()
+    assert {r["column"] for r in rows} == set(sk.QCAT_COLS)
+    assert len(rows) == len(sk.QCAT_COLS) * len(sk.QSK_FRACS)
+    for r in rows:
+        exact = vals[r["column"]][r["rank"] - 1]
+        assert r["lb_scaled"] <= exact <= r["ub_scaled"], (
+            r["column"],
+            r["frac"],
+        )
+        assert r["est_value"] == r["lb_scaled"] / 100.0
