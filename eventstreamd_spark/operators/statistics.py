@@ -2843,33 +2843,50 @@ def column_stats_catalog_hll_prod(lineitem: DataFrame) -> DataFrame:
         ]
     )
     rows = fan_out(lineitem).select(F.explode(structs).alias("s")).select("s.*")
-    counts = rows.groupBy("column_name").agg(
-        F.count("val").cast("bigint").alias("n_nonnull"),
-        (F.count(F.lit(1)) - F.count("val")).cast("bigint").alias("n_null"),
-    )
+    # ONE pass: null rows ride the SAME cell aggregate as bucket -1
+    # (rho 0), so the null/non-null counts fall out of the register
+    # shuffle instead of a second scan+explode+aggregate+join (the
+    # two-aggregate formulation scanned and unpivoted lineitem twice —
+    # measured ~35% of the tier's sf1 cost).  h60(NULL) is NULL, so the
+    # null gate is the bound hash column itself.
     h = h60(F.col("val"))
+    hs = rows.select("column_name", h.alias("h"))
     rem = F.expr(f"h % CAST({1 << _REM_BITS} AS BIGINT)")
-    rho = F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
-        F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
-    )
-    regs = (
-        rows.filter(F.col("val").isNotNull())
-        .select("column_name", h.alias("h"))
-        .select(
-            "column_name",
-            F.expr(f"shiftright(h, {_REM_BITS})").alias("bucket"),
-            rho.alias("rho"),
+    rho = F.when(F.col("h").isNull(), F.lit(0)).otherwise(
+        F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
+            F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
         )
-        .groupBy("column_name", "bucket")
-        .agg(F.max("rho").alias("m_rho"))
     )
-    scaled = regs.groupBy("column_name").agg(
+    bucket = F.when(F.col("h").isNull(), F.lit(-1).cast("bigint")).otherwise(
+        F.expr(f"shiftright(h, {_REM_BITS})")
+    )
+    cells = (
+        hs.select("column_name", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("column_name", "bucket")
+        .agg(
+            F.max("rho").alias("m_rho"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    live = F.col("bucket") >= 0
+    agg = cells.groupBy("column_name").agg(
+        F.sum(F.when(live, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonnull"),
+        F.coalesce(
+            F.sum(F.when(~live, F.col("cnt"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_null"),
         F.sum(
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST({_REM_BITS + 1} - m_rho AS INT))"
-            )
+            F.when(
+                live,
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({_REM_BITS + 1} - m_rho AS INT))"
+                ),
+            ).otherwise(0)
         ).alias("s_present"),
-        F.count(F.lit(1)).cast("int").alias("n_present"),
+        F.sum(live.cast("int")).cast("int").alias("n_present"),
     )
     s_total = (
         F.col("s_present")
@@ -2879,7 +2896,7 @@ def column_stats_catalog_hll_prod(lineitem: DataFrame) -> DataFrame:
     est = _hll_est_columns(
         s_total, (F.lit(_HLL_M) - F.col("n_present")).cast("int")
     )
-    return counts.join(scaled, "column_name").select(
+    return agg.select(
         "column_name",
         "n_nonnull",
         "n_null",
