@@ -617,3 +617,15 @@ def test_kmv_prod_twins_have_no_exact_leg(plans) -> None:
     phys2 = plans("kmv_join_size_prod").split("== Physical Plan ==")[-1]
     assert "TakeOrderedAndProject" in phys2
     assert "localCheckpoint" not in phys2  # single consumer: no materialization
+
+
+def test_analyze_sketch_tier_single_scan(plans) -> None:
+    """The one-pass rewrite: the sketch-tier ANALYZE job folds null
+    counts into the register shuffle (bucket -1), so the fact table is
+    scanned exactly once — the two-aggregate formulation it replaced
+    scanned and unpivoted lineitem twice and paid a join."""
+    phys = plans("column_stats_catalog_hll_prod").split(
+        "== Physical Plan =="
+    )[-1]
+    assert phys.count("Scan parquet") == 1
+    assert "Join" not in phys
