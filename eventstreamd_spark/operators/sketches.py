@@ -1465,6 +1465,7 @@ def logbucket_registers(
     lineitem: DataFrame,
     group_col: str | None = None,
     value: Column | None = None,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Mergeable quantile-sketch registers over ``l_extendedprice``
     (cents-scaled): DDSketch's idea (Masson et al., VLDB 2019 —
@@ -1490,21 +1491,25 @@ def logbucket_registers(
         if value is not None
         else F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
     )
+    wcols = [weight.cast("long").alias("__w")] if weight is not None else []
     small_cap = 1 << QSK_M
-    base = lineitem.select(*gcols, v.alias("__v"))
+    base = lineitem.select(*gcols, v.alias("__v"), *wcols)
     e = F.length(F.bin(F.col("__v"))).cast("long")
     sh = F.when(F.col("__v") < small_cap, F.lit(0).cast("long")).otherwise(
         e - 1 - QSK_M
     )
+    wpass = ["__w"] if weight is not None else []
     b = base.select(
         *gcols,
         "__v",
+        *wpass,
         e.alias("__e"),
         (F.col("__v") < small_cap).alias("__small"),
         sh.alias("__sh"),
     ).select(
         *gcols,
         "__v",
+        *wpass,
         "__e",
         "__small",
         "__sh",
@@ -1519,13 +1524,20 @@ def logbucket_registers(
     ub = F.when(F.col("__small"), F.col("__v")).otherwise(
         F.expr("shiftleft(__sub + 1, cast(__sh as int))") - 1
     )
+    c = (
+        F.sum("__w").cast("bigint")
+        if weight is not None
+        else F.count(F.lit(1))
+    )
     return b.groupBy(
         *gcols, key.alias("bucket"), lb.alias("lb"), ub.alias("ub")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    ).agg(c.alias("c"))
 
 
 def logbucket_quantiles(
-    lineitem: DataFrame, fracs: tuple = QSK_FRACS
+    lineitem: DataFrame,
+    fracs: tuple = QSK_FRACS,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Quantile lookup over the log-bucket registers: nearest-rank
     placement via one cumulative window over the KB bucket table (key
@@ -1545,7 +1557,7 @@ def logbucket_quantiles(
     # aggregates the corpus per consumer (6 scans measured, zero
     # ReusedExchange).  The registers are KB (the memo contract's
     # intended case): checkpoint once, one corpus scan total.
-    regs = memo_checkpoint(logbucket_registers(lineitem))
+    regs = memo_checkpoint(logbucket_registers(lineitem, weight=weight))
     wcum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
     cum = regs.select("bucket", "c").withColumn(
         "cum", F.sum("c").over(wcum)
@@ -1838,4 +1850,53 @@ SELECT p.g AS "column", p.frac AS frac, p.rk AS rank, p.bucket AS bucket,
        r.lb AS lb_scaled, r.ub AS ub_scaled,
        CAST(r.lb AS DOUBLE) / 100.0 AS est_value
 FROM pick p JOIN regs r ON r.g = p.g AND r.bucket = p.bucket
+"""
+
+
+def sql_logbucket_quantiles_weighted(
+    table: str = "lineitem", fracs: tuple = QSK_FRACS
+) -> str:
+    """DuckDB twin of the quantity-WEIGHTED price quantiles: identical
+    bucket arithmetic with register counts replaced by integer weight
+    sums (rank = ceil(frac * total_weight))."""
+    m = QSK_M
+    cap = 1 << m
+    fl = ", ".join(f"({float(f)})" for f in fracs)
+    return f"""
+WITH base AS (
+  SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM {table}
+),
+b AS (
+  SELECT v, w, CAST(length(bin(v)) AS BIGINT) AS e, v < {cap} AS small,
+         CASE WHEN v < {cap}
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(length(bin(v)) AS BIGINT) - 1 - {m} END AS sh
+  FROM base
+),
+b2 AS (SELECT v, w, e, small, sh, v >> sh AS sub FROM b),
+regs AS (
+  SELECT CASE WHEN small THEN v ELSE e * {1 << (m + 1)} + sub END AS bucket,
+         CASE WHEN small THEN v ELSE sub << sh END AS lb,
+         CASE WHEN small THEN v ELSE ((sub + 1) << sh) - 1 END AS ub,
+         CAST(sum(w) AS BIGINT) AS c
+  FROM b2 GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT bucket, c, sum(c) OVER (ORDER BY bucket) AS cum FROM regs
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM regs),
+fr AS (SELECT CAST(x AS DOUBLE) AS frac FROM (VALUES {fl}) t(x)),
+ranks AS (
+  SELECT frac, CAST(ceil(frac * n) AS BIGINT) AS rk FROM fr, tot
+),
+pick AS (
+  SELECT frac, rk, min(bucket) AS bucket
+  FROM cum, ranks WHERE cum >= rk GROUP BY frac, rk
+)
+SELECT p.frac AS frac, p.rk AS rank, p.bucket AS bucket,
+       r.lb AS lb_cents, r.ub AS ub_cents,
+       CAST(r.lb AS DOUBLE) / 100.0 AS est_price
+FROM pick p JOIN regs r ON r.bucket = p.bucket
 """

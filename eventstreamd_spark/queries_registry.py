@@ -2996,6 +2996,21 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_sketch_weighted", sketch_op.sql_logbucket_quantiles_weighted()
+)
+def quantile_sketch_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED price quantiles: what price level covers half
+    (90%, ...) of the shipped VOLUME — the weighted-percentile shape
+    (size-weighted latency, token-weighted doc length) from the same
+    additive registers, counts replaced by integer weight sums."""
+    from pyspark.sql import functions as F
+
+    return sketch_op.logbucket_quantiles(
+        load_table(spark, sf_dir, "lineitem"), weight=F.col("l_quantity")
+    )
+
+
+@register(
     "quantile_sketch_by_group", sketch_op.sql_logbucket_quantiles_by_group()
 )
 def quantile_sketch_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3232,6 +3247,7 @@ _COST_HINT = {
     "schema_drift_state_merge": 0.40,
     "quantile_sketch": 0.30, "rater_agreement_kappa": 0.45,
     "quantile_sketch_by_group": 0.35, "column_quantiles_catalog": 0.50,
+    "quantile_sketch_weighted": 0.30,
     "rolling_wau_hll_prod": 0.55, "column_stats_catalog_hll_prod": 1.20,
 }
 

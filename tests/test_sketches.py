@@ -761,3 +761,34 @@ def test_column_quantiles_catalog_envelopes(spark, sf_dir) -> None:
             r["frac"],
         )
         assert r["est_value"] == r["lb_scaled"] / 100.0
+
+
+def test_logbucket_weighted_quantiles_envelope(spark, sf_dir) -> None:
+    """Weighted placement: each sketched rank envelope must contain the
+    exact WEIGHTED nearest-rank value — the smallest scaled price whose
+    cumulative quantity reaches ceil(frac * total_quantity)."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = sk.logbucket_quantiles(li, weight=F.col("l_quantity")).collect()
+    pairs = sorted(
+        (r["v"], r["w"])
+        for r in li.select(
+            F.round(F.col("l_extendedprice") * 100.0, 0)
+            .cast("long")
+            .alias("v"),
+            F.col("l_quantity").cast("long").alias("w"),
+        ).collect()
+    )
+    total = sum(w for _, w in pairs)
+    assert len(rows) == len(sk.QSK_FRACS)
+    for r in rows:
+        rk = math.ceil(r["frac"] * total)
+        assert r["rank"] == rk
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum >= rk:
+                exact = v
+                break
+        assert r["lb_cents"] <= exact <= r["ub_cents"], r["frac"]
