@@ -1693,6 +1693,7 @@ def sql_logbucket_quantiles_by_group(
     table: str = "lineitem",
     group_col: str = "l_returnflag",
     fracs: tuple = QSK_FRACS,
+    value_expr: str = "l_extendedprice",
 ) -> str:
     """DuckDB twin: identical grouped registers and per-group
     cumulative placement."""
@@ -1702,7 +1703,7 @@ def sql_logbucket_quantiles_by_group(
     return f"""
 WITH base AS (
   SELECT {group_col} AS g,
-         CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS v
+         CAST(round({value_expr} * 100.0, 0) AS BIGINT) AS v
   FROM {table}
 ),
 b AS (

@@ -2996,6 +2996,39 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_percentiles",
+    "SELECT event_type, frac, rank, bucket, "
+    "lb_cents AS lb_scaled, ub_cents AS ub_scaled, "
+    "est_price AS est_value FROM ("
+    + sketch_op.sql_logbucket_quantiles_by_group(
+        table="events", group_col="event_type", value_expr="value"
+    )
+    + ") t",
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value-percentile dashboard (p50..p99 of the
+    reference's own event payload metric) — the monitoring shape the
+    quantile registers exist for: one events scan, |types| x buckets
+    KB state, re-mergeable for any rollup."""
+    from pyspark.sql import functions as F
+
+    out = sketch_op.logbucket_quantiles_by_group(
+        load_table(spark, sf_dir, "events"),
+        group_col="event_type",
+        value=F.round(F.col("value") * 100.0, 0).cast("long"),
+    )
+    return out.select(
+        "event_type",
+        "frac",
+        "rank",
+        "bucket",
+        F.col("lb_cents").alias("lb_scaled"),
+        F.col("ub_cents").alias("ub_scaled"),
+        F.col("est_price").alias("est_value"),
+    )
+
+
+@register(
     "quantile_sketch_weighted", sketch_op.sql_logbucket_quantiles_weighted()
 )
 def quantile_sketch_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3247,7 +3280,7 @@ _COST_HINT = {
     "schema_drift_state_merge": 0.40,
     "quantile_sketch": 0.30, "rater_agreement_kappa": 0.45,
     "quantile_sketch_by_group": 0.35, "column_quantiles_catalog": 0.50,
-    "quantile_sketch_weighted": 0.30,
+    "quantile_sketch_weighted": 0.30, "event_value_percentiles": 0.35,
     "rolling_wau_hll_prod": 0.55, "column_stats_catalog_hll_prod": 1.20,
 }
 
