@@ -45,7 +45,11 @@ from eventstreamd_spark.operators.textops import CLF_W_RANGE
 INFER_SCHEMA = "doc_id bigint, n_feats bigint, logit double, keep boolean"
 
 _HALF = (CLF_W_RANGE - 1) // 2
-_WS = re.compile(r"\s+")
+# Explicit ASCII whitespace class: Python's \s is Unicode-aware (\xa0,
+#  , ...) while the Catalyst twin (F.split, Java regex) and the
+# DuckDB oracle treat \s as ASCII — the bit-for-bit parity contract
+# requires the kernel to tokenize exactly like Java's \s.
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _weight(bigram: str) -> float:
@@ -133,6 +137,42 @@ def _commit_shard(out_dir: str, shard: int, rows: int) -> None:
     os.replace(tmp, final)  # atomic: a crash leaves no torn marker
 
 
+def _check_job_identity(
+    out_dir: str, n_shards: int, kernel: Callable, schema: str
+) -> None:
+    """Pin the job identity (sharding + kernel + schema) in the
+    manifest: shard markers are only valid under the pmod modulus they
+    were written with — resuming with a different ``n_shards`` would
+    silently reuse markers from the old sharding while membership
+    changed, duplicating and dropping doc_ids.  Written atomically
+    before the first shard; a mismatch on resume raises instead of
+    corrupting."""
+    pdir = _progress_dir(out_dir)
+    ident = {
+        "n_shards": n_shards,
+        "kernel": getattr(kernel, "__qualname__", repr(kernel)),
+        "schema": schema,
+    }
+    path = os.path.join(pdir, "job.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        if prev != ident:
+            raise ValueError(
+                f"resume identity mismatch for {out_dir}: manifest was "
+                f"written by {prev}, this run is {ident}; scoring into "
+                "the same out_dir with a different sharding/kernel/"
+                "schema would duplicate and drop doc_ids — use a fresh "
+                "out_dir or the original parameters"
+            )
+        return
+    os.makedirs(pdir, exist_ok=True)
+    tmp = os.path.join(pdir, ".job.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(ident, fh)
+    os.replace(tmp, path)
+
+
 def resumable_inference(
     docs: DataFrame,
     out_dir: str,
@@ -154,6 +194,7 @@ def resumable_inference(
     shard s's parquet write but BEFORE its marker — the torn state the
     commit protocol exists to survive.
     """
+    _check_job_identity(out_dir, n_shards, kernel, schema)
     done = read_progress(out_dir)
     ran, skipped = [], sorted(done)
     for s in range(n_shards):

@@ -1375,8 +1375,12 @@ def kmv_join_size_prod(
 ) -> DataFrame:
     """Sketch-only twin of kmv_join_size: the planner answers |A ∩ B| /
     |A ∪ B| from the two k-row sketches alone — the corpus-wide exact
-    intersection (the eval leg) never runs, and with a single consumer
-    the presence table needs no checkpoint."""
+    intersection (the eval leg) never runs.  Theta is a window max over
+    the k-row bottom, so the bottom has exactly ONE consumer and the
+    corpus-wide presence aggregate runs once (a broadcast-theta leg
+    would re-scan orders per consumer; round-8 ADVICE fix)."""
+    from pyspark.sql.window import Window
+
     cut = F.lit(cutoff).cast("timestamp")
     flagged = orders.select(
         _h60(F.col("o_custkey").cast("string")).alias("h"),
@@ -1387,10 +1391,11 @@ def kmv_join_size_prod(
         F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
     )
     bottom = presence.orderBy("h").limit(k)
-    theta = bottom.agg(F.max("h").alias("theta"))
-    below = bottom.crossJoin(F.broadcast(theta)).filter(
-        F.col("h") < F.col("theta")
-    )
+    # max over the whole (single, k-row) window — k is sketch-sized, so
+    # the one-partition window is a constant-cost driver-free step
+    below = bottom.withColumn(
+        "theta", F.max("h").over(Window.partitionBy(F.lit(1)))
+    ).filter(F.col("h") < F.col("theta"))
     sk_agg = below.agg(
         F.count("*").cast("bigint").alias("n_below"),
         F.sum((F.col("in_a") * F.col("in_b")).cast("int"))

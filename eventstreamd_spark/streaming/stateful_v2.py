@@ -240,7 +240,6 @@ def streaming_sessionizer_v2_event_time(
     )
 
     gap_us = gap_s * 1_000_000
-    gap_ms = gap_s * 1_000
 
     class SessionizerET(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -262,17 +261,24 @@ def streaming_sessionizer_v2_event_time(
             return out
 
         def _close_and_rearm(self, ivs, wm_ms):
-            closed = [iv for iv in ivs if iv[2] // 1000 + gap_ms < wm_ms]
-            still = [iv for iv in ivs if iv[2] // 1000 + gap_ms >= wm_ms]
+            # Close and merge MUST use the same unit (microseconds): the
+            # merge step coalesces on `lo - hi <= gap_us`, so a session is
+            # only safely closed once `hi + gap_us < watermark_us` — the
+            # ms-floored variant could emit up to 999us early and split a
+            # session the batch twin would have merged.
+            wm_us = wm_ms * 1000
+            closed = [iv for iv in ivs if iv[2] + gap_us < wm_us]
+            still = [iv for iv in ivs if iv[2] + gap_us >= wm_us]
             self.open.clear()
             if still:
                 self.open.put(still)
             for t in list(self.handle.listTimers()):
                 self.handle.deleteTimer(t)
             if still:
-                self.handle.registerTimer(
-                    min(hi for _, _, hi in still) // 1000 + gap_ms + 1
-                )
+                # First whole ms whose watermark strictly clears
+                # min(hi) + gap_us (timers are ms-granular).
+                min_hi = min(hi for _, _, hi in still)
+                self.handle.registerTimer((min_hi + gap_us) // 1000 + 1)
             if closed:
                 return pd.DataFrame(
                     {

@@ -79,6 +79,49 @@ def test_crash_and_resume_exactly_once(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_resume_with_different_sharding_raises(spark, sf_dir, tmp_path):
+    """Resuming the same out_dir with a different n_shards must raise:
+    shard markers are only valid under the pmod modulus they were
+    written with — silently reusing them would duplicate and drop
+    doc_ids (round-8 ADVICE fix: job identity pinned in the manifest)."""
+    docs = _docs(spark, sf_dir)
+    out_dir = str(tmp_path / "scores_ident")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        inf.resumable_inference(
+            docs, out_dir, n_shards=4, _crash_before_commit=1
+        )
+    with pytest.raises(ValueError, match="identity mismatch"):
+        inf.resumable_inference(docs, out_dir, n_shards=8)
+    # the original parameters still resume cleanly
+    summary = inf.resumable_inference(docs, out_dir, n_shards=4)
+    assert summary["skipped"] == [0]
+    out = inf.read_inference_output(spark, out_dir)
+    assert out.count() == docs.count()
+
+
+def test_kernel_whitespace_is_ascii_like_java(spark):
+    """The kernel's tokenizer must match Java \\s (ASCII-only): a NBSP
+    must NOT split tokens in the kernel, exactly as in the Catalyst
+    twin — parity would silently fork on non-ASCII whitespace
+    otherwise (round-8 ADVICE fix)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["alpha\xa0beta gamma"]})
+    [out] = list(inf.classifier_kernel(iter([pdf])))
+    # Java \s does not match \xa0: tokens are ["alpha\xa0beta", "gamma"]
+    # -> exactly ONE bigram feature
+    assert out["n_feats"].tolist() == [1]
+    # and the Catalyst twin agrees on the same document
+    from eventstreamd_spark.operators import textops as t
+
+    df = spark.createDataFrame(
+        [(1, "alpha\xa0beta gamma")], "doc_id bigint, text string"
+    )
+    row = t.classifier_quality_scores(df).collect()[0]
+    assert row["n_feats"] == 1
+    assert row["logit"] == out["logit"].tolist()[0]
+
+
 def test_double_crash_replay_is_idempotent(spark, sf_dir, tmp_path):
     """Crash on the SAME shard twice (at-least-once execution), then
     finish: overwrite semantics mean the replays land on the same

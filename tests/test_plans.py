@@ -609,14 +609,18 @@ def test_knn_label_noise_ivf_candidates_equi_join(plans) -> None:
 def test_kmv_prod_twins_have_no_exact_leg(plans) -> None:
     # kmv_distinct_prod: no corpus-wide exact distinct aggregate —
     # the only distinct left is over the <= k x n_batches survivor
-    # union; kmv_join_size_prod: no exact-intersection aggregate, and
-    # the k-row bottom plans as TakeOrderedAndProject (no global sort)
+    # union; kmv_join_size_prod: no exact-intersection aggregate, the
+    # k-row bottom plans as TakeOrderedAndProject (no global sort), and
+    # — the actual cost contract — orders is scanned exactly ONCE:
+    # theta is a window max over the k-row bottom, so the corpus-wide
+    # presence aggregate has a single consumer (a broadcast-theta leg
+    # would re-run it per consumer; round-8 ADVICE fix)
     phys = plans("kmv_distinct_prod").split("== Physical Plan ==")[-1]
     assert "count(distinct" not in phys.lower()
     assert "TakeOrderedAndProject" in phys
     phys2 = plans("kmv_join_size_prod").split("== Physical Plan ==")[-1]
     assert "TakeOrderedAndProject" in phys2
-    assert "localCheckpoint" not in phys2  # single consumer: no materialization
+    assert phys2.count("Scan parquet") == 1
 
 
 def test_analyze_sketch_tier_single_scan(plans) -> None:

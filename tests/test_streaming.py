@@ -1122,7 +1122,10 @@ def test_event_time_sessionizer_matches_batch_on_late_data(
         "RocksDBStateStoreProvider",
     )
 
-    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    # 503us sub-ms jitter on every data row: the close threshold and
+    # the interval merge must agree at MICROSECOND granularity (round-8
+    # ADVICE — an ms-aligned fixture cannot catch a ms-floored close)
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0, 503)
     s = lambda k: t0 + datetime.timedelta(seconds=k)  # noqa: E731
     schema = StructType(
         [
