@@ -151,6 +151,74 @@ def main() -> None:
                 except Exception:
                     pass
 
+    # Escalation pass (round-8, VERDICT ask #8): a >1.4x round-over-round
+    # regression that survives the in-bench remeasure is STILL not
+    # evidence — round 7 proved two such "regressions" were session-state
+    # mirages (SCALE.md §14).  Escalate the worst survivors to a
+    # fresh-JVM control (tools/bench_fresh.py in a subprocess: one
+    # process, one session, nothing else run) and record the verdict in
+    # the sidecar, so round-end forensics start from measurements
+    # instead of suspicions.  Capped at 8 queries / bounded wall time;
+    # sub-150ms figures are pure jitter and never escalate.
+    import subprocess
+
+    escalated: list[dict] = []
+    suspects = sorted(
+        (
+            (t / prev[n], n)
+            for n, t in timings.items()
+            if n in prev and prev[n] > 0.15 and t > 1.4 * prev[n]
+        ),
+        reverse=True,
+    )[:8]
+    fresh_path = os.path.join(repo_dir, "tools", "BENCH_FRESH.json")
+    fresh_all: dict = {}
+    if os.path.exists(fresh_path):
+        try:
+            with open(fresh_path) as fh:
+                fresh_all = json.load(fh)
+        except Exception:
+            pass
+    for ratio, name in suspects:
+        rec: dict
+        try:
+            r = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(repo_dir, "tools", "bench_fresh.py"),
+                    name,
+                    "3",
+                ],
+                capture_output=True,
+                text=True,
+                cwd=repo_dir,
+                timeout=900,
+            )
+            rec = json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception as exc:
+            escalated.append({"query": name, "error": str(exc)[:200]})
+            continue
+        fresh = rec["best_sec"]
+        verdict = (
+            "regression_confirmed"
+            if fresh > 1.4 * prev[name]
+            else "session_noise"
+        )
+        escalated.append(
+            {
+                "query": name,
+                "prev_in_bench_sec": prev[name],
+                "in_bench_sec": timings[name],
+                "fresh_sec": fresh,
+                "ratio_in_bench": round(ratio, 3),
+                "verdict": verdict,
+            }
+        )
+        fresh_all[name] = rec
+    if escalated:
+        with open(fresh_path, "w") as fh:
+            json.dump(fresh_all, fh, indent=1, sort_keys=True)
+
     # The driver's stdout capture keeps only the tail 2,000 chars, so the
     # full per-query map (124 queries ~ 3.8 KB) beheads the JSON line.
     # stdout gets a compact summary (headline metric + the slowest queries);
@@ -165,6 +233,7 @@ def main() -> None:
         "n_queries": len(timings),
         "cold_total_sec": round(sum(cold.values()), 4),
         "remeasured": remeasured,
+        "escalated": escalated,
         "failures": failures,
     }
     # round-suffixed detail is the durable record (the unsuffixed file

@@ -1,0 +1,352 @@
+"""Perceptual near-duplicate detection for media blobs (round-8,
+VERDICT ask #5): exact digests (``multimodal.media_dedup``) miss
+re-encoded or RESIZED duplicate images; the standard cheap fix is a
+perceptual hash — aHash (average hash) and dHash (gradient hash) over
+a downsampled grayscale grid — followed by Hamming-banded candidate
+generation, the same banding idiom as ``dedup.simhash_pairs``.
+
+Everything is integer arithmetic (no DCT, no libm):
+
+- decode the PNG for REAL (functions/png.py: zlib inflate + scanline
+  unfilter), grayscale = per-pixel channel-byte sum, downsample to an
+  8x8 grid of (block_sum, block_px) pairs with integer block edges
+  ``gi = (r*8)//h`` — exact for any image size;
+- **aHash bit(i,j)** = ``S(i,j) * n_total >= S_total * n(i,j)`` — the
+  "cell above corpus-free global mean" test, cross-multiplied so no
+  division ever happens (ties deterministic via >=);
+- **dHash bit(i,j)** = ``S(i,j) * n(i,j+1) > S(i,(j+1)%8) * n(i,j)``
+  — the horizontal-gradient sign, cross-multiplied, wrap column keeps
+  it at 64 bits;
+- each 64-bit hash travels as two nonneg 32-bit halves in BIGINT
+  columns (no sign-bit trap in either engine);
+- candidates: 4 bands x 16 bits per hash (8 (kind, band) keys/doc),
+  equi-join on (kind, band, bhash) — by pigeonhole a pair within
+  Hamming 3 of EITHER hash is guaranteed a band collision; verify =
+  combined 128-bit Hamming <= HAMMING_MAX via bit_count(xor).
+
+Scale shape at 100 TB: per-image work is one Arrow-batched decode
+kernel (mapInPandas); everything after is 5 BIGINTs/doc — the band
+join shuffles 8 small rows per doc, bucket population is bounded by
+the 16-bit band space times near-dup density (a degenerate corpus —
+billions of all-black thumbnails — would need the hot-bucket guard
+from ``dedup.ngram_jaccard_pairs``; plumb ``max_bucket`` there if so);
+the verify is per-candidate O(1).  No all-pairs stage anywhere.
+
+Fixture: ``documents_as_scene_png_media`` renders one REAL PNG per
+document from a closed-form 8x8 "scene" (hash-mixed integer values),
+at a per-member resolution — cohorts of 4 docs share a scene: member
+0 renders 16x16, member 1 renders 24x24 (a true resized duplicate),
+member 2 renders 32x32 with ONE scene cell xor-perturbed (re-encode
+noise: tiny Hamming distance), member 3 gets a fresh scene (negative
+control).  Because the scene is piecewise-constant on the 8x8 grid
+and every render size is a multiple of 8, the downsampled grid
+EXACTLY recovers the scene at any resolution — so the DuckDB oracle
+can state both hashes, the banding, and the pair set purely
+arithmetically while the Spark side exercises the full real pipeline
+(PNG encode -> decode -> grid -> hash -> band join -> verify).
+
+Reference parity note: the reference (srittau/eventstreamd) has no
+media surface; this operator is part of the layer-B training-data
+pipeline mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from eventstreamd_spark.session import fan_out
+
+GRID = 8
+N_CELLS = GRID * GRID
+BAND_BITS = 16
+N_BANDS = 4  # per 64-bit hash
+HAMMING_MAX = 10  # combined aHash+dHash verify threshold
+COHORT = 4
+MEMBER_SIZES = (16, 24, 32, 16)  # all multiples of GRID
+PERTURB_XOR = 64
+
+# scene-value mix: murmur-style finalizer (multiply, xorshift, x2, take
+# the HIGH byte).  Two properties matter and were verified empirically
+# (1200 scenes / 719k pairs): (a) cross-scene hash Hamming >= 29 — an
+# affine-in-s mix fails here catastrophically, because both hashes are
+# invariant under a constant brightness shift and the low bits of a
+# modular product depend only on low input bits, so v MUST come from
+# the high byte after the final multiply; (b) every intermediate
+# product stays under 2^63 for s up to ~10^9 (DuckDB BIGINT is the
+# binding constraint — Python ints don't overflow).
+_MIX_K1 = 2654435761  # Knuth multiplicative
+_MIX_K2 = 1597334677  # xorshift* mix
+_MIX_K3 = 1540483477  # murmur2 M (keeps 2^32 * K3 < 2^63)
+_MIX_CELL = 40503
+_MIX_ADD = 12345
+_M32 = 4294967296  # 2^32
+
+
+def _scene_value(s: int, cell: int) -> int:
+    """Closed-form scene byte for (scene s, grid cell 0..63) — the
+    formula the DuckDB oracle replays verbatim."""
+    h1 = ((s + 1) * _MIX_K1) % _M32
+    h1 ^= h1 >> 13
+    h2 = ((h1 + cell * _MIX_CELL + _MIX_ADD) * _MIX_K2) % _M32
+    h2 ^= h2 >> 16
+    return ((h2 * _MIX_K3) % _M32) >> 24
+
+
+def _doc_scene(doc_id: int) -> tuple[int, int, bool]:
+    """(scene key, render size, perturbed?) for a document."""
+    m = doc_id % COHORT
+    s = 2 * (doc_id // COHORT) + (1 if m == 3 else 0)
+    return s, MEMBER_SIZES[m], m == 2
+
+
+def _synth_scene_png(doc_id: int) -> bytes:
+    """Render the document's scene as a REAL grayscale-in-RGB PNG at
+    its member resolution; pixel (r,c) shows scene cell
+    ((r*8)//size, (c*8)//size)."""
+    from eventstreamd_spark.functions.png import encode_png
+
+    s, size, perturbed = _doc_scene(doc_id)
+    pcell = s % N_CELLS
+    vals = []
+    for cell in range(N_CELLS):
+        v = _scene_value(s, cell)
+        if perturbed and cell == pcell:
+            v ^= PERTURB_XOR
+        vals.append(v)
+    px = bytearray(size * size * 3)
+    i = 0
+    for r in range(size):
+        gi = (r * GRID) // size
+        for c in range(size):
+            v = vals[gi * GRID + (c * GRID) // size]
+            px[i] = px[i + 1] = px[i + 2] = v
+            i += 3
+    return encode_png(size, size, 3, bytes(px))
+
+
+def documents_as_scene_png_media(docs: DataFrame) -> DataFrame:
+    """Adapter: one scene-rendered PNG per document (stands in for the
+    object-store fetch stage, like the other media adapters)."""
+    from eventstreamd_spark.operators.multimodal import _synth_media_adapter
+
+    return _synth_media_adapter(docs, _synth_scene_png, F.lit("image/png"))
+
+
+def _grid_hashes(blob: bytes) -> tuple[int, int, int, int]:
+    """(a_hi, a_lo, d_hi, d_lo) from a decoded PNG — pure integer
+    pipeline; works for ANY image size >= 8x8 (integer block edges).
+    Overflow note: the cross-multiplied compares stay inside int64 for
+    images up to ~10^8 pixels (S <= 765*W*H, times n_total = W*H)."""
+    import numpy as np
+
+    from eventstreamd_spark.functions.png import decode_png
+
+    w, h, channels, pixels = decode_png(blob)
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+    gray = arr.reshape(h, w, channels).sum(axis=2)  # channel-byte sum
+    gi = (np.arange(h, dtype=np.int64) * GRID) // h
+    gj = (np.arange(w, dtype=np.int64) * GRID) // w
+    idx = (gi[:, None] * GRID + gj[None, :]).ravel()
+    S = np.zeros(N_CELLS, dtype=np.int64)
+    np.add.at(S, idx, gray.ravel())
+    n = np.bincount(idx, minlength=N_CELLS).astype(np.int64)
+    abits = S * n.sum() >= S.sum() * n
+    S8, n8 = S.reshape(GRID, GRID), n.reshape(GRID, GRID)
+    Sn, nn = np.roll(S8, -1, axis=1), np.roll(n8, -1, axis=1)
+    dbits = (S8 * nn > Sn * n8).ravel()
+
+    def pack(bits) -> tuple[int, int]:
+        lo = hi = 0
+        for k in range(32):
+            lo |= int(bits[k]) << k
+            hi |= int(bits[32 + k]) << k
+        return hi, lo
+
+    a_hi, a_lo = pack(abits)
+    d_hi, d_lo = pack(dbits)
+    return a_hi, a_lo, d_hi, d_lo
+
+
+HASH_SCHEMA = "doc_id bigint, a_hi bigint, a_lo bigint, d_hi bigint, d_lo bigint"
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """Per-blob aHash/dHash as two 32-bit halves each — the decode is
+    the per-row cost, so fan_out before the Arrow kernel (SCALE.md §15
+    rule) and project to (doc_id, blob) first (nothing prunes through
+    the mapInPandas barrier)."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [_grid_hashes(bytes(b)) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "a_hi": pd.Series([t[0] for t in hashes], dtype="int64"),
+                    "a_lo": pd.Series([t[1] for t in hashes], dtype="int64"),
+                    "d_hi": pd.Series([t[2] for t in hashes], dtype="int64"),
+                    "d_lo": pd.Series([t[3] for t in hashes], dtype="int64"),
+                }
+            )
+
+    return fan_out(media.select("doc_id", "blob")).mapInPandas(
+        kernel, schema=HASH_SCHEMA
+    )
+
+
+_HALVES = ("a_hi", "a_lo", "d_hi", "d_lo")
+
+
+def media_near_dup(media: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """Banded perceptual near-dup pairs (simhash_pairs idiom): 4 bands
+    x 16 bits per hash; a pair within Hamming 3 of either hash is
+    GUARANTEED a band collision (pigeonhole), so the planted one-cell
+    perturbation (dHash distance <= 2 by construction — a flipped cell
+    touches exactly its two horizontal comparisons) can never be
+    missed; verify = combined 128-bit Hamming <= ``hamming_max``."""
+    sig = perceptual_hashes(media)
+    mask = (1 << BAND_BITS) - 1
+    bands = []
+    for kind, hi, lo in (("a", "a_hi", "a_lo"), ("d", "d_hi", "d_lo")):
+        for b in range(N_BANDS):
+            src = F.col(lo) if b < 2 else F.col(hi)
+            shift = (b % 2) * BAND_BITS
+            bands.append(
+                F.struct(
+                    F.lit(f"{kind}{b}").alias("band"),
+                    F.shiftright(src, shift).bitwiseAND(F.lit(mask)).alias("bhash"),
+                )
+            )
+    stacked = sig.select(
+        "doc_id", *_HALVES, F.explode(F.array(*bands)).alias("bb")
+    ).select(
+        "doc_id",
+        *_HALVES,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bhash").alias("bhash"),
+    )
+    l, r = stacked.alias("l"), stacked.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            *[F.col(f"l.{c}").alias(f"{c}_a") for c in _HALVES],
+            *[F.col(f"r.{c}").alias(f"{c}_b") for c in _HALVES],
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"{c}_a").bitwiseXOR(F.col(f"{c}_b")))
+        for c in _HALVES
+    )
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — the arithmetic twins (scene formula, never PNG bytes)
+# ---------------------------------------------------------------------------
+
+
+def _sql_scene_hashes(table: str = "documents") -> str:
+    """Shared CTE chain ending in ``sig(doc_id, a_hi, a_lo, d_hi,
+    d_lo)``.  Uniform block sizes (render sizes are multiples of 8)
+    cancel out of both cross-multiplied compares, so the oracle's bits
+    depend only on the 64 scene bytes — exactly the resize invariance
+    the operator exists to provide."""
+    return f"""
+m AS (
+  SELECT doc_id,
+         2 * (doc_id // {COHORT})
+           + CASE WHEN doc_id % {COHORT} = 3 THEN 1 ELSE 0 END AS s,
+         doc_id % {COHORT} = 2 AS perturbed
+  FROM {table}
+),
+mix1 AS (
+  SELECT doc_id, s, perturbed,
+         xor((s + 1) * {_MIX_K1} % {_M32},
+             ((s + 1) * {_MIX_K1} % {_M32}) >> 13) AS h1
+  FROM m
+),
+mix2 AS (
+  SELECT doc_id, s, perturbed, cc.cell,
+         ((h1 + cc.cell * {_MIX_CELL} + {_MIX_ADD}) * {_MIX_K2}) % {_M32}
+           AS h2
+  FROM mix1, LATERAL (SELECT unnest(range({N_CELLS})) AS cell) cc
+),
+scene AS (
+  SELECT doc_id, cell,
+         CASE WHEN perturbed AND cell = s % {N_CELLS}
+              THEN xor((xor(h2, h2 >> 16) * {_MIX_K3} % {_M32}) >> 24,
+                       {PERTURB_XOR})
+              ELSE (xor(h2, h2 >> 16) * {_MIX_K3} % {_M32}) >> 24
+          END AS val
+  FROM mix2
+),
+tot AS (SELECT doc_id, sum(val) AS total FROM scene GROUP BY doc_id),
+bits AS (
+  SELECT g.doc_id, g.cell,
+         CASE WHEN {N_CELLS} * g.val >= t.total THEN 1 ELSE 0 END AS abit,
+         CASE WHEN g.val > nx.val THEN 1 ELSE 0 END AS dbit
+  FROM scene g
+  JOIN tot t ON t.doc_id = g.doc_id
+  JOIN scene nx ON nx.doc_id = g.doc_id
+   AND nx.cell = (g.cell // {GRID}) * {GRID} + (g.cell + 1) % {GRID}
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN cell >= 32 THEN abit << (cell - 32) ELSE 0 END) AS a_hi,
+         sum(CASE WHEN cell < 32 THEN abit << cell ELSE 0 END) AS a_lo,
+         sum(CASE WHEN cell >= 32 THEN dbit << (cell - 32) ELSE 0 END) AS d_hi,
+         sum(CASE WHEN cell < 32 THEN dbit << cell ELSE 0 END) AS d_lo
+  FROM bits GROUP BY doc_id
+)"""
+
+
+def sql_perceptual_hashes(table: str = "documents") -> str:
+    return f"""
+WITH {_sql_scene_hashes(table)}
+SELECT doc_id, a_hi, a_lo, d_hi, d_lo FROM sig
+"""
+
+
+def sql_media_near_dup(
+    table: str = "documents", hamming_max: int = HAMMING_MAX
+) -> str:
+    mask = (1 << BAND_BITS) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, a_hi, a_lo, d_hi, d_lo, '{kind}{b}' AS band, "
+        f"({'(' + src + ' >> ' + str(BAND_BITS) + ')' if b % 2 else src})"
+        f" & {mask} AS bhash FROM sig"
+        for kind in ("a", "d")
+        for b, src in enumerate(
+            [f"{kind}_lo", f"{kind}_lo", f"{kind}_hi", f"{kind}_hi"]
+        )
+    )
+    ham = " + ".join(
+        f"bit_count(xor(l.{c}, r.{c}))" for c in ("a_hi", "a_lo", "d_hi", "d_lo")
+    )
+    return f"""
+WITH {_sql_scene_hashes(table)},
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         {ham} AS hamming
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM cand WHERE hamming <= {hamming_max}
+"""

@@ -45,6 +45,60 @@ def salted_agg(
     return partial.groupBy(key).agg(F.sum("__partial").alias(count_alias))
 
 
+def salted_topk(
+    df: DataFrame,
+    key: str,
+    value_col: str = "value",
+    k: int = 5,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact per-key top-k values, skew-proof.
+
+    ``collect_list``-based aggregates are the groupBy shape that
+    actually suffers under key skew: unlike count/sum, their PARTIAL
+    state is the whole value list, so map-side combine doesn't shrink
+    the shuffle and the heavy key's every row lands on one reducer
+    that then sorts them single-threaded (measured: tools/
+    skew_bench.py, SCALE.md §16).  Top-k is salvage-able because it is
+    algebraic in disguise: top-k of a union = top-k of the per-part
+    top-k's.  Phase 1 takes top-k per (key, salt) — bounded state,
+    balanced reducers; phase 2 merges at most ``n_salts * k`` values
+    per key.  Results are exact and salt-assignment-independent."""
+    salted = df.withColumn(
+        "__salt", (F.monotonically_increasing_id() % n_salts).cast("int")
+    )
+    partial = salted.groupBy(key, "__salt").agg(
+        F.slice(
+            F.sort_array(F.collect_list(value_col), asc=False), 1, k
+        ).alias("__top")
+    )
+    merged = partial.groupBy(key).agg(
+        F.flatten(F.collect_list("__top")).alias("__all")
+    )
+    return merged.select(
+        key, F.slice(F.sort_array("__all", asc=False), 1, k).alias("topk")
+    )
+
+
+def sql_topk_per_key(
+    table: str, key: str, value_col: str, k: int = 5
+) -> str:
+    """DuckDB twin of salted_topk, unpivoted to fixed columns (list
+    cells choke the driver's canonicalizer): v1..vk, null-padded."""
+    cols = ", ".join(
+        f"round(vs[{i + 1}], 6) AS v{i + 1}" for i in range(k)
+    )
+    return f"""
+WITH t AS (
+  SELECT {key},
+         list_sort(list({value_col}) FILTER (WHERE {value_col} IS NOT NULL),
+                   'DESC') AS vs
+  FROM {table} GROUP BY {key}
+)
+SELECT {key}, {cols} FROM t
+"""
+
+
 def bucketed_join_tables(
     spark,
     left: DataFrame,

@@ -30,6 +30,7 @@ from eventstreamd_spark.operators import bpe as bpe_op
 from eventstreamd_spark.operators import merge as merge_op
 from eventstreamd_spark.operators import dedup as dedup_op
 from eventstreamd_spark.operators import multimodal as mm_op
+from eventstreamd_spark.operators import perceptual as perc_op
 from eventstreamd_spark.operators import similarity as sim_op
 from eventstreamd_spark.operators import textops as text_op
 from eventstreamd_spark.operators import envelope as envelope_op
@@ -37,6 +38,7 @@ from eventstreamd_spark.operators import relational as rel
 from eventstreamd_spark.operators import routing as routing_op
 from eventstreamd_spark.operators import expectations as expect_op
 from eventstreamd_spark.operators import sketches as sketch_op
+from eventstreamd_spark.operators import skew as skew_op
 from eventstreamd_spark.operators import stats as stats_op
 from eventstreamd_spark.operators import layout as layout_mod
 from eventstreamd_spark.operators import windows as windows_op
@@ -1633,6 +1635,28 @@ def salted_heavy_hitter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_topk_values",
+    skew_op.sql_topk_per_key("events", "user_id", "value"),
+)
+def salted_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof exact per-user top-5 values (round-8): collect_list
+    aggregates are the groupBy shape map-side combine can NOT save
+    under key skew (the partial state is the list itself —
+    tools/skew_bench.py measures the straggler); the salted two-phase
+    top-k bounds per-reducer state at n_salts x k.  Oracle is the
+    plain unsalted GROUP BY: the hash match proves salting is exact."""
+    from eventstreamd_spark.operators.skew import salted_topk
+
+    top = salted_topk(
+        load_table(spark, sf_dir, "events"), "user_id", "value", k=5
+    )
+    return top.select(
+        "user_id",
+        *[F.round(F.col("topk")[i], 6).alias(f"v{i + 1}") for i in range(5)],
+    )
+
+
+@register(
     "global_sorted_orders",
     "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders",
 )
@@ -2130,9 +2154,6 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.quantized_embeddings_csv(
         load_table(spark, sf_dir, "embeddings")
     )
-
-
-from eventstreamd_spark.operators import skew as skew_op  # noqa: E402
 
 
 @register(
@@ -3094,6 +3115,31 @@ def column_stats_catalog_hll_prod(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register("media_perceptual_hashes", perc_op.sql_perceptual_hashes())
+def media_perceptual_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aHash/dHash (integer average/gradient hash over a downsampled
+    grayscale grid) for every blob of the scene-PNG corpus — the REAL
+    decode path (zlib inflate + unfilter) vs the oracle's closed-form
+    scene arithmetic; a decoder or grid bug flips hash bits."""
+    media = perc_op.documents_as_scene_png_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return perc_op.perceptual_hashes(media)
+
+
+@register("media_near_dup", perc_op.sql_media_near_dup())
+def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs: Hamming-banded candidates (4x16-bit
+    bands per hash, simhash_pairs idiom) + combined-Hamming verify —
+    catches the resized duplicates (member 1: Hamming 0 at a different
+    resolution) and re-encode-noise twins (member 2) that exact
+    digests (media_dedup) miss by construction."""
+    media = perc_op.documents_as_scene_png_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return perc_op.media_near_dup(media)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -3109,18 +3155,19 @@ def column_stats_catalog_hll_prod(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _PRIORITY = [
     # §2 faithful core: filter DSL (O4-O6, f1, f2, f6), envelope (O2),
-    # routing (O3), stats (O11), SSE (O7, f3-f5), ping (O8), expiry (O9)
+    # routing (O3), stats (O11), SSE (O7, f3-f5), ping (O8), expiry (O9).
+    # Round-8 rotation (VERDICT ask #6): the window had been frozen
+    # since round 1; three of the four filter_dsl variants, sse_chunked,
+    # and the two approx_* demos move to the digest-pinned tail (still
+    # pytest-covered) so the six production-tier queries get direct
+    # driver-green correctness rows.
     "flagship_filter_dsl",
-    "filter_dsl_int",
-    "filter_dsl_conjunction",
-    "filter_dsl_date",
     "envelope_validate",
     "routing_fanout",
     "subsystem_counts",
     "subsystem_stats",
     "server_stats",
     "sse_frames",
-    "sse_chunked",
     "ping_spine",
     "expiry_logouts",
     # dedup tiers
@@ -3164,10 +3211,20 @@ _PRIORITY = [
     "sliding_window_counts",
     "sessionization",
     "funnel_counts",
-    # sketches
+    # sketches: the production tier (sketch-only plans — what actually
+    # ships at 100 TB) gets the driver-green slots
+    "hll_distinct_prod",
+    "kmv_join_size_prod",
+    "quantile_sketch",
+    "column_stats_catalog_hll_prod",
+    "knn_label_noise_ivf",
+    # positions 51+: first checked if the driver window is wider than 50
+    "filter_dsl_int",
+    "filter_dsl_conjunction",
+    "filter_dsl_date",
+    "sse_chunked",
     "approx_distinct_parts",
     "approx_quantity_quantiles",
-    # positions 51+: first checked if the driver window is wider than 50
     "dedup_ngram_df_cutoff",
     "dedup_ngram_df_frac_cutoff",
     "temperature_mix",
@@ -3282,6 +3339,9 @@ _COST_HINT = {
     "quantile_sketch_by_group": 0.35, "column_quantiles_catalog": 0.50,
     "quantile_sketch_weighted": 0.30, "event_value_percentiles": 0.35,
     "rolling_wau_hll_prod": 0.55, "column_stats_catalog_hll_prod": 1.20,
+    # round-8: perceptual media near-dup + skew tier
+    "media_perceptual_hashes": 0.50, "media_near_dup": 0.80,
+    "salted_topk_values": 0.45,
 }
 
 

@@ -623,6 +623,24 @@ def test_kmv_prod_twins_have_no_exact_leg(plans) -> None:
     assert phys2.count("Scan parquet") == 1
 
 
+def test_salted_topk_two_phase(plans) -> None:
+    # phase 1 groups on (user_id, __salt): the heavy key's rows spread
+    # over n_salts reducers with bounded per-group state; phase 2 is
+    # keys x n_salts x k rows only
+    phys = plans("salted_topk_values").split("== Physical Plan ==")[-1]
+    assert "__salt" in phys
+
+
+def test_media_near_dup_band_equi_join(plans) -> None:
+    # candidates come from an EQUI join on (band, bhash) — never a
+    # cross/nested-loop pair enumeration; verify is per-candidate O(1)
+    phys = plans("media_near_dup").split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" in phys or "ShuffledHashJoin" in phys \
+        or "BroadcastHashJoin" in phys
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+
 def test_analyze_sketch_tier_single_scan(plans) -> None:
     """The one-pass rewrite: the sketch-tier ANALYZE job folds null
     counts into the register shuffle (bucket -1), so the fact table is

@@ -57,7 +57,17 @@ def measure(name: str, n: int = 4) -> dict:
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--sweep":
+        # merge-by-default: coverage accrues across sweeps (a later
+        # sweep of new queries must not delete the controls already on
+        # record for the driver window / top-30)
         out = {}
+        path0 = os.path.join(REPO, "tools", "BENCH_FRESH.json")
+        if os.path.exists(path0):
+            try:
+                with open(path0) as fh:
+                    out = json.load(fh)
+            except json.JSONDecodeError:
+                pass
         for q in args[1:]:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), q],

@@ -32,6 +32,33 @@ def counts() -> dict[str, int]:
     }
 
 
+def sidecar_sync() -> list[str]:
+    """Round-close checklist (round-8, VERDICT ask #3): the evidence a
+    judge relies on must be IN HISTORY, not the working tree — round 7
+    closed with BENCH_r07/CORRECTNESS_r07 untracked and two sidecars
+    dirty despite a commit titled 'Sync the sidecar'.  Returns the
+    evidence files git still sees as untracked/modified."""
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "status", "--porcelain"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    ).stdout
+    evidence = re.compile(
+        r"(BENCH(_DETAIL)?_r\d+\.json|CORRECTNESS_r\d+\.json|"
+        r"LEAKCHECK\.json|COPYCHECK\.json|BENCH_DETAIL\.json|"
+        r"tools/(BENCH_FRESH|SCALE_PROBE|SF1_PASS|SF10_PROBE)\.json)$"
+    )
+    dirty = []
+    for line in out.splitlines():
+        path = line[3:].strip()
+        if evidence.search(path):
+            dirty.append(f"{line[:2].strip() or '??'} {path}")
+    return dirty
+
+
 def main() -> None:
     c = counts()
     # CURRENT-count phrasings only — a blanket `\d+ registered queries`
@@ -55,6 +82,13 @@ def main() -> None:
             open(path, "w").write(new)
             print(f"updated {doc}")
     print(c)
+    dirty = sidecar_sync()
+    if dirty:
+        print("UNSYNCED EVIDENCE SIDECARS (commit these before round close):")
+        for d in dirty:
+            print(f"  {d}")
+        sys.exit(1)
+    print("evidence sidecars: all committed")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,287 @@
+#!/usr/bin/env python
+"""sf10 probe of the super-linear tail (round-8, VERDICT ask #1): one
+more decade of scale evidence for the worst-10 sf1 ratios — the
+join-bound tiers that consume the most of the 3x extrapolation budget
+and would BE the pipeline's cost at 100 TB.
+
+Method: build a 100x blow-up of sf0.1 (~sf10-equivalent: 500k docs /
+200k vectors / 10M events / 60M lineitem rows) with the SAME
+mutual-dissimilarity construction as the 10x probe (scale_probe.py:
+per-replica word suffixes keep all shingles distinct across replicas;
+embeddings get a unique isometry per replica — cyclic rotation for
+reps 0-63, rotation + global negation for 64-99, so cosines inside a
+replica are preserved exactly while cross-replica cosines decorrelate
+and no replica pair is a planted near-dup clique).  Measure each
+target at sf1 (the existing 10x scratch) and sf10 IN THE SAME SESSION
+and report the measured decade exponent
+
+    a10 = log10(t_sf10 / t_sf1),
+
+which — unlike the sf0.1 -> sf1 probes, where fixed overhead still
+dominates — is taken at sizes where the asymptotic term is the bill.
+
+Gate: a10 must sit at-or-below the claimed bound (+0.10 measurement
+tolerance), or the query finishes <= 20 s at sf10 (the absolute floor:
+sub-20 s on 6 GB of input is not a cliff).  A FAIL means the plan, not
+the footnote, needs fixing.
+
+Writes tools/SF10_PROBE.json and prints the SCALE.md markdown table.
+Run ALONE (no concurrent Spark) — same rule as bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH100 = os.path.join(REPO, ".scratch", "sf_probe100x")
+REPLICAS = 100
+
+# (query, claimed exponent, claim text) — the worst-10 sf1 ratios from
+# tools/SF1_PASS.json (r7 full sweep), ratios in the comment
+TARGETS = [
+    ("dedup_clusters", 1.15, "~N log n (large-star/small-star)"),       # 1.73
+    ("dedup_ngram_jaccard", 1.0, "~N (inverted index + guard)"),        # 1.60
+    ("similarity_lsh_ann", 1.0, "~N (bucketed corpus, bcast queries)"), # 1.55
+    ("kmv_distinct", 1.0, "~N (bottom-k partials, k-row merge)"),       # 1.27
+    ("cms_heavy_hitters", 1.0, "~N (d x w cells, map-side sum)"),       # 1.23
+    ("embedding_covariance", 1.0, "~N (Arrow int64-Gram partials)"),    # 1.20
+    ("price_quantity_moments", 1.0, "~N (single-scan moment fold)"),    # 1.14
+    ("pagerank_canonical", 1.15, "~E log n + 5 E-join rounds"),         # 1.12
+    ("media_corpus_manifest", 1.0, "~N (digest agg + prefix packing)"), # 0.84
+    ("corpus_build_manifest", 1.0, "~N (single-tokenize fold)"),        # 0.41
+]
+
+TOLERANCE = 0.10
+FLOOR_SEC = 20.0
+
+
+def build_blowup100(spark) -> None:
+    """100x blow-up under SCRATCH100; same construction rules as
+    scale_probe.build_blowup, one decade further."""
+    from pyspark.sql import functions as F
+
+    from eventstreamd_spark.session import load_table
+
+    os.makedirs(SCRATCH100, exist_ok=True)
+    done_marker = os.path.join(SCRATCH100, ".complete")
+    if os.path.exists(done_marker):
+        print("100x blow-up already built")
+        return
+
+    for t in ("region", "nation", "customer", "supplier", "orders"):
+        dst = os.path.join(SCRATCH100, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(os.path.join(BASE, f"{t}.parquet"), dst)
+
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+
+    # lineitem + part: consistent key offsets (join stays valid)
+    li = load_table(spark, BASE, "lineitem")
+    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0]
+    pt = load_table(spark, BASE, "part")
+    max_pk = pt.agg(F.max("p_partkey")).collect()[0][0]
+    li.crossJoin(reps).select(
+        (F.col("l_orderkey") + F.col("rep") * (max_ok + 1)).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("rep") * (max_pk + 1)).alias("l_partkey"),
+        *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SCRATCH100, "lineitem.parquet")
+    )
+    p_resuffixed = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("p_name"), r"\s+"),
+            lambda w: F.concat(w, F.lit("~"), F.col("rep").cast("string")),
+        ),
+    )
+    pt.crossJoin(reps).select(
+        (F.col("p_partkey") + F.col("rep") * (max_pk + 1)).alias("p_partkey"),
+        F.when(F.col("rep") == 0, F.col("p_name"))
+        .otherwise(p_resuffixed)
+        .alias("p_name"),
+        *[c for c in pt.columns if c not in ("p_partkey", "p_name")],
+    ).repartition(16).write.mode("overwrite").parquet(
+        os.path.join(SCRATCH100, "part.parquet")
+    )
+
+    # events: 100x cardinality of event_id, same users/types/timestamps
+    ev = load_table(spark, BASE, "events")
+    n_ev = ev.count()
+    ev.crossJoin(reps).select(
+        (F.col("event_id") + F.col("rep") * (n_ev * 100)).alias("event_id"),
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SCRATCH100, "events.parquet")
+    )
+
+    # documents: per-replica word suffix -> all shingles distinct
+    # across replicas, intra-replica near-dup structure preserved
+    docs = load_table(spark, BASE, "documents")
+    n_docs = docs.count()
+    resuffixed = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("text"), r"\s+"),
+            lambda w: F.concat(w, F.lit("~"), F.col("rep").cast("string")),
+        ),
+    )
+    docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * (n_docs * 100)).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(resuffixed)
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).repartition(16).write.mode("overwrite").parquet(
+        os.path.join(SCRATCH100, "documents.parquet")
+    )
+
+    # embeddings: unique isometry per replica.  rot(r) = cyclic shift
+    # by 7r mod 64 (7 coprime to 64 -> 64 distinct shifts); replicas
+    # 64-99 additionally negate every coordinate.  Both operations
+    # preserve pairwise cosines exactly inside a replica; across
+    # replicas either the shift differs (decorrelated) or the shift
+    # matches but one side is negated (cosine = -cos, never a near-dup)
+    emb = load_table(spark, BASE, "embeddings")
+    n_vec = emb.count()
+    rot = (F.col("rep") * 7 % 64).cast("int")
+    rotated = F.concat(
+        F.slice(F.col("embedding"), rot + 1, 64 - rot),
+        F.slice(F.col("embedding"), 1, rot),
+    )
+    signed = F.when(F.col("rep") < 64, rotated).otherwise(
+        F.transform(rotated, lambda x: -x)
+    )
+    emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * (n_vec * 100)).alias("vec_id"),
+        F.when(F.col("rep") == 0, F.col("embedding"))
+        .otherwise(signed)
+        .alias("embedding"),
+        "label",
+    ).repartition(16).write.mode("overwrite").parquet(
+        os.path.join(SCRATCH100, "embeddings.parquet")
+    )
+    with open(done_marker, "w") as fh:
+        fh.write("ok\n")
+    print(
+        f"100x blow-up ready: {n_docs * REPLICAS} docs, "
+        f"{n_vec * REPLICAS} vecs, {n_ev * REPLICAS} events"
+    )
+
+
+def timed(fn, spark, sf_dir: str, runs: int) -> float:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # cold
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    only: list[str] = []
+    if "--only" in sys.argv[1:]:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+
+    from eventstreamd_spark.session import get_spark
+
+    spark = get_spark(
+        "sf10-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from eventstreamd_spark import queries_registry as reg
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import scale_probe as probe
+
+    probe.build_blowup(spark)  # the sf1 (10x) side, re-measured fresh
+    build_blowup100(spark)
+
+    results = {}
+    any_fail = False
+    targets = [t for t in TARGETS if not only or t[0] in only]
+    for name, claim_a, claim_txt in targets:
+        fn = reg.QUERIES[name]
+        try:
+            t1 = timed(fn, spark, probe.SCRATCH, runs=2)
+            # sf10 runs are 10-200s: one cold + one timed is enough
+            # signal, and a second timed run only when it is cheap
+            t10 = timed(fn, spark, SCRATCH100, runs=1)
+            if t10 < 30.0:
+                t0 = time.perf_counter()
+                fn(spark, SCRATCH100).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                t10 = min(t10, time.perf_counter() - t0)
+        except Exception as exc:
+            any_fail = True
+            results[name] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200],
+                "ok": False,
+            }
+            print(f"{name}: ERROR {results[name]['error']}")
+            continue
+        a10 = math.log(t10 / t1) / math.log(10.0)
+        ok = a10 <= claim_a + TOLERANCE or t10 <= FLOOR_SEC
+        any_fail |= not ok
+        results[name] = {
+            "t_sf1_sec": round(t1, 3),
+            "t_sf10_sec": round(t10, 3),
+            "a10_measured": round(a10, 3),
+            "a_claimed": claim_a,
+            "claim": claim_txt,
+            "ok": ok,
+        }
+        print(
+            f"{name}: sf1 {t1:.2f}s -> sf10 {t10:.2f}s  "
+            f"a10={a10:.2f} (claim {claim_a})  {'OK' if ok else 'FAIL'}"
+        )
+
+    out = os.path.join(REPO, "tools", "SF10_PROBE.json")
+    if only and os.path.exists(out):
+        with open(out) as fh:
+            payload = json.load(fh)
+        payload["results"].update(results)
+    else:
+        payload = {
+            "base": BASE,
+            "sf1_scratch": probe.SCRATCH,
+            "sf10_scratch": SCRATCH100,
+            "replicas": REPLICAS,
+            "results": results,
+        }
+    with open(out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(f"\nwrote {out}\n")
+    print("| query | t(sf1) | t(sf10) | measured a10 | claimed | verdict |")
+    print("|---|---|---|---|---|---|")
+    for name, r in results.items():
+        if "error" in r:
+            print(f"| {name} | ERROR {r['error']} ||||| FAIL |")
+            continue
+        print(
+            f"| {name} | {r['t_sf1_sec']}s | {r['t_sf10_sec']}s "
+            f"| **{r['a10_measured']}** | {r['a_claimed']} ({r['claim']}) "
+            f"| {'OK' if r['ok'] else 'FAIL'} |"
+        )
+    sys.exit(1 if any_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

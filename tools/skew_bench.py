@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Planted-skew measurement for the skew tier (round-8, VERDICT ask
+#4): ``salted_agg`` / ``salted_topk`` / ``key_skew_profile`` were
+plan-tested but never measured against ACTUAL skew.  This tool plants
+a zipf-shaped fixture (one user owns ~30% of rows), measures salted
+vs unsalted wall time for the two aggregate shapes, and calibrates
+``key_skew_profile``'s decision thresholds from the observed numbers.
+
+The two shapes measure OPPOSITE verdicts on purpose:
+
+- **count per key** (algebraic): map-side combine collapses the heavy
+  key to one row per map task BEFORE the shuffle, so skew never
+  reaches a reducer — salting only adds a second shuffle.  Expected:
+  salted ~= or slower than unsalted.  The rule: never salt an
+  aggregate whose partial state is O(1).
+- **top-k per key** (collect_list-backed): the partial state IS the
+  value list, so combine shrinks nothing — the hot key's every row
+  lands on ONE reducer which then sorts them alone.  Salting bounds
+  per-reducer state at n_salts x k.  Expected: salted wins, and the
+  gap widens with skew.
+
+Straggler ratio is measured for real (per-task durations from the
+Spark status API for the probe stage), not inferred from wall time.
+
+Writes tools/SKEW_BENCH.json and prints the SCALE.md markdown.  Run
+ALONE (no concurrent Spark), same rule as bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = os.path.join(REPO, ".scratch", "skew_zipf")
+N_ROWS = 10_000_000
+HOT_USER = 777
+HOT_FRAC_PCT = 30
+N_COLD_USERS = 50_000
+
+
+def build_fixture(spark) -> str:
+    from pyspark.sql import functions as F
+
+    path = os.path.join(SCRATCH, "events_skew.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCRATCH, exist_ok=True)
+    df = spark.range(N_ROWS).select(
+        F.when(F.col("id") % 10 < HOT_FRAC_PCT // 10, F.lit(HOT_USER))
+        .otherwise(
+            F.lit(1000) + F.pmod(F.xxhash64("id"), F.lit(N_COLD_USERS))
+        )
+        .cast("bigint")
+        .alias("user_id"),
+        ((F.col("id") % 100000).cast("double") / 100.0).alias("value"),
+    )
+    df.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def timed(df_fn, spark, runs: int = 3) -> float:
+    """Best-of-N steady wall seconds (cold pass first)."""
+    df_fn().write.format("noop").mode("overwrite").save()  # cold
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df_fn().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def reduce_stage_profile(spark, df_fn) -> dict:
+    """Task-level straggler evidence via the JVM status store: run the
+    plan once, then read per-task durations of the heaviest stage from
+    the app status store (REST-equivalent, no extra listener)."""
+    sc = spark.sparkContext
+    df_fn().write.format("noop").mode("overwrite").save()
+    store = sc._jsc.sc().statusStore()
+    worst = {"stage": -1, "max_ms": 0, "median_ms": 0, "ratio": None}
+    it = store.stageList(None).iterator()
+    stages = []
+    while it.hasNext():
+        stages.append(it.next())
+    # newest stages first; examine the most recent job's stages
+    for s in stages[:6]:
+        sid, attempt = s.stageId(), s.attemptId()
+        try:
+            tit = store.taskList(sid, attempt, 10000).iterator()
+        except Exception:
+            continue
+        durs = []
+        while tit.hasNext():
+            t = tit.next()
+            try:
+                d = t.duration().get()
+            except Exception:
+                continue
+            durs.append(int(d))
+        if len(durs) < 2:
+            continue
+        durs.sort()
+        med = durs[len(durs) // 2]
+        mx = durs[-1]
+        if med > 0 and (worst["ratio"] is None or mx / med > worst["ratio"]):
+            worst = {
+                "stage": sid,
+                "n_tasks": len(durs),
+                "max_ms": mx,
+                "median_ms": med,
+                "ratio": round(mx / med, 2),
+            }
+    return worst
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from eventstreamd_spark.operators import skew as sk
+    from eventstreamd_spark.session import get_spark, load_table
+
+    spark = get_spark(
+        "skew-bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = build_fixture(spark)
+    skewed = spark.read.parquet(path)
+
+    results: dict = {"fixture": {"rows": N_ROWS, "hot_frac": 0.30}}
+
+    # profile: planted fixture vs organic sf0.1 events (threshold calib)
+    prof = sk.key_skew_profile(skewed, "user_id").collect()[0].asDict()
+    organic = sk.key_skew_profile(
+        load_table(spark, BASE, "events"), "user_id"
+    ).collect()[0].asDict()
+    results["profile_planted"] = {
+        k: (round(v, 6) if isinstance(v, float) else v)
+        for k, v in prof.items()
+    }
+    results["profile_organic"] = {
+        k: (round(v, 6) if isinstance(v, float) else v)
+        for k, v in organic.items()
+    }
+
+    # shape 1: algebraic count — expect no salting win (map-side combine)
+    t_plain_count = timed(
+        lambda: skewed.groupBy("user_id").agg(F.count("*").alias("n_rows")),
+        spark,
+    )
+    t_salt_count = timed(lambda: sk.salted_agg(skewed, "user_id"), spark)
+    results["count_per_key"] = {
+        "unsalted_sec": round(t_plain_count, 3),
+        "salted_sec": round(t_salt_count, 3),
+        "salted_speedup": round(t_plain_count / t_salt_count, 2),
+    }
+
+    # shape 2: top-k via collect_list — the real straggler
+    def plain_topk():
+        return skewed.groupBy("user_id").agg(
+            F.slice(
+                F.sort_array(F.collect_list("value"), asc=False), 1, 5
+            ).alias("topk")
+        )
+
+    t_plain_topk = timed(plain_topk, spark)
+    strag_plain = reduce_stage_profile(spark, plain_topk)
+    t_salt_topk = timed(
+        lambda: sk.salted_topk(skewed, "user_id", "value", k=5), spark
+    )
+    strag_salt = reduce_stage_profile(
+        spark, lambda: sk.salted_topk(skewed, "user_id", "value", k=5)
+    )
+    results["topk_per_key"] = {
+        "unsalted_sec": round(t_plain_topk, 3),
+        "salted_sec": round(t_salt_topk, 3),
+        "salted_speedup": round(t_plain_topk / t_salt_topk, 2),
+        "straggler_unsalted": strag_plain,
+        "straggler_salted": strag_salt,
+    }
+
+    # exactness cross-check: salted == unsalted on the planted fixture
+    a = sk.salted_topk(skewed, "user_id", "value", k=5).withColumnRenamed(
+        "topk", "topk_s"
+    )
+    b = plain_topk().withColumnRenamed("topk", "topk_p")
+    mismatch = (
+        a.join(b, "user_id")
+        .filter(F.col("topk_s") != F.col("topk_p"))
+        .count()
+    )
+    results["salted_topk_exact"] = mismatch == 0
+
+    out = os.path.join(REPO, "tools", "SKEW_BENCH.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(f"\nwrote {out}\n")
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
