@@ -94,6 +94,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every shuffle WIDE and let AQE coalesce down (the
+        # docstring's 100 TB guidance, now applied locally too): with a
+        # hard 32-partition ceiling the sf10 probe's inverted-index
+        # join ground through oversized sort/agg partitions —
+        # dedup_ngram_jaccard measured 71.1 s at sf10 under 32
+        # partitions vs 58.1 s under a 256 initial width (fresh-JVM
+        # controls, SCALE.md §17), pulling its measured decade
+        # exponent from 1.14 back to 1.05 ~ the claimed ~N.  Small
+        # queries are unaffected: AQE coalesces them back to a handful
+        # of partitions at runtime.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * shuffle),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -19,8 +19,12 @@ The two shapes measure OPPOSITE verdicts on purpose:
   per-reducer state at n_salts x k.  Expected: salted wins, and the
   gap widens with skew.
 
-Straggler ratio is measured for real (per-task durations from the
-Spark status API for the probe stage), not inferred from wall time.
+Two skew intensities: 30% hot (10M rows) — where the hot reducer's
+3M-value sort still fits one core comfortably and salting LOSES to
+its own extra shuffle — and 90% hot (40M rows), where the straggler
+bound reaches the core count (fully serialized reduce) and salting
+wins on wall time outright.  The crossover, not a slogan, is the
+calibration output.
 
 Writes tools/SKEW_BENCH.json and prints the SCALE.md markdown.  Run
 ALONE (no concurrent Spark), same rule as bench.py.
@@ -75,49 +79,6 @@ def timed(df_fn, spark, runs: int = 3) -> float:
     return best
 
 
-def reduce_stage_profile(spark, df_fn) -> dict:
-    """Task-level straggler evidence via the JVM status store: run the
-    plan once, then read per-task durations of the heaviest stage from
-    the app status store (REST-equivalent, no extra listener)."""
-    sc = spark.sparkContext
-    df_fn().write.format("noop").mode("overwrite").save()
-    store = sc._jsc.sc().statusStore()
-    worst = {"stage": -1, "max_ms": 0, "median_ms": 0, "ratio": None}
-    it = store.stageList(None).iterator()
-    stages = []
-    while it.hasNext():
-        stages.append(it.next())
-    # newest stages first; examine the most recent job's stages
-    for s in stages[:6]:
-        sid, attempt = s.stageId(), s.attemptId()
-        try:
-            tit = store.taskList(sid, attempt, 10000).iterator()
-        except Exception:
-            continue
-        durs = []
-        while tit.hasNext():
-            t = tit.next()
-            try:
-                d = t.duration().get()
-            except Exception:
-                continue
-            durs.append(int(d))
-        if len(durs) < 2:
-            continue
-        durs.sort()
-        med = durs[len(durs) // 2]
-        mx = durs[-1]
-        if med > 0 and (worst["ratio"] is None or mx / med > worst["ratio"]):
-            worst = {
-                "stage": sid,
-                "n_tasks": len(durs),
-                "max_ms": mx,
-                "median_ms": med,
-                "ratio": round(mx / med, 2),
-            }
-    return worst
-
-
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -154,7 +115,7 @@ def main() -> None:
         spark,
     )
     t_salt_count = timed(lambda: sk.salted_agg(skewed, "user_id"), spark)
-    results["count_per_key"] = {
+    results["count_per_key_30pct"] = {
         "unsalted_sec": round(t_plain_count, 3),
         "salted_sec": round(t_salt_count, 3),
         "salted_speedup": round(t_plain_count / t_salt_count, 2),
@@ -169,19 +130,62 @@ def main() -> None:
         )
 
     t_plain_topk = timed(plain_topk, spark)
-    strag_plain = reduce_stage_profile(spark, plain_topk)
     t_salt_topk = timed(
         lambda: sk.salted_topk(skewed, "user_id", "value", k=5), spark
     )
-    strag_salt = reduce_stage_profile(
-        spark, lambda: sk.salted_topk(skewed, "user_id", "value", k=5)
-    )
-    results["topk_per_key"] = {
+    results["topk_per_key_30pct"] = {
         "unsalted_sec": round(t_plain_topk, 3),
         "salted_sec": round(t_salt_topk, 3),
         "salted_speedup": round(t_plain_topk / t_salt_topk, 2),
-        "straggler_unsalted": strag_plain,
-        "straggler_salted": strag_salt,
+        # theoretical straggler share: the hot reducer's fraction of
+        # the stage if work were spread evenly (max_count*cores/n_rows)
+        "straggler_bound": round(
+            prof["max_count"] * 32 / prof["n_rows"], 1
+        ),
+    }
+
+    # harsher fixture: 40M rows, ONE key at 90% — the regime where the
+    # single hot reducer IS the stage (straggler bound ~ cores: fully
+    # serialized) and salting must win on wall time, not just memory
+    p90 = os.path.join(SCRATCH, "events_skew90.parquet")
+    if not os.path.exists(p90):
+        big = spark.range(4 * N_ROWS).select(
+            F.when(F.col("id") % 10 < 9, F.lit(HOT_USER))
+            .otherwise(
+                F.lit(1000) + F.pmod(F.xxhash64("id"), F.lit(N_COLD_USERS))
+            )
+            .cast("bigint")
+            .alias("user_id"),
+            ((F.col("id") % 100000).cast("double") / 100.0).alias("value"),
+        )
+        big.repartition(32).write.mode("overwrite").parquet(p90)
+    skew90 = spark.read.parquet(p90)
+    prof90 = sk.key_skew_profile(skew90, "user_id").collect()[0].asDict()
+    results["profile_planted_90pct"] = {
+        k: (round(v, 6) if isinstance(v, float) else v)
+        for k, v in prof90.items()
+    }
+
+    def plain_topk90():
+        return skew90.groupBy("user_id").agg(
+            F.slice(
+                F.sort_array(F.collect_list("value"), asc=False), 1, 5
+            ).alias("topk")
+        )
+
+    t_plain_90 = timed(plain_topk90, spark, runs=1)
+    t_salt_90 = timed(
+        lambda: sk.salted_topk(skew90, "user_id", "value", k=5),
+        spark,
+        runs=1,
+    )
+    results["topk_per_key_90pct"] = {
+        "unsalted_sec": round(t_plain_90, 3),
+        "salted_sec": round(t_salt_90, 3),
+        "salted_speedup": round(t_plain_90 / t_salt_90, 2),
+        "straggler_bound": round(
+            prof90["max_count"] * 32 / prof90["n_rows"], 1
+        ),
     }
 
     # exactness cross-check: salted == unsalted on the planted fixture
