@@ -255,6 +255,56 @@ def media_near_dup(media: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFram
     )
 
 
+def media_split_leakage(
+    media: DataFrame,
+    weights: dict[str, float],
+    salt: str = "m1",
+    hamming_max: int = HAMMING_MAX,
+) -> DataFrame:
+    """Cross-split leakage audit for MEDIA: perceptual near-dup pairs
+    that straddle a train/val/test boundary — the media mirror of
+    ``dedup.split_leakage_check``.  Hash-disjoint splits separate
+    BLOBS, not content: a test image whose resized or re-encoded twin
+    sits in train is a leaked answer that the exact-digest split audit
+    (md5-keyed) cannot see by construction.
+
+    Composition: the banded perceptual pair tier (bounded candidates,
+    Hamming verify) + the hash-gated split assignment joined on both
+    8-byte pair legs; grouped by the canonicalized boundary.  Same
+    two-leg note as the text twin: ``splits`` is a doc_id hash over a
+    pruned single-column scan — recomputing it per leg is cheaper
+    than materializing it."""
+    from eventstreamd_spark.operators.sampling import dataset_split
+
+    pairs = media_near_dup(media, hamming_max)
+    splits = dataset_split(
+        media.select("doc_id"), "doc_id", weights, salt=salt
+    ).select("doc_id", "split")
+    tagged = pairs.join(
+        splits.select(
+            F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+        ),
+        "doc_a",
+    ).join(
+        splits.select(
+            F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+        ),
+        "doc_b",
+    )
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (
+        tagged.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi")).alias("is_boundary"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles — the arithmetic twins (scene formula, never PNG bytes)
 # ---------------------------------------------------------------------------
@@ -349,4 +399,32 @@ cand AS (
 )
 SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
 FROM cand WHERE hamming <= {hamming_max}
+"""
+
+
+def sql_media_split_leakage(
+    table: str = "documents",
+    weights: dict[str, float] | None = None,
+    salt: str = "m1",
+    hamming_max: int = HAMMING_MAX,
+) -> str:
+    from eventstreamd_spark.operators.sampling import sql_dataset_split
+
+    pairs = sql_media_near_dup(table, hamming_max)
+    split_case = sql_dataset_split("doc_id", weights, salt=salt)
+    return f"""
+WITH pairs AS ({pairs}),
+splits AS (SELECT doc_id, {split_case} FROM {table}),
+tagged AS (
+  SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+  FROM pairs p
+  JOIN splits sa ON sa.doc_id = p.doc_a
+  JOIN splits sb ON sb.doc_id = p.doc_b
+)
+SELECT least(split_a, split_b) AS split_lo,
+       greatest(split_a, split_b) AS split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       least(split_a, split_b) <> greatest(split_a, split_b) AS is_boundary
+FROM tagged
+GROUP BY 1, 2
 """

@@ -3127,6 +3127,21 @@ def media_perceptual_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perc_op.perceptual_hashes(media)
 
 
+@register(
+    "media_split_leakage",
+    perc_op.sql_media_split_leakage(weights=_SPLIT_WEIGHTS),
+)
+def media_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit for media: perceptual near-dup pairs
+    straddling a hash-disjoint split boundary — the twins the
+    md5-keyed exact-digest audit cannot see (the fixture's resized
+    duplicates leak across splits by construction)."""
+    media = perc_op.documents_as_scene_png_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return perc_op.media_split_leakage(media, _SPLIT_WEIGHTS)
+
+
 @register("media_near_dup", perc_op.sql_media_near_dup())
 def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup pairs: Hamming-banded candidates (4x16-bit
@@ -3341,7 +3356,7 @@ _COST_HINT = {
     "rolling_wau_hll_prod": 0.55, "column_stats_catalog_hll_prod": 1.20,
     # round-8: perceptual media near-dup + skew tier
     "media_perceptual_hashes": 0.50, "media_near_dup": 0.80,
-    "salted_topk_values": 0.45,
+    "salted_topk_values": 0.45, "media_split_leakage": 0.90,
 }
 
 

@@ -90,6 +90,31 @@ def test_grid_hashes_on_non_multiple_of_8_sizes() -> None:
         assert all(0 <= x < (1 << 32) for x in h1)
 
 
+def test_media_split_leakage_sees_cross_split_twins(spark, sf_dir) -> None:
+    """The planted resized duplicates land in different hash-disjoint
+    splits often enough that the boundary report MUST show leaked
+    pairs — the exact-digest audit sees zero (different blobs)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = perc.documents_as_scene_png_media(docs)
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = perc.media_split_leakage(media, weights).collect()
+    total = sum(r["n_pairs"] for r in rows)
+    leaked = sum(r["n_pairs"] for r in rows if r["is_boundary"])
+    assert total > 100  # the fixture plants ~3 pairs per cohort
+    assert leaked > 0  # content leaks across blob-disjoint splits
+    # and the exact-digest view of the same pairs is blind: every
+    # planted twin is a DIFFERENT blob (other resolution / perturbed)
+    md5s = perc.documents_as_scene_png_media(docs).select(
+        "doc_id", "content_md5"
+    )
+    dup_digests = (
+        md5s.groupBy("content_md5").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_digests == 0
+
+
 def test_media_near_dup_catches_planted_pairs(spark, sf_dir) -> None:
     """End-to-end over the documents corpus: every cohort's resized
     duplicate (m0, m1) surfaces at Hamming 0, the perturbed twin pairs
