@@ -58,6 +58,10 @@ TARGETS = [
     ("pagerank_canonical", 1.15, "~E log n + 5 E-join rounds"),         # 1.12
     ("media_corpus_manifest", 1.0, "~N (digest agg + prefix packing)"), # 0.84
     ("corpus_build_manifest", 1.0, "~N (single-tokenize fold)"),        # 0.41
+    # round-8 tier (run via --only): decade evidence for the new ops
+    ("media_near_dup", 1.0, "~N (banded pairs, Arrow hash kernel)"),
+    ("media_split_leakage", 1.0, "~N (pair tier + split gate joins)"),
+    ("salted_topk_values", 1.0, "~N (two-phase bounded-state top-k)"),
 ]
 
 TOLERANCE = 0.10
