@@ -255,6 +255,40 @@ def media_near_dup(media: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFram
     )
 
 
+def media_near_dup_clusters(
+    media: DataFrame, hamming_max: int = HAMMING_MAX, max_iters: int = 16
+) -> DataFrame:
+    """Canonical keep/drop decision for media: (doc_id, cluster_id,
+    keep) where cluster_id = min doc_id of the perceptual near-dup
+    connected component and ``keep`` marks the canonical copy — the
+    step that turns pairwise output into the dedup a pipeline actually
+    executes ("keep one image per cluster"), mirroring
+    ``dedup.dedup_clusters`` over the perceptual pair tier.
+
+    Same composition: the banded pair tier feeds the alternating
+    large-star/small-star fixed point (O(log n) rounds), edges
+    localCheckpoint'ed so the rounds never re-run the hash kernel
+    through lineage; singletons restored by one left join."""
+    from eventstreamd_spark.operators.dedup import connected_components
+
+    pairs = media_near_dup(media, hamming_max)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint()
+    comp = connected_components(edges, max_iters)
+    return (
+        media.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def media_split_leakage(
     media: DataFrame,
     weights: dict[str, float],
@@ -399,6 +433,30 @@ cand AS (
 )
 SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
 FROM cand WHERE hamming <= {hamming_max}
+"""
+
+
+def sql_media_near_dup_clusters(
+    table: str = "documents", hamming_max: int = HAMMING_MAX
+) -> str:
+    """DuckDB twin: transitive closure by recursive CTE, min label —
+    the dedup_clusters oracle idiom over the perceptual pair tier."""
+    pairs = sql_media_near_dup(table, hamming_max)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM (SELECT doc_id FROM {table})
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id,
+       doc_id = min(label) AS keep
+FROM reach GROUP BY doc_id
 """
 
 

@@ -3128,6 +3128,20 @@ def media_perceptual_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_near_dup_clusters", perc_op.sql_media_near_dup_clusters()
+)
+def media_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical keep/drop per perceptual cluster: connected components
+    (large-star/small-star fixed point) over the Hamming-banded pair
+    tier, singletons restored, min-doc_id canonical — 'keep one image
+    per cluster' as one auditable relation."""
+    media = perc_op.documents_as_scene_png_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return perc_op.media_near_dup_clusters(media)
+
+
+@register(
     "media_split_leakage",
     perc_op.sql_media_split_leakage(weights=_SPLIT_WEIGHTS),
 )
@@ -3357,6 +3371,7 @@ _COST_HINT = {
     # round-8: perceptual media near-dup + skew tier
     "media_perceptual_hashes": 0.50, "media_near_dup": 0.80,
     "salted_topk_values": 0.45, "media_split_leakage": 0.90,
+    "media_near_dup_clusters": 1.00,
 }
 
 

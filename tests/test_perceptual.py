@@ -90,6 +90,32 @@ def test_grid_hashes_on_non_multiple_of_8_sizes() -> None:
         assert all(0 <= x < (1 << 32) for x in h1)
 
 
+def test_media_clusters_keep_one_per_cohort(spark, sf_dir) -> None:
+    """Cluster assignment: members 0/1/2 of every cohort collapse to
+    one cluster keyed by the min doc_id with exactly one keep=True;
+    member 3 (fresh scene) stays a singleton that keeps itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = perc.documents_as_scene_png_media(docs)
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in perc.media_near_dup_clusters(media).collect()
+    }
+    cohorts: dict = {}
+    for d in rows:
+        cohorts.setdefault(d // perc.COHORT, []).append(d)
+    checked = 0
+    for _p, members in cohorts.items():
+        by_m = {d % perc.COHORT: d for d in members}
+        if set(by_m) == {0, 1, 2, 3}:
+            trio = [by_m[0], by_m[1], by_m[2]]
+            cid = min(trio)
+            assert all(rows[d][0] == cid for d in trio), trio
+            assert [rows[d][1] for d in sorted(trio)] == [True, False, False]
+            assert rows[by_m[3]] == (by_m[3], True)  # singleton keeps itself
+            checked += 1
+    assert checked > 50
+
+
 def test_media_split_leakage_sees_cross_split_twins(spark, sf_dir) -> None:
     """The planted resized duplicates land in different hash-disjoint
     splits often enough that the boundary report MUST show leaked

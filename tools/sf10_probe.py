@@ -60,6 +60,7 @@ TARGETS = [
     ("corpus_build_manifest", 1.0, "~N (single-tokenize fold)"),        # 0.41
     # round-8 tier (run via --only): decade evidence for the new ops
     ("media_near_dup", 1.0, "~N (banded pairs, Arrow hash kernel)"),
+    ("media_near_dup_clusters", 1.15, "~N log n (pairs + star fixed point)"),
     ("media_split_leakage", 1.0, "~N (pair tier + split gate joins)"),
     ("salted_topk_values", 1.0, "~N (two-phase bounded-state top-k)"),
 ]
