@@ -199,15 +199,26 @@ def main() -> None:
             escalated.append({"query": name, "error": str(exc)[:200]})
             continue
         fresh = rec["best_sec"]
+        # Prefer a prior fresh-JVM control as the baseline when one is
+        # on record: the in-bench prev can be favorably contaminated,
+        # which would mislabel a true (unchanged) cost as a confirmed
+        # regression.  Fresh-vs-fresh is the only like-for-like compare.
+        prior_fresh = fresh_all.get(name, {}).get("best_sec")
+        baseline = prior_fresh if prior_fresh else prev[name]
         verdict = (
             "regression_confirmed"
-            if fresh > 1.4 * prev[name]
-            else "session_noise"
+            if fresh > 1.4 * baseline
+            else (
+                "session_noise"
+                if fresh <= 1.4 * prev[name]
+                else "true_cost_prev_contaminated"
+            )
         )
         escalated.append(
             {
                 "query": name,
                 "prev_in_bench_sec": prev[name],
+                "prev_fresh_sec": prior_fresh,
                 "in_bench_sec": timings[name],
                 "fresh_sec": fresh,
                 "ratio_in_bench": round(ratio, 3),
