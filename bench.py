@@ -225,7 +225,17 @@ def main() -> None:
                 "verdict": verdict,
             }
         )
-        fresh_all[name] = rec
+        # On regression_confirmed KEEP the prior control as the
+        # baseline record: overwriting it with the regressed value
+        # would ratchet the regression into future fresh-vs-fresh
+        # baselines, flagging it once and then never again.  The
+        # regressed measurement still lands in `escalated` (above) and
+        # in the record's history list for the audit trail.
+        if verdict == "regression_confirmed" and prior_fresh:
+            hist = fresh_all[name].setdefault("regressed_history", [])
+            hist.append({"best_sec": fresh, "verdict": verdict})
+        else:
+            fresh_all[name] = rec
     if escalated:
         with open(fresh_path, "w") as fh:
             json.dump(fresh_all, fh, indent=1, sort_keys=True)

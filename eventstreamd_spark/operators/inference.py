@@ -154,6 +154,19 @@ def _check_job_identity(
         "schema": schema,
     }
     path = os.path.join(pdir, "job.json")
+    if not os.path.exists(path) and read_progress(out_dir):
+        # Shard markers with no identity record: a manifest written by
+        # a pre-guard run (or a torn one).  Adopting the CURRENT
+        # identity would silently reuse markers of unknown sharding —
+        # exactly the corruption this guard exists to prevent — so
+        # refuse instead of stamping.
+        raise ValueError(
+            f"resume manifest at {out_dir} has committed shard markers "
+            "but no job.json identity record (written by a pre-identity-"
+            "guard run?); cannot verify the markers' sharding/kernel/"
+            "schema — use a fresh out_dir or delete the _progress dir "
+            "to rescore from scratch"
+        )
     if os.path.exists(path):
         with open(path) as fh:
             prev = json.load(fh)

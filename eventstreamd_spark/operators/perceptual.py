@@ -206,7 +206,19 @@ def media_near_dup(media: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFram
     GUARANTEED a band collision (pigeonhole), so the planted one-cell
     perturbation (dHash distance <= 2 by construction — a flipped cell
     touches exactly its two horizontal comparisons) can never be
-    missed; verify = combined 128-bit Hamming <= ``hamming_max``."""
+    missed; verify = combined 128-bit Hamming <= ``hamming_max``.
+
+    **Recall semantics**: candidate RECALL is fixed by the band
+    structure, not by ``hamming_max`` — with 8 bands over the combined
+    128 bits, a collision is pigeonhole-guaranteed only for pairs
+    within combined Hamming 7 (equivalently <= 3 on either single
+    hash); beyond that, candidates surface only probabilistically
+    (any one band happening to match).  Raising ``hamming_max`` above
+    7 therefore loosens only the VERIFY threshold and does not widen
+    candidate generation; to genuinely raise guaranteed recall you
+    must also increase ``N_BANDS`` (bands >= hamming+1 over the bits
+    you band).  The Spark side and the DuckDB oracle share the exact
+    banding, so parity holds at any ``hamming_max``."""
     sig = perceptual_hashes(media)
     mask = (1 << BAND_BITS) - 1
     bands = []

@@ -99,6 +99,24 @@ def test_resume_with_different_sharding_raises(spark, sf_dir, tmp_path):
     assert out.count() == docs.count()
 
 
+def test_resume_legacy_manifest_without_identity_raises(
+    spark, sf_dir, tmp_path
+):
+    """A manifest with committed shard markers but no job.json (written
+    by a pre-identity-guard run) must refuse to resume rather than
+    silently stamping the CURRENT identity over markers of unknown
+    sharding (round-9 ADVICE fix)."""
+    docs = _docs(spark, sf_dir)
+    out_dir = str(tmp_path / "scores_legacy")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        inf.resumable_inference(
+            docs, out_dir, n_shards=4, _crash_before_commit=1
+        )
+    os.remove(os.path.join(out_dir, "_progress", "job.json"))
+    with pytest.raises(ValueError, match="no job.json identity"):
+        inf.resumable_inference(docs, out_dir, n_shards=4)
+
+
 def test_kernel_whitespace_is_ascii_like_java(spark):
     """The kernel's tokenizer must match Java \\s (ASCII-only): a NBSP
     must NOT split tokens in the kernel, exactly as in the Catalyst
