@@ -104,9 +104,15 @@ def get_spark(
         # exponent from 1.14 back to 1.05 ~ the claimed ~N.  Small
         # queries are unaffected: AQE coalesces them back to a handful
         # of partitions at runtime.
+        # SPARK_GRAFT_INITIAL_SHUFFLE_MULT exists for A/B adjudication
+        # of the wide-start tax on tiny shuffles (SCALE.md §17): 1
+        # reverts to the pinned-width behavior, 8 is the ship default.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(8 * shuffle),
+            str(
+                int(os.environ.get("SPARK_GRAFT_INITIAL_SHUFFLE_MULT", "8"))
+                * shuffle
+            ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
