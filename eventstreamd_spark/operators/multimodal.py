@@ -131,14 +131,35 @@ def _png_decode(blob: bytes) -> list[float]:
     return [float(w), float(h), float(channels), *means, mean_all]
 
 
+def _jpeg_decode(blob: bytes) -> list[float]:
+    """REAL JPEG decode (functions/jpeg.py — Huffman + dequant +
+    integer IDCT) -> the same [w, h, channels, mean_ch0..3, mean_all]
+    contract as the PNG leg."""
+    from eventstreamd_spark.functions.jpeg import decode_jpeg
+
+    w, h, channels, pixels = decode_jpeg(blob)
+    n_px = w * h
+    sums = [0] * 4
+    for i, b in enumerate(pixels):
+        sums[i % channels] += b
+    means = [sums[ch] / n_px if ch < channels else 0.0 for ch in range(4)]
+    mean_all = sum(sums) / (n_px * channels)
+    return [float(w), float(h), float(channels), *means, mean_all]
+
+
 def _decode(blob: bytes) -> list[float]:
-    """Dispatch: real PNG / WAV decode when the payload carries the
-    magic bytes and parses, byte-histogram fallback otherwise."""
+    """Dispatch: real PNG / JPEG / WAV decode when the payload carries
+    the magic bytes and parses, byte-histogram fallback otherwise."""
     if blob is not None and blob[:8] == b"\x89PNG\r\n\x1a\n":
         try:
             return _png_decode(blob)
         except ValueError:
             pass  # corrupt/unsupported PNG -> histogram fallback
+    if blob is not None and blob[:2] == b"\xff\xd8":
+        try:
+            return _jpeg_decode(blob)
+        except ValueError:
+            pass  # progressive/corrupt JPEG -> histogram fallback
     if blob is not None and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         try:
             return _wav_decode(blob)

@@ -32,18 +32,27 @@ billions of all-black thumbnails — would need the hot-bucket guard
 from ``dedup.ngram_jaccard_pairs``; plumb ``max_bucket`` there if so);
 the verify is per-candidate O(1).  No all-pairs stage anywhere.
 
-Fixture: ``documents_as_scene_png_media`` renders one REAL PNG per
+Fixture: ``documents_as_scene_media`` renders one REAL image per
 document from a closed-form 8x8 "scene" (hash-mixed integer values),
-at a per-member resolution — cohorts of 4 docs share a scene: member
-0 renders 16x16, member 1 renders 24x24 (a true resized duplicate),
-member 2 renders 32x32 with ONE scene cell xor-perturbed (re-encode
-noise: tiny Hamming distance), member 3 gets a fresh scene (negative
-control).  Because the scene is piecewise-constant on the 8x8 grid
-and every render size is a multiple of 8, the downsampled grid
-EXACTLY recovers the scene at any resolution — so the DuckDB oracle
-can state both hashes, the banding, and the pair set purely
-arithmetically while the Spark side exercises the full real pipeline
-(PNG encode -> decode -> grid -> hash -> band join -> verify).
+at a per-member resolution AND codec — cohorts of 4 docs share a
+scene: member 0 renders a 16x16 RGB PNG, member 1 renders a 64x64
+grayscale baseline JPEG (a true CROSS-CODEC resized duplicate —
+round-9 ask #1: the pair the md5 audit and a PNG-only hash tier are
+both blind to), member 2 renders a 32x32 PNG with ONE scene cell
+xor-perturbed (re-encode noise: tiny Hamming distance), member 3
+gets a fresh-scene PNG (negative control).  Exactness holds across
+both codecs: the scene is piecewise-constant on the 8x8 grid, PNG
+render sizes are multiples of 8 (grid-aligned cells), and the JPEG
+render size is a multiple of 64 so every scene cell spans whole
+aligned 8x8 JPEG blocks — constant blocks are DC-only and round-trip
+bit-exactly through the all-ones-quant integer codec
+(functions/jpeg.py's exactness contract).  Channel count cancels out
+of both cross-multiplied hash compares (they are homogeneous in the
+gray sums), so the 1-channel JPEG and 3-channel PNG of the same
+scene hash identically and the DuckDB oracle can state both hashes,
+the banding, and the pair set purely arithmetically while the Spark
+side exercises the full real pipeline (PNG/JPEG encode -> magic-byte
+dispatch -> decode -> grid -> hash -> band join -> verify).
 
 Reference parity note: the reference (srittau/eventstreamd) has no
 media surface; this operator is part of the layer-B training-data
@@ -64,7 +73,11 @@ BAND_BITS = 16
 N_BANDS = 4  # per 64-bit hash
 HAMMING_MAX = 10  # combined aHash+dHash verify threshold
 COHORT = 4
-MEMBER_SIZES = (16, 24, 32, 16)  # all multiples of GRID
+# member render sizes: PNG members are multiples of GRID; the JPEG
+# member (index 1) is a multiple of 8*GRID so scene cells span whole
+# aligned JPEG blocks (the constant-block exactness contract)
+MEMBER_SIZES = (16, 64, 32, 16)
+JPEG_MEMBER = 1
 PERTURB_XOR = 64
 
 # scene-value mix: murmur-style finalizer (multiply, xorshift, x2, take
@@ -101,10 +114,13 @@ def _doc_scene(doc_id: int) -> tuple[int, int, bool]:
     return s, MEMBER_SIZES[m], m == 2
 
 
-def _synth_scene_png(doc_id: int) -> bytes:
-    """Render the document's scene as a REAL grayscale-in-RGB PNG at
-    its member resolution; pixel (r,c) shows scene cell
+def _synth_scene_media(doc_id: int) -> bytes:
+    """Render the document's scene as a REAL image at its member
+    resolution and codec — grayscale-in-RGB PNG for members 0/2/3, a
+    1-channel all-ones-quant baseline JPEG for member 1 (the
+    cross-codec twin); pixel (r,c) shows scene cell
     ((r*8)//size, (c*8)//size)."""
+    from eventstreamd_spark.functions.jpeg import encode_jpeg
     from eventstreamd_spark.functions.png import encode_png
 
     s, size, perturbed = _doc_scene(doc_id)
@@ -115,6 +131,15 @@ def _synth_scene_png(doc_id: int) -> bytes:
         if perturbed and cell == pcell:
             v ^= PERTURB_XOR
         vals.append(v)
+    if doc_id % COHORT == JPEG_MEMBER:
+        px = bytearray(size * size)
+        i = 0
+        for r in range(size):
+            gi = (r * GRID) // size
+            for c in range(size):
+                px[i] = vals[gi * GRID + (c * GRID) // size]
+                i += 1
+        return encode_jpeg(size, size, 1, bytes(px), quant_luma=[1] * 64)
     px = bytearray(size * size * 3)
     i = 0
     for r in range(size):
@@ -126,24 +151,34 @@ def _synth_scene_png(doc_id: int) -> bytes:
     return encode_png(size, size, 3, bytes(px))
 
 
-def documents_as_scene_png_media(docs: DataFrame) -> DataFrame:
-    """Adapter: one scene-rendered PNG per document (stands in for the
-    object-store fetch stage, like the other media adapters)."""
+def documents_as_scene_media(docs: DataFrame) -> DataFrame:
+    """Adapter: one scene-rendered image per document (stands in for
+    the object-store fetch stage, like the other media adapters);
+    media_type reflects the per-member codec."""
     from eventstreamd_spark.operators.multimodal import _synth_media_adapter
 
-    return _synth_media_adapter(docs, _synth_scene_png, F.lit("image/png"))
+    return _synth_media_adapter(
+        docs,
+        _synth_scene_media,
+        F.when(
+            F.col("doc_id") % COHORT == JPEG_MEMBER, F.lit("image/jpeg")
+        ).otherwise(F.lit("image/png")),
+    )
 
 
 def _grid_hashes(blob: bytes) -> tuple[int, int, int, int]:
-    """(a_hi, a_lo, d_hi, d_lo) from a decoded PNG — pure integer
-    pipeline; works for ANY image size >= 8x8 (integer block edges).
+    """(a_hi, a_lo, d_hi, d_lo) from a decoded image (PNG or baseline
+    JPEG, magic-byte dispatch) — pure integer pipeline; works for ANY
+    image size >= 8x8 (integer block edges).  Channel count cancels
+    out of both cross-multiplied compares, so a grayscale JPEG and an
+    RGB PNG of the same content hash identically.
     Overflow note: the cross-multiplied compares stay inside int64 for
     images up to ~10^8 pixels (S <= 765*W*H, times n_total = W*H)."""
     import numpy as np
 
-    from eventstreamd_spark.functions.png import decode_png
+    from eventstreamd_spark.functions.image import decode_image
 
-    w, h, channels, pixels = decode_png(blob)
+    w, h, channels, pixels = decode_image(blob)
     arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
     gray = arr.reshape(h, w, channels).sum(axis=2)  # channel-byte sum
     gi = (np.arange(h, dtype=np.int64) * GRID) // h
@@ -194,6 +229,47 @@ def perceptual_hashes(media: DataFrame) -> DataFrame:
 
     return fan_out(media.select("doc_id", "blob")).mapInPandas(
         kernel, schema=HASH_SCHEMA
+    )
+
+
+CODEC_SCHEMA = (
+    "doc_id bigint, codec string, width int, height int, "
+    "channels int, gray_total bigint"
+)
+
+
+def image_codec_manifest(media: DataFrame) -> DataFrame:
+    """Codec-dispatched decode audit: (doc_id, codec, width, height,
+    channels, gray_total) where ``codec`` comes from MAGIC BYTES (not
+    the metadata column — content is the truth at ingest) and
+    ``gray_total`` is the exact integer sum of every decoded sample
+    byte.  Exercises the full real JPEG decode path (Huffman ->
+    dequant -> integer IDCT) next to the PNG path in one kernel, with
+    an integer-exact oracle; the multimodal mirror of the manifest
+    idiom with decode-level (not container-level) evidence."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from eventstreamd_spark.functions.image import decode_image, image_kind
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                w, h, ch, px = decode_image(b)
+                rows.append(
+                    (int(doc_id), image_kind(b), w, h, ch, sum(px))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "codec", "width", "height", "channels",
+                    "gray_total",
+                ],
+            )
+
+    return fan_out(media.select("doc_id", "blob")).mapInPandas(
+        kernel, schema=CODEC_SCHEMA
     )
 
 
@@ -469,6 +545,42 @@ reach(doc_id, label) AS (
 SELECT doc_id, min(label) AS cluster_id,
        doc_id = min(label) AS keep
 FROM reach GROUP BY doc_id
+"""
+
+
+def sql_image_codec_manifest(table: str = "documents") -> str:
+    """Integer-exact twin of the codec manifest over the scene
+    fixture: render geometry is closed-form per cohort member (size,
+    channels, pixels-per-cell), and gray_total = channels *
+    (size/8)^2 * sum(scene bytes) because every scene cell renders as
+    a constant block in BOTH codecs (the JPEG member's all-ones-quant
+    DC-only blocks round-trip bit-exactly)."""
+    sizes = ", ".join(
+        f"WHEN {m} THEN {MEMBER_SIZES[m]}" for m in range(COHORT)
+    )
+    chans = ", ".join(
+        f"WHEN {m} THEN {1 if m == JPEG_MEMBER else 3}"
+        for m in range(COHORT)
+    )
+    sizes = sizes.replace(", WHEN", " WHEN")
+    chans = chans.replace(", WHEN", " WHEN")
+    return f"""
+WITH {_sql_scene_hashes(table)},
+geom AS (
+  SELECT doc_id,
+         CASE doc_id % {COHORT} {sizes} END AS size,
+         CASE doc_id % {COHORT} {chans} END AS channels,
+         CASE WHEN doc_id % {COHORT} = {JPEG_MEMBER}
+              THEN 'jpeg' ELSE 'png' END AS codec
+  FROM {table}
+),
+totals AS (SELECT doc_id, sum(val) AS sval FROM scene GROUP BY doc_id)
+SELECT g.doc_id, g.codec,
+       CAST(g.size AS INT) AS width, CAST(g.size AS INT) AS height,
+       CAST(g.channels AS INT) AS channels,
+       CAST(g.channels * (g.size // 8) * (g.size // 8) * t.sval AS BIGINT)
+         AS gray_total
+FROM geom g JOIN totals t ON t.doc_id = g.doc_id
 """
 
 

@@ -3118,13 +3118,29 @@ def column_stats_catalog_hll_prod(spark: SparkSession, sf_dir: str) -> DataFrame
 @register("media_perceptual_hashes", perc_op.sql_perceptual_hashes())
 def media_perceptual_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aHash/dHash (integer average/gradient hash over a downsampled
-    grayscale grid) for every blob of the scene-PNG corpus — the REAL
-    decode path (zlib inflate + unfilter) vs the oracle's closed-form
-    scene arithmetic; a decoder or grid bug flips hash bits."""
-    media = perc_op.documents_as_scene_png_media(
+    grayscale grid) for every blob of the mixed PNG/JPEG scene corpus
+    — the REAL decode paths (zlib inflate + unfilter; Huffman +
+    dequant + integer IDCT), magic-byte dispatched, vs the oracle's
+    closed-form scene arithmetic; a decoder or grid bug flips hash
+    bits."""
+    media = perc_op.documents_as_scene_media(
         load_table(spark, sf_dir, "documents")
     )
     return perc_op.perceptual_hashes(media)
+
+
+@register("media_codec_manifest", perc_op.sql_image_codec_manifest())
+def media_codec_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-dispatched decode audit over the mixed PNG/JPEG corpus:
+    per blob, the codec from MAGIC BYTES plus decoded (width, height,
+    channels) and the exact integer sum of every decoded sample byte —
+    decode-level evidence that the pure-stdlib baseline JPEG path
+    (functions/jpeg.py) reproduces pixels bit-exactly on its
+    constant-block exactness contract, pinned by an integer oracle."""
+    media = perc_op.documents_as_scene_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return perc_op.image_codec_manifest(media)
 
 
 @register(
@@ -3135,7 +3151,7 @@ def media_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (large-star/small-star fixed point) over the Hamming-banded pair
     tier, singletons restored, min-doc_id canonical — 'keep one image
     per cluster' as one auditable relation."""
-    media = perc_op.documents_as_scene_png_media(
+    media = perc_op.documents_as_scene_media(
         load_table(spark, sf_dir, "documents")
     )
     return perc_op.media_near_dup_clusters(media)
@@ -3150,7 +3166,7 @@ def media_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddling a hash-disjoint split boundary — the twins the
     md5-keyed exact-digest audit cannot see (the fixture's resized
     duplicates leak across splits by construction)."""
-    media = perc_op.documents_as_scene_png_media(
+    media = perc_op.documents_as_scene_media(
         load_table(spark, sf_dir, "documents")
     )
     return perc_op.media_split_leakage(media, _SPLIT_WEIGHTS)
@@ -3163,7 +3179,7 @@ def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches the resized duplicates (member 1: Hamming 0 at a different
     resolution) and re-encode-noise twins (member 2) that exact
     digests (media_dedup) miss by construction."""
-    media = perc_op.documents_as_scene_png_media(
+    media = perc_op.documents_as_scene_media(
         load_table(spark, sf_dir, "documents")
     )
     return perc_op.media_near_dup(media)
@@ -3229,11 +3245,15 @@ _PRIORITY = [
     "curation_decisions",
     "pii_redaction",
     "merge_upsert_customers",
-    # multimodal
+    # multimodal — round-9 rotation: the two stub-kernel queries
+    # (resize/frame_sample, deterministic fakes) move to the
+    # digest-pinned tail; the REAL-decode perceptual tier takes their
+    # window slots so the round's JPEG work (cross-codec fixture +
+    # codec manifest) gets direct driver-green correctness rows.
     "multimodal_metadata",
     "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
+    "media_near_dup",
+    "media_codec_manifest",
     # temporal operators over the event stream
     "asof_latest_order_per_event",
     "tumbling_window_counts",
@@ -3372,6 +3392,8 @@ _COST_HINT = {
     "media_perceptual_hashes": 0.50, "media_near_dup": 0.80,
     "salted_topk_values": 0.45, "media_split_leakage": 0.90,
     "media_near_dup_clusters": 1.00,
+    # round-9: JPEG decode path (64x64 member raises per-blob cost)
+    "media_codec_manifest": 0.70,
 }
 
 

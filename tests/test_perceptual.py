@@ -42,17 +42,18 @@ def test_kernel_matches_scene_arithmetic_exactly() -> None:
     scene arithmetic for every member size — a codec, grid-edge, or
     packing bug flips bits here."""
     for doc_id in (0, 1, 2, 3, 40, 41, 42, 43, 117):
-        blob = perc._synth_scene_png(doc_id)
+        blob = perc._synth_scene_media(doc_id)
         assert perc._grid_hashes(blob) == _expected_hashes(doc_id), doc_id
 
 
 def test_resized_duplicate_has_identical_hashes() -> None:
-    """Member 1 is the SAME scene rendered 24x24 instead of 16x16: both
-    hashes must be bit-identical across the real codec round-trip —
-    the resize invariance the operator exists for."""
+    """Member 1 is the SAME scene rendered as a 64x64 grayscale JPEG
+    instead of a 16x16 RGB PNG: both hashes must be bit-identical
+    across BOTH real codec round-trips — the resize AND cross-codec
+    invariance the operator exists for (round-9: the JPEG leg)."""
     for base in (0, 4, 96):
-        h0 = perc._grid_hashes(perc._synth_scene_png(base))
-        h1 = perc._grid_hashes(perc._synth_scene_png(base + 1))
+        h0 = perc._grid_hashes(perc._synth_scene_media(base))
+        h1 = perc._grid_hashes(perc._synth_scene_media(base + 1))
         assert h0 == h1, base
 
 
@@ -65,9 +66,9 @@ def test_perturbed_member_is_near_but_not_far() -> None:
     (fresh scene) is far from everything in its cohort."""
     distances = []
     for base in range(0, 120, 4):
-        h0 = perc._grid_hashes(perc._synth_scene_png(base))
-        h2 = perc._grid_hashes(perc._synth_scene_png(base + 2))
-        h3 = perc._grid_hashes(perc._synth_scene_png(base + 3))
+        h0 = perc._grid_hashes(perc._synth_scene_media(base))
+        h2 = perc._grid_hashes(perc._synth_scene_media(base + 2))
+        h3 = perc._grid_hashes(perc._synth_scene_media(base + 3))
         d02 = _hamming(h0, h2)
         assert d02 <= perc.HAMMING_MAX, (base, d02)
         # dHash alone (last two halves) within the banding guarantee
@@ -95,7 +96,7 @@ def test_media_clusters_keep_one_per_cohort(spark, sf_dir) -> None:
     one cluster keyed by the min doc_id with exactly one keep=True;
     member 3 (fresh scene) stays a singleton that keeps itself."""
     docs = load_table(spark, sf_dir, "documents")
-    media = perc.documents_as_scene_png_media(docs)
+    media = perc.documents_as_scene_media(docs)
     rows = {
         r["doc_id"]: (r["cluster_id"], r["keep"])
         for r in perc.media_near_dup_clusters(media).collect()
@@ -123,7 +124,7 @@ def test_media_split_leakage_sees_cross_split_twins(spark, sf_dir) -> None:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    media = perc.documents_as_scene_png_media(docs)
+    media = perc.documents_as_scene_media(docs)
     weights = {"train": 0.8, "val": 0.1, "test": 0.1}
     rows = perc.media_split_leakage(media, weights).collect()
     total = sum(r["n_pairs"] for r in rows)
@@ -132,7 +133,7 @@ def test_media_split_leakage_sees_cross_split_twins(spark, sf_dir) -> None:
     assert leaked > 0  # content leaks across blob-disjoint splits
     # and the exact-digest view of the same pairs is blind: every
     # planted twin is a DIFFERENT blob (other resolution / perturbed)
-    md5s = perc.documents_as_scene_png_media(docs).select(
+    md5s = perc.documents_as_scene_media(docs).select(
         "doc_id", "content_md5"
     )
     dup_digests = (
@@ -147,7 +148,7 @@ def test_media_near_dup_catches_planted_pairs(spark, sf_dir) -> None:
     with both, the fresh-scene member pairs with nothing, and no
     cross-cohort pair appears."""
     docs = load_table(spark, sf_dir, "documents")
-    media = perc.documents_as_scene_png_media(docs)
+    media = perc.documents_as_scene_media(docs)
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in perc.media_near_dup(media).collect()
