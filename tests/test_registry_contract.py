@@ -34,6 +34,20 @@ def test_registry_digest_sits_in_the_driver_window() -> None:
     assert names.index("registry_digest") == qr.DIGEST_SLOT < 50
 
 
+def test_digest_row_count_pins_the_whole_tail() -> None:
+    """Window insurance (round-9 ask #8): the digest's one-row-per-tail
+    -query contract means its row count must equal len(QUERIES) - 50 —
+    if a future rotation drops the digest out of the first 50, or the
+    tail list desyncs from the registry, this fails BEFORE the driver
+    records a silently-narrower correctness gate."""
+    names = list(qr.QUERIES)
+    assert "registry_digest" in names[:50], "digest rotated out of window"
+    tail = [n for n in names[qr.DIGEST_SLOT :] if n != "registry_digest"]
+    assert len(tail) == len(names) - 50
+    # the registered digest arm iterates exactly this tail
+    assert tail == [n for n in names[50:]]
+
+
 def test_digest_manifest_covers_the_whole_tail() -> None:
     from eventstreamd_spark.digest_manifest import DIGEST_MANIFEST
 
