@@ -276,26 +276,14 @@ def image_codec_manifest(media: DataFrame) -> DataFrame:
 _HALVES = ("a_hi", "a_lo", "d_hi", "d_lo")
 
 
-def media_near_dup(media: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
-    """Banded perceptual near-dup pairs (simhash_pairs idiom): 4 bands
-    x 16 bits per hash; a pair within Hamming 3 of either hash is
-    GUARANTEED a band collision (pigeonhole), so the planted one-cell
-    perturbation (dHash distance <= 2 by construction — a flipped cell
-    touches exactly its two horizontal comparisons) can never be
-    missed; verify = combined 128-bit Hamming <= ``hamming_max``.
-
-    **Recall semantics**: candidate RECALL is fixed by the band
-    structure, not by ``hamming_max`` — with 8 bands over the combined
-    128 bits, a collision is pigeonhole-guaranteed only for pairs
-    within combined Hamming 7 (equivalently <= 3 on either single
-    hash); beyond that, candidates surface only probabilistically
-    (any one band happening to match).  Raising ``hamming_max`` above
-    7 therefore loosens only the VERIFY threshold and does not widen
-    candidate generation; to genuinely raise guaranteed recall you
-    must also increase ``N_BANDS`` (bands >= hamming+1 over the bits
-    you band).  The Spark side and the DuckDB oracle share the exact
-    banding, so parity holds at any ``hamming_max``."""
-    sig = perceptual_hashes(media)
+def banded_pairs(sig: DataFrame, hamming_max: int) -> DataFrame:
+    """Shared Hamming-banded candidate + verify tier over ANY
+    (doc_id, a_hi, a_lo, d_hi, d_lo) signature relation — 4 bands x
+    16 bits per 64-bit hash, equi-join on (kind, band, bhash),
+    combined-128-bit-Hamming verify.  Used by the image tier
+    (``media_near_dup``) and the audio tier
+    (``audio.audio_near_dup``); recall guarantee as documented on
+    ``media_near_dup``."""
     mask = (1 << BAND_BITS) - 1
     bands = []
     for kind, hi, lo in (("a", "a_hi", "a_lo"), ("d", "d_hi", "d_lo")):
@@ -341,6 +329,28 @@ def media_near_dup(media: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFram
         .filter(F.col("hamming") <= hamming_max)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def media_near_dup(media: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """Banded perceptual near-dup pairs (simhash_pairs idiom): 4 bands
+    x 16 bits per hash; a pair within Hamming 3 of either hash is
+    GUARANTEED a band collision (pigeonhole), so the planted one-cell
+    perturbation (dHash distance <= 2 by construction — a flipped cell
+    touches exactly its two horizontal comparisons) can never be
+    missed; verify = combined 128-bit Hamming <= ``hamming_max``.
+
+    **Recall semantics**: candidate RECALL is fixed by the band
+    structure, not by ``hamming_max`` — with 8 bands over the combined
+    128 bits, a collision is pigeonhole-guaranteed only for pairs
+    within combined Hamming 7 (equivalently <= 3 on either single
+    hash); beyond that, candidates surface only probabilistically
+    (any one band happening to match).  Raising ``hamming_max`` above
+    7 therefore loosens only the VERIFY threshold and does not widen
+    candidate generation; to genuinely raise guaranteed recall you
+    must also increase ``N_BANDS`` (bands >= hamming+1 over the bits
+    you band).  The Spark side and the DuckDB oracle share the exact
+    banding, so parity holds at any ``hamming_max``."""
+    return banded_pairs(perceptual_hashes(media), hamming_max)
 
 
 def media_near_dup_clusters(
@@ -432,16 +442,28 @@ def media_split_leakage(
 # ---------------------------------------------------------------------------
 
 
-def _sql_scene_hashes(table: str = "documents") -> str:
+def _sql_scene_hashes(
+    table: str = "documents", s_offset: int = 0, neighbor: str = "grid"
+) -> str:
     """Shared CTE chain ending in ``sig(doc_id, a_hi, a_lo, d_hi,
     d_lo)``.  Uniform block sizes (render sizes are multiples of 8)
     cancel out of both cross-multiplied compares, so the oracle's bits
     depend only on the 64 scene bytes — exactly the resize invariance
-    the operator exists to provide."""
+    the operator exists to provide.  ``s_offset`` shifts the scene key
+    space (the audio tier keys its scenes disjointly from the image
+    tier); ``neighbor`` picks the dBit adjacency — 'grid' = wrap
+    within 8-cell rows (image gradient), 'linear' = wrap over all 64
+    cells (audio time axis)."""
+    if neighbor == "grid":
+        nx_cell = f"(g.cell // {GRID}) * {GRID} + (g.cell + 1) % {GRID}"
+    elif neighbor == "linear":
+        nx_cell = f"(g.cell + 1) % {N_CELLS}"
+    else:
+        raise ValueError(f"unknown neighbor topology {neighbor!r}")
     return f"""
 m AS (
   SELECT doc_id,
-         2 * (doc_id // {COHORT})
+         {s_offset} + 2 * (doc_id // {COHORT})
            + CASE WHEN doc_id % {COHORT} = 3 THEN 1 ELSE 0 END AS s,
          doc_id % {COHORT} = 2 AS perturbed
   FROM {table}
@@ -475,7 +497,7 @@ bits AS (
   FROM scene g
   JOIN tot t ON t.doc_id = g.doc_id
   JOIN scene nx ON nx.doc_id = g.doc_id
-   AND nx.cell = (g.cell // {GRID}) * {GRID} + (g.cell + 1) % {GRID}
+   AND nx.cell = {nx_cell}
 ),
 sig AS (
   SELECT doc_id,
@@ -494,9 +516,10 @@ SELECT doc_id, a_hi, a_lo, d_hi, d_lo FROM sig
 """
 
 
-def sql_media_near_dup(
-    table: str = "documents", hamming_max: int = HAMMING_MAX
-) -> str:
+def sql_banded_pairs_tail(hamming_max: int = HAMMING_MAX) -> str:
+    """bands/cand CTEs + final pair SELECT over a preceding ``sig``
+    CTE — the SQL twin of ``banded_pairs``, shared by the image and
+    audio near-dup oracles."""
     mask = (1 << BAND_BITS) - 1
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, a_hi, a_lo, d_hi, d_lo, '{kind}{b}' AS band, "
@@ -511,7 +534,6 @@ def sql_media_near_dup(
         f"bit_count(xor(l.{c}, r.{c}))" for c in ("a_hi", "a_lo", "d_hi", "d_lo")
     )
     return f"""
-WITH {_sql_scene_hashes(table)},
 bands AS ({band_rows}),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
@@ -521,6 +543,15 @@ cand AS (
 )
 SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
 FROM cand WHERE hamming <= {hamming_max}
+"""
+
+
+def sql_media_near_dup(
+    table: str = "documents", hamming_max: int = HAMMING_MAX
+) -> str:
+    return f"""
+WITH {_sql_scene_hashes(table)},
+{sql_banded_pairs_tail(hamming_max)}
 """
 
 

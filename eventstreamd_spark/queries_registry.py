@@ -30,6 +30,7 @@ from eventstreamd_spark.operators import bpe as bpe_op
 from eventstreamd_spark.operators import merge as merge_op
 from eventstreamd_spark.operators import dedup as dedup_op
 from eventstreamd_spark.operators import multimodal as mm_op
+from eventstreamd_spark.operators import audio as audio_op
 from eventstreamd_spark.operators import perceptual as perc_op
 from eventstreamd_spark.operators import similarity as sim_op
 from eventstreamd_spark.operators import textops as text_op
@@ -3172,6 +3173,31 @@ def media_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perc_op.media_split_leakage(media, _SPLIT_WEIGHTS)
 
 
+@register("audio_fingerprints", audio_op.sql_audio_fingerprints())
+def audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer envelope fingerprint (sign-of-window-energy +
+    energy-delta sign over 64 relative windows) for every WAV of the
+    scene-audio corpus — the REAL decode path (RIFF walk, 16-bit PCM)
+    vs the oracle's closed-form scene arithmetic; sample-rate
+    invariant by construction (round-9 ask #3)."""
+    media = audio_op.documents_as_scene_audio(
+        load_table(spark, sf_dir, "documents")
+    )
+    return audio_op.audio_fingerprints(media)
+
+
+@register("audio_near_dup", audio_op.sql_audio_near_dup())
+def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs: the WAV mirror of media_near_dup —
+    shared Hamming-banded tier over envelope fingerprints; catches
+    the planted RESAMPLED twin (same scene at 2x sample rate, Hamming
+    0) and the re-encode-noise twin that exact digests miss."""
+    media = audio_op.documents_as_scene_audio(
+        load_table(spark, sf_dir, "documents")
+    )
+    return audio_op.audio_near_dup(media)
+
+
 @register("media_near_dup", perc_op.sql_media_near_dup())
 def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup pairs: Hamming-banded candidates (4x16-bit
@@ -3394,6 +3420,8 @@ _COST_HINT = {
     "media_near_dup_clusters": 1.00,
     # round-9: JPEG decode path (64x64 member raises per-blob cost)
     "media_codec_manifest": 0.70,
+    # round-9: audio perceptual tier (WAV decode is the per-blob cost)
+    "audio_fingerprints": 0.55, "audio_near_dup": 0.85,
 }
 
 
