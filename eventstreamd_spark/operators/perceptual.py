@@ -276,14 +276,11 @@ def image_codec_manifest(media: DataFrame) -> DataFrame:
 _HALVES = ("a_hi", "a_lo", "d_hi", "d_lo")
 
 
-def banded_pairs(sig: DataFrame, hamming_max: int) -> DataFrame:
-    """Shared Hamming-banded candidate + verify tier over ANY
-    (doc_id, a_hi, a_lo, d_hi, d_lo) signature relation — 4 bands x
-    16 bits per 64-bit hash, equi-join on (kind, band, bhash),
-    combined-128-bit-Hamming verify.  Used by the image tier
-    (``media_near_dup``) and the audio tier
-    (``audio.audio_near_dup``); recall guarantee as documented on
-    ``media_near_dup``."""
+def band_stack(sig: DataFrame) -> DataFrame:
+    """Explode a (doc_id, a_hi, a_lo, d_hi, d_lo) signature relation
+    into its 8 (band, bhash) rows — the shared banding layout of the
+    candidate tier (4 bands x 16 bits per 64-bit hash), with the
+    signature halves riding along for the verify step."""
     mask = (1 << BAND_BITS) - 1
     bands = []
     for kind, hi, lo in (("a", "a_hi", "a_lo"), ("d", "d_hi", "d_lo")):
@@ -296,7 +293,7 @@ def banded_pairs(sig: DataFrame, hamming_max: int) -> DataFrame:
                     F.shiftright(src, shift).bitwiseAND(F.lit(mask)).alias("bhash"),
                 )
             )
-    stacked = sig.select(
+    return sig.select(
         "doc_id", *_HALVES, F.explode(F.array(*bands)).alias("bb")
     ).select(
         "doc_id",
@@ -304,6 +301,26 @@ def banded_pairs(sig: DataFrame, hamming_max: int) -> DataFrame:
         F.col("bb.band").alias("band"),
         F.col("bb.bhash").alias("bhash"),
     )
+
+
+def _hamming_128(suffix_a: str, suffix_b: str):
+    return sum(
+        F.bit_count(
+            F.col(f"{c}{suffix_a}").bitwiseXOR(F.col(f"{c}{suffix_b}"))
+        )
+        for c in _HALVES
+    )
+
+
+def banded_pairs(sig: DataFrame, hamming_max: int) -> DataFrame:
+    """Shared Hamming-banded candidate + verify tier over ANY
+    (doc_id, a_hi, a_lo, d_hi, d_lo) signature relation — 4 bands x
+    16 bits per 64-bit hash, equi-join on (kind, band, bhash),
+    combined-128-bit-Hamming verify.  Used by the image tier
+    (``media_near_dup``) and the audio tier
+    (``audio.audio_near_dup``); recall guarantee as documented on
+    ``media_near_dup``."""
+    stacked = band_stack(sig)
     l, r = stacked.alias("l"), stacked.alias("r")
     cands = (
         l.join(
@@ -320,14 +337,60 @@ def banded_pairs(sig: DataFrame, hamming_max: int) -> DataFrame:
         )
         .distinct()
     )
+    return (
+        cands.withColumn("hamming", _hamming_128("_a", "_b").cast("int"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def banded_matches_against(
+    probe_sig: DataFrame, index_sig: DataFrame, hamming_max: int = HAMMING_MAX
+) -> DataFrame:
+    """Cross-relation candidate + verify: every (probe doc, index doc)
+    pair whose combined 128-bit Hamming distance is within
+    ``hamming_max``, found through the banded equi-join — the
+    admission primitive of the incremental media tier
+    (streaming/pipeline.py::start_media_admission).
+
+    Scale shape: the PROBE side (a micro-batch) is broadcast, so the
+    index — the 100 TB corpus's kept signatures — is scanned once per
+    trigger with NO shuffle; candidate volume is O(|batch| x bucket
+    density), never O(|index|^2).  (At full scale the index layout
+    would additionally be band-partitioned parquet so the scan prunes
+    to the batch's buckets; with 2^16 buckets x 8 bands that is a
+    directory-pruning refinement, not a plan change.)
+
+    Returns (doc_id, index_doc, hamming) — one row per verified match,
+    doc_id from the probe side."""
+    probe = band_stack(probe_sig).alias("p")
+    index = (
+        band_stack(index_sig)
+        .select(
+            F.col("doc_id").alias("index_doc"),
+            *[F.col(c).alias(f"{c}_i") for c in _HALVES],
+            "band",
+            "bhash",
+        )
+        .alias("i")
+    )
+    joined = index.join(
+        F.broadcast(probe),
+        (F.col("i.band") == F.col("p.band"))
+        & (F.col("i.bhash") == F.col("p.bhash")),
+    )
     hamming = sum(
-        F.bit_count(F.col(f"{c}_a").bitwiseXOR(F.col(f"{c}_b")))
+        F.bit_count(F.col(f"p.{c}").bitwiseXOR(F.col(f"i.{c}_i")))
         for c in _HALVES
     )
     return (
-        cands.withColumn("hamming", hamming.cast("int"))
+        joined.select(
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("i.index_doc").alias("index_doc"),
+            hamming.cast("int").alias("hamming"),
+        )
         .filter(F.col("hamming") <= hamming_max)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

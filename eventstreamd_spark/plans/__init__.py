@@ -1,3 +1,7 @@
-from eventstreamd_spark.plans.audit import audit_plan, explain_string
+from eventstreamd_spark.plans.audit import (
+    audit_plan,
+    explain_string,
+    global_window_nodes,
+)
 
-__all__ = ["audit_plan", "explain_string"]
+__all__ = ["audit_plan", "explain_string", "global_window_nodes"]

@@ -885,3 +885,148 @@ def start_rolling_wau_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental perceptual media admission (round-9, VERDICT ask #7)
+# ---------------------------------------------------------------------------
+
+
+def seed_media_index(sig: DataFrame, index_dir: str) -> None:
+    """Write the kept corpus's perceptual signatures as the admission
+    index seed (``batch_id=-1`` partition).  ``sig`` is a
+    (doc_id, a_hi, a_lo, d_hi, d_lo) relation — typically
+    ``perceptual_hashes(media)`` filtered to the ``keep`` rows of the
+    batch ``media_near_dup_clusters`` decision.  An EMPTY seed (cold
+    start: admit everything, the corpus grows from the stream) is
+    written with an explicit schema so the per-batch index read never
+    hits schema inference on an empty directory."""
+    sig.select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/batch_id=-1")
+
+
+def media_admission_writer(
+    index_dir: str, out_dir: str, hamming_max: int | None = None
+):
+    """foreachBatch kernel for incremental perceptual media admission:
+    each micro-batch of (doc_id, blob) is hashed ONCE in the Arrow
+    kernel, rejected against the kept corpus's banded perceptual index,
+    near-dup-clustered WITHIN the batch, and the surviving canonicals
+    are appended to the index — the perceptual twin of
+    ``stream_incremental_dedup``, with the candidate tier of
+    ``operators/perceptual.py`` instead of an exact content hash.
+
+    Per-batch plan (all O(|batch|), never O(|index|^2)):
+      1. ``perceptual_hashes`` on the batch blobs (one decode per blob,
+         localCheckpoint'ed so the index join, the self-pair tier and
+         the index append never re-run the kernel through lineage);
+      2. ``banded_matches_against`` the CURRENT index — seed plus the
+         deltas of strictly earlier batches (``batch_id < N``: under
+         foreachBatch replay the same epoch re-reads the same index
+         state, so the decision is deterministic);
+      3. survivors run the batch cluster tier (banded self-pairs ->
+         large-star/small-star components, min-doc_id canonical) —
+         the same composition as ``media_near_dup_clusters``;
+      4. decisions land in ``out_dir/batch_id=N``, kept-canonical
+         signatures in ``index_dir/batch_id=N`` — both mode=overwrite,
+         so checkpoint (at-least-once) + idempotent writes =
+         exactly-once admission AND exactly-once index growth.
+
+    Decision schema: (doc_id, cluster_id, keep, reason) with reason in
+    {'kept', 'near_dup_batch', 'near_dup_index'}; for index rejections
+    ``cluster_id`` is the minimal matching kept canonical, so a stream
+    fed in canonical-first order reproduces the batch
+    ``media_near_dup_clusters`` keep decision row-for-row (pytest:
+    tests/test_streaming.py::test_media_admission_*)."""
+    from eventstreamd_spark.operators.dedup import connected_components
+    from eventstreamd_spark.operators.perceptual import (
+        HAMMING_MAX,
+        banded_matches_against,
+        banded_pairs,
+        perceptual_hashes,
+    )
+
+    hmax = HAMMING_MAX if hamming_max is None else hamming_max
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sig = perceptual_hashes(
+            batch_df.select("doc_id", "blob")
+        ).localCheckpoint()
+        index = (
+            spark.read.parquet(index_dir)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")
+        )
+        matches = banded_matches_against(sig, index, hmax)
+        rejected = matches.groupBy("doc_id").agg(
+            F.min("index_doc").alias("cluster_id")
+        )
+        survivors = sig.join(rejected.select("doc_id"), "doc_id", "left_anti")
+        # batch-internal cluster tier over the survivors only: index
+        # rejections are already decided, and their components in the
+        # full batch graph would drag survivors toward index canonicals
+        # they never matched
+        comp = connected_components(
+            banded_pairs(survivors, hmax)
+            .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .localCheckpoint()
+        )
+        clustered = (
+            survivors.select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")
+            .join(comp, F.col("doc_id") == F.col("node"), "left")
+            .select(
+                "doc_id",
+                *("a_hi", "a_lo", "d_hi", "d_lo"),
+                F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+            .localCheckpoint()
+        )
+        decisions = clustered.select(
+            "doc_id",
+            "cluster_id",
+            "keep",
+            F.when(F.col("keep"), F.lit("kept"))
+            .otherwise(F.lit("near_dup_batch"))
+            .alias("reason"),
+        ).unionByName(
+            rejected.select(
+                "doc_id",
+                "cluster_id",
+                F.lit(False).alias("keep"),
+                F.lit("near_dup_index").alias("reason"),
+            )
+        )
+        decisions.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+        clustered.filter(F.col("keep")).select(
+            "doc_id", "a_hi", "a_lo", "d_hi", "d_lo"
+        ).write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
+
+    return write_batch
+
+
+def start_media_admission(
+    stream_media: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    hamming_max: int | None = None,
+) -> StreamingQuery:
+    """Wire a streaming (doc_id, blob) DataFrame to the incremental
+    perceptual admission kernel (``media_admission_writer``).  The
+    index seed must exist first (``seed_media_index`` — possibly
+    empty for a cold start)."""
+    return (
+        stream_media.writeStream.foreachBatch(
+            media_admission_writer(index_dir, out_dir, hamming_max)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1422,3 +1422,141 @@ def test_stream_quantile_monitor_survives_restart(
             twin[f]["bucket"],
             twin[f]["est_price"],
         ), f
+
+
+def _scene_media_subset(spark, sf_dir, n_docs: int):
+    from eventstreamd_spark.operators.perceptual import documents_as_scene_media
+    from eventstreamd_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < n_docs
+    )
+    return documents_as_scene_media(docs).select("doc_id", "blob")
+
+
+_EMPTY_SIG = "doc_id bigint, a_hi bigint, a_lo bigint, d_hi bigint, d_lo bigint"
+
+
+def test_media_admission_matches_batch_clusters(spark, sf_dir, tmp_path) -> None:
+    """Two micro-batches of media admitted incrementally against a
+    growing banded perceptual index must reproduce the one-shot batch
+    ``media_near_dup_clusters`` keep decision row-for-row — including a
+    cohort that STRADDLES the batch boundary (canonical in batch 1,
+    perturbed twin arriving in batch 2, rejected against the index)."""
+    import os
+
+    from eventstreamd_spark.operators.perceptual import media_near_dup_clusters
+    from eventstreamd_spark.streaming.pipeline import (
+        seed_media_index,
+        start_media_admission,
+    )
+
+    media = _scene_media_subset(spark, sf_dir, 64).localCheckpoint()
+    src = str(tmp_path / "media_src")
+    index_dir = str(tmp_path / "media_index")
+    out_dir = str(tmp_path / "media_out")
+    ckpt = str(tmp_path / "media_ckpt")
+    os.makedirs(src)
+    seed_media_index(spark.createDataFrame([], _EMPTY_SIG), index_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, blob binary")
+            .format("parquet")
+            .load(src)
+        )
+        q = start_media_admission(stream, index_dir, out_dir, ckpt)
+        q.awaitTermination(180)
+
+    # mid-cohort split: cohort 10 = docs 40..43 -> canonical 40 and its
+    # JPEG twin 41 land in batch 1; the perturbed twin 42 and the
+    # negative control 43 arrive in batch 2
+    media.filter("doc_id < 42").coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    media.filter("doc_id >= 42").coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in media_near_dup_clusters(media).collect()
+    }
+    assert got == want
+    # the straddling twin was decided against the INDEX, not in-batch
+    reasons = {
+        r["doc_id"]: r["reason"] for r in spark.read.parquet(out_dir).collect()
+    }
+    assert reasons[42] == "near_dup_index"
+    assert reasons[41] == "near_dup_batch"
+    # the index holds exactly the kept canonicals' signatures
+    idx_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(index_dir).select("doc_id").collect()
+    }
+    assert idx_docs == {d for d, (_, keep) in want.items() if keep}
+
+
+def test_media_admission_restart_and_replay_idempotence(
+    spark, sf_dir, tmp_path
+) -> None:
+    """Checkpoint restart resumes with the grown index (no rescoring of
+    admitted batches), an empty restart is a no-op, and a replayed
+    foreachBatch epoch overwrites its own output deterministically
+    (at-least-once invocation + idempotent write = exactly-once)."""
+    import os
+
+    from eventstreamd_spark.streaming.pipeline import (
+        media_admission_writer,
+        seed_media_index,
+        start_media_admission,
+    )
+
+    media = _scene_media_subset(spark, sf_dir, 32).localCheckpoint()
+    src = str(tmp_path / "ra_src")
+    index_dir = str(tmp_path / "ra_index")
+    out_dir = str(tmp_path / "ra_out")
+    ckpt = str(tmp_path / "ra_ckpt")
+    os.makedirs(src)
+    seed_media_index(spark.createDataFrame([], _EMPTY_SIG), index_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, blob binary")
+            .format("parquet")
+            .load(src)
+        )
+        q = start_media_admission(stream, index_dir, out_dir, ckpt)
+        q.awaitTermination(180)
+
+    media.filter("doc_id < 16").coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    first = {
+        (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    run_once()  # restart with no new data: nothing changes
+    assert {
+        (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(out_dir).collect()
+    } == first
+
+    media.filter("doc_id >= 16").coalesce(1).write.mode("append").parquet(src)
+    run_once()  # restart consumes only the new file, vs the grown index
+    after = {
+        (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert first < after
+    # replay epoch 1 by hand: same input, same batch_id -> the index
+    # filter (batch_id < 1) re-reads the same pre-epoch state and the
+    # overwrite lands on the same directories, so output is unchanged
+    media_admission_writer(index_dir, out_dir)(
+        media.filter("doc_id >= 16"), 1
+    )
+    assert {
+        (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(out_dir).collect()
+    } == after
