@@ -430,15 +430,28 @@ def media_near_dup_clusters(
     large-star/small-star fixed point (O(log n) rounds), edges
     localCheckpoint'ed so the rounds never re-run the hash kernel
     through lineage; singletons restored by one left join."""
+    return _sig_clusters(
+        media.select("doc_id"), perceptual_hashes(media), hamming_max, max_iters
+    )
+
+
+def _sig_clusters(
+    doc_ids: DataFrame, sig: DataFrame, hamming_max: int, max_iters: int
+) -> DataFrame:
+    """(doc_id, cluster_id, keep) over a precomputed signature relation
+    — banded pairs -> large-star/small-star fixed point, singletons
+    restored from ``doc_ids`` (the doc universe, which may be wider
+    than the docs appearing in any pair)."""
     from eventstreamd_spark.operators.dedup import connected_components
 
-    pairs = media_near_dup(media, hamming_max)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).localCheckpoint()
+    edges = (
+        banded_pairs(sig, hamming_max)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint()
+    )
     comp = connected_components(edges, max_iters)
     return (
-        media.select("doc_id")
+        doc_ids.select("doc_id")
         .join(comp, F.col("doc_id") == F.col("node"), "left")
         .select(
             "doc_id",
@@ -447,6 +460,90 @@ def media_near_dup_clusters(
             ),
         )
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def admission_decisions_from_sig(
+    batch_sig: DataFrame,
+    index_sig: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    max_iters: int = 16,
+) -> DataFrame:
+    """The incremental-admission decision over precomputed signatures
+    — the SINGLE implementation behind both the batch operator
+    (``media_admission_decisions``) and the streaming foreachBatch
+    kernel (streaming/pipeline.py::media_admission_writer), so batch
+    and stream verdicts agree by construction.
+
+    Steps: (1) batch docs matching any kept-canonical signature in the
+    index (banded candidates, Hamming verify) are rejected with
+    ``cluster_id`` = the minimal matching canonical; (2) the survivors
+    run the in-batch cluster tier (banded self-pairs -> star fixed
+    point, min-doc_id canonical).  Returns one row per batch doc:
+    (doc_id, cluster_id, keep, reason) with reason in {'kept',
+    'near_dup_batch', 'near_dup_index'}."""
+    rejected = (
+        banded_matches_against(batch_sig, index_sig, hamming_max)
+        .groupBy("doc_id")
+        .agg(F.min("index_doc").alias("cluster_id"))
+    )
+    survivors = batch_sig.join(rejected.select("doc_id"), "doc_id", "left_anti")
+    clustered = _sig_clusters(
+        survivors.select("doc_id"), survivors, hamming_max, max_iters
+    )
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        "keep",
+        F.when(F.col("keep"), F.lit("kept"))
+        .otherwise(F.lit("near_dup_batch"))
+        .alias("reason"),
+    ).unionByName(
+        rejected.select(
+            "doc_id",
+            "cluster_id",
+            F.lit(False).alias("keep"),
+            F.lit("near_dup_index").alias("reason"),
+        )
+    )
+
+
+# the registered admission split, chosen so every decision class is
+# exercised: corpus = cohort members {0,1} of EVEN cohorts (a real
+# near-dup cluster whose canonical enters the index) plus member 3 of
+# every cohort (fresh-scene singletons); batch = the rest — member 2
+# of even cohorts rejects against the index ('near_dup_index'), odd
+# cohorts' members {0,1,2} cluster in-batch ('kept'/'near_dup_batch')
+ADMIT_CORPUS_MOD8 = (0, 1, 3, 7)
+
+
+def media_admission_decisions(
+    corpus: DataFrame,
+    batch: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    max_iters: int = 16,
+) -> DataFrame:
+    """Batch-verifiable incremental admission: dedup the CORPUS first
+    (its kept canonicals' signatures form the banded perceptual
+    index), then admit the BATCH against that index — the relation the
+    streaming tier materializes per micro-batch, as one DataFrame a
+    SQL oracle can state.  At 100 TB this is the nightly-ingest shape:
+    the corpus index is a prebuilt signature table (5 BIGINTs/doc) and
+    only the new batch is decoded."""
+    corpus_sig = perceptual_hashes(corpus).localCheckpoint()
+    index_sig = corpus_sig.join(
+        _sig_clusters(
+            corpus.select("doc_id"), corpus_sig, hamming_max, max_iters
+        )
+        .filter(F.col("keep"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    return admission_decisions_from_sig(
+        perceptual_hashes(batch).localCheckpoint(),
+        index_sig,
+        hamming_max,
+        max_iters,
     )
 
 
@@ -579,23 +676,34 @@ SELECT doc_id, a_hi, a_lo, d_hi, d_lo FROM sig
 """
 
 
+def _sql_band_rows(src: str) -> str:
+    """The 8 (band, bhash) rows per doc over any signature CTE —
+    the SQL twin of ``band_stack``."""
+    mask = (1 << BAND_BITS) - 1
+    return " UNION ALL ".join(
+        f"SELECT doc_id, a_hi, a_lo, d_hi, d_lo, '{kind}{b}' AS band, "
+        f"({'(' + col + ' >> ' + str(BAND_BITS) + ')' if b % 2 else col})"
+        f" & {mask} AS bhash FROM {src}"
+        for kind in ("a", "d")
+        for b, col in enumerate(
+            [f"{kind}_lo", f"{kind}_lo", f"{kind}_hi", f"{kind}_hi"]
+        )
+    )
+
+
+def _sql_hamming(l: str = "l", r: str = "r") -> str:
+    return " + ".join(
+        f"bit_count(xor({l}.{c}, {r}.{c}))"
+        for c in ("a_hi", "a_lo", "d_hi", "d_lo")
+    )
+
+
 def sql_banded_pairs_tail(hamming_max: int = HAMMING_MAX) -> str:
     """bands/cand CTEs + final pair SELECT over a preceding ``sig``
     CTE — the SQL twin of ``banded_pairs``, shared by the image and
     audio near-dup oracles."""
-    mask = (1 << BAND_BITS) - 1
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, a_hi, a_lo, d_hi, d_lo, '{kind}{b}' AS band, "
-        f"({'(' + src + ' >> ' + str(BAND_BITS) + ')' if b % 2 else src})"
-        f" & {mask} AS bhash FROM sig"
-        for kind in ("a", "d")
-        for b, src in enumerate(
-            [f"{kind}_lo", f"{kind}_lo", f"{kind}_hi", f"{kind}_hi"]
-        )
-    )
-    ham = " + ".join(
-        f"bit_count(xor(l.{c}, r.{c}))" for c in ("a_hi", "a_lo", "d_hi", "d_lo")
-    )
+    band_rows = _sql_band_rows("sig")
+    ham = _sql_hamming()
     return f"""
 bands AS ({band_rows}),
 cand AS (
@@ -639,6 +747,82 @@ reach(doc_id, label) AS (
 SELECT doc_id, min(label) AS cluster_id,
        doc_id = min(label) AS keep
 FROM reach GROUP BY doc_id
+"""
+
+
+def sql_media_admission_decisions(
+    table: str = "documents", hamming_max: int = HAMMING_MAX
+) -> str:
+    """DuckDB twin of the registered admission split: corpus keeps by
+    recursive closure, banded cross-match against those keeps, then
+    the in-batch closure over the survivors — the same three stages as
+    ``admission_decisions_from_sig``, stated arithmetically."""
+    mods = ", ".join(str(m) for m in ADMIT_CORPUS_MOD8)
+    # MATERIALIZED: without it DuckDB re-inlines the whole scene-hash
+    # chain into every band CTE reference and re-evaluates it per
+    # recursive-closure iteration — dozens of simultaneous parquet
+    # scans of the same file (observed as EMFILE at sf0.001)
+    return f"""
+WITH RECURSIVE {_sql_scene_hashes(table)},
+csig AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 8 IN ({mods})),
+bsig AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 8 NOT IN ({mods})),
+cbands AS ({_sql_band_rows("csig")}),
+cpairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM cbands l JOIN cbands r
+    ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+  WHERE {_sql_hamming()} <= {hamming_max}
+),
+cedges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cpairs
+),
+creach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM csig
+  UNION
+  SELECT e.src, r.label FROM cedges e JOIN creach r ON e.dst = r.doc_id
+),
+ckeep AS (
+  SELECT doc_id FROM creach GROUP BY doc_id HAVING doc_id = min(label)
+),
+isig AS (SELECT s.* FROM csig s JOIN ckeep USING (doc_id)),
+ibands AS ({_sql_band_rows("isig")}),
+bbands AS ({_sql_band_rows("bsig")}),
+rejected AS MATERIALIZED (
+  SELECT doc_id, min(index_doc) AS cluster_id FROM (
+    SELECT DISTINCT l.doc_id, r.doc_id AS index_doc
+    FROM bbands l JOIN ibands r ON l.band = r.band AND l.bhash = r.bhash
+    WHERE {_sql_hamming()} <= {hamming_max}
+  ) GROUP BY doc_id
+),
+ssig AS MATERIALIZED (
+  SELECT * FROM bsig WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
+),
+sbands AS ({_sql_band_rows("ssig")}),
+spairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM sbands l JOIN sbands r
+    ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+  WHERE {_sql_hamming()} <= {hamming_max}
+),
+sedges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM spairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM spairs
+),
+sreach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM ssig
+  UNION
+  SELECT e.src, r.label FROM sedges e JOIN sreach r ON e.dst = r.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id, doc_id = min(label) AS keep,
+       CASE WHEN doc_id = min(label) THEN 'kept'
+            ELSE 'near_dup_batch' END AS reason
+FROM sreach GROUP BY doc_id
+UNION ALL
+SELECT doc_id, cluster_id, FALSE AS keep, 'near_dup_index' AS reason
+FROM rejected
 """
 
 

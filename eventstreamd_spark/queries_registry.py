@@ -3159,6 +3159,28 @@ def media_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_admission_decisions", perc_op.sql_media_admission_decisions()
+)
+def media_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual admission as one batch relation
+    (round-9 ask #7's batch face): the corpus split (even cohorts'
+    near-dup pair + every fresh-scene singleton) is deduped first, its
+    kept canonicals' signatures form the banded index, and the batch
+    split admits against it — one decision row per batch doc with
+    reason in {'kept', 'near_dup_batch', 'near_dup_index'}.  The
+    streaming foreachBatch kernel shares the SAME decision core
+    (operators/perceptual.py::admission_decisions_from_sig), so this
+    oracle row also pins the stream tier's verdict semantics."""
+    media = perc_op.documents_as_scene_media(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "blob")
+    in_corpus = F.col("doc_id") % 8
+    corpus = media.filter(in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
+    batch = media.filter(~in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
+    return perc_op.media_admission_decisions(corpus, batch)
+
+
+@register(
     "media_split_leakage",
     perc_op.sql_media_split_leakage(weights=_SPLIT_WEIGHTS),
 )
@@ -3422,6 +3444,7 @@ _COST_HINT = {
     "media_codec_manifest": 0.70,
     # round-9: audio perceptual tier (WAV decode is the per-blob cost)
     "audio_fingerprints": 0.55, "audio_near_dup": 0.85,
+    "media_admission_decisions": 2.00,
 }
 
 

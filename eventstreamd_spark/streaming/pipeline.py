@@ -939,11 +939,9 @@ def media_admission_writer(
     fed in canonical-first order reproduces the batch
     ``media_near_dup_clusters`` keep decision row-for-row (pytest:
     tests/test_streaming.py::test_media_admission_*)."""
-    from eventstreamd_spark.operators.dedup import connected_components
     from eventstreamd_spark.operators.perceptual import (
         HAMMING_MAX,
-        banded_matches_against,
-        banded_pairs,
+        admission_decisions_from_sig,
         perceptual_hashes,
     )
 
@@ -959,54 +957,21 @@ def media_admission_writer(
             .filter(F.col("batch_id") < F.lit(batch_id))
             .select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")
         )
-        matches = banded_matches_against(sig, index, hmax)
-        rejected = matches.groupBy("doc_id").agg(
-            F.min("index_doc").alias("cluster_id")
-        )
-        survivors = sig.join(rejected.select("doc_id"), "doc_id", "left_anti")
-        # batch-internal cluster tier over the survivors only: index
-        # rejections are already decided, and their components in the
-        # full batch graph would drag survivors toward index canonicals
-        # they never matched
-        comp = connected_components(
-            banded_pairs(survivors, hmax)
-            .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-            .localCheckpoint()
-        )
-        clustered = (
-            survivors.select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")
-            .join(comp, F.col("doc_id") == F.col("node"), "left")
-            .select(
-                "doc_id",
-                *("a_hi", "a_lo", "d_hi", "d_lo"),
-                F.coalesce(F.col("component"), F.col("doc_id")).alias(
-                    "cluster_id"
-                ),
-            )
-            .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
-            .localCheckpoint()
-        )
-        decisions = clustered.select(
-            "doc_id",
-            "cluster_id",
-            "keep",
-            F.when(F.col("keep"), F.lit("kept"))
-            .otherwise(F.lit("near_dup_batch"))
-            .alias("reason"),
-        ).unionByName(
-            rejected.select(
-                "doc_id",
-                "cluster_id",
-                F.lit(False).alias("keep"),
-                F.lit("near_dup_index").alias("reason"),
-            )
-        )
+        # the decision itself is the SHARED batch operator core
+        # (operators/perceptual.py::admission_decisions_from_sig), so
+        # stream and batch verdicts agree by construction; checkpoint
+        # it because both writes below consume it
+        decisions = admission_decisions_from_sig(
+            sig, index, hmax
+        ).localCheckpoint()
         decisions.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"
         )
-        clustered.filter(F.col("keep")).select(
-            "doc_id", "a_hi", "a_lo", "d_hi", "d_lo"
-        ).write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
+        sig.join(
+            decisions.filter(F.col("keep")).select("doc_id"), "doc_id"
+        ).select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/batch_id={batch_id}")
 
     return write_batch
 

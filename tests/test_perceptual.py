@@ -171,3 +171,32 @@ def test_media_near_dup_catches_planted_pairs(spark, sf_dir) -> None:
     for (a, b), _h in pairs.items():
         assert a // perc.COHORT == b // perc.COHORT, (a, b)
         assert a % perc.COHORT != 3 and b % perc.COHORT != 3, (a, b)
+
+
+def test_media_admission_decisions_classes(spark, sf_dir) -> None:
+    """The registered admission split exercises every decision class:
+    even cohorts' member 2 rejects against the INDEX (its canonical
+    entered via the corpus dedup), odd cohorts' members 0/1/2 cluster
+    IN-BATCH (one kept, two rejected), and nothing in the batch is
+    silently dropped (one decision row per batch doc)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 400")
+    media = perc.documents_as_scene_media(docs).select("doc_id", "blob")
+    in_corpus = F.col("doc_id") % 8
+    corpus = media.filter(in_corpus.isin(*perc.ADMIT_CORPUS_MOD8))
+    batch = media.filter(~in_corpus.isin(*perc.ADMIT_CORPUS_MOD8))
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["keep"], r["reason"])
+        for r in perc.media_admission_decisions(corpus, batch).collect()
+    }
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert set(rows) == batch_ids  # exactly one decision per batch doc
+    for d, (cid, keep, reason) in rows.items():
+        m8 = d % 8
+        if m8 == 2:  # even cohort's perturbed twin vs the index canonical
+            assert (cid, keep, reason) == (d - 2, False, "near_dup_index"), d
+        elif m8 == 4:  # odd cohort canonical, first of the in-batch trio
+            assert (cid, keep, reason) == (d, True, "kept"), d
+        else:  # m8 in (5, 6): in-batch near-dups of the m8=4 canonical
+            assert (cid, keep, reason) == (d - (m8 - 4), False, "near_dup_batch"), d
