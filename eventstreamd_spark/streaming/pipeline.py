@@ -907,7 +907,10 @@ def seed_media_index(sig: DataFrame, index_dir: str) -> None:
 
 
 def media_admission_writer(
-    index_dir: str, out_dir: str, hamming_max: int | None = None
+    index_dir: str,
+    out_dir: str,
+    hamming_max: int | None = None,
+    sig_fn: Callable[[DataFrame], DataFrame] | None = None,
 ):
     """foreachBatch kernel for incremental perceptual media admission:
     each micro-batch of (doc_id, blob) is hashed ONCE in the Arrow
@@ -946,12 +949,16 @@ def media_admission_writer(
     )
 
     hmax = HAMMING_MAX if hamming_max is None else hamming_max
+    # any Arrow kernel producing the shared (doc_id, a_hi, a_lo, d_hi,
+    # d_lo) signature schema plugs in: images default to
+    # perceptual_hashes, WAV streams pass audio.audio_fingerprints —
+    # candidate banding, verify, clustering and index growth are
+    # modality-blind past the signature
+    hashes = perceptual_hashes if sig_fn is None else sig_fn
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        sig = perceptual_hashes(
-            batch_df.select("doc_id", "blob")
-        ).localCheckpoint()
+        sig = hashes(batch_df.select("doc_id", "blob")).localCheckpoint()
         index = (
             spark.read.parquet(index_dir)
             .filter(F.col("batch_id") < F.lit(batch_id))
@@ -982,14 +989,17 @@ def start_media_admission(
     out_dir: str,
     checkpoint: str,
     hamming_max: int | None = None,
+    sig_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> StreamingQuery:
     """Wire a streaming (doc_id, blob) DataFrame to the incremental
     perceptual admission kernel (``media_admission_writer``).  The
     index seed must exist first (``seed_media_index`` — possibly
-    empty for a cold start)."""
+    empty for a cold start).  ``sig_fn`` swaps the signature kernel
+    (default: image perceptual hashes; pass
+    ``audio.audio_fingerprints`` for a WAV stream)."""
     return (
         stream_media.writeStream.foreachBatch(
-            media_admission_writer(index_dir, out_dir, hamming_max)
+            media_admission_writer(index_dir, out_dir, hamming_max, sig_fn)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

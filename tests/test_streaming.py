@@ -1560,3 +1560,68 @@ def test_media_admission_restart_and_replay_idempotence(
         (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
         for r in spark.read.parquet(out_dir).collect()
     } == after
+
+
+def test_media_admission_audio_signature_kernel(spark, sf_dir, tmp_path) -> None:
+    """The admission kernel is modality-blind past the signature: a
+    WAV stream admitted with ``audio_fingerprints`` as the signature
+    kernel rejects the RESAMPLED twin arriving a batch later against
+    the index entry of its canonical (the pair byte-digest dedup
+    misses), keeps fresh scenes, and clusters in-batch twins."""
+    import os
+
+    from eventstreamd_spark.operators.audio import (
+        audio_fingerprints,
+        documents_as_scene_audio,
+    )
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import (
+        seed_media_index,
+        start_media_admission,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 32")
+    media = documents_as_scene_audio(docs).select("doc_id", "blob").localCheckpoint()
+    src = str(tmp_path / "wav_src")
+    index_dir = str(tmp_path / "wav_index")
+    out_dir = str(tmp_path / "wav_out")
+    ckpt = str(tmp_path / "wav_ckpt")
+    os.makedirs(src)
+    seed_media_index(spark.createDataFrame([], _EMPTY_SIG), index_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, blob binary")
+            .format("parquet")
+            .load(src)
+        )
+        q = start_media_admission(
+            stream, index_dir, out_dir, ckpt, sig_fn=audio_fingerprints
+        )
+        q.awaitTermination(180)
+
+    # mid-cohort split: cohort 4 = docs 16..19 -> canonical 16 lands in
+    # batch 1; its resampled twin 17 arrives in batch 2
+    media.filter("doc_id < 17").coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    media.filter("doc_id >= 17").coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert set(rows) == set(range(32))
+    # cohort 4 straddles the boundary: the resampled twin 17 AND the
+    # perturbed twin 18 arrive in batch 2 and reject against canonical
+    # 16's INDEX entry instead of in-batch
+    assert rows[17] == (16, False, "near_dup_index")
+    assert rows[18] == (16, False, "near_dup_index")
+    for k in range(8):
+        c = 4 * k
+        assert rows[c] == (c, True, "kept")  # canonical
+        assert rows[c + 3] == (c + 3, True, "kept")  # fresh-scene negative
+        if c + 1 != 17:  # in-batch twins of the canonical
+            assert rows[c + 1] == (c, False, "near_dup_batch"), c
+        if c + 2 != 18:
+            assert rows[c + 2] == (c, False, "near_dup_batch"), c
