@@ -27,10 +27,12 @@ Everything is integer arithmetic (no DCT, no libm):
 Scale shape at 100 TB: per-image work is one Arrow-batched decode
 kernel (mapInPandas); everything after is 5 BIGINTs/doc — the band
 join shuffles 8 small rows per doc, bucket population is bounded by
-the 16-bit band space times near-dup density (a degenerate corpus —
-billions of all-black thumbnails — would need the hot-bucket guard
-from ``dedup.ngram_jaccard_pairs``; plumb ``max_bucket`` there if so);
-the verify is per-candidate O(1).  No all-pairs stage anywhere.
+the 16-bit band space times near-dup density; a degenerate corpus —
+billions of all-black thumbnails — is handled by the opt-in
+hot-bucket guard (``max_bucket`` on ``banded_pairs`` /
+``banded_matches_against``, the ``dedup.ngram_jaccard_pairs``
+df-cutoff idiom band-flavored); the verify is per-candidate O(1).
+No all-pairs stage anywhere.
 
 Fixture: ``documents_as_scene_media`` renders one REAL image per
 document from a closed-form 8x8 "scene" (hash-mixed integer values),
@@ -312,15 +314,41 @@ def _hamming_128(suffix_a: str, suffix_b: str):
     )
 
 
-def banded_pairs(sig: DataFrame, hamming_max: int) -> DataFrame:
+def _drop_hot_buckets(stacked: DataFrame, max_bucket: int) -> DataFrame:
+    """The degenerate-corpus guard (dedup's df-cutoff idiom, band
+    flavored): band rows in a bucket with more than ``max_bucket``
+    members are EXCLUDED from candidate generation, bounding the
+    bucket self-join at max_bucket^2 regardless of input.  The flood
+    case it exists for — billions of near-identical thumbnails landing
+    in one 16-bit bucket — is exactly the population whose pairs carry
+    no information (byte-identical members belong to the upstream
+    exact-digest dedup); recall loss is confined to the flooded
+    buckets, and a doc's OTHER bands still generate its candidates.
+    The size table is bounded by 8 x 2^16 keys (map-side combined),
+    so the gate join broadcasts."""
+    sizes = (
+        stacked.groupBy("band", "bhash")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "bhash")
+    )
+    return stacked.join(F.broadcast(sizes), ["band", "bhash"])
+
+
+def banded_pairs(
+    sig: DataFrame, hamming_max: int, max_bucket: int | None = None
+) -> DataFrame:
     """Shared Hamming-banded candidate + verify tier over ANY
     (doc_id, a_hi, a_lo, d_hi, d_lo) signature relation — 4 bands x
     16 bits per 64-bit hash, equi-join on (kind, band, bhash),
     combined-128-bit-Hamming verify.  Used by the image tier
     (``media_near_dup``) and the audio tier
     (``audio.audio_near_dup``); recall guarantee as documented on
-    ``media_near_dup``."""
+    ``media_near_dup``.  ``max_bucket`` opts into the hot-bucket
+    guard (``_drop_hot_buckets``) for degenerate corpora."""
     stacked = band_stack(sig)
+    if max_bucket is not None:
+        stacked = _drop_hot_buckets(stacked, max_bucket)
     l, r = stacked.alias("l"), stacked.alias("r")
     cands = (
         l.join(
@@ -345,7 +373,10 @@ def banded_pairs(sig: DataFrame, hamming_max: int) -> DataFrame:
 
 
 def banded_matches_against(
-    probe_sig: DataFrame, index_sig: DataFrame, hamming_max: int = HAMMING_MAX
+    probe_sig: DataFrame,
+    index_sig: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-relation candidate + verify: every (probe doc, index doc)
     pair whose combined 128-bit Hamming distance is within
@@ -362,10 +393,14 @@ def banded_matches_against(
     directory-pruning refinement, not a plan change.)
 
     Returns (doc_id, index_doc, hamming) — one row per verified match,
-    doc_id from the probe side."""
+    doc_id from the probe side.  ``max_bucket`` applies the hot-bucket
+    guard to the INDEX side (the unbounded one at ingest)."""
     probe = band_stack(probe_sig).alias("p")
+    index_stacked = band_stack(index_sig)
+    if max_bucket is not None:
+        index_stacked = _drop_hot_buckets(index_stacked, max_bucket)
     index = (
-        band_stack(index_sig)
+        index_stacked
         .select(
             F.col("doc_id").alias("index_doc"),
             *[F.col(c).alias(f"{c}_i") for c in _HALVES],

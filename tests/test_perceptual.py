@@ -200,3 +200,37 @@ def test_media_admission_decisions_classes(spark, sf_dir) -> None:
             assert (cid, keep, reason) == (d, True, "kept"), d
         else:  # m8 in (5, 6): in-batch near-dups of the m8=4 canonical
             assert (cid, keep, reason) == (d - (m8 - 4), False, "near_dup_batch"), d
+
+
+def test_hot_bucket_guard_bounds_degenerate_floods(spark) -> None:
+    """A planted flood (10k copies of one signature — the all-black-
+    thumbnail corpus) would generate ~10^8 candidates per band through
+    the unguarded self-join; with max_bucket the flood's buckets are
+    excluded BEFORE pair generation while ordinary twins in small
+    buckets keep their pairs and admission matches."""
+    flood = [(i, 7, 7, 7, 7) for i in range(10_000)]
+    twins = [(100_000, 11, 22, 33, 44), (100_001, 11, 22, 33, 44)]
+    sig = spark.createDataFrame(
+        flood + twins,
+        "doc_id bigint, a_hi bigint, a_lo bigint, d_hi bigint, d_lo bigint",
+    )
+    pairs = perc.banded_pairs(sig, hamming_max=10, max_bucket=64).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(100_000, 100_001)}
+    # the admission primitive with a flooded INDEX: probe twins still
+    # match their small-bucket index entries, the flood is inert
+    probe = spark.createDataFrame(
+        [(5, 11, 22, 33, 44), (6, 7, 7, 7, 7)],
+        "doc_id bigint, a_hi bigint, a_lo bigint, d_hi bigint, d_lo bigint",
+    )
+    matches = perc.banded_matches_against(
+        probe, sig, hamming_max=10, max_bucket=64
+    ).collect()
+    assert {(r["doc_id"], r["index_doc"]) for r in matches} == {
+        (5, 100_000),
+        (5, 100_001),
+    }
+    # and WITHOUT the guard the flood probe would match all 10k: prove
+    # the guard is load-bearing on a 100-doc slice (bounded runtime)
+    small_flood = sig.filter("doc_id < 100 OR doc_id >= 100000")
+    unguarded = perc.banded_matches_against(probe, small_flood, 10).count()
+    assert unguarded == 102  # 2 twin matches + 100 flood matches
