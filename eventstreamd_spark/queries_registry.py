@@ -32,6 +32,7 @@ from eventstreamd_spark.operators import dedup as dedup_op
 from eventstreamd_spark.operators import multimodal as mm_op
 from eventstreamd_spark.operators import audio as audio_op
 from eventstreamd_spark.operators import perceptual as perc_op
+from eventstreamd_spark.operators import video as video_op
 from eventstreamd_spark.operators import similarity as sim_op
 from eventstreamd_spark.operators import textops as text_op
 from eventstreamd_spark.operators import envelope as envelope_op
@@ -3158,6 +3159,31 @@ def media_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perc_op.media_near_dup_clusters(media)
 
 
+@register("video_fingerprints", video_op.sql_video_fingerprints())
+def video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video luminance-envelope fingerprint over the scene-video
+    corpus — the REAL pipeline (ISO-BMFF sample-table walk, per-frame
+    PNG/JPEG decode, integer envelope) vs the oracle's closed-form
+    scene arithmetic; frame-rate and resolution invariant by
+    construction (round-9 video tier)."""
+    media = video_op.documents_as_scene_video(
+        load_table(spark, sf_dir, "documents")
+    )
+    return video_op.video_fingerprints(media)
+
+
+@register("video_near_dup", video_op.sql_video_near_dup())
+def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs: the MP4 mirror of media_near_dup /
+    audio_near_dup — catches the planted RESIZED cross-codec twin and
+    the FRAME-RATE-DOUBLED twin (both Hamming 0) plus the
+    re-encode-noise twin that exact digests miss."""
+    media = video_op.documents_as_scene_video(
+        load_table(spark, sf_dir, "documents")
+    )
+    return video_op.video_near_dup(media)
+
+
 @register(
     "media_admission_decisions", perc_op.sql_media_admission_decisions()
 )
@@ -3445,6 +3471,7 @@ _COST_HINT = {
     # round-9: audio perceptual tier (WAV decode is the per-blob cost)
     "audio_fingerprints": 0.55, "audio_near_dup": 0.85,
     "media_admission_decisions": 2.00,
+    "video_fingerprints": 1.20, "video_near_dup": 1.40,
 }
 
 

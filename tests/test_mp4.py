@@ -112,3 +112,98 @@ def test_mixed_media_manifest_dispatch(spark) -> None:
             ts = 1000 + 100 * (d % 7)
             assert r["primary_dim"] == ts
             assert r["span"] == (10000 + (d * 37) % 90000) / ts
+
+
+# ---------------------------------------------------------------------------
+# Sample tables (round-9 video tier)
+# ---------------------------------------------------------------------------
+
+
+def test_sample_tables_roundtrip() -> None:
+    from eventstreamd_spark.functions.mp4 import (
+        decode_mp4,
+        decode_mp4_samples,
+        encode_video_mp4,
+    )
+
+    frames = [bytes([i]) * (10 + 3 * i) for i in range(7)]
+    blob = encode_video_mp4(320, 240, frames, fourcc=b"mjpa", frame_duration=40)
+    w, h, fc, out = decode_mp4_samples(blob)
+    assert (w, h, fc) == (320, 240, b"mjpa")
+    assert out == frames  # byte-exact through mdat + stsz/stsc/stco
+    ts, dur, n_tracks = decode_mp4(blob)  # metadata walker still agrees
+    assert (ts, dur, n_tracks) == (600, 7 * 40, 1)
+
+
+def test_sample_tables_multi_chunk_layout() -> None:
+    """The decoder is general over multi-chunk stsc/stco layouts, not
+    just the single-chunk shape this module's encoder emits: hand-pack
+    2 chunks of 2 samples + a final chunk of 1."""
+    import struct as st
+
+    from eventstreamd_spark.functions import mp4
+    from eventstreamd_spark.functions.mp4 import decode_mp4_samples
+
+    frames = [bytes([i]) * 8 for i in range(5)]
+    ftyp = mp4._box(b"ftyp", b"isom" + st.pack(">I", 0) + b"isom")
+    mdat = mp4._box(b"mdat", b"".join(frames))
+    base = len(ftyp) + 8
+    sizes = [len(f) for f in frames]
+    offs = [base, base + sizes[0] + sizes[1], base + sum(sizes[:4])]
+    entry = (
+        st.pack(">I", 86 + 8) + b"mjpa" + b"\x00" * 6 + st.pack(">H", 1)
+        + b"\x00" * 16 + st.pack(">HH", 16, 16)
+        + st.pack(">II", 0x00480000, 0x00480000) + st.pack(">I", 0)
+        + st.pack(">H", 1) + b"\x00" * 32 + st.pack(">H", 24)
+        + st.pack(">h", -1)
+    )
+    stsd = mp4._full_box(b"stsd", st.pack(">I", 1) + entry)
+    stts = mp4._full_box(b"stts", st.pack(">III", 1, 5, 40))
+    stsc = mp4._full_box(
+        b"stsc",
+        st.pack(">I", 2) + st.pack(">III", 1, 2, 1) + st.pack(">III", 3, 1, 1),
+    )
+    stsz = mp4._full_box(
+        b"stsz",
+        st.pack(">II", 0, 5) + b"".join(st.pack(">I", n) for n in sizes),
+    )
+    stco = mp4._full_box(b"stco", st.pack(">I", 3) + st.pack(">III", *offs))
+    stbl = mp4._box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = mp4._box(b"minf", stbl)
+    mdia = mp4._box(b"mdia", minf)
+    trak = mp4._box(b"trak", mdia)
+    moov = mp4._box(b"moov", trak)
+    w, h, fc, got = decode_mp4_samples(ftyp + mdat + moov)
+    assert (w, h, fc) == (16, 16, b"mjpa")
+    assert got == frames
+
+
+def test_sample_tables_fixed_size_and_co64() -> None:
+    """stsz fixed-size mode and 64-bit co64 offsets decode too."""
+    import struct as st
+
+    from eventstreamd_spark.functions import mp4
+    from eventstreamd_spark.functions.mp4 import decode_mp4_samples
+
+    frames = [bytes([i]) * 6 for i in range(4)]
+    ftyp = mp4._box(b"ftyp", b"isom" + st.pack(">I", 0) + b"isom")
+    mdat = mp4._box(b"mdat", b"".join(frames))
+    base = len(ftyp) + 8
+    entry = (
+        st.pack(">I", 86 + 8) + b"png " + b"\x00" * 6 + st.pack(">H", 1)
+        + b"\x00" * 16 + st.pack(">HH", 8, 8)
+        + st.pack(">II", 0x00480000, 0x00480000) + st.pack(">I", 0)
+        + st.pack(">H", 1) + b"\x00" * 32 + st.pack(">H", 24)
+        + st.pack(">h", -1)
+    )
+    stsd = mp4._full_box(b"stsd", st.pack(">I", 1) + entry)
+    stsc = mp4._full_box(b"stsc", st.pack(">I", 1) + st.pack(">III", 1, 4, 1))
+    stsz = mp4._full_box(b"stsz", st.pack(">II", 6, 4))  # fixed size, no table
+    co64 = mp4._full_box(b"co64", st.pack(">I", 1) + st.pack(">Q", base))
+    stbl = mp4._box(b"stbl", stsd + stsc + stsz + co64)
+    blob = ftyp + mdat + mp4._box(
+        b"moov", mp4._box(b"trak", mp4._box(b"mdia", mp4._box(b"minf", stbl)))
+    )
+    w, h, fc, got = decode_mp4_samples(blob)
+    assert (w, h, fc) == (8, 8, b"png ")
+    assert got == frames

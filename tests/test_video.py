@@ -1,0 +1,106 @@
+"""Video perceptual tier: real sample-table parse + per-frame decode
+vs the closed-form scene oracle, and the invariances the fingerprint
+exists to provide (frame rate, resolution, codec)."""
+
+from __future__ import annotations
+
+from eventstreamd_spark.operators import video as vid
+from eventstreamd_spark.session import load_table
+
+
+def _ham(a: tuple, b: tuple) -> int:
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+def test_fingerprint_invariances_and_negatives() -> None:
+    """Cohort contract: the 64x64 JPEG resized twin and the 128-frame
+    rate-doubled twin hash AT or NEAR the canonical; fresh scenes land
+    far away (band-collision-safe)."""
+    fp = {
+        d: vid._envelope_fingerprint(vid._synth_scene_mp4(d))
+        for d in range(12)
+    }
+    for c in (0, 4, 8):
+        assert _ham(fp[c], fp[c + 1]) == 0  # cross-codec resized twin
+        assert _ham(fp[c], fp[c + 2]) <= 6  # rate-doubled + perturbed
+        assert _ham(fp[c], fp[c + 3]) > 20  # fresh scene negative
+    assert _ham(fp[0], fp[4]) > 20  # cross-cohort
+
+
+def test_frames_decode_through_real_sample_tables() -> None:
+    """The blob is a REAL ISO-BMFF file: the stbl walk recovers every
+    frame, each decodes through the magic-byte image dispatch, and the
+    JPEG member's flat frames round-trip bit-exactly."""
+    from eventstreamd_spark.functions.image import decode_image, image_kind
+    from eventstreamd_spark.functions.mp4 import decode_mp4_samples
+
+    w, h, fourcc, frames = decode_mp4_samples(vid._synth_scene_mp4(1))
+    assert (w, h, fourcc) == (64, 64, b"mjpa")
+    assert len(frames) == 64
+    s, _, _, _ = vid._video_scene(1)
+    for t in (0, 13, 63):
+        assert image_kind(frames[t]) == "jpeg"
+        fw, fh, ch, px = decode_image(frames[t])
+        assert (fw, fh, ch) == (64, 64, 1)
+        assert set(px) == {vid._scene_value(s, t)}  # flat + exact
+    w, h, fourcc, frames = decode_mp4_samples(vid._synth_scene_mp4(2))
+    assert (w, h, fourcc) == (8, 8, b"png ")
+    assert len(frames) == 128  # the rate-doubled member
+    assert image_kind(frames[0]) == "png"
+
+
+def test_video_near_dup_matches_oracle(spark, sf_dir) -> None:
+    """Spark's full real pipeline (encode -> sample tables -> decode ->
+    envelope -> banded pairs) is bit-identical to the DuckDB scene
+    arithmetic, and every planted twin pair is caught."""
+    import duckdb
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = vid.documents_as_scene_video(docs)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in vid.video_near_dup(media).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(vid.sql_video_near_dup()).fetchall()}
+    assert got == want
+    n_docs = docs.count()
+    planted = {
+        (c, c + 1) for c in range(0, n_docs - 3, 4)
+    } | {(c, c + 2) for c in range(0, n_docs - 3, 4)}
+    assert planted <= {(a, b) for a, b, _ in got}
+
+
+def test_admission_kernel_accepts_video_signatures(spark, sf_dir, tmp_path) -> None:
+    """The modality-blind admission writer admits a video stream: the
+    rate-doubled twin arriving a batch after its canonical is rejected
+    against the index entry."""
+    from eventstreamd_spark.streaming.pipeline import (
+        media_admission_writer,
+        seed_media_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 24")
+    media = vid.documents_as_scene_video(docs).select("doc_id", "blob")
+    idx, out = str(tmp_path / "vidx"), str(tmp_path / "vout")
+    seed_media_index(
+        spark.createDataFrame(
+            [], "doc_id bigint, a_hi bigint, a_lo bigint, d_hi bigint, d_lo bigint"
+        ),
+        idx,
+    )
+    w = media_admission_writer(idx, out, sig_fn=vid.video_fingerprints)
+    w(media.filter("doc_id < 10"), 0)  # mid-cohort: canonical 8 lands first
+    w(media.filter("doc_id >= 10"), 1)
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(rows) == 24
+    assert rows[10] == (8, False, "near_dup_index")  # rate-doubled twin
+    assert rows[9] == (8, False, "near_dup_batch")
+    assert rows[8] == (8, True, "kept")

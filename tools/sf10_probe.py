@@ -73,6 +73,9 @@ TARGETS = [
     ("kmeans_assignments", 1.0, "~N (fixed Lloyd rounds, bcast centroids)"),
     ("resumable_inference", 1.0, "~N (committed-manifest read path)"),
     ("resumable_inference_score", 1.0, "~N (shard-serial Arrow scoring)"),
+    # round-9 ops: the audio fingerprint tier and the admission split
+    ("audio_near_dup", 1.0, "~N (banded pairs over WAV envelope prints)"),
+    ("media_admission_decisions", 1.15, "~N log n (corpus CC + banded admission)"),
 ]
 
 TOLERANCE = 0.10
