@@ -175,8 +175,10 @@ def audio_near_dup(
     only the signature kernel differs.  Catches the resampled twin
     (member 1: Hamming 0 at a different sample rate) and the
     re-encode-noise twin (member 2: one window perturbed flips <= 2
-    delta bits + <= 1 energy bit) that ``media_dedup`` misses."""
-    return banded_pairs(audio_fingerprints(media), hamming_max)
+    delta bits + <= 1 energy bit) that ``media_dedup`` misses.
+    Decode-once: signatures are localCheckpoint'ed before the banded
+    self-join (see ``perceptual.media_near_dup``)."""
+    return banded_pairs(audio_fingerprints(media).localCheckpoint(), hamming_max)
 
 
 # ---------------------------------------------------------------------------

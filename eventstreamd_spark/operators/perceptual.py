@@ -447,8 +447,15 @@ def media_near_dup(media: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFram
     candidate generation; to genuinely raise guaranteed recall you
     must also increase ``N_BANDS`` (bands >= hamming+1 over the bits
     you band).  The Spark side and the DuckDB oracle share the exact
-    banding, so parity holds at any ``hamming_max``."""
-    return banded_pairs(perceptual_hashes(media), hamming_max)
+    banding, so parity holds at any ``hamming_max``.
+
+    Decode-once: the signature relation is localCheckpoint'ed before
+    the banded SELF-join — without it both join legs re-run the Arrow
+    decode kernel through lineage, doubling the dominant per-blob cost
+    (measured 2x in-bench on all three media tiers; at 100 TB the
+    decode IS the bill, so paying it twice is a plan bug, not noise).
+    """
+    return banded_pairs(perceptual_hashes(media).localCheckpoint(), hamming_max)
 
 
 def media_near_dup_clusters(
@@ -462,11 +469,15 @@ def media_near_dup_clusters(
     ``dedup.dedup_clusters`` over the perceptual pair tier.
 
     Same composition: the banded pair tier feeds the alternating
-    large-star/small-star fixed point (O(log n) rounds), edges
-    localCheckpoint'ed so the rounds never re-run the hash kernel
-    through lineage; singletons restored by one left join."""
+    large-star/small-star fixed point (O(log n) rounds), signatures
+    AND edges localCheckpoint'ed so neither the pair self-join nor the
+    rounds re-run the hash kernel through lineage; singletons restored
+    by one left join."""
     return _sig_clusters(
-        media.select("doc_id"), perceptual_hashes(media), hamming_max, max_iters
+        media.select("doc_id"),
+        perceptual_hashes(media).localCheckpoint(),
+        hamming_max,
+        max_iters,
     )
 
 

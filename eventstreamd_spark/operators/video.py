@@ -210,8 +210,11 @@ def video_near_dup(
     fingerprints catches the planted RESIZED cross-codec twin and the
     FRAME-RATE-DOUBLED twin at Hamming 0, and the re-encode-noise twin
     within the verify threshold; recall semantics as documented on
-    ``perceptual.media_near_dup``."""
-    return banded_pairs(video_fingerprints(media), hamming_max)
+    ``perceptual.media_near_dup``.  Decode-once: signatures are
+    localCheckpoint'ed before the banded self-join — the per-frame
+    decode is by far the dominant cost here (F frames per blob), so
+    the lineage re-run would double an already-heavy kernel."""
+    return banded_pairs(video_fingerprints(media).localCheckpoint(), hamming_max)
 
 
 # ---------------------------------------------------------------------------
