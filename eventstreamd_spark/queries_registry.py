@@ -32,6 +32,7 @@ from eventstreamd_spark.operators import dedup as dedup_op
 from eventstreamd_spark.operators import multimodal as mm_op
 from eventstreamd_spark.operators import audio as audio_op
 from eventstreamd_spark.operators import perceptual as perc_op
+from eventstreamd_spark.operators import mixed as mixed_op
 from eventstreamd_spark.operators import video as video_op
 from eventstreamd_spark.operators import similarity as sim_op
 from eventstreamd_spark.operators import textops as text_op
@@ -3185,6 +3186,33 @@ def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixed_media_fingerprints", mixed_op.sql_mixed_media_fingerprints()
+)
+def mixed_media_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One magic-byte-dispatched Arrow kernel fingerprinting a MIXED
+    PNG/JPEG/WAV/MP4 blob column into the shared signature schema —
+    the one-table ingest shape a real 100 TB media corpus has; the
+    oracle covers all three modalities with one CASE-dispatched scene
+    CTE (round-9 capstone)."""
+    media = mixed_op.documents_as_mixed_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return mixed_op.mixed_media_fingerprints(media)
+
+
+@register("mixed_media_near_dup", mixed_op.sql_mixed_media_near_dup())
+def mixed_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over the mixed-modality corpus: ONE banded tier
+    serves images, audio and video at once — every planted twin class
+    (cross-codec resize, resample, frame-rate doubling, re-encode
+    noise) lands in a single relation."""
+    media = mixed_op.documents_as_mixed_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return mixed_op.mixed_media_near_dup(media)
+
+
+@register(
     "media_admission_decisions", perc_op.sql_media_admission_decisions()
 )
 def media_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3472,6 +3500,7 @@ _COST_HINT = {
     "audio_fingerprints": 0.55, "audio_near_dup": 0.85,
     "media_admission_decisions": 2.00,
     "video_fingerprints": 1.20, "video_near_dup": 1.40,
+    "mixed_media_fingerprints": 0.80, "mixed_media_near_dup": 1.00,
 }
 
 
