@@ -87,7 +87,19 @@ def _synth_media_adapter(docs, synth_fn, media_type) -> DataFrame:
                 }
             )
 
-    blobs = fan_out(docs.select("doc_id")).mapInPandas(
+    # 8x cores, not 1x: per-blob decode/encode cost varies 50x across
+    # members (a 64-frame JPEG video vs a 16x16 PNG), and heavy members
+    # recur with a fixed doc_id period that ALIASES with a coarse
+    # round-robin — at one-partition-per-core half the tasks finished
+    # early while the rest dragged minute-long straggler tails.  Finer
+    # tasks amortize the skew: the sf10 fingerprint stage measured
+    # 187s -> 90s going 32 -> 256 partitions (SCALE.md §19).  The
+    # downstream Arrow kernels inherit this width (their fan_out
+    # no-ops), and at true 100 TB scale thousands of file splits make
+    # this a no-op too.
+    spine = docs.select("doc_id")
+    width = 8 * docs.sparkSession.sparkContext.defaultParallelism
+    blobs = fan_out(spine, width).mapInPandas(
         synth, schema="doc_id bigint, blob binary"
     )
     return blobs.select(

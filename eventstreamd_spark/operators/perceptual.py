@@ -305,15 +305,6 @@ def band_stack(sig: DataFrame) -> DataFrame:
     )
 
 
-def _hamming_128(suffix_a: str, suffix_b: str):
-    return sum(
-        F.bit_count(
-            F.col(f"{c}{suffix_a}").bitwiseXOR(F.col(f"{c}{suffix_b}"))
-        )
-        for c in _HALVES
-    )
-
-
 def _drop_hot_buckets(stacked: DataFrame, max_bucket: int) -> DataFrame:
     """The degenerate-corpus guard (dedup's df-cutoff idiom, band
     flavored): band rows in a bucket with more than ``max_bucket``
@@ -345,30 +336,38 @@ def banded_pairs(
     (``media_near_dup``) and the audio tier
     (``audio.audio_near_dup``); recall guarantee as documented on
     ``media_near_dup``.  ``max_bucket`` opts into the hot-bucket
-    guard (``_drop_hot_buckets``) for degenerate corpora."""
+    guard (``_drop_hot_buckets``) for degenerate corpora.
+
+    Verify BEFORE distinct (the order the SQL tail always had): random
+    16-bit band collisions grow as ~N^2/2^16 once bucket occupancy
+    passes 1, and an early ``distinct`` shuffles every one of them
+    carrying both signatures (10 columns wide).  The Hamming verify is
+    a handful of JVM bit ops — evaluating it per COLLISION and
+    deduplicating only the survivors shuffles O(true pairs) rows of 3
+    ints instead.  Found by the sf10 probe: the mixed tier measured
+    a10 = 1.16 with the old order (SCALE.md §19)."""
     stacked = band_stack(sig)
     if max_bucket is not None:
         stacked = _drop_hot_buckets(stacked, max_bucket)
     l, r = stacked.alias("l"), stacked.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            *[F.col(f"l.{c}").alias(f"{c}_a") for c in _HALVES],
-            *[F.col(f"r.{c}").alias(f"{c}_b") for c in _HALVES],
-        )
-        .distinct()
+    joined = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bhash") == F.col("r.bhash"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"l.{c}").bitwiseXOR(F.col(f"r.{c}")))
+        for c in _HALVES
     )
     return (
-        cands.withColumn("hamming", _hamming_128("_a", "_b").cast("int"))
+        joined.select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
         .filter(F.col("hamming") <= hamming_max)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
