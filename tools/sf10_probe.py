@@ -76,6 +76,7 @@ TARGETS = [
     # round-9 ops: the audio fingerprint tier and the admission split
     ("audio_near_dup", 1.0, "~N (banded pairs over WAV envelope prints)"),
     ("media_admission_decisions", 1.15, "~N log n (corpus CC + banded admission)"),
+    ("mixed_media_near_dup", 1.0, "~N (content-dispatched kernel, one band tier)"),
 ]
 
 TOLERANCE = 0.10
