@@ -136,9 +136,11 @@ def encode_video_mp4(
 
     n = len(frames)
     duration = n * frame_duration
-    # stsd: one visual sample entry (86-byte body per the spec)
+    # stsd: one visual sample entry.  Per ISO 14496-12 a SampleEntry is
+    # a Box, so its declared size INCLUDES the 8-byte header: 8 + 78
+    # body bytes = 86 total, which is exactly what is written below.
     entry = (
-        struct.pack(">I", 86 + 8)
+        struct.pack(">I", 86)
         + fourcc
         + b"\x00" * 6  # reserved
         + struct.pack(">H", 1)  # data_reference_index

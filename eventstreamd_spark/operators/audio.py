@@ -14,8 +14,16 @@ SAME Hamming-banded candidate tier as ``perceptual.media_near_dup``:
 - **eBit(k)** = ``E(k) * n_total >= E_total * n(k)`` — window energy
   above the global mean, cross-multiplied so no division happens
   (E(k) = sum of |sample| in window k, all integers);
-- **dBit(k)** = ``E(k) * n(k+1) > E(k+1) * n(k)`` — the energy-delta
-  sign between adjacent windows, wrap at 64 keeps it 64 bits;
+- **zBit(k)** = ``Z(k) > Z(k+1)`` — the SPECTRAL word (round-10,
+  VERDICT ask #6): Z(k) counts intra-window sign transitions of the
+  PCM (the zero-crossing rate, the classic integer spectral-centroid
+  proxy — a one-bit chromaprint band), so two clips with the SAME
+  energy envelope but different per-window pitch content — the
+  EQ'd/different-material false positive the envelope-only
+  fingerprint could not see — now separate, while a uniformly
+  RESAMPLED twin keeps every zBit (transitions per window scale with
+  the window sample count on both sides of the strict compare, so
+  the rate cancels exactly);
 - the two 64-bit words travel as the same (a_hi, a_lo, d_hi, d_lo)
   signature schema as the image tier, so candidate generation +
   verify REUSE ``perceptual.banded_pairs`` (4x16-bit bands,
@@ -29,17 +37,24 @@ verify, no all-pairs stage.
 Fixture: ``documents_as_scene_audio`` renders one REAL WAV per
 document from a closed-form 64-value audio "scene" (the image tier's
 avalanche-verified mix, keyed disjointly via ``AUDIO_SCENE_OFFSET``):
-window k holds a square wave of amplitude ``64 * scene(k)``, so
-|sample| is constant per window and E(k) recovers the scene exactly
-at ANY sample count that is a multiple of 64.  Cohorts of 4 share a
+window k holds a square wave of amplitude ``64 * scene(k)`` and
+half-period ``2 ** (scene(k) % 3)`` samples (phase reset per window),
+so |sample| is constant per window — E(k) recovers the scene exactly
+at ANY sample count that is a multiple of 64 — and the transition
+count is ``w / h(k) - 1`` per window (w = samples per window), whose
+strict adjacent compare reduces to ``h(k) < h(k+1)``: closed-form,
+rate-free, stated by the oracle as ``16 >> (scene(k) % 3)``
+comparisons (silent windows, scene byte 0, carry Z = 0).  Cohorts of 4 share a
 scene: member 0 renders 1024 samples @ 8 kHz, member 1 renders 2048
 samples @ 16 kHz (a true RESAMPLED duplicate — same duration, double
 rate), member 2 renders 4096 samples with ONE window xor-perturbed
 (re-encode noise), member 3 gets a fresh scene (negative control).
 The DuckDB oracle states fingerprints, banding, and the pair set
-purely arithmetically (the shared scene CTE with ``neighbor='linear'``
-for the time axis) while Spark runs the full real pipeline (WAV
-encode -> decode -> envelope -> fingerprint -> band join -> verify).
+purely arithmetically (the shared scene CTE with
+``neighbor='audio_spectral'``: envelope bits on the scene bytes,
+zBits as the rate-free transition-count compare) while Spark runs the
+full real pipeline (WAV encode -> decode -> envelope + zero-crossing
+count -> fingerprint -> band join -> verify).
 
 Reference parity note: the reference (srittau/eventstreamd) has no
 media surface; this operator is layer-B training-data-pipeline scope.
@@ -64,7 +79,13 @@ from eventstreamd_spark.operators.perceptual import (
 )
 from eventstreamd_spark.session import fan_out
 
-AUDIO_SCENE_OFFSET = 1 << 20  # keys audio scenes disjointly from image scenes
+# Keys audio scenes disjointly from image scenes (image space starts at
+# 0).  The scene key feeds ``(s+1)*K1 % 2^32``, so disjointness must hold
+# WITHIN the 32-bit domain (an offset >= 2^32 would vanish mod 2^32) and
+# ``(s+1)*K1`` must stay under 2^63 for the DuckDB BIGINT oracle.
+# 0x50000000 gives structural disjointness for doc_id < ~2.6e9 (image
+# band) / ~1.5e9 (overall) — far past any fixture (sf100 tops out ~5e7).
+AUDIO_SCENE_OFFSET = 0x50000000
 N_WINDOWS = N_CELLS  # 64 relative time windows = the scene cell count
 AMP_SCALE = 64  # scene byte -> square-wave amplitude (max 16320 < 2^15)
 MEMBER_SAMPLES = (1024, 2048, 4096, 1024)  # all multiples of N_WINDOWS
@@ -81,21 +102,27 @@ def _audio_scene(doc_id: int) -> tuple[int, int, int, bool]:
 
 def _synth_scene_wav(doc_id: int) -> bytes:
     """Render the document's audio scene as a REAL 16-bit PCM WAV at
-    its member length/rate: sample i belongs to window (i*64)//n and
-    alternates +/- its window amplitude (zero-DC square wave)."""
+    its member length/rate: sample i belongs to window (i*64)//n; each
+    window is a zero-DC square wave of its scene amplitude and its
+    scene HALF-PERIOD ``2 ** (v % 3)`` samples, phase reset at the
+    window edge (64 | n, so windows are uniform and the half-period
+    always divides the window)."""
     from eventstreamd_spark.functions.wav import encode_wav
 
     s, n, rate, perturbed = _audio_scene(doc_id)
     pcell = s % N_WINDOWS
-    amps = []
+    amps, halfp = [], []
     for k in range(N_WINDOWS):
         v = _scene_value(s, k)
         if perturbed and k == pcell:
             v ^= PERTURB_XOR
         amps.append(v * AMP_SCALE)
+        halfp.append(1 << (v % 3))
+    w = n // N_WINDOWS
     samples = [
-        amps[(i * N_WINDOWS) // n] * (1 if i % 2 == 0 else -1)
+        amps[k] * (1 if ((i - k * w) // halfp[k]) % 2 == 0 else -1)
         for i in range(n)
+        for k in ((i * N_WINDOWS) // n,)
     ]
     return encode_wav(rate, 1, samples)
 
@@ -109,25 +136,35 @@ def documents_as_scene_audio(docs: DataFrame) -> DataFrame:
 
 
 def _envelope_fingerprint(blob: bytes) -> tuple[int, int, int, int]:
-    """(e_hi, e_lo, d_hi, d_lo) from a decoded WAV — pure integer
+    """(e_hi, e_lo, z_hi, z_lo) from a decoded WAV — pure integer
     pipeline; works for ANY sample count >= 64 (integer window
-    edges).  Overflow note: E <= 2^15 * n and the cross-multiplies
-    add another factor n, so int64 holds for n up to ~10^7 samples
-    per blob (hours of mono 16-bit audio)."""
+    edges).  The e-word is the broadband energy envelope; the z-word
+    is the spectral word: per-window PCM sign-transition counts
+    (zero-crossing rate), compared between adjacent windows — the
+    strict compare is sample-rate-free because both sides scale with
+    the window length.  Overflow note: E <= 2^15 * n and the
+    cross-multiplies add another factor n, so int64 holds for n up to
+    ~10^7 samples per blob (hours of mono 16-bit audio)."""
     import numpy as np
 
     from eventstreamd_spark.functions.wav import decode_wav
 
     _rate, _channels, _bits, samples = decode_wav(blob)
-    arr = np.abs(np.asarray(samples, dtype=np.int64))
+    raw = np.asarray(samples, dtype=np.int64)
+    arr = np.abs(raw)
     n = arr.shape[0]
     gi = (np.arange(n, dtype=np.int64) * N_WINDOWS) // n
     E = np.zeros(N_WINDOWS, dtype=np.int64)
     np.add.at(E, gi, arr)
     cnt = np.bincount(gi, minlength=N_WINDOWS).astype(np.int64)
     ebits = E * cnt.sum() >= E.sum() * cnt
-    En, cn = np.roll(E, -1), np.roll(cnt, -1)
-    dbits = E * cn > En * cnt
+    # intra-window sign transitions (window-boundary pairs excluded:
+    # the synth resets phase per window, and for real audio a boundary
+    # transition belongs to neither window's pitch)
+    signs = np.sign(raw)
+    trans = (signs[1:] != signs[:-1]) & (gi[1:] == gi[:-1])
+    Z = np.bincount(gi[1:][trans], minlength=N_WINDOWS).astype(np.int64)
+    zbits = Z > np.roll(Z, -1)
 
     def pack(bits) -> tuple[int, int]:
         lo = hi = 0
@@ -137,8 +174,8 @@ def _envelope_fingerprint(blob: bytes) -> tuple[int, int, int, int]:
         return hi, lo
 
     e_hi, e_lo = pack(ebits)
-    d_hi, d_lo = pack(dbits)
-    return e_hi, e_lo, d_hi, d_lo
+    z_hi, z_lo = pack(zbits)
+    return e_hi, e_lo, z_hi, z_lo
 
 
 def audio_fingerprints(media: DataFrame) -> DataFrame:
@@ -173,9 +210,13 @@ def audio_near_dup(
     ``media_near_dup``: same banding, same pigeonhole recall
     guarantee (combined Hamming <= 7 / per-word <= 3), same verify;
     only the signature kernel differs.  Catches the resampled twin
-    (member 1: Hamming 0 at a different sample rate) and the
-    re-encode-noise twin (member 2: one window perturbed flips <= 2
-    delta bits + <= 1 energy bit) that ``media_dedup`` misses.
+    (member 1: Hamming 0 at a different sample rate — energy and
+    zero-crossing words are both rate-free) and the re-encode-noise
+    twin (member 2: one window perturbed flips <= 2 spectral bits +
+    <= 1 energy bit) that ``media_dedup`` misses; an equal-envelope
+    different-pitch clip — the false positive an envelope-only
+    fingerprint cannot see — separates on the z-word (planted
+    pytest in tests/test_audio.py).
     Decode-once: signatures are localCheckpoint'ed before the banded
     self-join (see ``perceptual.media_near_dup``)."""
     return banded_pairs(audio_fingerprints(media).localCheckpoint(), hamming_max)
@@ -190,7 +231,7 @@ def audio_near_dup(
 
 def sql_audio_fingerprints(table: str = "documents") -> str:
     return f"""
-WITH {_sql_scene_hashes(table, s_offset=AUDIO_SCENE_OFFSET, neighbor="linear")}
+WITH {_sql_scene_hashes(table, s_offset=AUDIO_SCENE_OFFSET, neighbor="audio_spectral")}
 SELECT doc_id, a_hi, a_lo, d_hi, d_lo FROM sig
 """
 
@@ -199,6 +240,6 @@ def sql_audio_near_dup(
     table: str = "documents", hamming_max: int = HAMMING_MAX
 ) -> str:
     return f"""
-WITH {_sql_scene_hashes(table, s_offset=AUDIO_SCENE_OFFSET, neighbor="linear")},
+WITH {_sql_scene_hashes(table, s_offset=AUDIO_SCENE_OFFSET, neighbor="audio_spectral")},
 {sql_banded_pairs_tail(hamming_max)}
 """

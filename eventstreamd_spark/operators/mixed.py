@@ -18,10 +18,12 @@ schema, so ONE banded candidate tier (perceptual.banded_pairs — same
 bands, same verify, same hot-bucket guard) serves the whole corpus,
 and the streaming admission kernel takes ``mixed_media_fingerprints``
 as its ``sig_fn`` unchanged.  Cross-modality band collisions are
-possible in principle (the scene key spaces are disjoint, so
-fingerprints across modalities are decorrelated and essentially never
-verify); the DuckDB oracle states the identical computation, so
-parity is exact either way.
+possible in principle but never verify: the scene key spaces are
+STRUCTURALLY disjoint (offsets 0 / 0x50000000 / 0xA0000000, all below
+the hash's 2^32 input domain) for every doc_id < ~1.5e9 — far past
+the sf100 fixture's ~5e7 ceiling — so fingerprints across modalities
+are decorrelated, not envelope-identical.  The DuckDB oracle states
+the identical computation, so parity is exact either way.
 
 Fixture: whole cohorts alternate modality — ``(doc_id // 4) % 3``
 picks image / audio / video — so every planted twin pair stays within
@@ -30,8 +32,10 @@ resample, rate-doubling, re-encode noise) appear in one relation.
 
 Oracle: one scene CTE covers all three modalities, because the three
 tiers share the scene-value mix and differ only in (a) the scene-key
-offset and (b) the dBit neighbor topology (grid for images, linear
-for the time axes) — both expressible as CASE over the modality.
+offset, (b) the energy cell (val, or val + g(val) for the two-band
+video frames), and (c) the second word's topology (grid dBit for
+images, zero-crossing zBit for audio, left/right sBit for video) —
+all expressible as CASE over the modality.
 
 Reference parity note: the reference (srittau/eventstreamd) has no
 media surface; layer-B scope per the build brief.
@@ -147,9 +151,18 @@ def mixed_media_near_dup(
 
 def _sql_mixed_scene(table: str = "documents") -> str:
     """Scene CTE ending in ``sig`` for the mixed corpus: identical to
-    perceptual._sql_scene_hashes except the scene-key offset and the
-    dBit neighbor are CASE-dispatched on the cohort modality."""
+    perceptual._sql_scene_hashes except the scene-key offset, the
+    energy cell, and the second word's topology are CASE-dispatched on
+    the cohort modality — image: energy = val, dBit = grid-neighbor
+    gradient; audio: energy = val, zBit = zero-crossing-rate compare
+    (r(v) = 16 >> (v % 3), r(0) = 0, linear wrap); video: energy =
+    val + g(val), sBit = val > g(val) (perceptual._SQL_G)."""
+    from eventstreamd_spark.operators.perceptual import _SQL_G
+
     off_audio, off_video = MODALITY_OFFSETS[1], MODALITY_OFFSETS[2]
+    g_of = _SQL_G.format(v="g.val")
+    r_l = "CASE WHEN g.val = 0 THEN 0 ELSE 16 >> (g.val % 3) END"
+    r_r = "CASE WHEN nx.val = 0 THEN 0 ELSE 16 >> (nx.val % 3) END"
     return f"""
 m AS (
   SELECT doc_id,
@@ -158,23 +171,23 @@ m AS (
            + 2 * (doc_id // 4)
            + CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS s,
          doc_id % 4 = 2 AS perturbed,
-         (doc_id // 4) % 3 = 0 AS grid_axis
+         (doc_id // 4) % 3 AS m3
   FROM {table}
 ),
 mix1 AS (
-  SELECT doc_id, s, perturbed, grid_axis,
+  SELECT doc_id, s, perturbed, m3,
          xor((s + 1) * {_MIX_K1} % {_M32},
              ((s + 1) * {_MIX_K1} % {_M32}) >> 13) AS h1
   FROM m
 ),
 mix2 AS (
-  SELECT doc_id, s, perturbed, grid_axis, cc.cell,
+  SELECT doc_id, s, perturbed, m3, cc.cell,
          ((h1 + cc.cell * {_MIX_CELL} + {_MIX_ADD}) * {_MIX_K2}) % {_M32}
            AS h2
   FROM mix1, LATERAL (SELECT unnest(range({N_CELLS})) AS cell) cc
 ),
 scene AS (
-  SELECT doc_id, grid_axis, cell,
+  SELECT doc_id, m3, cell,
          CASE WHEN perturbed AND cell = s % {N_CELLS}
               THEN xor((xor(h2, h2 >> 16) * {_MIX_K3} % {_M32}) >> 24,
                        {PERTURB_XOR})
@@ -182,15 +195,26 @@ scene AS (
           END AS val
   FROM mix2
 ),
-tot AS (SELECT doc_id, sum(val) AS total FROM scene GROUP BY doc_id),
+tot AS (
+  SELECT doc_id,
+         sum(CASE WHEN m3 = 2
+                  THEN val + {_SQL_G.format(v="val")} ELSE val END) AS total
+  FROM scene GROUP BY doc_id
+),
 bits AS (
   SELECT g.doc_id, g.cell,
-         CASE WHEN {N_CELLS} * g.val >= t.total THEN 1 ELSE 0 END AS abit,
-         CASE WHEN g.val > nx.val THEN 1 ELSE 0 END AS dbit
+         CASE WHEN {N_CELLS} *
+                (CASE WHEN g.m3 = 2 THEN g.val + {g_of} ELSE g.val END)
+                >= t.total THEN 1 ELSE 0 END AS abit,
+         CASE g.m3
+           WHEN 2 THEN CASE WHEN g.val > {g_of} THEN 1 ELSE 0 END
+           WHEN 1 THEN CASE WHEN ({r_l}) > ({r_r}) THEN 1 ELSE 0 END
+           ELSE CASE WHEN g.val > nx.val THEN 1 ELSE 0 END
+         END AS dbit
   FROM scene g
   JOIN tot t ON t.doc_id = g.doc_id
   JOIN scene nx ON nx.doc_id = g.doc_id
-   AND nx.cell = CASE WHEN g.grid_axis
+   AND nx.cell = CASE WHEN g.m3 = 0
                       THEN (g.cell // {GRID}) * {GRID} + (g.cell + 1) % {GRID}
                       ELSE (g.cell + 1) % {N_CELLS} END
 ),

@@ -87,21 +87,36 @@ def _synth_media_adapter(docs, synth_fn, media_type) -> DataFrame:
                 }
             )
 
-    # 8x cores, not 1x: per-blob decode/encode cost varies 50x across
-    # members (a 64-frame JPEG video vs a 16x16 PNG), and heavy members
-    # recur with a fixed doc_id period that ALIASES with a coarse
-    # round-robin — at one-partition-per-core half the tasks finished
-    # early while the rest dragged minute-long straggler tails.  Finer
-    # tasks amortize the skew: the sf10 fingerprint stage measured
-    # 187s -> 90s going 32 -> 256 partitions (SCALE.md §19).  The
-    # downstream Arrow kernels inherit this width (their fan_out
-    # no-ops), and at true 100 TB scale thousands of file splits make
-    # this a no-op too.
+    # Per-blob decode/encode cost varies 50x across members (a 64-frame
+    # JPEG video vs a 16x16 PNG), and heavy members recur with a fixed
+    # doc_id period (4) that ALIASES with any round-robin width
+    # divisible by 4 — round 9's fixed repartition(256) masked that by
+    # brute granularity (sf10: 187s -> 90s) but billed every small
+    # input 256 tasks of pure scheduler overhead (~14 ms/task wall in
+    # local mode; sf0.1 PNG features measured 3.9s at width 256 vs
+    # 0.65s at 32 — the round-9 driver-bench regression).  Two-part
+    # fix, both ends measured:
+    #   * HASH-partition on doc_id instead of round-robin, so member
+    #     classes mix uniformly within every task whatever the width —
+    #     the aliasing is gone structurally, not papered over;
+    #   * adaptive width clamp(ceil(n/512), cores, 8*cores): small
+    #     corpora stay at one-task-per-core (full spread for the
+    #     correctness gate, no overhead tax), huge corpora keep the
+    #     fine-grained tail-amortizing tasks.
+    # Downstream Arrow kernels inherit this width (their fan_out
+    # no-ops); at true 100 TB scale thousands of file splits land
+    # above the cap and this is a no-op entirely.
     spine = docs.select("doc_id")
-    width = 8 * docs.sparkSession.sparkContext.defaultParallelism
-    blobs = fan_out(spine, width).mapInPandas(
-        synth, schema="doc_id bigint, blob binary"
-    )
+    cores = docs.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_rows = spine.count()
+        current = spine.rdd.getNumPartitions()
+    except Exception:  # streaming plans can't count; widest safe guess
+        n_rows, current = 512 * cores, 0
+    width = max(cores, min(8 * cores, -(-n_rows // 512) or 1))
+    if current < width:  # never repartition DOWN (the many-splits case)
+        spine = spine.repartition(width, F.col("doc_id"))
+    blobs = spine.mapInPandas(synth, schema="doc_id bigint, blob binary")
     return blobs.select(
         "doc_id",
         media_type.alias("media_type"),

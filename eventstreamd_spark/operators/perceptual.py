@@ -98,6 +98,17 @@ _MIX_CELL = 40503
 _MIX_ADD = 12345
 _M32 = 4294967296  # 2^32
 
+# right-half byte mix for the video tier's spatial fixture: the frame
+# at scene value v renders left half = v, right half = g(v).  166v is
+# even and 13 odd, so g(v) != v for EVERY byte — a half-swap (the
+# spatial-permutation negative control) inverts all 64 sBits.
+_SQL_G = "(({v} * 167 + 13) % 256)"
+
+
+def _g_byte(v: int) -> int:
+    """Python twin of ``_SQL_G``."""
+    return (v * 167 + 13) % 256
+
 
 def _scene_value(s: int, cell: int) -> int:
     """Closed-form scene byte for (scene s, grid cell 0..63) — the
@@ -656,15 +667,34 @@ def _sql_scene_hashes(
     depend only on the 64 scene bytes — exactly the resize invariance
     the operator exists to provide.  ``s_offset`` shifts the scene key
     space (the audio tier keys its scenes disjointly from the image
-    tier); ``neighbor`` picks the dBit adjacency — 'grid' = wrap
-    within 8-cell rows (image gradient), 'linear' = wrap over all 64
-    cells (audio time axis)."""
+    tier); ``neighbor`` picks the second word's topology —
+    'grid' = dBit wraps within 8-cell rows (image gradient),
+    'linear' = dBit wraps over all 64 cells (a time axis),
+    'audio_spectral' = zBit: per-window zero-crossing compare, stated
+    as ``r(v) > r(v_next)`` with r(v) = 16 >> (v % 3) and r(0) = 0
+    (the w = 16 representative of the rate-free transition count),
+    'video_spatial' = sBit: ``v > g(v)`` with g the right-half byte
+    mix (and the ENERGY cell becomes v + g(v), both halves)."""
     if neighbor == "grid":
         nx_cell = f"(g.cell // {GRID}) * {GRID} + (g.cell + 1) % {GRID}"
-    elif neighbor == "linear":
+    elif neighbor in ("linear", "audio_spectral", "video_spatial"):
         nx_cell = f"(g.cell + 1) % {N_CELLS}"
     else:
         raise ValueError(f"unknown neighbor topology {neighbor!r}")
+    if neighbor == "audio_spectral":
+        r_l = "CASE WHEN g.val = 0 THEN 0 ELSE 16 >> (g.val % 3) END"
+        r_r = "CASE WHEN nx.val = 0 THEN 0 ELSE 16 >> (nx.val % 3) END"
+        dbit_expr = f"CASE WHEN ({r_l}) > ({r_r}) THEN 1 ELSE 0 END"
+        e_cell, e_cell_g = "val", "g.val"
+    elif neighbor == "video_spatial":
+        dbit_expr = (
+            f"CASE WHEN g.val > {_SQL_G.format(v='g.val')} THEN 1 ELSE 0 END"
+        )
+        e_cell = f"val + {_SQL_G.format(v='val')}"
+        e_cell_g = f"g.val + {_SQL_G.format(v='g.val')}"
+    else:
+        dbit_expr = "CASE WHEN g.val > nx.val THEN 1 ELSE 0 END"
+        e_cell, e_cell_g = "val", "g.val"
     return f"""
 m AS (
   SELECT doc_id,
@@ -694,11 +724,12 @@ scene AS (
           END AS val
   FROM mix2
 ),
-tot AS (SELECT doc_id, sum(val) AS total FROM scene GROUP BY doc_id),
+tot AS (SELECT doc_id, sum({e_cell}) AS total FROM scene GROUP BY doc_id),
 bits AS (
   SELECT g.doc_id, g.cell,
-         CASE WHEN {N_CELLS} * g.val >= t.total THEN 1 ELSE 0 END AS abit,
-         CASE WHEN g.val > nx.val THEN 1 ELSE 0 END AS dbit
+         CASE WHEN {N_CELLS} * ({e_cell_g}) >= t.total THEN 1 ELSE 0 END
+           AS abit,
+         {dbit_expr} AS dbit
   FROM scene g
   JOIN tot t ON t.doc_id = g.doc_id
   JOIN scene nx ON nx.doc_id = g.doc_id

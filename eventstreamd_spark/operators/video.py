@@ -21,8 +21,15 @@ through REAL ISO-BMFF sample tables:
   out of the cross-multiplied compares (resize invariance);
 - **eBit(t)** = ``64 * E(t) >= E_total`` — frame brighter than the
   video mean, division-free;
-- **dBit(t)** = ``E(t) > E((t+1) % 64)`` — the temporal luminance
-  gradient sign, wrap keeps it 64 bits;
+- **sBit(t)** = ``L(t) > R(t)`` — the SPATIAL word (round-10, VERDICT
+  ask #5): L/R are the pixel sums of the frame's left and right half
+  (first/last ``width // 2`` columns; the middle column of an odd
+  width belongs to neither), so two videos with identical per-frame
+  BRIGHTNESS timelines but different spatial content — e.g. a spatial
+  permutation of every frame, the false positive an envelope-only
+  fingerprint cannot see — now separate, while the halves scale
+  uniformly under resize so the strict compare stays
+  resolution-invariant;
 - the two words travel as the shared (a_hi, a_lo, d_hi, d_lo)
   signature schema, so candidates + verify REUSE
   ``perceptual.banded_pairs`` (4x16-bit bands, pigeonhole recall,
@@ -37,21 +44,25 @@ image/audio tiers, no all-pairs stage.
 Fixture: ``documents_as_scene_video`` renders one REAL MP4 per
 document from a closed-form 64-value video "scene" (the shared
 avalanche-verified mix, keyed disjointly via ``VIDEO_SCENE_OFFSET``):
-frame f shows a flat image whose byte value is scene cell
-``(f*64)//F`` — flat frames are the one shape BOTH codecs round-trip
-bit-exactly at any size (PNG always; JPEG because a constant block is
-DC-only under the all-ones quant).  Cohorts of 4 share a scene:
+frame f shows a TWO-BAND image for scene cell value v =
+scene[(f*64)//F]: left half bytes v, right half bytes g(v)
+(``perceptual._g_byte`` — never equal to v, so a half-swap flips
+every sBit).  Both codecs round-trip the halves bit-exactly (PNG is
+lossless; the JPEG member is 64x64 with the half boundary at column
+32, so every 8x8 block is constant and DC-only under the all-ones
+quant).  The frame's pixel sum is ``(v + g(v)) * size^2 / 2``, so the
+envelope oracle runs on ``v + g(v)`` and the spatial oracle on
+``v > g(v)`` — both closed-form.  Cohorts of 4 share a scene:
 member 0 renders 64 frames of 8x8 grayscale PNG, member 1 renders 64
 frames of 64x64 single-channel baseline JPEG (a true CROSS-CODEC
 RESIZED twin), member 2 renders 128 frames of 8x8 PNG with ONE scene
 cell xor-perturbed (a FRAME-RATE-DOUBLED re-encode-noise twin),
 member 3 gets a fresh-scene video (negative control).  The DuckDB
-oracle reuses the image/audio tiers' scene CTE verbatim
-(``perceptual._sql_scene_hashes`` with ``neighbor='linear'`` for the
-time axis) — the envelope bits over flat-frame sums ARE the scene
-bits — while Spark runs the full real pipeline (PNG/JPEG encode ->
-mdat + sample tables -> stbl walk -> per-frame decode -> envelope ->
-band join -> verify).
+oracle is the shared scene CTE with ``neighbor='video_spatial'``
+(envelope bits over ``v + g(v)``, sBits as ``v > g(v)``) while Spark
+runs the full real pipeline (PNG/JPEG encode -> mdat + sample tables
+-> stbl walk -> per-frame decode -> half sums -> band join ->
+verify).
 
 Reference parity note: the reference (srittau/eventstreamd) has no
 media surface; this operator is part of the layer-B training-data
@@ -78,8 +89,12 @@ from eventstreamd_spark.operators.perceptual import (
 )
 from eventstreamd_spark.session import fan_out
 
-VIDEO_SCENE_OFFSET = 1 << 21  # keys video scenes disjointly (image: 0+,
-#                               audio: 1<<20+) — same convention
+# Keys video scenes disjointly (image: 0+, audio: 0x50000000+) — same
+# convention and same 32-bit-domain constraint as AUDIO_SCENE_OFFSET:
+# the offset must be < 2^32 (it feeds ``(s+1)*K1 % 2^32``) and leave
+# ``(s+1)*K1 < 2^63`` for the BIGINT oracle.  0xA0000000 keeps all three
+# modality key spaces disjoint for doc_id < ~1.5e9.
+VIDEO_SCENE_OFFSET = 0xA0000000
 N_POSITIONS = N_CELLS  # 64 relative time positions = the scene cell count
 COHORT = 4
 MEMBER_FRAMES = (64, 64, 128, 64)  # member 2 = frame-rate-doubled twin
@@ -95,12 +110,14 @@ def _video_scene(doc_id: int) -> tuple[int, int, int, bool]:
 
 
 def _synth_scene_mp4(doc_id: int) -> bytes:
-    """Render the document's video scene as a REAL MP4: flat frames
-    (PNG or all-ones-quant JPEG by member) indexed by real sample
-    tables; frame f shows scene cell (f*64)//F."""
+    """Render the document's video scene as a REAL MP4: two-band
+    frames (left half v, right half g(v); PNG or all-ones-quant JPEG
+    by member) indexed by real sample tables; frame f shows scene
+    cell (f*64)//F."""
     from eventstreamd_spark.functions.jpeg import encode_jpeg
     from eventstreamd_spark.functions.mp4 import encode_video_mp4
     from eventstreamd_spark.functions.png import encode_png
+    from eventstreamd_spark.operators.perceptual import _g_byte
 
     s, n_frames, size, perturbed = _video_scene(doc_id)
     pcell = s % N_POSITIONS
@@ -117,11 +134,12 @@ def _synth_scene_mp4(doc_id: int) -> bytes:
     for f in range(n_frames):
         v = vals[(f * N_POSITIONS) // n_frames]
         if v not in rendered:
-            flat = bytes([v]) * (size * size)
+            row = bytes([v]) * (size // 2) + bytes([_g_byte(v)]) * (size // 2)
+            px = row * size
             rendered[v] = (
-                encode_jpeg(size, size, 1, flat, quant_luma=[1] * 64)
+                encode_jpeg(size, size, 1, px, quant_luma=[1] * 64)
                 if jpeg
-                else encode_png(size, size, 1, flat)
+                else encode_png(size, size, 1, px)
             )
         frames.append(rendered[v])
     return encode_video_mp4(
@@ -139,31 +157,42 @@ def documents_as_scene_video(docs: DataFrame) -> DataFrame:
 
 
 def _envelope_fingerprint(blob: bytes) -> tuple[int, int, int, int]:
-    """(a_hi, a_lo, d_hi, d_lo) from a decoded video: stbl walk ->
-    per-frame image decode -> pixel sums -> 64 relative-position
-    envelope bits.  Pure integer; frame count and resolution cancel
-    out of both compares (invariance contract in the module doc)."""
+    """(a_hi, a_lo, s_hi, s_lo) from a decoded video: stbl walk ->
+    per-frame image decode -> total + left/right-half pixel sums ->
+    64 relative-position envelope bits and spatial bits.  Pure
+    integer; frame count and resolution cancel out of both compares
+    (invariance contract in the module doc)."""
+    import numpy as np
+
     from eventstreamd_spark.functions.image import decode_image
     from eventstreamd_spark.functions.mp4 import decode_mp4_samples
 
     _w, _h, _fc, samples = decode_mp4_samples(blob)
     n_frames = len(samples)
-    # sum of decoded sample bytes, computed once per frame then read
-    # per position (positions >= frames when F divides 64)
-    sums = [None] * n_frames
-    energy = []
+    # (total, left-half, right-half) sums computed once per frame,
+    # read per position (positions >= frames when F divides 64)
+    sums: list[tuple[int, int, int] | None] = [None] * n_frames
+    energy, sbits = [], []
     for t in range(N_POSITIONS):
         f = (t * n_frames) // N_POSITIONS
         if sums[f] is None:
-            _, _, _, px = decode_image(samples[f])
-            sums[f] = sum(px)
-        energy.append(sums[f])
+            w, h, ch, px = decode_image(samples[f])
+            a = (
+                np.frombuffer(bytes(px), dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(h, w, ch)
+            )
+            half = w // 2
+            sums[f] = (
+                int(a.sum()),
+                int(a[:, :half, :].sum()),
+                int(a[:, w - half:, :].sum()),
+            )
+        tot_f, left, right = sums[f]
+        energy.append(tot_f)
+        sbits.append(left > right)
     total = sum(energy)
     ebits = [N_POSITIONS * e >= total for e in energy]
-    dbits = [
-        energy[t] > energy[(t + 1) % N_POSITIONS]
-        for t in range(N_POSITIONS)
-    ]
 
     def pack(bits) -> tuple[int, int]:
         lo = hi = 0
@@ -173,8 +202,8 @@ def _envelope_fingerprint(blob: bytes) -> tuple[int, int, int, int]:
         return hi, lo
 
     e_hi, e_lo = pack(ebits)
-    d_hi, d_lo = pack(dbits)
-    return e_hi, e_lo, d_hi, d_lo
+    s_hi, s_lo = pack(sbits)
+    return e_hi, e_lo, s_hi, s_lo
 
 
 def video_fingerprints(media: DataFrame) -> DataFrame:
@@ -208,7 +237,8 @@ def video_near_dup(
     """Video near-dup pairs: the MP4 mirror of ``media_near_dup`` /
     ``audio_near_dup`` — the shared Hamming-banded tier over envelope
     fingerprints catches the planted RESIZED cross-codec twin and the
-    FRAME-RATE-DOUBLED twin at Hamming 0, and the re-encode-noise twin
+    FRAME-RATE-DOUBLED twin at Hamming 0 (envelope AND spatial words
+    are both resolution- and rate-free), and the re-encode-noise twin
     within the verify threshold; recall semantics as documented on
     ``perceptual.media_near_dup``.  Decode-once: signatures are
     localCheckpoint'ed before the banded self-join — the per-frame
@@ -225,7 +255,7 @@ def video_near_dup(
 
 def sql_video_fingerprints(table: str = "documents") -> str:
     return f"""
-WITH {_sql_scene(table, s_offset=VIDEO_SCENE_OFFSET, neighbor="linear")}
+WITH {_sql_scene(table, s_offset=VIDEO_SCENE_OFFSET, neighbor="video_spatial")}
 SELECT doc_id, a_hi, a_lo, d_hi, d_lo FROM sig
 """
 
@@ -234,6 +264,6 @@ def sql_video_near_dup(
     table: str = "documents", hamming_max: int = HAMMING_MAX
 ) -> str:
     return f"""
-WITH {_sql_scene(table, s_offset=VIDEO_SCENE_OFFSET, neighbor="linear")},
+WITH {_sql_scene(table, s_offset=VIDEO_SCENE_OFFSET, neighbor="video_spatial")},
 {sql_banded_pairs_tail(hamming_max)}
 """

@@ -18,19 +18,28 @@ def _pack(bits):
     return hi, lo
 
 
+def _r(v: int) -> int:
+    """Rate-free zero-crossing-count representative (w = 16): the
+    transition count per window is w/h - 1 with h = 2**(v % 3), and
+    the -1 cancels out of the strict adjacent compare."""
+    return 0 if v == 0 else 16 >> (v % 3)
+
+
 def _expected_fingerprint(doc_id: int):
     """Oracle arithmetic replayed in python: fingerprint bits from the
-    audio scene bytes alone (uniform windows cancel out)."""
+    audio scene bytes alone (uniform windows cancel out of the energy
+    compare; the transition-count compare is rate-free)."""
     s, _n, _rate, perturbed = au._audio_scene(doc_id)
     vals = [perc._scene_value(s, k) for k in range(au.N_WINDOWS)]
     if perturbed:
         vals[s % au.N_WINDOWS] ^= perc.PERTURB_XOR
     total = sum(vals)
     ebits = [au.N_WINDOWS * v >= total for v in vals]
-    dbits = [
-        vals[k] > vals[(k + 1) % au.N_WINDOWS] for k in range(au.N_WINDOWS)
+    zbits = [
+        _r(vals[k]) > _r(vals[(k + 1) % au.N_WINDOWS])
+        for k in range(au.N_WINDOWS)
     ]
-    return (*_pack(ebits), *_pack(dbits))
+    return (*_pack(ebits), *_pack(zbits))
 
 
 def _hamming(h1, h2) -> int:
@@ -74,6 +83,36 @@ def test_perturbed_member_is_near_but_not_far() -> None:
         saw_nonzero = saw_nonzero or _hamming(f0, f2) > 0
         assert _hamming(f0, f3) > perc.HAMMING_MAX, base
     assert saw_nonzero, "every probe base degenerate — widen the sweep"
+
+
+def test_equal_envelope_different_pitch_separates() -> None:
+    """Round-10 negative control (VERDICT ask #6): a clip with the
+    SAME per-window amplitudes as the canonical but an independent
+    per-window pitch sequence — the EQ'd/different-material false
+    positive — pairs at Hamming 0 on the energy word alone; the
+    zero-crossing word must separate it."""
+    from eventstreamd_spark.functions.wav import encode_wav
+
+    s, n, rate, _ = au._audio_scene(0)
+    vals = [perc._scene_value(s, k) for k in range(au.N_WINDOWS)]
+    w = n // au.N_WINDOWS
+
+    def render(pitch_of) -> bytes:
+        samples = []
+        for k, v in enumerate(vals):
+            h = pitch_of(v)
+            samples.extend(
+                v * au.AMP_SCALE * (1 if (j // h) % 2 == 0 else -1)
+                for j in range(w)
+            )
+        return encode_wav(rate, 1, samples)
+
+    canonical = au._envelope_fingerprint(render(lambda v: 1 << (v % 3)))
+    # same |amplitude| everywhere, pitches drawn from a shifted byte:
+    # the energy word is blind to it
+    eq_twin = au._envelope_fingerprint(render(lambda v: 1 << ((v + 1) % 3)))
+    assert canonical[:2] == eq_twin[:2]  # identical envelope
+    assert _hamming(canonical, eq_twin) > perc.HAMMING_MAX
 
 
 def test_envelope_on_non_multiple_of_64_lengths() -> None:

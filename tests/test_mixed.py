@@ -35,6 +35,30 @@ def test_dispatch_picks_the_right_kernel() -> None:
     assert mx._synth_mixed_media(8) == mp4
 
 
+def test_scene_key_spaces_structurally_disjoint_at_sf100() -> None:
+    """Regression for the round-9 ADVICE finding: with the old 1<<20 /
+    1<<21 offsets, an image cohort c and audio cohort c-524288 shared a
+    scene key once doc_id passed ~2^21, producing verified
+    cross-modality false pairs the parity gate cannot see.  The widened
+    offsets keep the three key RANGES pairwise disjoint for every
+    doc_id up to well past the sf100 fixture ceiling, while staying
+    inside the hash's 2^32 input domain and the oracle's BIGINT bound."""
+    from eventstreamd_spark.operators.audio import AUDIO_SCENE_OFFSET
+    from eventstreamd_spark.operators.perceptual import _MIX_K1
+    from eventstreamd_spark.operators.video import VIDEO_SCENE_OFFSET
+
+    doc_id_max = 100_000_000  # 2x the sf100 fixture's ~5e7 ceiling
+    span = 2 * (doc_id_max // 4) + 1  # max key within a modality band
+    assert span < AUDIO_SCENE_OFFSET  # image band ends before audio's
+    assert AUDIO_SCENE_OFFSET + span < VIDEO_SCENE_OFFSET
+    assert VIDEO_SCENE_OFFSET + span < 1 << 32  # inside the hash domain
+    # DuckDB oracle computes (s+1)*K1 before the mod — must fit BIGINT
+    assert (VIDEO_SCENE_OFFSET + span + 1) * _MIX_K1 < 1 << 63
+    # the exact round-9 counterexample shape: no audio cohort can now
+    # reach down into the image band, whatever the doc_id
+    assert AUDIO_SCENE_OFFSET > span  # audio's minimum key > image max
+
+
 def test_mixed_near_dup_matches_oracle_and_stays_intra_modal(
     spark, sf_dir
 ) -> None:

@@ -151,7 +151,7 @@ def test_sample_tables_multi_chunk_layout() -> None:
     sizes = [len(f) for f in frames]
     offs = [base, base + sizes[0] + sizes[1], base + sum(sizes[:4])]
     entry = (
-        st.pack(">I", 86 + 8) + b"mjpa" + b"\x00" * 6 + st.pack(">H", 1)
+        st.pack(">I", 86) + b"mjpa" + b"\x00" * 6 + st.pack(">H", 1)
         + b"\x00" * 16 + st.pack(">HH", 16, 16)
         + st.pack(">II", 0x00480000, 0x00480000) + st.pack(">I", 0)
         + st.pack(">H", 1) + b"\x00" * 32 + st.pack(">H", 24)
@@ -190,7 +190,7 @@ def test_sample_tables_fixed_size_and_co64() -> None:
     mdat = mp4._box(b"mdat", b"".join(frames))
     base = len(ftyp) + 8
     entry = (
-        st.pack(">I", 86 + 8) + b"png " + b"\x00" * 6 + st.pack(">H", 1)
+        st.pack(">I", 86) + b"png " + b"\x00" * 6 + st.pack(">H", 1)
         + b"\x00" * 16 + st.pack(">HH", 8, 8)
         + st.pack(">II", 0x00480000, 0x00480000) + st.pack(">I", 0)
         + st.pack(">H", 1) + b"\x00" * 32 + st.pack(">H", 24)

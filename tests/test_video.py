@@ -34,6 +34,8 @@ def test_frames_decode_through_real_sample_tables() -> None:
     from eventstreamd_spark.functions.image import decode_image, image_kind
     from eventstreamd_spark.functions.mp4 import decode_mp4_samples
 
+    from eventstreamd_spark.operators.perceptual import _g_byte
+
     w, h, fourcc, frames = decode_mp4_samples(vid._synth_scene_mp4(1))
     assert (w, h, fourcc) == (64, 64, b"mjpa")
     assert len(frames) == 64
@@ -42,11 +44,51 @@ def test_frames_decode_through_real_sample_tables() -> None:
         assert image_kind(frames[t]) == "jpeg"
         fw, fh, ch, px = decode_image(frames[t])
         assert (fw, fh, ch) == (64, 64, 1)
-        assert set(px) == {vid._scene_value(s, t)}  # flat + exact
+        v = vid._scene_value(s, t)
+        # two-band frame round-trips bit-exactly: left half v, right
+        # half g(v), on every row
+        for r in (0, 31, 63):
+            row = px[r * 64 : (r + 1) * 64]
+            assert set(row[:32]) == {v} and set(row[32:]) == {_g_byte(v)}
     w, h, fourcc, frames = decode_mp4_samples(vid._synth_scene_mp4(2))
     assert (w, h, fourcc) == (8, 8, b"png ")
     assert len(frames) == 128  # the rate-doubled member
     assert image_kind(frames[0]) == "png"
+
+
+def test_spatial_permutation_twin_separates() -> None:
+    """Round-10 negative control (VERDICT ask #5): a video whose every
+    frame is a spatial permutation of the canonical's — here the
+    left/right half swap — has an IDENTICAL per-frame brightness
+    timeline, so the envelope word pairs it at Hamming 0; the spatial
+    word must separate it.  g(v) != v for every byte, so the swap
+    inverts all 64 sBits."""
+    from eventstreamd_spark.functions.mp4 import encode_video_mp4
+    from eventstreamd_spark.functions.png import encode_png
+    from eventstreamd_spark.operators.perceptual import (
+        HAMMING_MAX,
+        _g_byte,
+        _scene_value,
+    )
+
+    s, n_frames, size, _ = vid._video_scene(0)
+
+    def render(swapped: bool) -> bytes:
+        frames = []
+        for f in range(n_frames):
+            v = _scene_value(s, (f * vid.N_POSITIONS) // n_frames)
+            left, right = (_g_byte(v), v) if swapped else (v, _g_byte(v))
+            row = bytes([left]) * (size // 2) + bytes([right]) * (size // 2)
+            frames.append(encode_png(size, size, 1, row * size))
+        return encode_video_mp4(size, size, frames, fourcc=b"png ",
+                                frame_duration=75)
+
+    canonical = vid._envelope_fingerprint(render(False))
+    permuted = vid._envelope_fingerprint(render(True))
+    # identical brightness timeline: the envelope word cannot see it
+    assert canonical[:2] == permuted[:2]
+    # the spatial word inverts at every position -> far outside verify
+    assert _ham(canonical, permuted) == 64 > HAMMING_MAX
 
 
 def test_video_near_dup_matches_oracle(spark, sf_dir) -> None:
