@@ -49,6 +49,80 @@ FEATURE_SCHEMA = (
 )
 
 
+# -- write-once media fixture -------------------------------------------------
+#
+# Round-10 (VERDICT ask #2): every media-tier query used to re-run the
+# pure-Python JPEG/MP4/WAV encode inside its adapter kernel on every
+# invocation, so ~100 s of the round-9 driver bench was FIXTURE
+# synthesis being graded as engine work.  A real pipeline's blobs
+# arrive on disk; the registered queries now read them the same way —
+# the synthetic corpus is written ONCE per (sf_dir, kind, version)
+# under .scratch/media_fixture and read back like any other table.
+# The cached content is identical to the adapter output by
+# construction (same synth functions, deterministic in doc_id), so
+# every DuckDB oracle is untouched; bump _MEDIA_FIXTURE_VERSION
+# whenever any synth function changes semantics.
+
+_MEDIA_FIXTURE_VERSION = "v1-r10-spectral-spatial"
+
+
+def _media_builders() -> dict:
+    """kind -> full-corpus adapter (lazy imports: the scene tiers
+    import this module for ``_synth_media_adapter``)."""
+    from eventstreamd_spark.operators import audio as audio_op
+    from eventstreamd_spark.operators import mixed as mixed_op
+    from eventstreamd_spark.operators import perceptual as perc_op
+    from eventstreamd_spark.operators import video as video_op
+
+    return {
+        "png": documents_as_png_media,
+        "wav": documents_as_wav_media,
+        "mp4": documents_as_mp4_media,
+        "mm_mixed": documents_as_mixed_media,
+        "scene_image": perc_op.documents_as_scene_media,
+        "scene_audio": audio_op.documents_as_scene_audio,
+        "scene_video": video_op.documents_as_scene_video,
+        "scene_mixed": mixed_op.documents_as_mixed_media,
+    }
+
+
+def cached_media(spark, sf_dir: str, kind: str) -> DataFrame:
+    """The synthetic media corpus for ``sf_dir`` as a write-once
+    parquet fixture: built with the blob adapter on first use, read
+    from disk afterwards (the shape a real pipeline has — decode is
+    the engine's bill, blob synthesis is not).  Concurrent builders
+    race benignly: each writes to a pid-suffixed temp dir and renames;
+    the loser discards its copy."""
+    import hashlib
+    import os
+    import shutil
+
+    from eventstreamd_spark.session import load_table
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir))
+        + "-"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    )
+    cache = os.path.join(
+        repo, ".scratch", "media_fixture", _MEDIA_FIXTURE_VERSION, tag,
+        f"{kind}.parquet",
+    )
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        build = _media_builders()[kind]
+        tmp = f"{cache}.tmp-{os.getpid()}"
+        build(load_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, cache)
+        except OSError:  # lost the race — a complete copy already won
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(cache)
+
+
 def _media_type_by_doc_id() -> F.Column:
     """The fixture's modality assignment: doc_id % 3 -> png/wav/mp4."""
     return (
@@ -499,7 +573,9 @@ def documents_as_mixed_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def mixed_media_manifest(docs: DataFrame) -> DataFrame:
+def mixed_media_manifest(
+    docs: DataFrame | None = None, media: DataFrame | None = None
+) -> DataFrame:
     """Capstone over the three real parsers: decode a MIXED corpus in
     one ``extract_features`` pass (content-dispatched per row) and
     emit a normalized manifest — (doc_id, media_type, primary_dim, span).
@@ -507,8 +583,11 @@ def mixed_media_manifest(docs: DataFrame) -> DataFrame:
     sample count / movie timescale) and ``span`` a per-format extent
     (image height / audio mean amplitude / movie seconds) — the
     flattened shape a packing or curriculum stage consumes regardless
-    of modality."""
-    media = documents_as_mixed_media(docs)
+    of modality.  Pass ``media`` to run over an on-disk corpus (the
+    registered query reads the write-once fixture); ``docs`` keeps the
+    synth-adapter path for tests."""
+    if media is None:
+        media = documents_as_mixed_media(docs)
     feats = extract_features(media)
     f = F.col("feature")
     primary = (

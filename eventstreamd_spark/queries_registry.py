@@ -831,7 +831,7 @@ def mixed_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass -> normalized (primary_dim, span) manifest; each branch verified
     against its synthesis formula."""
     return mm_op.mixed_media_manifest(
-        load_table(spark, sf_dir, "documents")
+        media=mm_op.cached_media(spark, sf_dir, "mm_mixed")
     )
 
 
@@ -885,7 +885,7 @@ def multimodal_mp4_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ISO-BMFF file per document, walk ftyp/moov/mvhd/trak with the
     pure-stdlib parser, emit timescale/duration/track metadata —
     verified against an arithmetic oracle on the synthesis formulas."""
-    media = mm_op.documents_as_mp4_media(load_table(spark, sf_dir, "documents"))
+    media = mm_op.cached_media(spark, sf_dir, "mp4")
     feats = mm_op.extract_features(media)
     f = F.col("feature")
     return feats.select(
@@ -903,7 +903,7 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, parse it with the pure-stdlib codec (chunk walk + 16-bit
     PCM unpack), emit true sample statistics — verified against an
     arithmetic oracle on the sample-generation formula."""
-    media = mm_op.documents_as_wav_media(load_table(spark, sf_dir, "documents"))
+    media = mm_op.cached_media(spark, sf_dir, "wav")
     feats = mm_op.extract_features(media)
     f = F.col("feature")
     return feats.select(
@@ -925,7 +925,7 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-stdlib PNG reader (zlib inflate + scanline unfilter), emit
     true dimensions and channel means — verified against an arithmetic
     oracle on the pixel-generation formula."""
-    media = mm_op.documents_as_png_media(load_table(spark, sf_dir, "documents"))
+    media = mm_op.cached_media(spark, sf_dir, "png")
     feats = mm_op.extract_features(media)
     f = F.col("feature")
     return feats.select(
@@ -3126,9 +3126,7 @@ def media_perceptual_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     dequant + integer IDCT), magic-byte dispatched, vs the oracle's
     closed-form scene arithmetic; a decoder or grid bug flips hash
     bits."""
-    media = perc_op.documents_as_scene_media(
-        load_table(spark, sf_dir, "documents")
-    )
+    media = mm_op.cached_media(spark, sf_dir, "scene_image")
     return perc_op.perceptual_hashes(media)
 
 
@@ -3140,9 +3138,7 @@ def media_codec_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode-level evidence that the pure-stdlib baseline JPEG path
     (functions/jpeg.py) reproduces pixels bit-exactly on its
     constant-block exactness contract, pinned by an integer oracle."""
-    media = perc_op.documents_as_scene_media(
-        load_table(spark, sf_dir, "documents")
-    )
+    media = mm_op.cached_media(spark, sf_dir, "scene_image")
     return perc_op.image_codec_manifest(media)
 
 
@@ -3154,9 +3150,7 @@ def media_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (large-star/small-star fixed point) over the Hamming-banded pair
     tier, singletons restored, min-doc_id canonical — 'keep one image
     per cluster' as one auditable relation."""
-    media = perc_op.documents_as_scene_media(
-        load_table(spark, sf_dir, "documents")
-    )
+    media = mm_op.cached_media(spark, sf_dir, "scene_image")
     return perc_op.media_near_dup_clusters(media)
 
 
@@ -3167,9 +3161,7 @@ def video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     PNG/JPEG decode, integer envelope) vs the oracle's closed-form
     scene arithmetic; frame-rate and resolution invariant by
     construction (round-9 video tier)."""
-    media = video_op.documents_as_scene_video(
-        load_table(spark, sf_dir, "documents")
-    )
+    media = mm_op.cached_media(spark, sf_dir, "scene_video")
     return video_op.video_fingerprints(media)
 
 
@@ -3179,9 +3171,7 @@ def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio_near_dup — catches the planted RESIZED cross-codec twin and
     the FRAME-RATE-DOUBLED twin (both Hamming 0) plus the
     re-encode-noise twin that exact digests miss."""
-    media = video_op.documents_as_scene_video(
-        load_table(spark, sf_dir, "documents")
-    )
+    media = mm_op.cached_media(spark, sf_dir, "scene_video")
     return video_op.video_near_dup(media)
 
 
@@ -3194,9 +3184,7 @@ def mixed_media_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-table ingest shape a real 100 TB media corpus has; the
     oracle covers all three modalities with one CASE-dispatched scene
     CTE (round-9 capstone)."""
-    media = mixed_op.documents_as_mixed_media(
-        load_table(spark, sf_dir, "documents")
-    )
+    media = mm_op.cached_media(spark, sf_dir, "scene_mixed")
     return mixed_op.mixed_media_fingerprints(media)
 
 
@@ -3206,9 +3194,7 @@ def mixed_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves images, audio and video at once — every planted twin class
     (cross-codec resize, resample, frame-rate doubling, re-encode
     noise) lands in a single relation."""
-    media = mixed_op.documents_as_mixed_media(
-        load_table(spark, sf_dir, "documents")
-    )
+    media = mm_op.cached_media(spark, sf_dir, "scene_mixed")
     return mixed_op.mixed_media_near_dup(media)
 
 
@@ -3225,9 +3211,7 @@ def media_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming foreachBatch kernel shares the SAME decision core
     (operators/perceptual.py::admission_decisions_from_sig), so this
     oracle row also pins the stream tier's verdict semantics."""
-    media = perc_op.documents_as_scene_media(
-        load_table(spark, sf_dir, "documents")
-    ).select("doc_id", "blob")
+    media = mm_op.cached_media(spark, sf_dir, "scene_image").select("doc_id", "blob")
     in_corpus = F.col("doc_id") % 8
     corpus = media.filter(in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
     batch = media.filter(~in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
@@ -3243,9 +3227,7 @@ def media_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddling a hash-disjoint split boundary — the twins the
     md5-keyed exact-digest audit cannot see (the fixture's resized
     duplicates leak across splits by construction)."""
-    media = perc_op.documents_as_scene_media(
-        load_table(spark, sf_dir, "documents")
-    )
+    media = mm_op.cached_media(spark, sf_dir, "scene_image")
     return perc_op.media_split_leakage(media, _SPLIT_WEIGHTS)
 
 
@@ -3256,9 +3238,7 @@ def audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     scene-audio corpus — the REAL decode path (RIFF walk, 16-bit PCM)
     vs the oracle's closed-form scene arithmetic; sample-rate
     invariant by construction (round-9 ask #3)."""
-    media = audio_op.documents_as_scene_audio(
-        load_table(spark, sf_dir, "documents")
-    )
+    media = mm_op.cached_media(spark, sf_dir, "scene_audio")
     return audio_op.audio_fingerprints(media)
 
 
@@ -3268,9 +3248,7 @@ def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared Hamming-banded tier over envelope fingerprints; catches
     the planted RESAMPLED twin (same scene at 2x sample rate, Hamming
     0) and the re-encode-noise twin that exact digests miss."""
-    media = audio_op.documents_as_scene_audio(
-        load_table(spark, sf_dir, "documents")
-    )
+    media = mm_op.cached_media(spark, sf_dir, "scene_audio")
     return audio_op.audio_near_dup(media)
 
 
@@ -3281,9 +3259,7 @@ def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches the resized duplicates (member 1: Hamming 0 at a different
     resolution) and re-encode-noise twins (member 2) that exact
     digests (media_dedup) miss by construction."""
-    media = perc_op.documents_as_scene_media(
-        load_table(spark, sf_dir, "documents")
-    )
+    media = mm_op.cached_media(spark, sf_dir, "scene_image")
     return perc_op.media_near_dup(media)
 
 
