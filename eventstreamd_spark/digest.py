@@ -85,7 +85,10 @@ def _canon(col: F.Column, kind: str) -> F.Column:
     if kind == "date":
         return col.cast("string")
     if kind == "ts":
-        return F.unix_micros(col).cast("string")
+        # TIMESTAMP_NTZ refuses unix_micros; the session tz is pinned
+        # UTC, so the cast preserves the instant and both timestamp
+        # flavors canonicalize to the same epoch-micros integer
+        return F.unix_micros(col.cast("timestamp")).cast("string")
     if kind == "double":
         v = col.cast("double")
         clamped = F.greatest(

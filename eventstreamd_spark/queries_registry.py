@@ -3263,6 +3263,17 @@ def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perc_op.media_near_dup(media)
 
 
+@register("media_near_dup_prod", perc_op.sql_media_near_dup_prod())
+def media_near_dup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUARDED production twin of media_near_dup (sketch-tier
+    prod-twin idiom): hot-bucket guard ON (max_bucket=64), oracle
+    mirrors the guard, so a degenerate thumbnail flood stays
+    subquadratic on a production ingest; the unguarded sibling keeps
+    the exact-recall evaluation row."""
+    media = mm_op.cached_media(spark, sf_dir, "scene_image")
+    return perc_op.media_near_dup_prod(media)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -3328,14 +3339,20 @@ _PRIORITY = [
     # digest-pinned tail; the REAL-decode perceptual tier takes their
     # window slots so the round's JPEG work (cross-codec fixture +
     # codec manifest) gets direct driver-green correctness rows.
+    # Round-10 rotation (VERDICT ask #8): the round-9 headline media
+    # ops — video_near_dup and media_admission_decisions — get direct
+    # driver-green rows; multimodal_features (stub byte-histogram
+    # kernel, same class the round-9 rotation demoted) and
+    # sliding_window_counts (the tumbling variant keeps its row) move
+    # to the digest-pinned tail, both still pytest-covered.
     "multimodal_metadata",
-    "multimodal_features",
+    "video_near_dup",
     "media_near_dup",
     "media_codec_manifest",
+    "media_admission_decisions",
     # temporal operators over the event stream
     "asof_latest_order_per_event",
     "tumbling_window_counts",
-    "sliding_window_counts",
     "sessionization",
     "funnel_counts",
     # sketches: the production tier (sketch-only plans — what actually
@@ -3346,6 +3363,8 @@ _PRIORITY = [
     "column_stats_catalog_hll_prod",
     "knn_label_noise_ivf",
     # positions 51+: first checked if the driver window is wider than 50
+    "multimodal_features",
+    "sliding_window_counts",
     "filter_dsl_int",
     "filter_dsl_conjunction",
     "filter_dsl_date",
@@ -3468,6 +3487,7 @@ _COST_HINT = {
     "rolling_wau_hll_prod": 0.55, "column_stats_catalog_hll_prod": 1.20,
     # round-8: perceptual media near-dup + skew tier
     "media_perceptual_hashes": 0.50, "media_near_dup": 0.80,
+    "media_near_dup_prod": 0.85,
     "salted_topk_values": 0.45, "media_split_leakage": 0.90,
     "media_near_dup_clusters": 1.00,
     # round-9: JPEG decode path (64x64 member raises per-blob cost)

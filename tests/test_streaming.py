@@ -1437,6 +1437,47 @@ def _scene_media_subset(spark, sf_dir, n_docs: int):
 _EMPTY_SIG = "doc_id bigint, a_hi bigint, a_lo bigint, d_hi bigint, d_lo bigint"
 
 
+def test_media_admission_index_read_is_partition_pruned(
+    spark, sf_dir, tmp_path
+) -> None:
+    """Round-10 (VERDICT ask #3): the per-trigger index probe must
+    PRUNE at planning time to the micro-batch's (band, bp) buckets —
+    all three read filters sit on partition columns of the
+    band-partitioned layout, so a 100 TB kept-corpus index is never
+    scanned whole per trigger.  Asserted on the executed plan
+    (PartitionFilters carries band/bp/batch_id — planning-time, not a
+    post-scan filter) and on the rows (the rectangle read equals the
+    stacked seed restricted to the rectangle)."""
+    from eventstreamd_spark.operators.perceptual import perceptual_hashes
+    from eventstreamd_spark.streaming.pipeline import (
+        _pruned_index_read,
+        seed_media_index,
+    )
+
+    media = _scene_media_subset(spark, sf_dir, 48)
+    seed_sig = perceptual_hashes(media)
+    index_dir = str(tmp_path / "pruned_index")
+    seed_media_index(seed_sig, index_dir)
+
+    pruned = _pruned_index_read(spark, index_dir, 0, ["a0", "d3"], [7, 200])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "band" in pf and "bp" in pf and "batch_id" in pf
+    # and the rectangle read returns exactly the matching stacked rows
+    from eventstreamd_spark.operators.perceptual import band_stack
+
+    want = {
+        (r["doc_id"], r["band"], r["bhash"])
+        for r in band_stack(seed_sig).collect()
+        if r["band"] in ("a0", "d3") and (r["bhash"] >> 8) in (7, 200)
+    }
+    got = {
+        (r["doc_id"], r["band"], r["bhash"]) for r in pruned.collect()
+    }
+    assert got == want
+
+
 def test_media_admission_matches_batch_clusters(spark, sf_dir, tmp_path) -> None:
     """Two micro-batches of media admitted incrementally against a
     growing banded perceptual index must reproduce the one-shot batch

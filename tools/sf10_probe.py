@@ -77,6 +77,9 @@ TARGETS = [
     ("audio_near_dup", 1.0, "~N (banded pairs over WAV envelope prints)"),
     ("media_admission_decisions", 1.15, "~N log n (corpus CC + banded admission)"),
     ("mixed_media_near_dup", 1.0, "~N (content-dispatched kernel, one band tier)"),
+    # round-10: the guarded production twin (guard = broadcast gate
+    # table, so the decade must match the unguarded sibling's)
+    ("media_near_dup_prod", 1.0, "~N (banded pairs + hot-bucket gate)"),
 ]
 
 TOLERANCE = 0.10
