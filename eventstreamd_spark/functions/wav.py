@@ -38,12 +38,16 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(blob: bytes) -> tuple[int, int, int, list[int]]:
-    """WAV bytes -> (sample_rate, channels, bits, samples).
+def decode_wav_pcm(blob: bytes) -> tuple[int, int, int, bytes]:
+    """WAV bytes -> (sample_rate, channels, bits, raw PCM data chunk).
 
     Walks RIFF chunks (word-aligned, unknown chunks skipped), requires
-    PCM format 1 at 16 bits; raises ValueError on anything else.
-    """
+    PCM format 1 at 16 bits; raises ValueError on anything else.  The
+    data chunk comes back as BYTES so hot Arrow kernels can
+    ``np.frombuffer`` it zero-copy instead of materializing a Python
+    int list per blob — at 500k blobs/run the per-sample PyObject
+    churn was the dominant (and GC-noisy) cost of the audio
+    fingerprint stage (SCALE.md §20)."""
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -69,5 +73,12 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, list[int]]:
     if audio_format != 1 or bits != 16:
         raise ValueError("only 16-bit PCM supported")
     n = len(data_body) // 2
-    samples = list(struct.unpack(f"<{n}h", data_body[: n * 2]))
+    return sample_rate, channels, bits, data_body[: n * 2]
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, list[int]]:
+    """WAV bytes -> (sample_rate, channels, bits, samples) — the
+    list-of-ints convenience face over ``decode_wav_pcm``."""
+    sample_rate, channels, bits, data = decode_wav_pcm(blob)
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data))
     return sample_rate, channels, bits, samples

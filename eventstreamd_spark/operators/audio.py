@@ -14,16 +14,21 @@ SAME Hamming-banded candidate tier as ``perceptual.media_near_dup``:
 - **eBit(k)** = ``E(k) * n_total >= E_total * n(k)`` — window energy
   above the global mean, cross-multiplied so no division happens
   (E(k) = sum of |sample| in window k, all integers);
-- **zBit(k)** = ``Z(k) > Z(k+1)`` — the SPECTRAL word (round-10,
-  VERDICT ask #6): Z(k) counts intra-window sign transitions of the
-  PCM (the zero-crossing rate, the classic integer spectral-centroid
-  proxy — a one-bit chromaprint band), so two clips with the SAME
-  energy envelope but different per-window pitch content — the
-  EQ'd/different-material false positive the envelope-only
-  fingerprint could not see — now separate, while a uniformly
-  RESAMPLED twin keeps every zBit (transitions per window scale with
-  the window sample count on both sides of the strict compare, so
-  the rate cancels exactly);
+- **zBit(k)** = ``Z(k) > Z(k+1)``, ties broken by the energy compare
+  — the SPECTRAL word (round-10, VERDICT ask #6): Z(k) counts
+  intra-window sign transitions of the PCM (the zero-crossing rate,
+  the classic integer spectral-centroid proxy — a one-bit chromaprint
+  band), so two clips with the SAME energy envelope but different
+  per-window pitch content — the EQ'd/different-material false
+  positive the envelope-only fingerprint could not see — now
+  separate, while a uniformly RESAMPLED twin keeps every zBit
+  (transitions AND energies per window scale with the window sample
+  count on both sides of each strict compare, so the rate cancels
+  exactly).  The tiebreak is a SCALE requirement, not polish: coarse
+  crossing counts tie often enough that the raw compare is true with
+  p ~ 1/3, and biased bits inflate every banded bucket's collision
+  rate ~5x — the sf10 probe caught the self-join going super-linear
+  (a10 = 1.22) before the tiebreak balanced the word (SCALE.md §20);
 - the two 64-bit words travel as the same (a_hi, a_lo, d_hi, d_lo)
   signature schema as the image tier, so candidate generation +
   verify REUSE ``perceptual.banded_pairs`` (4x16-bit bands,
@@ -42,7 +47,8 @@ half-period ``2 ** (scene(k) % 3)`` samples (phase reset per window),
 so |sample| is constant per window — E(k) recovers the scene exactly
 at ANY sample count that is a multiple of 64 — and the transition
 count is ``w / h(k) - 1`` per window (w = samples per window), whose
-strict adjacent compare reduces to ``h(k) < h(k+1)``: closed-form,
+strict adjacent compare reduces to ``h(k) < h(k+1)`` with the energy
+tiebreak reducing to ``scene(k) > scene(k+1)``: closed-form,
 rate-free, stated by the oracle as ``16 >> (scene(k) % 3)``
 comparisons (silent windows, scene byte 0, carry Z = 0).  Cohorts of 4 share a
 scene: member 0 renders 1024 samples @ 8 kHz, member 1 renders 2048
@@ -147,10 +153,13 @@ def _envelope_fingerprint(blob: bytes) -> tuple[int, int, int, int]:
     ~10^7 samples per blob (hours of mono 16-bit audio)."""
     import numpy as np
 
-    from eventstreamd_spark.functions.wav import decode_wav
+    from eventstreamd_spark.functions.wav import decode_wav_pcm
 
-    _rate, _channels, _bits, samples = decode_wav(blob)
-    raw = np.asarray(samples, dtype=np.int64)
+    # frombuffer on the raw data chunk: zero-copy int16 view instead
+    # of a per-sample Python int list (500k blobs/run made the list
+    # path the dominant, GC-noisy cost — SCALE.md §20)
+    _rate, _channels, _bits, data = decode_wav_pcm(blob)
+    raw = np.frombuffer(data, dtype="<i2").astype(np.int64)
     arr = np.abs(raw)
     n = arr.shape[0]
     gi = (np.arange(n, dtype=np.int64) * N_WINDOWS) // n
@@ -164,7 +173,16 @@ def _envelope_fingerprint(blob: bytes) -> tuple[int, int, int, int]:
     signs = np.sign(raw)
     trans = (signs[1:] != signs[:-1]) & (gi[1:] == gi[:-1])
     Z = np.bincount(gi[1:][trans], minlength=N_WINDOWS).astype(np.int64)
-    zbits = Z > np.roll(Z, -1)
+    # Z-ties break on the (cross-multiplied, rate-free) energy compare.
+    # The tiebreak is LOAD-BEARING for scale, not cosmetics: the raw
+    # Z-compare is true with probability ~1/3 (coarse crossing counts
+    # tie ~1/3 of the time), and BIASED bits inflate every 16-bit
+    # band's collision rate ~5x ((p^2+q^2)^16 vs 2^-16) — the sf10
+    # probe measured the banded self-join going super-linear
+    # (a10 = 1.22) before the tiebreak balanced the word (SCALE.md §20).
+    En, cn = np.roll(E, -1), np.roll(cnt, -1)
+    Zn = np.roll(Z, -1)
+    zbits = (Z > Zn) | ((Z == Zn) & (E * cn > En * cnt))
 
     def pack(bits) -> tuple[int, int]:
         lo = hi = 0

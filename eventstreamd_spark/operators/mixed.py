@@ -208,7 +208,9 @@ bits AS (
                 >= t.total THEN 1 ELSE 0 END AS abit,
          CASE g.m3
            WHEN 2 THEN CASE WHEN g.val > {g_of} THEN 1 ELSE 0 END
-           WHEN 1 THEN CASE WHEN ({r_l}) > ({r_r}) THEN 1 ELSE 0 END
+           WHEN 1 THEN CASE WHEN ({r_l}) > ({r_r}) THEN 1
+                            WHEN ({r_l}) = ({r_r}) AND g.val > nx.val THEN 1
+                            ELSE 0 END
            ELSE CASE WHEN g.val > nx.val THEN 1 ELSE 0 END
          END AS dbit
   FROM scene g

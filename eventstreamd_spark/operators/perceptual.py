@@ -577,7 +577,14 @@ def admission_decisions_from_sig(
     run the in-batch cluster tier (banded self-pairs -> star fixed
     point, min-doc_id canonical).  Returns one row per batch doc:
     (doc_id, cluster_id, keep, reason) with reason in {'kept',
-    'near_dup_batch', 'near_dup_index'}."""
+    'near_dup_batch', 'near_dup_index'}.
+
+    The three keyword passthroughs tune the index join for the two
+    faces: the STREAMING writer sets ``broadcast_probe`` (micro-batch
+    probe) and ``index_is_stacked`` (it reads the band-partitioned
+    layout pre-stacked and partition-pruned); the BATCH face leaves
+    both off so AQE sizes the join.  ``max_bucket`` applies the
+    hot-bucket guard to the index side on either face."""
     rejected = (
         banded_matches_against(
             batch_sig,
@@ -731,7 +738,14 @@ def _sql_scene_hashes(
     if neighbor == "audio_spectral":
         r_l = "CASE WHEN g.val = 0 THEN 0 ELSE 16 >> (g.val % 3) END"
         r_r = "CASE WHEN nx.val = 0 THEN 0 ELSE 16 >> (nx.val % 3) END"
-        dbit_expr = f"CASE WHEN ({r_l}) > ({r_r}) THEN 1 ELSE 0 END"
+        # crossing-count compare, ENERGY tiebreak on equal counts — the
+        # tiebreak balances the bit (raw compare is true with p ~ 1/3,
+        # and biased bits inflate banded collisions; SCALE.md §20)
+        dbit_expr = (
+            f"CASE WHEN ({r_l}) > ({r_r}) THEN 1 "
+            f"WHEN ({r_l}) = ({r_r}) AND g.val > nx.val THEN 1 "
+            f"ELSE 0 END"
+        )
         e_cell, e_cell_g = "val", "g.val"
     elif neighbor == "video_spatial":
         dbit_expr = (

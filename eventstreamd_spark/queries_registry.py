@@ -3156,11 +3156,12 @@ def media_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("video_fingerprints", video_op.sql_video_fingerprints())
 def video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-video luminance-envelope fingerprint over the scene-video
-    corpus — the REAL pipeline (ISO-BMFF sample-table walk, per-frame
-    PNG/JPEG decode, integer envelope) vs the oracle's closed-form
-    scene arithmetic; frame-rate and resolution invariant by
-    construction (round-9 video tier)."""
+    """Per-video luminance-envelope + left/right-half SPATIAL
+    fingerprint over the scene-video corpus — the REAL pipeline
+    (ISO-BMFF sample-table walk, per-frame PNG/JPEG decode, integer
+    envelope + half sums) vs the oracle's closed-form scene
+    arithmetic; frame-rate and resolution invariant by construction
+    (round-9 video tier; spatial word round-10)."""
     media = mm_op.cached_media(spark, sf_dir, "scene_video")
     return video_op.video_fingerprints(media)
 
@@ -3233,11 +3234,12 @@ def media_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("audio_fingerprints", audio_op.sql_audio_fingerprints())
 def audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer envelope fingerprint (sign-of-window-energy +
-    energy-delta sign over 64 relative windows) for every WAV of the
-    scene-audio corpus — the REAL decode path (RIFF walk, 16-bit PCM)
-    vs the oracle's closed-form scene arithmetic; sample-rate
-    invariant by construction (round-9 ask #3)."""
+    """Integer envelope + SPECTRAL fingerprint (sign-of-window-energy
+    + zero-crossing-rate compare over 64 relative windows) for every
+    WAV of the scene-audio corpus — the REAL decode path (RIFF walk,
+    16-bit PCM) vs the oracle's closed-form scene arithmetic;
+    sample-rate invariant by construction (round-9 ask #3; spectral
+    word round-10)."""
     media = mm_op.cached_media(spark, sf_dir, "scene_audio")
     return audio_op.audio_fingerprints(media)
 
@@ -3245,9 +3247,11 @@ def audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("audio_near_dup", audio_op.sql_audio_near_dup())
 def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs: the WAV mirror of media_near_dup —
-    shared Hamming-banded tier over envelope fingerprints; catches
-    the planted RESAMPLED twin (same scene at 2x sample rate, Hamming
-    0) and the re-encode-noise twin that exact digests miss."""
+    shared Hamming-banded tier over envelope + spectral fingerprints;
+    catches the planted RESAMPLED twin (same scene at 2x sample rate,
+    Hamming 0) and the re-encode-noise twin that exact digests miss;
+    an equal-envelope different-pitch clip separates on the
+    zero-crossing word (planted pytest)."""
     media = mm_op.cached_media(spark, sf_dir, "scene_audio")
     return audio_op.audio_near_dup(media)
 

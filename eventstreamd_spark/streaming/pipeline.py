@@ -1054,6 +1054,48 @@ def media_admission_writer(
     return write_batch
 
 
+def compact_media_index(spark, index_dir: str) -> int:
+    """Maintenance pass for the band-partitioned admission index: fold
+    every committed ``batch_id`` delta into a single consolidated
+    ``batch_id=-1`` seed partition (still partitionBy(band, bp)).
+
+    Why it exists at 100 TB: each trigger appends its kept canonicals
+    as a new batch_id directory, so a long-running stream accretes one
+    small file per (batch, band, bp) leaf — the classic streaming
+    small-files problem; every trigger's pruned read then lists and
+    opens thousands of tiny footers instead of a few compact ones.
+    Folding into the seed preserves the reader contract exactly
+    (``batch_id=-1 < N`` for every future batch N, so `batch_id < N`
+    still selects the full kept corpus) and is SAFE ONLY while the
+    stream is stopped — the writer's replay determinism depends on
+    `batch_id < N` selecting the same rows before and after a restart,
+    which the fold preserves for completed epochs.
+
+    Returns the number of signature rows in the compacted index."""
+    import glob as _glob
+    import os
+    import shutil
+
+    sig = (
+        spark.read.schema(_INDEX_SCHEMA)
+        .parquet(index_dir)
+        .select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")
+        .distinct()  # a doc's 8 band rows fold back to one signature
+        .localCheckpoint()  # materialize BEFORE the source dirs move
+    )
+    n = sig.count()
+    tmp = f"{index_dir}.compact-{os.getpid()}"
+    _stack_for_index(sig).write.partitionBy("band", "bp").mode(
+        "overwrite"
+    ).parquet(f"{tmp}/batch_id=-1")
+    old = f"{index_dir}.pre-compact-{os.getpid()}"
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old)
+    assert not _glob.glob(f"{index_dir}/batch_id=[0-9]*"), "fold left deltas"
+    return n
+
+
 def start_media_admission(
     stream_media: DataFrame,
     index_dir: str,

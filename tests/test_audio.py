@@ -35,10 +35,11 @@ def _expected_fingerprint(doc_id: int):
         vals[s % au.N_WINDOWS] ^= perc.PERTURB_XOR
     total = sum(vals)
     ebits = [au.N_WINDOWS * v >= total for v in vals]
-    zbits = [
-        _r(vals[k]) > _r(vals[(k + 1) % au.N_WINDOWS])
-        for k in range(au.N_WINDOWS)
-    ]
+    def _zbit(k: int) -> bool:
+        a, b = vals[k], vals[(k + 1) % au.N_WINDOWS]
+        return _r(a) > _r(b) or (_r(a) == _r(b) and a > b)
+
+    zbits = [_zbit(k) for k in range(au.N_WINDOWS)]
     return (*_pack(ebits), *_pack(zbits))
 
 

@@ -1478,6 +1478,65 @@ def test_media_admission_index_read_is_partition_pruned(
     assert got == want
 
 
+def test_media_index_compaction_preserves_decisions(
+    spark, sf_dir, tmp_path
+) -> None:
+    """Round-10: folding the accreted batch_id deltas into the seed
+    partition (the streaming small-files maintenance pass) must leave
+    the index CONTENT identical and the next batch's verdicts
+    unchanged — the reader contract `batch_id < N` selects the same
+    kept corpus before and after."""
+    import os
+
+    from eventstreamd_spark.operators.perceptual import perceptual_hashes
+    from eventstreamd_spark.streaming.pipeline import (
+        compact_media_index,
+        media_admission_writer,
+        seed_media_index,
+    )
+
+    media = _scene_media_subset(spark, sf_dir, 32).localCheckpoint()
+    idx, out = str(tmp_path / "cidx"), str(tmp_path / "cout")
+    seed_media_index(
+        perceptual_hashes(media.filter("doc_id < 8")), idx
+    )
+    w = media_admission_writer(idx, out)
+    w(media.filter("doc_id >= 8 AND doc_id < 16"), 0)
+    w(media.filter("doc_id >= 16 AND doc_id < 24"), 1)
+
+    def index_content():
+        return {
+            tuple(r)
+            for r in spark.read.schema(
+                "doc_id bigint, a_hi bigint, a_lo bigint, d_hi bigint, "
+                "d_lo bigint, bhash bigint, band string, bp int, batch_id int"
+            )
+            .parquet(idx)
+            .select("doc_id", "band", "bhash")
+            .collect()
+        }
+
+    before = index_content()
+    n_delta_dirs = len(
+        [d for d in os.listdir(idx) if d.startswith("batch_id=") and d != "batch_id=-1"]
+    )
+    assert n_delta_dirs == 2  # two trigger deltas accreted
+    n = compact_media_index(spark, idx)
+    assert n == len({d for d, _, _ in before})  # one signature per doc
+    assert index_content() == before  # content identical, dirs folded
+    assert os.listdir(idx) == ["batch_id=-1"] or set(os.listdir(idx)) <= {
+        "batch_id=-1", "_SUCCESS"
+    }
+    # the NEXT batch still rejects a twin of a pre-compaction canonical
+    w(media.filter("doc_id >= 24"), 2)
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(out).filter("batch_id = 2").collect()
+    }
+    assert rows[26] == (24, False, "near_dup_batch")
+    assert rows[24] == (24, True, "kept")
+
+
 def test_media_admission_matches_batch_clusters(spark, sf_dir, tmp_path) -> None:
     """Two micro-batches of media admitted incrementally against a
     growing banded perceptual index must reproduce the one-shot batch

@@ -265,9 +265,14 @@ def main() -> None:
         try:
             t1 = timed(fn, spark, probe.SCRATCH, runs=2)
             # sf10 runs are 10-200s: one cold + one timed is enough
-            # signal, and a second timed run only when it is cheap
+            # signal for the long tail, but sub-90s queries take a
+            # second timed run and keep the min — the host VM shows
+            # time-varying contention spikes of 2-3x on runs in the
+            # 20-90s range (round-10: a warm 25s audio run measured
+            # 84s once, flipping its decade verdict to FAIL; min-of-2
+            # is the standard shield and costs <90s extra)
             t10 = timed(fn, spark, SCRATCH100, runs=1)
-            if t10 < 30.0:
+            if t10 < 90.0:
                 t0 = time.perf_counter()
                 fn(spark, SCRATCH100).write.format("noop").mode(
                     "overwrite"
