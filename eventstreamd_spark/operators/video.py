@@ -29,7 +29,12 @@ through REAL ISO-BMFF sample tables:
   permutation of every frame, the false positive an envelope-only
   fingerprint cannot see — now separate, while the halves scale
   uniformly under resize so the strict compare stays
-  resolution-invariant;
+  resolution-invariant.  Granularity limit, stated honestly: one
+  spatial bit per position means a permutation that PRESERVES each
+  frame's left/right sum split (e.g. a vertical flip) still collides;
+  finer spatial evidence (per-frame grid aHash) needs more than the
+  shared 4-word signature budget — widening the schema is the
+  documented upgrade path, not a hidden gap;
 - the two words travel as the shared (a_hi, a_lo, d_hi, d_lo)
   signature schema, so candidates + verify REUSE
   ``perceptual.banded_pairs`` (4x16-bit bands, pigeonhole recall,
