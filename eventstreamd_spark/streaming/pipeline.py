@@ -925,18 +925,37 @@ def _stack_for_index(sig: DataFrame) -> DataFrame:
     )
 
 
+# below this many probe keys, prune PAIR-EXACT (an OR of (band, bp)
+# conjunctions) instead of the rectangle superset — a small trigger's
+# predicate stays tiny and reads strictly fewer directories
+_EXACT_PRUNE_MAX_KEYS = 256
+
+
 def _pruned_index_read(
-    spark, index_dir: str, batch_id: int, bands: list, bps: list
+    spark, index_dir: str, batch_id: int, keys: list
 ) -> DataFrame:
     """The per-trigger index read: earlier batches only, directory-
-    pruned to the probe's (band, bp) rectangle — all three filters are
+    pruned to the probe's (band, bp) buckets.  Small key sets prune
+    PAIR-EXACT (OR of conjunctions); larger ones fall back to the
+    band-isin x bp-isin rectangle (a superset — correctness comes from
+    the exact (band, bhash) equi-join downstream).  All predicates sit
     on partition columns, so they prune at planning time (the
     PartitionFilters assertion in tests/test_streaming.py)."""
+    if len(keys) <= _EXACT_PRUNE_MAX_KEYS:
+        cond = F.lit(False)
+        for band, bp in keys:
+            cond = cond | (
+                (F.col("band") == F.lit(band)) & (F.col("bp") == F.lit(bp))
+            )
+    else:
+        cond = F.col("band").isin(
+            sorted({b for b, _ in keys})
+        ) & F.col("bp").isin(sorted({p for _, p in keys}))
     return (
         spark.read.schema(_INDEX_SCHEMA)
         .parquet(index_dir)
         .filter(F.col("batch_id") < F.lit(batch_id))
-        .filter(F.col("band").isin(bands) & F.col("bp").isin(bps))
+        .filter(cond)
         .drop("bp", "batch_id")
     )
 
@@ -1018,13 +1037,15 @@ def media_admission_writer(
         # prune the index read to the micro-batch's (band, bp)
         # rectangle: <= 2048 keys by construction (8 bands x 2^BP_BITS
         # prefixes), so the collect is a KB-bounded control-plane read
-        probe_keys = (
-            _stack_for_index(sig).select("band", "bp").distinct().collect()
+        probe_keys = sorted(
+            (r["band"], r["bp"])
+            for r in _stack_for_index(sig)
+            .select("band", "bp")
+            .distinct()
+            .collect()
         )
-        bands = sorted({r["band"] for r in probe_keys})
-        bps = sorted({r["bp"] for r in probe_keys})
         index_stacked = _pruned_index_read(
-            spark, index_dir, batch_id, bands, bps
+            spark, index_dir, batch_id, probe_keys
         )
         # the decision itself is the SHARED batch operator core
         # (operators/perceptual.py::admission_decisions_from_sig), so
@@ -1094,6 +1115,38 @@ def compact_media_index(spark, index_dir: str) -> int:
     shutil.rmtree(old)
     assert not _glob.glob(f"{index_dir}/batch_id=[0-9]*"), "fold left deltas"
     return n
+
+
+def evict_media_index(spark, index_dir: str, min_batch_id: int) -> int:
+    """Retention pass for the admission index: drop every delta whose
+    epoch is OLDER than ``min_batch_id`` (the seed ``batch_id=-1``
+    included once ``min_batch_id > -1``).  Returns the number of
+    signature rows retained.
+
+    This is the rolling-window near-dup policy a bounded-retention
+    ingest wants at 100 TB: "reject twins of anything admitted in the
+    last N epochs" — an unbounded kept-corpus index otherwise grows
+    forever and makes every admission decision against all of
+    history.  After eviction a twin of an EVICTED canonical admits
+    and becomes a new canonical (pytest pins exactly that), which is
+    the intended semantics, not a leak.  Run with the stream stopped,
+    like ``compact_media_index``; the two compose (evict, then fold
+    the survivors into the seed)."""
+    import os
+    import shutil
+
+    for entry in os.listdir(index_dir):
+        if not entry.startswith("batch_id="):
+            continue
+        if int(entry.split("=", 1)[1]) < min_batch_id:
+            shutil.rmtree(os.path.join(index_dir, entry))
+    remaining = (
+        spark.read.schema(_INDEX_SCHEMA)
+        .parquet(index_dir)
+        .select("doc_id")
+        .distinct()
+    )
+    return remaining.count()
 
 
 def start_media_admission(

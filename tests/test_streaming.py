@@ -1459,23 +1459,32 @@ def test_media_admission_index_read_is_partition_pruned(
     index_dir = str(tmp_path / "pruned_index")
     seed_media_index(seed_sig, index_dir)
 
-    pruned = _pruned_index_read(spark, index_dir, 0, ["a0", "d3"], [7, 200])
+    pruned = _pruned_index_read(
+        spark, index_dir, 0, [("a0", 7), ("d3", 200)]
+    )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "band" in pf and "bp" in pf and "batch_id" in pf
-    # and the rectangle read returns exactly the matching stacked rows
+    # pair-exact pruning: (a0, 200) and (d3, 7) must NOT come back
+    # (the rectangle superset would include them)
     from eventstreamd_spark.operators.perceptual import band_stack
 
     want = {
         (r["doc_id"], r["band"], r["bhash"])
         for r in band_stack(seed_sig).collect()
-        if r["band"] in ("a0", "d3") and (r["bhash"] >> 8) in (7, 200)
+        if (r["band"], r["bhash"] >> 8) in {("a0", 7), ("d3", 200)}
     }
     got = {
         (r["doc_id"], r["band"], r["bhash"]) for r in pruned.collect()
     }
     assert got == want
+    # the large-key-set fallback (rectangle) stays a correct superset
+    many = [(b, p) for b in ("a0", "d3") for p in range(200)]
+    rect = _pruned_index_read(spark, index_dir, 0, many)
+    assert {
+        (r["doc_id"], r["band"], r["bhash"]) for r in rect.collect()
+    } >= want
 
 
 def test_media_index_compaction_preserves_decisions(
@@ -1535,6 +1544,43 @@ def test_media_index_compaction_preserves_decisions(
     }
     assert rows[26] == (24, False, "near_dup_batch")
     assert rows[24] == (24, True, "kept")
+
+
+def test_media_index_eviction_rolls_the_dedup_window(
+    spark, sf_dir, tmp_path
+) -> None:
+    """Round-10: evicting index epochs older than a cutoff turns the
+    admission into a ROLLING near-dup window — a twin of an evicted
+    canonical is re-admitted as a fresh canonical, while twins of
+    retained canonicals keep rejecting."""
+    from eventstreamd_spark.operators.perceptual import perceptual_hashes
+    from eventstreamd_spark.streaming.pipeline import (
+        evict_media_index,
+        media_admission_writer,
+        seed_media_index,
+    )
+
+    media = _scene_media_subset(spark, sf_dir, 24).localCheckpoint()
+    idx, out = str(tmp_path / "eidx"), str(tmp_path / "eout")
+    seed_media_index(spark.createDataFrame([], _EMPTY_SIG), idx)
+    w = media_admission_writer(idx, out)
+    # batch 0 admits cohort-0/1 canonicals (0, 4); batch 1 admits
+    # cohort-2 canonical (8)
+    w(media.filter("doc_id IN (0, 4)"), 0)
+    w(media.filter("doc_id = 8"), 1)
+    # retention cutoff: keep epoch >= 1 — canonicals 0 and 4 age out
+    n = evict_media_index(spark, idx, 1)
+    assert n == 1  # only doc 8's signature survives
+    # batch 2: twins of the EVICTED canonicals admit as new
+    # canonicals; the twin of the RETAINED canonical still rejects
+    w(media.filter("doc_id IN (1, 5, 9)"), 2)
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(out).filter("batch_id = 2").collect()
+    }
+    assert rows[1] == (1, True, "kept")  # canonical 0 evicted
+    assert rows[5] == (5, True, "kept")  # canonical 4 evicted
+    assert rows[9] == (8, False, "near_dup_index")  # 8 retained
 
 
 def test_media_admission_matches_batch_clusters(spark, sf_dir, tmp_path) -> None:
