@@ -316,6 +316,49 @@ def band_stack(sig: DataFrame) -> DataFrame:
     )
 
 
+def pair_band_stack(sig: DataFrame) -> DataFrame:
+    """Explode a signature relation into its 28 PAIR-band rows: one
+    row per unordered pair of the 8 bands, bucketed on the CONCATENATED
+    32-bit key.  The wide tier's candidate math (measured, SCALE.md
+    §20): 16-bit buckets collide at ~n^2/2^16 — 44M random candidates
+    at sf10 already, and quadratic in every further decade — while
+    32-bit pair buckets collide at ~n^2/2^32, pushing the quadratic
+    term out by a factor of 65,536 at the cost of 28 rows/doc instead
+    of 8.  Recall: combined Hamming <= 6 leaves at least TWO clean
+    bands (7 dirty bands would need 7 errors), so some clean pair
+    collides — guaranteed, one notch tighter than the single-band
+    tier's <= 7."""
+    mask = (1 << BAND_BITS) - 1
+    chunks = []
+    for kind, hi, lo in (("a", "a_hi", "a_lo"), ("d", "d_hi", "d_lo")):
+        for b in range(N_BANDS):
+            src = F.col(lo) if b < 2 else F.col(hi)
+            shift = (b % 2) * BAND_BITS
+            chunks.append(
+                (f"{kind}{b}",
+                 F.shiftright(src, shift).bitwiseAND(F.lit(mask)))
+            )
+    pairs = []
+    for i in range(len(chunks)):
+        for j in range(i + 1, len(chunks)):
+            ni, ci = chunks[i]
+            nj, cj = chunks[j]
+            pairs.append(
+                F.struct(
+                    F.lit(f"{ni}|{nj}").alias("band"),
+                    (F.shiftleft(ci, BAND_BITS) + cj).alias("bhash"),
+                )
+            )
+    return sig.select(
+        "doc_id", *_HALVES, F.explode(F.array(*pairs)).alias("bb")
+    ).select(
+        "doc_id",
+        *_HALVES,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bhash").alias("bhash"),
+    )
+
+
 def _drop_hot_buckets(stacked: DataFrame, max_bucket: int) -> DataFrame:
     """The degenerate-corpus guard (dedup's df-cutoff idiom, band
     flavored): band rows in a bucket with more than ``max_bucket``
@@ -335,6 +378,46 @@ def _drop_hot_buckets(stacked: DataFrame, max_bucket: int) -> DataFrame:
         .select("band", "bhash")
     )
     return stacked.join(F.broadcast(sizes), ["band", "bhash"])
+
+
+def _stacked_self_pairs(stacked: DataFrame, hamming_max: int) -> DataFrame:
+    """Shared bucket self-join + Hamming verify + distinct over ANY
+    (doc_id, halves..., band, bhash) stacked relation — the tail both
+    the 8-band and the 28-pair-band tiers share."""
+    l, r = stacked.alias("l"), stacked.alias("r")
+    joined = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bhash") == F.col("r.bhash"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"l.{c}").bitwiseXOR(F.col(f"r.{c}")))
+        for c in _HALVES
+    )
+    return (
+        joined.select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .distinct()
+    )
+
+
+def banded_pairs_wide(sig: DataFrame, hamming_max: int) -> DataFrame:
+    """Near-dup pair tier over 32-bit PAIR-band buckets — the
+    candidate tier for corpora where 16-bit buckets' ~n^2/2^16 random
+    collisions become the bill (measured at sf10: 44M candidates for
+    500k docs; a 10^10-doc corpus would drown).  Same verify, same
+    output schema; guaranteed recall for combined Hamming <= 6
+    (pigeonhole over pairs — see ``pair_band_stack``), so callers
+    wanting the <= 7 guarantee at moderate n keep ``banded_pairs``.
+    No hot-bucket gate: the gate table over a 28 x 2^32 key space is
+    not broadcastable; a flood-exposed ingest should guard at the
+    16-bit tier (``media_near_dup_prod``) or upstream exact-dedup."""
+    return _stacked_self_pairs(pair_band_stack(sig), hamming_max)
 
 
 def banded_pairs(
@@ -360,26 +443,7 @@ def banded_pairs(
     stacked = band_stack(sig)
     if max_bucket is not None:
         stacked = _drop_hot_buckets(stacked, max_bucket)
-    l, r = stacked.alias("l"), stacked.alias("r")
-    joined = l.join(
-        r,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bhash") == F.col("r.bhash"))
-        & (F.col("l.doc_id") < F.col("r.doc_id")),
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"l.{c}").bitwiseXOR(F.col(f"r.{c}")))
-        for c in _HALVES
-    )
-    return (
-        joined.select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= hamming_max)
-        .distinct()
-    )
+    return _stacked_self_pairs(stacked, hamming_max)
 
 
 def banded_matches_against(
@@ -502,6 +566,23 @@ def media_near_dup_prod(
         perceptual_hashes(media).localCheckpoint(),
         hamming_max,
         max_bucket=max_bucket,
+    )
+
+
+def media_near_dup_wide(
+    media: DataFrame, hamming_max: int = HAMMING_MAX
+) -> DataFrame:
+    """The WIDE-BUCKET sibling of ``media_near_dup`` for corpora
+    where 16-bit buckets' random collisions are the bill
+    (``banded_pairs_wide``: 32-bit pair buckets, n^2/2^32 candidate
+    growth, guaranteed recall at combined Hamming <= 6 instead of
+    <= 7).  Verify threshold unchanged, so pairs between Hamming 7
+    and ``hamming_max`` surface only probabilistically — the standard
+    LSH r-vs-recall dial, stated in the open: 16-bit tier for
+    guaranteed-recall evaluation and moderate n, 32-bit tier when n
+    makes the candidate term dominate."""
+    return banded_pairs_wide(
+        perceptual_hashes(media).localCheckpoint(), hamming_max
     )
 
 
@@ -828,6 +909,51 @@ def _sql_band_rows(src: str) -> str:
     )
 
 
+def _sql_pair_band_rows(src: str) -> str:
+    """The 28 (pair-band, 32-bit bhash) rows per doc over any
+    signature CTE — the SQL twin of ``pair_band_stack``."""
+    mask = (1 << BAND_BITS) - 1
+    chunks = []
+    for kind in ("a", "d"):
+        for b, col in enumerate(
+            [f"{kind}_lo", f"{kind}_lo", f"{kind}_hi", f"{kind}_hi"]
+        ):
+            expr = (
+                f"(({col} >> {BAND_BITS}) & {mask})"
+                if b % 2
+                else f"({col} & {mask})"
+            )
+            chunks.append((f"{kind}{b}", expr))
+    selects = []
+    for i in range(len(chunks)):
+        for j in range(i + 1, len(chunks)):
+            ni, ei = chunks[i]
+            nj, ej = chunks[j]
+            selects.append(
+                f"SELECT doc_id, a_hi, a_lo, d_hi, d_lo, "
+                f"'{ni}|{nj}' AS band, "
+                f"({ei} << {BAND_BITS}) + {ej} AS bhash FROM {src}"
+            )
+    return " UNION ALL ".join(selects)
+
+
+def sql_banded_pairs_wide_tail(hamming_max: int = HAMMING_MAX) -> str:
+    """pair-bands/cand CTEs + final pair SELECT over a preceding
+    ``sig`` CTE — the SQL twin of ``banded_pairs_wide``."""
+    ham = _sql_hamming()
+    return f"""
+bands AS ({_sql_pair_band_rows("sig")}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         {ham} AS hamming
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM cand WHERE hamming <= {hamming_max}
+"""
+
+
 def _sql_hamming(l: str = "l", r: str = "r") -> str:
     return " + ".join(
         f"bit_count(xor({l}.{c}, {r}.{c}))"
@@ -891,6 +1017,15 @@ def sql_media_near_dup_prod(
     return f"""
 WITH {_sql_scene_hashes(table)},
 {sql_banded_pairs_tail(hamming_max, max_bucket=max_bucket)}
+"""
+
+
+def sql_media_near_dup_wide(
+    table: str = "documents", hamming_max: int = HAMMING_MAX
+) -> str:
+    return f"""
+WITH {_sql_scene_hashes(table)},
+{sql_banded_pairs_wide_tail(hamming_max)}
 """
 
 

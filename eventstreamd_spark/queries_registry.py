@@ -3267,6 +3267,17 @@ def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perc_op.media_near_dup(media)
 
 
+@register("media_near_dup_wide", perc_op.sql_media_near_dup_wide())
+def media_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 32-bit pair-band sibling of media_near_dup: candidate
+    volume n^2/2^32 instead of n^2/2^16 (the measured 16-bit tier hit
+    44M random candidates at 500k docs — quadratic at every further
+    decade), guaranteed recall at combined Hamming <= 6; the tier a
+    10^10-doc corpus runs."""
+    media = mm_op.cached_media(spark, sf_dir, "scene_image")
+    return perc_op.media_near_dup_wide(media)
+
+
 @register("media_near_dup_prod", perc_op.sql_media_near_dup_prod())
 def media_near_dup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GUARDED production twin of media_near_dup (sketch-tier
@@ -3491,7 +3502,7 @@ _COST_HINT = {
     "rolling_wau_hll_prod": 0.55, "column_stats_catalog_hll_prod": 1.20,
     # round-8: perceptual media near-dup + skew tier
     "media_perceptual_hashes": 0.50, "media_near_dup": 0.80,
-    "media_near_dup_prod": 0.85,
+    "media_near_dup_prod": 0.85, "media_near_dup_wide": 1.10,
     "salted_topk_values": 0.45, "media_split_leakage": 0.90,
     "media_near_dup_clusters": 1.00,
     # round-9: JPEG decode path (64x64 member raises per-blob cost)

@@ -249,6 +249,69 @@ def test_media_near_dup_prod_guard_is_wired_and_oracle_exact(
     }
 
 
+def test_wide_pair_band_tier_matches_narrow_and_shrinks_candidates(
+    spark, sf_dir
+) -> None:
+    """Round-10 wide tier: 32-bit pair buckets find the SAME pair set
+    as the 16-bit tier on the fixture (every planted twin is within
+    the Hamming <= 6 pair-band recall guarantee), match their own
+    DuckDB oracle exactly, and generate orders of magnitude fewer
+    random candidates — the property the tier exists for."""
+    import duckdb
+
+    from eventstreamd_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+
+    media = mm.cached_media(spark, sf_dir, "scene_image")
+    sig = perc.perceptual_hashes(media).localCheckpoint()
+    wide = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in perc.banded_pairs_wide(sig, perc.HAMMING_MAX).collect()
+    }
+    narrow = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in perc.banded_pairs(sig, perc.HAMMING_MAX).collect()
+    }
+    assert wide == narrow  # fixture pairs all within the <= 6 guarantee
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(perc.sql_media_near_dup_wide()).fetchall()
+    }
+    assert wide == want
+
+    def random_candidates(stack_fn):
+        """Bucket collisions between DIFFERENT cohorts — the random
+        (non-twin) term the wide tier exists to shrink.  Twin
+        collisions necessarily grow 28/8 with the pair explosion, so
+        raw totals are the wrong measure at twin-dominated scales."""
+        st = stack_fn(sig).select("doc_id", "band", "bhash")
+        l, r = st.alias("l"), st.alias("r")
+        return (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bhash") == F.col("r.bhash"))
+                & (F.col("l.doc_id") < F.col("r.doc_id"))
+                & (
+                    (F.col("l.doc_id") / 4).cast("bigint")
+                    != (F.col("r.doc_id") / 4).cast("bigint")
+                ),
+            ).count()
+        )
+
+    n_wide = random_candidates(perc.pair_band_stack)
+    n_narrow = random_candidates(perc.band_stack)
+    # 2^16x larger key space: the random term must collapse (at sf10
+    # the measured narrow-tier random load is 44M candidates)
+    assert n_wide <= n_narrow, (n_wide, n_narrow)
+    assert n_wide <= 2, n_wide  # essentially zero at 2^32 buckets
+
+
 def test_hot_bucket_guard_bounds_degenerate_floods(spark) -> None:
     """A planted flood (10k copies of one signature — the all-black-
     thumbnail corpus) would generate ~10^8 candidates per band through

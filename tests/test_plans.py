@@ -146,6 +146,34 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path) -> None:
     assert joined.count() == li.count()
 
 
+def test_media_fixture_scans_prune_to_doc_id_and_blob(spark, sf_dir) -> None:
+    """Round-10: the write-once media fixture carries 5 columns
+    (doc_id, media_type, blob, byte_len, content_md5), but every
+    fingerprint kernel projects (doc_id, blob) BEFORE its mapInPandas
+    — the projection must reach the parquet scan as ReadSchema
+    pruning, or a 100 TB blob table pays a 2x-plus scan tax for
+    metadata no kernel reads.  One representative per kernel family."""
+    from eventstreamd_spark.operators import multimodal as mm
+    from eventstreamd_spark.operators.audio import audio_fingerprints
+    from eventstreamd_spark.operators.mixed import mixed_media_fingerprints
+    from eventstreamd_spark.operators.perceptual import perceptual_hashes
+    from eventstreamd_spark.operators.video import video_fingerprints
+
+    cases = [
+        ("scene_image", perceptual_hashes),
+        ("scene_audio", audio_fingerprints),
+        ("scene_video", video_fingerprints),
+        ("scene_mixed", mixed_media_fingerprints),
+    ]
+    for kind, fp in cases:
+        media = mm.cached_media(spark, sf_dir, kind)
+        plan = fp(media)._jdf.queryExecution().executedPlan().toString()
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "doc_id" in read_schema and "blob" in read_schema, kind
+        for dropped in ("media_type", "byte_len", "content_md5"):
+            assert dropped not in read_schema, (kind, dropped)
+
+
 def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path) -> None:
     """Partition-by-subsystem layout: a subsystem filter becomes a
     PartitionFilter — the scan plans only that directory's files (the

@@ -80,6 +80,7 @@ TARGETS = [
     # round-10: the guarded production twin (guard = broadcast gate
     # table, so the decade must match the unguarded sibling's)
     ("media_near_dup_prod", 1.0, "~N (banded pairs + hot-bucket gate)"),
+    ("media_near_dup_wide", 1.0, "~N (32-bit pair buckets, n^2/2^32 tail)"),
 ]
 
 TOLERANCE = 0.10
