@@ -59,10 +59,18 @@ _MH_P = HASH_MOD
 _MH_A = [(17 + 13 * i) % _MH_P for i in range(MINHASH_K)]
 _MH_B = [(91 + 29 * i) % _MH_P for i in range(MINHASH_K)]
 
-# SimHash: 32-bit signature from the portable hash, banded 4 x 8 bits;
-# hamming <= 3 guarantees at least one identical band (pigeonhole).
-SIMHASH_BITS = 32
+# SimHash: 64-bit signature (two 32-bit halves from per-token md5
+# words), banded 4 x 16 bits; hamming <= 3 guarantees at least one
+# identical band (pigeonhole over 4 bands).  The previous 32-bit /
+# 4 x 8-bit layout put 256 buckets under every band — an n^2/2^8
+# random-collision term per band, the same quadratic wall the media
+# tier measured at sf10 and removed in round 10 (SCALE.md §21:
+# "bucket width must track log2(n)").  16-bit buckets hold to
+# ~10^7 docs; beyond that the pair-band wide sibling
+# (``simhash_pairs_wide``) buckets on 32-bit band PAIRS.
+SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16
 HAMMING_MAX = 3
 
 
@@ -873,58 +881,87 @@ SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
 """
 
 
-def simhash(toks: F.Column) -> F.Column:
-    """32-bit SimHash from portable token hashes.
+def simhash64(toks: F.Column) -> F.Column:
+    """64-bit SimHash as a struct(hi, lo) of two 32-bit halves.
 
     bit j of the signature = majority vote of bit j over all token
-    hashes (>= half the tokens set it).  ONE aggregate pass carries a
-    struct accumulator (per-bit vote counts + token count), so each
-    token is hashed exactly once; the finish lambda folds the majority
-    votes into the signature.  (32 separate per-bit aggregates would
-    re-run poly_hash over every token 32 times — measured ~10x slower.)
-    Declarative throughout, no UDF; zero tokens => all bits voted set,
-    same as the per-bit formulation (0 >= 0).
+    hashes (>= half the tokens set it).  Each token is md5'd exactly
+    ONCE (a single JVM intrinsic); the hex digest's first 16 chars
+    split into two 32-bit words — hi = bits 32..63, lo = bits 0..31 —
+    so the 64 vote positions come from one hash evaluation.  ONE
+    aggregate pass carries a struct accumulator (two 32-long vote
+    arrays + token count); the finish lambda folds the majority votes
+    into the halves.  (64 separate per-bit aggregates would re-hash
+    every token 64 times — the 32-bit ancestor measured that ~10x
+    slower.)  Declarative throughout, no UDF; zero tokens => all bits
+    voted set, same as the per-bit formulation (0 >= 0).
+
+    Two BIGINT halves instead of one 64-bit value keeps every band
+    extraction and Hamming XOR in non-negative arithmetic — a packed
+    64-bit signature would put vote 63 in the sign bit, where
+    ``shiftright`` turns arithmetic and the DuckDB twin's ``>>``
+    diverges (the media tier stores 128-bit signatures as four 32-bit
+    halves for the same reason, perceptual.py).
     """
-    hashes = F.transform(
-        toks, lambda t: poly_hash(t).bitwiseAND(F.lit((1 << SIMHASH_BITS) - 1))
+    hexes = F.transform(toks, lambda t: F.md5(t))
+    words = F.transform(
+        hexes,
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"),
+        ),
     )
     zero = F.lit(0).cast("bigint")
-    pows = F.array(*[F.lit(1 << j).cast("bigint") for j in range(SIMHASH_BITS)])
-    return F.aggregate(
-        hashes,
-        F.struct(
-            F.array_repeat(zero, SIMHASH_BITS).alias("cnt"), zero.alias("n")
-        ),
-        lambda acc, h: F.struct(
+    pows = F.array(*[F.lit(1 << j).cast("bigint") for j in range(32)])
+
+    def _majority(cnt: F.Column, n: F.Column) -> F.Column:
+        return F.aggregate(
             F.zip_with(
-                acc["cnt"],
-                pows,
-                lambda c, p: c + (h.bitwiseAND(p) > 0).cast("bigint"),
-            ).alias("cnt"),
-            (acc["n"] + 1).alias("n"),
-        ),
-        lambda acc: F.aggregate(
-            F.zip_with(
-                acc["cnt"],
-                pows,
-                lambda v, p: F.when(v * 2 >= acc["n"], p).otherwise(zero),
+                cnt, pows, lambda v, p: F.when(v * 2 >= n, p).otherwise(zero)
             ),
             zero,
             lambda a, x: a + x,
+        )
+
+    return F.aggregate(
+        words,
+        F.struct(
+            F.array_repeat(zero, 32).alias("ch"),
+            F.array_repeat(zero, 32).alias("cl"),
+            zero.alias("n"),
+        ),
+        lambda acc, w: F.struct(
+            F.zip_with(
+                acc["ch"],
+                pows,
+                lambda c, p: c + (w["hi"].bitwiseAND(p) > 0).cast("bigint"),
+            ).alias("ch"),
+            F.zip_with(
+                acc["cl"],
+                pows,
+                lambda c, p: c + (w["lo"].bitwiseAND(p) > 0).cast("bigint"),
+            ).alias("cl"),
+            (acc["n"] + 1).alias("n"),
+        ),
+        lambda acc: F.struct(
+            _majority(acc["ch"], acc["n"]).alias("hi"),
+            _majority(acc["cl"], acc["n"]).alias("lo"),
         ),
     )
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig) via the narrow Column formulation — no shuffle.
+    """(doc_id, sig_hi, sig_lo) via the narrow Column formulation — no
+    shuffle.
 
-    An explode + 32-sum-aggregate alternative (codegen'd votes, map-side
-    partials) measured ~1.7x SLOWER at sf0.1: with token hashing now a
-    single md5 intrinsic, the HOF vote accumulator is cheap and the
-    aggregate's shuffle + row explosion dominate.  Narrow also wins at
-    100 TB: signatures stay embarrassingly parallel with zero exchange.
+    An explode + per-bit-sum-aggregate alternative (codegen'd votes,
+    map-side partials) measured ~1.7x SLOWER at sf0.1 on the 32-bit
+    ancestor: with token hashing a single md5 intrinsic, the HOF vote
+    accumulator is cheap and the aggregate's shuffle + row explosion
+    dominate.  Narrow also wins at 100 TB: signatures stay
+    embarrassingly parallel with zero exchange.
 
-    The coalesce makes the signature provably non-nullable: downstream
+    The coalesces make both halves provably non-nullable: downstream
     equi-joins on band hashes otherwise get an inferred
     isnotnull(bhash) constraint that pushdown inlines as the FULL
     signature expression in the scan filter — the whole simhash then
@@ -932,57 +969,150 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     inferred-predicate-past-a-non-cheap-alias trap audit_plan flags;
     SCALE.md §5).  Null text never occurs, and sig 0 for it is sound.
     """
-    return fan_out(docs).select(
+    # Bind the struct to a real column first: CollapseProject will not
+    # re-inline a non-cheap HOF (the with_hashed_shingles precedent),
+    # so the vote aggregate runs exactly once per doc even though two
+    # halves extract from it.
+    return (
+        fan_out(docs)
+        .select("doc_id", simhash64(tokens(F.col("text"))).alias("__s"))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__s.hi"), F.lit(0)).alias("sig_hi"),
+            F.coalesce(F.col("__s.lo"), F.lit(0)).alias("sig_lo"),
+        )
+    )
+
+
+def _simhash_band_chunks() -> list:
+    """The 4 x 16-bit band expressions over (sig_hi, sig_lo): bands
+    0-1 slice sig_lo (bits 0-15, 16-31), bands 2-3 slice sig_hi."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    chunks = []
+    for b in range(SIMHASH_BANDS):
+        src = F.col("sig_lo") if b < 2 else F.col("sig_hi")
+        shift = (b % 2) * SIMHASH_BAND_BITS
+        chunks.append(F.shiftright(src, shift).bitwiseAND(F.lit(mask)))
+    return chunks
+
+
+def _simhash_stacked_pairs(stacked: DataFrame, hamming_max: int) -> DataFrame:
+    """Shared bucket self-join + Hamming verify + distinct over a
+    (doc_id, sig_hi, sig_lo, band, bhash) stacked relation — the tail
+    the 4-band and the 6-pair-band tiers share.  Verify BEFORE
+    distinct (SCALE.md §19, found by the sf10 probe on the media
+    tier): random band collisions are the volume, and an early
+    distinct shuffles every one of them carrying both signatures; the
+    Hamming verify is four JVM bit ops — evaluating it per COLLISION
+    and deduplicating only survivors shuffles O(true pairs) rows."""
+    l, r = stacked.alias("l"), stacked.alias("r")
+    joined = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bhash") == F.col("r.bhash"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    )
+    hamming = F.bit_count(
+        F.col("l.sig_hi").bitwiseXOR(F.col("r.sig_hi"))
+    ) + F.bit_count(F.col("l.sig_lo").bitwiseXOR(F.col("r.sig_lo")))
+    return (
+        joined.select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .distinct()
+    )
+
+
+def simhash_band_stack(sig: DataFrame) -> DataFrame:
+    """Explode a (doc_id, sig_hi, sig_lo) relation into its 4
+    (band, bhash) rows — 16-bit buckets, the tier for <= ~10^7 docs."""
+    chunks = _simhash_band_chunks()
+    return sig.select(
         "doc_id",
-        F.coalesce(simhash(tokens(F.col("text"))), F.lit(0)).alias("sig"),
+        "sig_hi",
+        "sig_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), c.alias("bhash"))
+                    for b, c in enumerate(chunks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "sig_hi",
+        "sig_lo",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bhash").alias("bhash"),
+    )
+
+
+def simhash_pair_band_stack(sig: DataFrame) -> DataFrame:
+    """Explode a signature relation into its 6 PAIR-band rows: one row
+    per unordered pair of the 4 bands, bucketed on the CONCATENATED
+    32-bit key (pair-band idiom from perceptual.pair_band_stack /
+    SCALE.md §21).  16-bit buckets collide at ~n^2/2^16 per band —
+    quadratic in every decade past ~10^7 docs — while 32-bit pair
+    buckets push that term out by 65,536x at the cost of 6 rows/doc
+    instead of 4.  Recall: combined Hamming <= 2 leaves at least TWO
+    clean bands (3 dirty bands would need 3 errors), so some clean
+    pair collides — guaranteed, one notch tighter than the single-band
+    tier's <= 3."""
+    chunks = _simhash_band_chunks()
+    pairs = []
+    k = 0
+    for i in range(SIMHASH_BANDS):
+        for j in range(i + 1, SIMHASH_BANDS):
+            pairs.append(
+                F.struct(
+                    F.lit(k).alias("band"),
+                    (F.shiftleft(chunks[i], SIMHASH_BAND_BITS) + chunks[j]).alias(
+                        "bhash"
+                    ),
+                )
+            )
+            k += 1
+    return sig.select(
+        "doc_id",
+        "sig_hi",
+        "sig_lo",
+        F.explode(F.array(*pairs)).alias("bb"),
+    ).select(
+        "doc_id",
+        "sig_hi",
+        "sig_lo",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bhash").alias("bhash"),
     )
 
 
 def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     """SimHash near-dup pairs: banded candidate generation + hamming
-    verify.  4 bands x 8 bits; hamming <= 3 guarantees a band collision,
-    so recall is exact for the distance bound."""
-    sig = simhash_signatures(docs)
-    band_width = SIMHASH_BITS // SIMHASH_BANDS
-    mask = (1 << band_width) - 1
-    stacked = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sig", b * band_width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bhash"),
-                    )
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
-    l, r = stacked.alias("l"), stacked.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
-        .distinct()
+    verify.  4 bands x 16 bits; hamming <= 3 guarantees a band
+    collision, so recall is exact for the distance bound."""
+    return _simhash_stacked_pairs(
+        simhash_band_stack(simhash_signatures(docs)), hamming_max
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cands.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= hamming_max)
-        .select("doc_a", "doc_b", "hamming")
+
+
+def simhash_pairs_wide(
+    docs: DataFrame, hamming_max: int = HAMMING_MAX
+) -> DataFrame:
+    """Near-dup pair tier over 32-bit PAIR-band buckets — the
+    candidate tier for corpora where 16-bit buckets' ~n^2/2^16 random
+    collisions become the bill (the media tier counted 45M random
+    candidates for 500k docs at that width; SCALE.md §21).  Same
+    verify, same output schema; guaranteed recall for Hamming <= 2
+    (pigeonhole over pairs — see ``simhash_pair_band_stack``), so
+    callers wanting the <= 3 guarantee at moderate n keep
+    ``simhash_pairs`` — the standard LSH r-vs-recall dial, stated in
+    the open."""
+    return _simhash_stacked_pairs(
+        simhash_pair_band_stack(simhash_signatures(docs)), hamming_max
     )
 
 
@@ -1052,26 +1182,75 @@ SELECT doc_a, doc_b, jaccard FROM verify WHERE jaccard >= {threshold}
 
 
 def sql_simhash_pairs(base_sql: str, hamming_max: int = HAMMING_MAX) -> str:
-    """DuckDB twin of simhash_pairs."""
-    band_width = SIMHASH_BITS // SIMHASH_BANDS
-    mask = (1 << band_width) - 1
-    toks = sql_tokens("text")
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, sig, {b} AS band, (sig >> {b * band_width}) & {mask} AS bhash FROM sig"
+    """DuckDB twin of simhash_pairs (4 x 16-bit single bands)."""
+    return _sql_simhash_banded(base_sql, _sql_simhash_band_rows(), hamming_max)
+
+
+def sql_simhash_pairs_wide(
+    base_sql: str, hamming_max: int = HAMMING_MAX
+) -> str:
+    """DuckDB twin of simhash_pairs_wide (6 x 32-bit pair bands)."""
+    return _sql_simhash_banded(
+        base_sql, _sql_simhash_pair_band_rows(), hamming_max
+    )
+
+
+def _sql_simhash_chunk(b: int) -> str:
+    """Band b's 16-bit slice over (sig_hi, sig_lo) — same layout as
+    _simhash_band_chunks: bands 0-1 from sig_lo, 2-3 from sig_hi."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    src = "sig_lo" if b < 2 else "sig_hi"
+    return f"(({src} >> {(b % 2) * SIMHASH_BAND_BITS}) & {mask})"
+
+
+def _sql_simhash_band_rows() -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, sig_hi, sig_lo, {b} AS band, "
+        f"{_sql_simhash_chunk(b)} AS bhash FROM sig"
         for b in range(SIMHASH_BANDS)
     )
+
+
+def _sql_simhash_pair_band_rows() -> str:
+    rows = []
+    k = 0
+    for i in range(SIMHASH_BANDS):
+        for j in range(i + 1, SIMHASH_BANDS):
+            rows.append(
+                f"SELECT doc_id, sig_hi, sig_lo, {k} AS band, "
+                f"(({_sql_simhash_chunk(i)} << {SIMHASH_BAND_BITS}) "
+                f"+ {_sql_simhash_chunk(j)}) AS bhash FROM sig"
+            )
+            k += 1
+    return " UNION ALL ".join(rows)
+
+
+def _sql_simhash_banded(base_sql: str, band_rows: str, hamming_max: int) -> str:
+    """Shared CTE chain: 64-bit signature halves (MATERIALIZED — the
+    band arms reference sig 4-6x and DuckDB 1.0 re-inlines CTEs),
+    banded self-join, combined-Hamming verify, distinct."""
+    toks = sql_tokens("text")
     return f"""
 WITH base AS (SELECT * FROM {base_sql}),
-sig AS (SELECT doc_id, {sql_simhash(toks)} AS sig FROM base),
+words AS (
+  SELECT doc_id,
+         list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS __wh,
+         list_transform({toks}, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) AS __wl
+  FROM base),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {sql_simhash_half('__wh')} AS sig_hi,
+         {sql_simhash_half('__wl')} AS sig_lo
+  FROM words),
 bands AS ({band_rows}),
 cand AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-                  l.sig AS sig_a, r.sig AS sig_b
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         bit_count(xor(l.sig_hi, r.sig_hi))
+           + bit_count(xor(l.sig_lo, r.sig_lo)) AS hamming
   FROM bands l JOIN bands r
     ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
 )
-SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
-FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {hamming_max}
+SELECT DISTINCT doc_a, doc_b, hamming FROM cand WHERE hamming <= {hamming_max}
 """
 
 
@@ -1087,19 +1266,22 @@ def sql_minhash_signature_select(shingles_expr: str) -> str:
     return ", ".join(cols)
 
 
-def sql_simhash(toks_expr: str) -> str:
-    h = f"list_transform({toks_expr}, t -> {sql_poly_hash('t')} & {(1 << SIMHASH_BITS) - 1})"
+def sql_simhash_half(words_col: str) -> str:
+    """Majority-vote fold of one 32-bit half over a word-list column —
+    bit j set iff >= half the tokens set it (2*votes >= len, so zero
+    tokens votes every bit set, matching the Spark finish lambda)."""
     bit_terms = []
-    for j in range(SIMHASH_BITS):
+    for j in range(32):
         votes = (
-            f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(__h, "
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform({words_col}, "
             f"x -> CAST(x & {1 << j} > 0 AS BIGINT))), (a, b) -> a + b)"
         )
         bit_terms.append(
-            f"(CASE WHEN {votes} * 2 >= len(__h) THEN {1 << j} ELSE 0 END)"
+            f"(CASE WHEN {votes} * 2 >= len({words_col}) "
+            f"THEN {1 << j} ELSE 0 END)"
         )
-    total = " + ".join(bit_terms)
-    return f"(SELECT {total} FROM (SELECT {h} AS __h))"
+    return "(" + " + ".join(bit_terms) + ")"
 
 
 # ---------------------------------------------------------------------------

@@ -571,9 +571,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_op.sql_simhash_pairs(dedup_op.sql_planted_near_dups()),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (banded 32-bit signatures, hamming <= 3)."""
+    """SimHash near-dup pairs: 64-bit signatures banded 4 x 16 bits,
+    hamming <= 3 (guaranteed recall at that bound — pigeonhole over 4
+    bands).  Round-11 widening: the previous 32-bit / 8-bit-band layout
+    carried an n^2/2^8 random-collision term per band (SCALE.md §21's
+    bucket-width-tracks-log2(n) rule, applied to the text tier)."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
     return dedup_op.simhash_pairs(docs)
+
+
+@register(
+    "dedup_simhash_wide",
+    dedup_op.sql_simhash_pairs_wide(dedup_op.sql_planted_near_dups()),
+)
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 32-bit pair-band sibling of dedup_simhash
+    (media_near_dup_wide idiom): candidate volume n^2/2^32 per band
+    instead of n^2/2^16, guaranteed recall at combined Hamming <= 2;
+    the tier a 10^9-doc text corpus runs."""
+    docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    return dedup_op.simhash_pairs_wide(docs)
 
 
 _EMB_PLANT = (
@@ -3324,6 +3341,13 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # Round-11 rotation (VERDICT ask #3 + the round's headline op):
+    # the wide pair-band tiers — dedup_simhash_wide plus the round-10
+    # media pair — get direct driver-green rows; doc_chunks,
+    # media_codec_manifest and knn_label_noise_ivf move to the
+    # digest-pinned tail (still pytest-covered; IVF keeps its window
+    # row via similarity_ivf_ann, chunking via token_counts/doc_*).
+    "dedup_simhash_wide",
     "dedup_clusters",
     "embedding_near_dup",
     # similarity / ANN tiers
@@ -3336,7 +3360,6 @@ _PRIORITY = [
     "doc_fingerprints",
     "doc_winnowed_fingerprints",
     "token_counts",
-    "doc_chunks",
     "repetition_metrics",
     "tfidf_top_terms",
     # pipeline curation / decontamination / packing / sampling
@@ -3363,7 +3386,8 @@ _PRIORITY = [
     "multimodal_metadata",
     "video_near_dup",
     "media_near_dup",
-    "media_codec_manifest",
+    "media_near_dup_wide",
+    "media_near_dup_prod",
     "media_admission_decisions",
     # temporal operators over the event stream
     "asof_latest_order_per_event",
@@ -3376,8 +3400,10 @@ _PRIORITY = [
     "kmv_join_size_prod",
     "quantile_sketch",
     "column_stats_catalog_hll_prod",
-    "knn_label_noise_ivf",
     # positions 51+: first checked if the driver window is wider than 50
+    "knn_label_noise_ivf",
+    "doc_chunks",
+    "media_codec_manifest",
     "multimodal_features",
     "sliding_window_counts",
     "filter_dsl_int",
