@@ -46,7 +46,9 @@ from eventstreamd_spark.functions.text import (
     sql_poly_hash,
     sql_rolling_window_hashes_body,
     sql_tokens,
+    sql_word_shingles,
     tokens,
+    word_shingles,
 )
 from eventstreamd_spark.session import fan_out
 
@@ -881,20 +883,22 @@ SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
 """
 
 
-def simhash64(toks: F.Column) -> F.Column:
-    """64-bit SimHash as a struct(hi, lo) of two 32-bit halves.
+def simhash64(feats: F.Column) -> F.Column:
+    """64-bit SimHash as a struct(hi, lo) of two 32-bit halves, voted
+    over a string FEATURE array (the callers pass distinct 3-word
+    shingles — see simhash_signatures for why not unigrams).
 
-    bit j of the signature = majority vote of bit j over all token
-    hashes (>= half the tokens set it).  Each token is md5'd exactly
-    ONCE (a single JVM intrinsic); the hex digest's first 16 chars
-    split into two 32-bit words — hi = bits 32..63, lo = bits 0..31 —
-    so the 64 vote positions come from one hash evaluation.  ONE
-    aggregate pass carries a struct accumulator (two 32-long vote
-    arrays + token count); the finish lambda folds the majority votes
-    into the halves.  (64 separate per-bit aggregates would re-hash
-    every token 64 times — the 32-bit ancestor measured that ~10x
-    slower.)  Declarative throughout, no UDF; zero tokens => all bits
-    voted set, same as the per-bit formulation (0 >= 0).
+    bit j of the signature = majority vote of bit j over all feature
+    hashes (>= half the features set it).  Each feature is md5'd
+    exactly ONCE (a single JVM intrinsic); the hex digest's first 16
+    chars split into two 32-bit words — hi = bits 32..63, lo = bits
+    0..31 — so the 64 vote positions come from one hash evaluation.
+    ONE aggregate pass carries a struct accumulator (two 32-long vote
+    arrays + feature count); the finish lambda folds the majority
+    votes into the halves.  (64 separate per-bit aggregates would
+    re-hash every feature 64 times — the 32-bit ancestor measured that
+    ~10x slower.)  Declarative throughout, no UDF; zero features =>
+    all bits voted set, same as the per-bit formulation (0 >= 0).
 
     Two BIGINT halves instead of one 64-bit value keeps every band
     extraction and Hamming XOR in non-negative arithmetic — a packed
@@ -903,7 +907,7 @@ def simhash64(toks: F.Column) -> F.Column:
     diverges (the media tier stores 128-bit signatures as four 32-bit
     halves for the same reason, perceptual.py).
     """
-    hexes = F.transform(toks, lambda t: F.md5(t))
+    hexes = F.transform(feats, lambda t: F.md5(t))
     words = F.transform(
         hexes,
         lambda h: F.struct(
@@ -961,6 +965,16 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     dominate.  Narrow also wins at 100 TB: signatures stay
     embarrassingly parallel with zero exchange.
 
+    Features are DISTINCT 3-word shingles, not unigrams (Manku,
+    Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    WWW'07 — shingle features).  The round-11 bit-balance audit
+    (tools/bit_balance.py, the check the audio zbits skew mandated)
+    measured the unigram formulation at per-bit frequencies 0.01-0.99:
+    corpus-common tokens dominate every majority vote, inflating
+    16-bit band collisions 45-359x over the nominal 2^-16 — a
+    quadratic cost hiding in a constant.  Shingles are doc-specific,
+    so votes decorrelate across the corpus (audit after: ~1x).
+
     The coalesces make both halves provably non-nullable: downstream
     equi-joins on band hashes otherwise get an inferred
     isnotnull(bhash) constraint that pushdown inlines as the FULL
@@ -975,7 +989,10 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     # halves extract from it.
     return (
         fan_out(docs)
-        .select("doc_id", simhash64(tokens(F.col("text"))).alias("__s"))
+        .select(
+            "doc_id",
+            simhash64(word_shingles(tokens(F.col("text")))).alias("__s"),
+        )
         .select(
             "doc_id",
             F.coalesce(F.col("__s.hi"), F.lit(0)).alias("sig_hi"),
@@ -1229,13 +1246,13 @@ def _sql_simhash_banded(base_sql: str, band_rows: str, hamming_max: int) -> str:
     """Shared CTE chain: 64-bit signature halves (MATERIALIZED — the
     band arms reference sig 4-6x and DuckDB 1.0 re-inlines CTEs),
     banded self-join, combined-Hamming verify, distinct."""
-    toks = sql_tokens("text")
+    feats = sql_word_shingles(sql_tokens("text"))
     return f"""
 WITH base AS (SELECT * FROM {base_sql}),
 words AS (
   SELECT doc_id,
-         list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS __wh,
-         list_transform({toks}, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) AS __wl
+         list_transform({feats}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS __wh,
+         list_transform({feats}, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) AS __wl
   FROM base),
 sig AS MATERIALIZED (
   SELECT doc_id,

@@ -86,13 +86,39 @@ def _media_builders() -> dict:
     }
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the documents table: (name, size,
+    mtime_ns) over its parquet file(s), no Spark job.  Folding this
+    into the cache tag means regenerating the testdata IN PLACE at the
+    same path invalidates the fixture instead of silently serving a
+    stale corpus to every registered media query (round-11 ADVICE)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    h = hashlib.sha1()
+    paths = [src]
+    if os.path.isdir(src):
+        paths = sorted(
+            os.path.join(src, e) for e in os.listdir(src)
+            if not e.startswith(".")
+        )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
 def cached_media(spark, sf_dir: str, kind: str) -> DataFrame:
     """The synthetic media corpus for ``sf_dir`` as a write-once
     parquet fixture: built with the blob adapter on first use, read
     from disk afterwards (the shape a real pipeline has — decode is
     the engine's bill, blob synthesis is not).  Concurrent builders
     race benignly: each writes to a pid-suffixed temp dir and renames;
-    the loser discards its copy."""
+    the loser re-verifies a complete copy actually exists before
+    discarding its own (a rename can fail for other reasons —
+    read-only fs, path limits — and reading blindly would serve a
+    missing or partial fixture)."""
     import hashlib
     import os
     import shutil
@@ -105,12 +131,15 @@ def cached_media(spark, sf_dir: str, kind: str) -> DataFrame:
         os.path.basename(os.path.normpath(sf_dir))
         + "-"
         + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        + "-"
+        + _source_fingerprint(sf_dir)
     )
     cache = os.path.join(
         repo, ".scratch", "media_fixture", _MEDIA_FIXTURE_VERSION, tag,
         f"{kind}.parquet",
     )
-    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+    success = os.path.join(cache, "_SUCCESS")
+    if not os.path.exists(success):
         build = _media_builders()[kind]
         tmp = f"{cache}.tmp-{os.getpid()}"
         build(load_table(spark, sf_dir, "documents")).write.mode(
@@ -118,8 +147,10 @@ def cached_media(spark, sf_dir: str, kind: str) -> DataFrame:
         ).parquet(tmp)
         try:
             os.rename(tmp, cache)
-        except OSError:  # lost the race — a complete copy already won
+        except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(success):  # NOT the benign race
+                raise
     return spark.read.parquet(cache)
 
 
@@ -185,7 +216,10 @@ def _synth_media_adapter(docs, synth_fn, media_type) -> DataFrame:
     try:
         n_rows = spine.count()
         current = spine.rdd.getNumPartitions()
-    except Exception:  # streaming plans can't count; widest safe guess
+    except Exception:
+        # streaming plans can't count; fall back to one task per core
+        # (width resolves to exactly `cores`) — micro-batches are
+        # small, so full spread without the fine-grained-tail tax
         n_rows, current = 512 * cores, 0
     width = max(cores, min(8 * cores, -(-n_rows // 512) or 1))
     if current < width:  # never repartition DOWN (the many-splits case)

