@@ -156,11 +156,14 @@ def _sql_mixed_scene(table: str = "documents") -> str:
     the cohort modality — image: energy = val, dBit = grid-neighbor
     gradient; audio: energy = val, zBit = zero-crossing-rate compare
     (r(v) = 16 >> (v % 3), r(0) = 0, linear wrap); video: energy =
-    val + g(val), sBit = val > g(val) (perceptual._SQL_G)."""
-    from eventstreamd_spark.operators.perceptual import _SQL_G
+    val + g(val) + 2h(val) (the round-11 quad frame — perceptual._SQL_G
+    / _SQL_H), sBit = val > g(val)."""
+    from eventstreamd_spark.operators.perceptual import _SQL_G, _SQL_H
 
     off_audio, off_video = MODALITY_OFFSETS[1], MODALITY_OFFSETS[2]
     g_of = _SQL_G.format(v="g.val")
+    u_val = f"val + {_SQL_G.format(v='val')} + 2 * {_SQL_H.format(v='val')}"
+    u_gval = f"g.val + {g_of} + 2 * {_SQL_H.format(v='g.val')}"
     r_l = "CASE WHEN g.val = 0 THEN 0 ELSE 16 >> (g.val % 3) END"
     r_r = "CASE WHEN nx.val = 0 THEN 0 ELSE 16 >> (nx.val % 3) END"
     return f"""
@@ -198,13 +201,13 @@ scene AS (
 tot AS (
   SELECT doc_id,
          sum(CASE WHEN m3 = 2
-                  THEN val + {_SQL_G.format(v="val")} ELSE val END) AS total
+                  THEN {u_val} ELSE val END) AS total
   FROM scene GROUP BY doc_id
 ),
 bits AS (
   SELECT g.doc_id, g.cell,
          CASE WHEN {N_CELLS} *
-                (CASE WHEN g.m3 = 2 THEN g.val + {g_of} ELSE g.val END)
+                (CASE WHEN g.m3 = 2 THEN {u_gval} ELSE g.val END)
                 >= t.total THEN 1 ELSE 0 END AS abit,
          CASE g.m3
            WHEN 2 THEN CASE WHEN g.val > {g_of} THEN 1 ELSE 0 END

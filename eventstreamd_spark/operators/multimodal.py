@@ -63,7 +63,7 @@ FEATURE_SCHEMA = (
 # every DuckDB oracle is untouched; bump _MEDIA_FIXTURE_VERSION
 # whenever any synth function changes semantics.
 
-_MEDIA_FIXTURE_VERSION = "v1-r10-spectral-spatial"
+_MEDIA_FIXTURE_VERSION = "v2-r11-vflip-grid"
 
 
 def _media_builders() -> dict:
@@ -82,6 +82,7 @@ def _media_builders() -> dict:
         "scene_image": perc_op.documents_as_scene_media,
         "scene_audio": audio_op.documents_as_scene_audio,
         "scene_video": video_op.documents_as_scene_video,
+        "scene_video_vflip": video_op.documents_as_scene_video_vflip,
         "scene_mixed": mixed_op.documents_as_mixed_media,
     }
 

