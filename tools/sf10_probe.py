@@ -81,6 +81,11 @@ TARGETS = [
     # table, so the decade must match the unguarded sibling's)
     ("media_near_dup_prod", 1.0, "~N (banded pairs + hot-bucket gate)"),
     ("media_near_dup_wide", 1.0, "~N (32-bit pair buckets, n^2/2^32 tail)"),
+    # round-11: the widened text SimHash tiers (VERDICT ask #1/#7) —
+    # 64-bit shingle-voted signatures; the wide sibling pair-bands
+    # into 32-bit buckets so the random-collision term collapses
+    ("dedup_simhash", 1.0, "~N (4x16-bit bands over 64-bit SimHash)"),
+    ("dedup_simhash_wide", 1.0, "~N (6x32-bit pair bands, n^2/2^32 tail)"),
 ]
 
 TOLERANCE = 0.10
