@@ -1116,6 +1116,32 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     )
 
 
+SIMHASH_MAX_BUCKET = 64
+
+
+def simhash_pairs_prod(
+    docs: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    max_bucket: int = SIMHASH_MAX_BUCKET,
+) -> DataFrame:
+    """The GUARDED production twin of simhash_pairs (the
+    media_near_dup_prod idiom brought to text): band rows in buckets
+    with more than ``max_bucket`` members are excluded from candidate
+    generation, so a degenerate corpus — millions of boilerplate
+    near-identical documents landing in one 16-bit bucket — stays
+    subquadratic on a production ingest.  Recall loss is confined to
+    the flooded buckets (a doc's OTHER bands still generate its
+    candidates); byte-identical flood members belong to the upstream
+    exact-digest dedup anyway.  The gate table is <= 4 x 2^16 keys, so
+    the guard join broadcasts."""
+    from eventstreamd_spark.operators.perceptual import _drop_hot_buckets
+
+    stacked = simhash_band_stack(simhash_signatures(docs))
+    return _simhash_stacked_pairs(
+        _drop_hot_buckets(stacked, max_bucket), hamming_max
+    )
+
+
 def simhash_pairs_wide(
     docs: DataFrame, hamming_max: int = HAMMING_MAX
 ) -> DataFrame:
@@ -1212,6 +1238,18 @@ def sql_simhash_pairs_wide(
     )
 
 
+def sql_simhash_pairs_prod(
+    base_sql: str,
+    hamming_max: int = HAMMING_MAX,
+    max_bucket: int = SIMHASH_MAX_BUCKET,
+) -> str:
+    """DuckDB twin of simhash_pairs_prod (hot-bucket guard mirrored
+    as a bucket-size HAVING gate before candidate generation)."""
+    return _sql_simhash_banded(
+        base_sql, _sql_simhash_band_rows(), hamming_max, max_bucket
+    )
+
+
 def _sql_simhash_chunk(b: int) -> str:
     """Band b's 16-bit slice over (sig_hi, sig_lo) — same layout as
     _simhash_band_chunks: bands 0-1 from sig_lo, 2-3 from sig_hi."""
@@ -1242,11 +1280,30 @@ def _sql_simhash_pair_band_rows() -> str:
     return " UNION ALL ".join(rows)
 
 
-def _sql_simhash_banded(base_sql: str, band_rows: str, hamming_max: int) -> str:
+def _sql_simhash_banded(
+    base_sql: str,
+    band_rows: str,
+    hamming_max: int,
+    max_bucket: int | None = None,
+) -> str:
     """Shared CTE chain: 64-bit signature halves (MATERIALIZED — the
     band arms reference sig 4-6x and DuckDB 1.0 re-inlines CTEs),
-    banded self-join, combined-Hamming verify, distinct."""
+    banded self-join, combined-Hamming verify, distinct.
+    ``max_bucket`` mirrors the hot-bucket guard on the oracle side."""
     feats = sql_word_shingles(sql_tokens("text"))
+    src = "bands"
+    guard = ""
+    if max_bucket is not None:
+        guard = f""",
+keepb AS (
+  SELECT band, bhash FROM bands
+  GROUP BY band, bhash HAVING count(*) <= {max_bucket}
+),
+bands_g AS (
+  SELECT b.* FROM bands b JOIN keepb k
+    ON b.band = k.band AND b.bhash = k.bhash
+)"""
+        src = "bands_g"
     return f"""
 WITH base AS (SELECT * FROM {base_sql}),
 words AS (
@@ -1259,12 +1316,12 @@ sig AS MATERIALIZED (
          {sql_simhash_half('__wh')} AS sig_hi,
          {sql_simhash_half('__wl')} AS sig_lo
   FROM words),
-bands AS ({band_rows}),
+bands AS ({band_rows}){guard},
 cand AS (
   SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
          bit_count(xor(l.sig_hi, r.sig_hi))
            + bit_count(xor(l.sig_lo, r.sig_lo)) AS hamming
-  FROM bands l JOIN bands r
+  FROM {src} l JOIN {src} r
     ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
 )
 SELECT DISTINCT doc_a, doc_b, hamming FROM cand WHERE hamming <= {hamming_max}

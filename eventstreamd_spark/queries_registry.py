@@ -581,6 +581,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_prod",
+    dedup_op.sql_simhash_pairs_prod(dedup_op.sql_planted_near_dups()),
+)
+def dedup_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUARDED production twin of dedup_simhash (hot-bucket guard
+    ON, max_bucket=64, oracle mirrors the gate): a boilerplate flood
+    landing in one 16-bit bucket stays subquadratic on a production
+    ingest; the unguarded sibling keeps the exact-recall row."""
+    docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    return dedup_op.simhash_pairs_prod(docs)
+
+
+@register(
     "dedup_simhash_wide",
     dedup_op.sql_simhash_pairs_wide(dedup_op.sql_planted_near_dups()),
 )

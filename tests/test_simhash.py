@@ -196,3 +196,24 @@ def test_pair_band_stack_six_pairs_concat_key(spark) -> None:
             assert keys[k] == (chunks[i] << 16) + chunks[j]
             assert 0 <= keys[k] < 1 << 32
             k += 1
+
+
+def test_prod_guard_inert_on_real_corpus_collapses_flood(spark) -> None:
+    """The guarded production twin equals the unguarded tier on a
+    normal corpus (buckets far below the gate), and a planted
+    2k-copy boilerplate flood collapses: flooded-bucket pairs are
+    excluded while docs outside the flood keep their candidates."""
+    rows = [(i, f"{BASE} unique{i} tail{i % 11}") for i in range(30)]
+    rows += [(100 + i, f"{BASE} unique{i} tail{i % 11} zz") for i in range(10)]
+    docs = _docs_df(spark, rows)
+    std = {tuple(r) for r in dd.simhash_pairs(docs).collect()}
+    prod = {tuple(r) for r in dd.simhash_pairs_prod(docs).collect()}
+    assert prod == std  # guard provably inert off the flood path
+
+    flood = [(1000 + i, "spam boilerplate page exactly the same text")
+             for i in range(200)]
+    flooded = _docs_df(spark, rows + flood)
+    got = {tuple(r) for r in dd.simhash_pairs_prod(flooded, max_bucket=64).collect()}
+    # flood pairs (199*200/2 = 19900 of them unguarded) are gone;
+    # the real corpus's pairs survive untouched
+    assert got == std
