@@ -63,7 +63,7 @@ FEATURE_SCHEMA = (
 # every DuckDB oracle is untouched; bump _MEDIA_FIXTURE_VERSION
 # whenever any synth function changes semantics.
 
-_MEDIA_FIXTURE_VERSION = "v2-r11-vflip-grid"
+_MEDIA_FIXTURE_VERSION = "v3-r11-balanced-h"
 
 
 def _media_builders() -> dict:

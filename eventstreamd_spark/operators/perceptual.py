@@ -108,8 +108,15 @@ _SQL_G = "(({v} * 167 + 13) % 256)"
 # scene value v renders top rows left=v right=g(v) over a UNIFORM
 # bottom half h(v), giving frames VERTICAL structure so a top/bottom
 # flip is a real spatial permutation (the grid word's planted
-# negative).  89 odd keeps h a byte bijection.
-_SQL_H = "(({v} * 89 + 71) % 256)"
+# negative).  5 odd keeps h a byte bijection, and 5 specifically was
+# CHOSEN BY THE BIT-BALANCE AUDIT (tools/bit_balance.py --tier video):
+# the first candidate (89v+71) left the energy cell u = v + g + 2h
+# skewed — P(u >= mean) = 0.613 over uniform v — which put every
+# video eBit at p ~ 0.61 and inflated 16-bit a-band collisions 2.1x
+# (the §21 quadratic-constant class).  With h = 5v: e-bit inflation
+# 1.00x, zero top/bottom ties (v + g != 2h for every byte), and all
+# three quadrant-bit families balanced at 0.50.
+_SQL_H = "(({v} * 5) % 256)"
 
 
 def _g_byte(v: int) -> int:
@@ -119,7 +126,7 @@ def _g_byte(v: int) -> int:
 
 def _h_byte(v: int) -> int:
     """Python twin of ``_SQL_H``."""
-    return (v * 89 + 71) % 256
+    return (v * 5) % 256
 
 
 def _scene_value(s: int, cell: int) -> int:

@@ -45,35 +45,76 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(REPO, "tools", "BIT_BALANCE.json")
 
 
-def main() -> None:
-    spark = get_spark("bit-balance")
+def _text_sig(spark):
     docs = dd.with_planted_near_dups(load_table(spark, SF, "documents"))
-    sig = dd.simhash_signatures(docs).localCheckpoint()
+    sig = dd.simhash_signatures(docs)
+    return sig, ("sig_lo", "sig_hi"), dd.simhash_band_stack, dd.simhash_pair_band_stack
+
+
+def _media_sig(spark, kind: str):
+    """The 4-word (a, d) media signatures — image/audio/video/mixed —
+    via the real decode kernels over the cached fixture.  Bit order:
+    a_lo, a_hi, d_lo, d_hi (matches band_stack's a0..a3/d0..d3)."""
+    from eventstreamd_spark.operators import audio as au
+    from eventstreamd_spark.operators import mixed as mx
+    from eventstreamd_spark.operators import multimodal as mm
+    from eventstreamd_spark.operators import perceptual as pc
+    from eventstreamd_spark.operators import video as vd
+
+    kernel, fixture = {
+        "image": (pc.perceptual_hashes, "scene_image"),
+        "audio": (au.audio_fingerprints, "scene_audio"),
+        "video": (vd.video_fingerprints, "scene_video"),
+        "mixed": (mx.mixed_media_fingerprints, "scene_mixed"),
+    }[kind]
+    media = mm.cached_media(spark, SF, fixture)
+    sig = kernel(media)
+    return sig, ("a_lo", "a_hi", "d_lo", "d_hi"), pc.band_stack, pc.pair_band_stack
+
+
+def main() -> None:
+    import sys
+
+    tier = sys.argv[sys.argv.index("--tier") + 1] if "--tier" in sys.argv else "text"
+    spark = get_spark("bit-balance")
+    if tier == "text":
+        sig, half_cols, stack_fn, pair_stack_fn = _text_sig(spark)
+    else:
+        sig, half_cols, stack_fn, pair_stack_fn = _media_sig(spark, tier)
+    sig = sig.localCheckpoint()
     n = sig.count()
 
-    # per-bit set frequencies, one aggregate pass
-    aggs = []
-    for j in range(32):
-        aggs.append(
-            F.sum(
-                (F.col("sig_lo").bitwiseAND(F.lit(1 << j)) > 0).cast("long")
-            ).alias(f"lo{j}")
+    # per-bit set frequencies, one aggregate pass; global bit k =
+    # 32 * half_index + j (half_cols arrive in (w_lo, w_hi, ...) order)
+    aggs = [
+        F.sum((F.col(c).bitwiseAND(F.lit(1 << j)) > 0).cast("long")).alias(
+            f"b{32 * i + j}"
         )
-        aggs.append(
-            F.sum(
-                (F.col("sig_hi").bitwiseAND(F.lit(1 << j)) > 0).cast("long")
-            ).alias(f"hi{j}")
-        )
-    row = sig.agg(*aggs).collect()[0]
-    # global bit order matches simhash64: bit k<32 -> lo, k>=32 -> hi
-    p = [row[f"lo{j}"] / n for j in range(32)] + [
-        row[f"hi{j}"] / n for j in range(32)
+        for i, c in enumerate(half_cols)
+        for j in range(32)
     ]
+    row = sig.agg(*aggs).collect()[0]
+    nbits = 32 * len(half_cols)
+    p = [row[f"b{k}"] / n for k in range(nbits)]
 
-    def band_bits(b: int) -> list[int]:
-        # _simhash_band_chunks layout: bands 0-1 slice lo, 2-3 slice hi
-        base = (0 if b < 2 else 32) + (b % 2) * 16
-        return list(range(base, base + 16))
+    # band definitions matching each stack's actual band naming:
+    # per 64-bit word, 4 x 16-bit bands (k<2 from lo, k>=2 from hi)
+    n_words = len(half_cols) // 2
+    defs = []
+    for w in range(n_words):
+        kind = half_cols[2 * w].split("_")[0]
+        for k in range(4):
+            src = 2 * w + (0 if k < 2 else 1)
+            base = 32 * src + (k % 2) * 16
+            name = k if n_words == 1 else f"{kind}{k}"
+            defs.append((name, list(range(base, base + 16))))
+    pair_defs = []
+    k = 0
+    for i in range(len(defs)):
+        for j in range(i + 1, len(defs)):
+            name = k if n_words == 1 else f"{defs[i][0]}|{defs[j][0]}"
+            pair_defs.append((name, defs[i][1] + defs[j][1]))
+            k += 1
 
     def inflation(bits: list[int]) -> float:
         prob = 1.0
@@ -108,6 +149,7 @@ def main() -> None:
         }
 
     report = {
+        "tier": tier,
         "sf_dir": SF,
         "n_docs": n,
         "bit_freq_min": min(p),
@@ -118,45 +160,41 @@ def main() -> None:
             reverse=True,
         )[:8],
         "single_band_inflation": {
-            str(b): inflation(band_bits(b)) for b in range(4)
+            str(name): inflation(bits) for name, bits in defs
         },
-        "pair_band_inflation": {},
-        "empirical_16bit": empirical(dd.simhash_band_stack(sig), 16),
-        "empirical_32bit_pairs": empirical(
-            dd.simhash_pair_band_stack(sig), 32
-        ),
+        "pair_band_inflation": {
+            str(name): inflation(bits) for name, bits in pair_defs
+        },
+        "empirical_16bit": empirical(stack_fn(sig), 16),
+        "empirical_32bit_pairs": empirical(pair_stack_fn(sig), 32),
     }
-    k = 0
-    for i in range(4):
-        for j in range(i + 1, 4):
-            report["pair_band_inflation"][f"{k}({i}|{j})"] = inflation(
-                band_bits(i) + band_bits(j)
-            )
-            k += 1
 
-    with open(OUT, "w") as f:
+    out = OUT if tier == "text" else OUT.replace(".json", f"_{tier}.json")
+    with open(out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
 
-    print(f"n={n}  bit freq in [{min(p):.3f}, {max(p):.3f}]")
+    print(f"tier={tier}  n={n}  bit freq in [{min(p):.3f}, {max(p):.3f}]")
     print("| band | model inflation | empirical pairs | x nominal | max bucket |")
     print("|---|---|---|---|---|")
     emp = report["empirical_16bit"]["bands"]
-    for b in range(4):
-        e = emp[str(b)]
+    for name, _bits in defs:
+        e = emp[str(name)]
         print(
-            f"| {b} (16-bit) | {report['single_band_inflation'][str(b)]:.2f}x "
+            f"| {name} (16-bit) "
+            f"| {report['single_band_inflation'][str(name)]:.2f}x "
             f"| {e['candidate_pairs']:,} | {e['x_nominal']:.1f}x "
             f"| {e['max_bucket']} |"
         )
     empw = report["empirical_32bit_pairs"]["bands"]
-    for key, infl in report["pair_band_inflation"].items():
-        b = key.split("(")[0]
-        e = empw[b]
+    for name, _bits in pair_defs:
+        e = empw[str(name)]
         print(
-            f"| {key} (32-bit pair) | {infl:.2f}x | {e['candidate_pairs']:,} "
-            f"| {e['x_nominal']:.1f}x | {e['max_bucket']} |"
+            f"| {name} (32-bit pair) "
+            f"| {report['pair_band_inflation'][str(name)]:.2f}x "
+            f"| {e['candidate_pairs']:,} | {e['x_nominal']:.1f}x "
+            f"| {e['max_bucket']} |"
         )
-    print(f"\nwrote {OUT}")
+    print(f"\nwrote {out}")
 
 
 if __name__ == "__main__":
