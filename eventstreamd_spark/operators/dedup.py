@@ -1250,6 +1250,25 @@ def sql_simhash_pairs_prod(
     )
 
 
+def _sql_simhash_sig_chain(base_sql: str) -> str:
+    """base/words/sig CTEs (no WITH): the 64-bit shingle-SimHash
+    signature chain both the pair oracles and the admission oracle
+    share.  sig is MATERIALIZED — the band arms reference it 4-6x and
+    DuckDB 1.0 re-inlines CTEs."""
+    feats = sql_word_shingles(sql_tokens("text"))
+    return f"""base AS (SELECT * FROM {base_sql}),
+words AS (
+  SELECT doc_id,
+         list_transform({feats}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS __wh,
+         list_transform({feats}, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) AS __wl
+  FROM base),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {sql_simhash_half('__wh')} AS sig_hi,
+         {sql_simhash_half('__wl')} AS sig_lo
+  FROM words)"""
+
+
 def _sql_simhash_chunk(b: int) -> str:
     """Band b's 16-bit slice over (sig_hi, sig_lo) — same layout as
     _simhash_band_chunks: bands 0-1 from sig_lo, 2-3 from sig_hi."""
@@ -1258,10 +1277,10 @@ def _sql_simhash_chunk(b: int) -> str:
     return f"(({src} >> {(b % 2) * SIMHASH_BAND_BITS}) & {mask})"
 
 
-def _sql_simhash_band_rows() -> str:
+def _sql_simhash_band_rows(src: str = "sig") -> str:
     return " UNION ALL ".join(
         f"SELECT doc_id, sig_hi, sig_lo, {b} AS band, "
-        f"{_sql_simhash_chunk(b)} AS bhash FROM sig"
+        f"{_sql_simhash_chunk(b)} AS bhash FROM {src}"
         for b in range(SIMHASH_BANDS)
     )
 
@@ -1290,7 +1309,6 @@ def _sql_simhash_banded(
     band arms reference sig 4-6x and DuckDB 1.0 re-inlines CTEs),
     banded self-join, combined-Hamming verify, distinct.
     ``max_bucket`` mirrors the hot-bucket guard on the oracle side."""
-    feats = sql_word_shingles(sql_tokens("text"))
     src = "bands"
     guard = ""
     if max_bucket is not None:
@@ -1305,17 +1323,7 @@ bands_g AS (
 )"""
         src = "bands_g"
     return f"""
-WITH base AS (SELECT * FROM {base_sql}),
-words AS (
-  SELECT doc_id,
-         list_transform({feats}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS __wh,
-         list_transform({feats}, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) AS __wl
-  FROM base),
-sig AS MATERIALIZED (
-  SELECT doc_id,
-         {sql_simhash_half('__wh')} AS sig_hi,
-         {sql_simhash_half('__wl')} AS sig_lo
-  FROM words),
+WITH {_sql_simhash_sig_chain(base_sql)},
 bands AS ({band_rows}){guard},
 cand AS (
   SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
@@ -2278,3 +2286,96 @@ SELECT b.entity_id, b.surviving_key, m.modal_brand, b.max_price,
        b.n_members
 FROM base b JOIN modal m ON m.entity_id = b.entity_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental TEXT admission (round 11): the media admission machinery
+# generalized to the 64-bit shingle SimHash — near-dup dedup AT INGEST
+# for text, batch- and stream-faced, sharing one decision kernel.
+# ---------------------------------------------------------------------------
+
+# the signature family descriptor the banding/stacking helpers take
+# (perceptual band_stack kinds): one 64-bit word, string band labels
+# s0..s3 so the band-partitioned index layout matches the media one
+TEXT_SIG_KINDS = (("s", "s_hi", "s_lo"),)
+
+
+def simhash_admission_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, s_hi, s_lo): the shingle-SimHash signature in the
+    admission pipeline's pluggable shape — pass as ``sig_fn`` with
+    ``kinds=TEXT_SIG_KINDS`` to streaming/pipeline.py's admission
+    writer (or use the ``start_text_admission`` convenience)."""
+    return simhash_signatures(docs).select(
+        "doc_id",
+        F.col("sig_hi").alias("s_hi"),
+        F.col("sig_lo").alias("s_lo"),
+    )
+
+
+def text_admission_decisions(
+    corpus: DataFrame,
+    batch: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    max_iters: int = 16,
+) -> DataFrame:
+    """Batch-verifiable incremental text admission: dedup the CORPUS
+    first (its kept canonicals' SimHash signatures form the banded
+    index), then admit the BATCH against that index — the text twin of
+    ``perceptual.media_admission_decisions``, running the SAME
+    decision kernel (``admission_decisions_from_sig``) the streaming
+    writer runs, so batch and stream verdicts agree by construction.
+    At 100 TB this is the nightly text-ingest shape: the corpus index
+    is a prebuilt 2-BIGINT/doc signature table and only the new batch
+    is tokenized."""
+    from eventstreamd_spark.operators.perceptual import (
+        _sig_clusters,
+        admission_decisions_from_sig,
+    )
+
+    corpus_sig = simhash_admission_signatures(corpus).localCheckpoint()
+    index_sig = corpus_sig.join(
+        _sig_clusters(
+            corpus.select("doc_id"),
+            corpus_sig,
+            hamming_max,
+            max_iters,
+            TEXT_SIG_KINDS,
+        )
+        .filter(F.col("keep"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    return admission_decisions_from_sig(
+        simhash_admission_signatures(batch).localCheckpoint(),
+        index_sig,
+        hamming_max,
+        max_iters,
+        kinds=TEXT_SIG_KINDS,
+    )
+
+
+def sql_text_admission_decisions(
+    base_sql: str, hamming_max: int = HAMMING_MAX
+) -> str:
+    """DuckDB twin of the registered text-admission split (the shared
+    ``perceptual.sql_admission_tail`` over the SimHash sig chain):
+    corpus = even original docs, batch = odd originals + every plant —
+    so plants of even sources reject against the INDEX, plants of odd
+    sources reject IN-batch against their kept source, and unpaired
+    odd docs admit."""
+    from eventstreamd_spark.operators.perceptual import sql_admission_tail
+
+    ham = (
+        "bit_count(xor(l.sig_hi, r.sig_hi)) "
+        "+ bit_count(xor(l.sig_lo, r.sig_lo))"
+    )
+    tail = sql_admission_tail(
+        f"doc_id < {PLANT_OFFSET} AND doc_id % 2 = 0",
+        f"doc_id >= {PLANT_OFFSET} OR doc_id % 2 = 1",
+        _sql_simhash_band_rows,
+        ham,
+        hamming_max,
+    )
+    return f"""
+WITH RECURSIVE {_sql_simhash_sig_chain(base_sql)},
+{tail}"""

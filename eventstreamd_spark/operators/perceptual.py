@@ -485,6 +485,7 @@ def banded_matches_against(
     max_bucket: int | None = None,
     broadcast_probe: bool = False,
     index_is_stacked: bool = False,
+    kinds=_KINDS,
 ) -> DataFrame:
     """Cross-relation candidate + verify: every (probe doc, index doc)
     pair whose combined 128-bit Hamming distance is within
@@ -506,12 +507,15 @@ def banded_matches_against(
 
     Returns (doc_id, index_doc, hamming) — one row per verified match,
     doc_id from the probe side.  ``max_bucket`` applies the hot-bucket
-    guard to the INDEX side (the unbounded one at ingest)."""
-    probe = band_stack(probe_sig).alias("p")
+    guard to the INDEX side (the unbounded one at ingest).  ``kinds``
+    picks the signature family (default: the media (a, d) word pair;
+    the text admission face passes the SimHash word)."""
+    halves = _halves_of(kinds)
+    probe = band_stack(probe_sig, kinds).alias("p")
     if broadcast_probe:
         probe = F.broadcast(probe)
     index_stacked = (
-        index_sig if index_is_stacked else band_stack(index_sig)
+        index_sig if index_is_stacked else band_stack(index_sig, kinds)
     )
     if max_bucket is not None:
         index_stacked = _drop_hot_buckets(index_stacked, max_bucket)
@@ -519,7 +523,7 @@ def banded_matches_against(
         index_stacked
         .select(
             F.col("doc_id").alias("index_doc"),
-            *[F.col(c).alias(f"{c}_i") for c in _HALVES],
+            *[F.col(c).alias(f"{c}_i") for c in halves],
             "band",
             "bhash",
         )
@@ -532,7 +536,7 @@ def banded_matches_against(
     )
     hamming = sum(
         F.bit_count(F.col(f"p.{c}").bitwiseXOR(F.col(f"i.{c}_i")))
-        for c in _HALVES
+        for c in halves
     )
     return (
         joined.select(
@@ -642,7 +646,8 @@ def media_near_dup_clusters(
 
 
 def _sig_clusters(
-    doc_ids: DataFrame, sig: DataFrame, hamming_max: int, max_iters: int
+    doc_ids: DataFrame, sig: DataFrame, hamming_max: int, max_iters: int,
+    kinds=_KINDS,
 ) -> DataFrame:
     """(doc_id, cluster_id, keep) over a precomputed signature relation
     — banded pairs -> large-star/small-star fixed point, singletons
@@ -651,7 +656,7 @@ def _sig_clusters(
     from eventstreamd_spark.operators.dedup import connected_components
 
     edges = (
-        banded_pairs(sig, hamming_max)
+        banded_pairs(sig, hamming_max, kinds=kinds)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .localCheckpoint()
     )
@@ -677,6 +682,7 @@ def admission_decisions_from_sig(
     max_bucket: int | None = None,
     broadcast_probe: bool = False,
     index_is_stacked: bool = False,
+    kinds=_KINDS,
 ) -> DataFrame:
     """The incremental-admission decision over precomputed signatures
     — the SINGLE implementation behind both the batch operator
@@ -706,13 +712,14 @@ def admission_decisions_from_sig(
             max_bucket=max_bucket,
             broadcast_probe=broadcast_probe,
             index_is_stacked=index_is_stacked,
+            kinds=kinds,
         )
         .groupBy("doc_id")
         .agg(F.min("index_doc").alias("cluster_id"))
     )
     survivors = batch_sig.join(rejected.select("doc_id"), "doc_id", "left_anti")
     clustered = _sig_clusters(
-        survivors.select("doc_id"), survivors, hamming_max, max_iters
+        survivors.select("doc_id"), survivors, hamming_max, max_iters, kinds
     )
     return clustered.select(
         "doc_id",
@@ -1096,28 +1103,29 @@ FROM reach GROUP BY doc_id
 """
 
 
-def sql_media_admission_decisions(
-    table: str = "documents", hamming_max: int = HAMMING_MAX
+def sql_admission_tail(
+    corpus_pred: str,
+    batch_pred: str,
+    band_rows_fn,
+    ham: str,
+    hamming_max: int,
 ) -> str:
-    """DuckDB twin of the registered admission split: corpus keeps by
-    recursive closure, banded cross-match against those keeps, then
-    the in-batch closure over the survivors — the same three stages as
-    ``admission_decisions_from_sig``, stated arithmetically."""
-    mods = ", ".join(str(m) for m in ADMIT_CORPUS_MOD8)
-    # MATERIALIZED: without it DuckDB re-inlines the whole scene-hash
-    # chain into every band CTE reference and re-evaluates it per
-    # recursive-closure iteration — dozens of simultaneous parquet
-    # scans of the same file (observed as EMFILE at sf0.001)
-    return f"""
-WITH RECURSIVE {_sql_scene_hashes(table)},
-csig AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 8 IN ({mods})),
-bsig AS MATERIALIZED (SELECT * FROM sig WHERE doc_id % 8 NOT IN ({mods})),
-cbands AS ({_sql_band_rows("csig")}),
+    """The admission oracle's shared CTE tail over a preceding ``sig``
+    CTE (any signature family): corpus keeps by recursive closure,
+    banded cross-match against those keeps, in-batch closure over the
+    survivors — the three stages of ``admission_decisions_from_sig``
+    stated arithmetically.  ``band_rows_fn(src)`` emits the family's
+    band rows; ``ham`` its l/r Hamming expression.  MATERIALIZED CTEs
+    throughout: DuckDB 1.0 otherwise re-inlines the whole signature
+    chain per recursive-closure iteration (EMFILE at sf0.001)."""
+    return f"""csig AS MATERIALIZED (SELECT * FROM sig WHERE {corpus_pred}),
+bsig AS MATERIALIZED (SELECT * FROM sig WHERE {batch_pred}),
+cbands AS ({band_rows_fn("csig")}),
 cpairs AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM cbands l JOIN cbands r
     ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
-  WHERE {_sql_hamming()} <= {hamming_max}
+  WHERE {ham} <= {hamming_max}
 ),
 cedges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM cpairs
@@ -1133,24 +1141,24 @@ ckeep AS (
   SELECT doc_id FROM creach GROUP BY doc_id HAVING doc_id = min(label)
 ),
 isig AS (SELECT s.* FROM csig s JOIN ckeep USING (doc_id)),
-ibands AS ({_sql_band_rows("isig")}),
-bbands AS ({_sql_band_rows("bsig")}),
+ibands AS ({band_rows_fn("isig")}),
+bbands AS ({band_rows_fn("bsig")}),
 rejected AS MATERIALIZED (
   SELECT doc_id, min(index_doc) AS cluster_id FROM (
     SELECT DISTINCT l.doc_id, r.doc_id AS index_doc
     FROM bbands l JOIN ibands r ON l.band = r.band AND l.bhash = r.bhash
-    WHERE {_sql_hamming()} <= {hamming_max}
+    WHERE {ham} <= {hamming_max}
   ) GROUP BY doc_id
 ),
 ssig AS MATERIALIZED (
   SELECT * FROM bsig WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
 ),
-sbands AS ({_sql_band_rows("ssig")}),
+sbands AS ({band_rows_fn("ssig")}),
 spairs AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM sbands l JOIN sbands r
     ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
-  WHERE {_sql_hamming()} <= {hamming_max}
+  WHERE {ham} <= {hamming_max}
 ),
 sedges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM spairs
@@ -1170,6 +1178,24 @@ UNION ALL
 SELECT doc_id, cluster_id, FALSE AS keep, 'near_dup_index' AS reason
 FROM rejected
 """
+
+
+def sql_media_admission_decisions(
+    table: str = "documents", hamming_max: int = HAMMING_MAX
+) -> str:
+    """DuckDB twin of the registered admission split (the shared
+    ``sql_admission_tail`` over the scene-hash sig CTE)."""
+    mods = ", ".join(str(m) for m in ADMIT_CORPUS_MOD8)
+    tail = sql_admission_tail(
+        f"doc_id % 8 IN ({mods})",
+        f"doc_id % 8 NOT IN ({mods})",
+        _sql_band_rows,
+        _sql_hamming(),
+        hamming_max,
+    )
+    return f"""
+WITH RECURSIVE {_sql_scene_hashes(table)},
+{tail}"""
 
 
 def sql_image_codec_manifest(table: str = "documents") -> str:

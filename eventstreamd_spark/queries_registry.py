@@ -581,6 +581,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_admission_decisions",
+    dedup_op.sql_text_admission_decisions(dedup_op.sql_planted_near_dups()),
+)
+def text_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TEXT admission (round 11): dedup the corpus (even
+    original docs), admit the batch (odd originals + every plant)
+    against the kept canonicals' banded SimHash index — the text twin
+    of media_admission_decisions, same decision kernel as the
+    streaming writer (start_text_admission), every decision class
+    exercised (plants of even sources -> near_dup_index, plants of odd
+    sources -> near_dup_batch against their kept source, unpaired odd
+    docs -> kept)."""
+    docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    corpus = docs.filter(
+        (F.col("doc_id") < dedup_op.PLANT_OFFSET) & (F.col("doc_id") % 2 == 0)
+    )
+    batch = docs.filter(
+        (F.col("doc_id") >= dedup_op.PLANT_OFFSET) | (F.col("doc_id") % 2 == 1)
+    )
+    return dedup_op.text_admission_decisions(corpus, batch)
+
+
+@register(
     "dedup_simhash_prod",
     dedup_op.sql_simhash_pairs_prod(dedup_op.sql_planted_near_dups()),
 )

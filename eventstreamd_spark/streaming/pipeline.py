@@ -915,12 +915,27 @@ _INDEX_SCHEMA = (
 )
 
 
-def _stack_for_index(sig: DataFrame) -> DataFrame:
+def _index_kinds(kinds):
+    from eventstreamd_spark.operators.perceptual import _KINDS
+
+    return _KINDS if kinds is None else kinds
+
+
+def _index_schema(kinds=None) -> str:
+    """The explicit read schema for a ``kinds`` signature family
+    (halves vary; band/bp/batch_id are directory-derived)."""
+    from eventstreamd_spark.operators.perceptual import _halves_of
+
+    halves = ", ".join(f"{h} bigint" for h in _halves_of(_index_kinds(kinds)))
+    return f"doc_id bigint, {halves}, bhash bigint, band string, bp int, batch_id int"
+
+
+def _stack_for_index(sig: DataFrame, kinds=None) -> DataFrame:
     """Band-stack a signature relation and attach the bucket-prefix
     partition column."""
     from eventstreamd_spark.operators.perceptual import band_stack
 
-    return band_stack(sig).withColumn(
+    return band_stack(sig, _index_kinds(kinds)).withColumn(
         "bp", F.shiftright(F.col("bhash"), 16 - BP_BITS).cast("int")
     )
 
@@ -932,7 +947,7 @@ _EXACT_PRUNE_MAX_KEYS = 256
 
 
 def _pruned_index_read(
-    spark, index_dir: str, batch_id: int, keys: list
+    spark, index_dir: str, batch_id: int, keys: list, kinds=None
 ) -> DataFrame:
     """The per-trigger index read: earlier batches only, directory-
     pruned to the probe's (band, bp) buckets.  Small key sets prune
@@ -952,7 +967,7 @@ def _pruned_index_read(
             sorted({b for b, _ in keys})
         ) & F.col("bp").isin(sorted({p for _, p in keys}))
     return (
-        spark.read.schema(_INDEX_SCHEMA)
+        spark.read.schema(_index_schema(kinds))
         .parquet(index_dir)
         .filter(F.col("batch_id") < F.lit(batch_id))
         .filter(cond)
@@ -960,7 +975,7 @@ def _pruned_index_read(
     )
 
 
-def seed_media_index(sig: DataFrame, index_dir: str) -> None:
+def seed_media_index(sig: DataFrame, index_dir: str, kinds=None) -> None:
     """Write the kept corpus's perceptual signatures as the admission
     index seed (``batch_id=-1`` partition) in the band-partitioned
     layout.  ``sig`` is a (doc_id, a_hi, a_lo, d_hi, d_lo) relation —
@@ -969,8 +984,11 @@ def seed_media_index(sig: DataFrame, index_dir: str) -> None:
     seed (cold start: admit everything, the corpus grows from the
     stream) writes no data files; the per-batch read supplies
     ``_INDEX_SCHEMA`` explicitly so it never hits inference."""
+    from eventstreamd_spark.operators.perceptual import _halves_of
+
+    halves = _halves_of(_index_kinds(kinds))
     _stack_for_index(
-        sig.select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")
+        sig.select("doc_id", *halves), kinds
     ).write.partitionBy("band", "bp").mode("overwrite").parquet(
         f"{index_dir}/batch_id=-1"
     )
@@ -982,6 +1000,7 @@ def media_admission_writer(
     hamming_max: int | None = None,
     sig_fn: Callable[[DataFrame], DataFrame] | None = None,
     max_bucket: int | None = None,
+    kinds=None,
 ):
     """foreachBatch kernel for incremental perceptual media admission:
     each micro-batch of (doc_id, blob) is hashed ONCE in the Arrow
@@ -1023,29 +1042,34 @@ def media_admission_writer(
         perceptual_hashes,
     )
 
+    from eventstreamd_spark.operators.perceptual import _halves_of
+
     hmax = HAMMING_MAX if hamming_max is None else hamming_max
-    # any Arrow kernel producing the shared (doc_id, a_hi, a_lo, d_hi,
-    # d_lo) signature schema plugs in: images default to
-    # perceptual_hashes, WAV streams pass audio.audio_fingerprints —
-    # candidate banding, verify, clustering and index growth are
-    # modality-blind past the signature
+    # any kernel producing a (doc_id, <halves>) signature relation
+    # plugs in: images default to perceptual_hashes, WAV streams pass
+    # audio.audio_fingerprints, video passes video_fingerprints, and
+    # the TEXT face passes dedup.simhash_admission_signatures with
+    # kinds=TEXT_SIG_KINDS — candidate banding, verify, clustering and
+    # index growth are modality-blind past the signature (each kernel
+    # projects the columns it needs from the micro-batch itself)
     hashes = perceptual_hashes if sig_fn is None else sig_fn
+    halves = _halves_of(_index_kinds(kinds))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        sig = hashes(batch_df.select("doc_id", "blob")).localCheckpoint()
+        sig = hashes(batch_df).localCheckpoint()
         # prune the index read to the micro-batch's (band, bp)
         # rectangle: <= 2048 keys by construction (8 bands x 2^BP_BITS
         # prefixes), so the collect is a KB-bounded control-plane read
         probe_keys = sorted(
             (r["band"], r["bp"])
-            for r in _stack_for_index(sig)
+            for r in _stack_for_index(sig, kinds)
             .select("band", "bp")
             .distinct()
             .collect()
         )
         index_stacked = _pruned_index_read(
-            spark, index_dir, batch_id, probe_keys
+            spark, index_dir, batch_id, probe_keys, kinds
         )
         # the decision itself is the SHARED batch operator core
         # (operators/perceptual.py::admission_decisions_from_sig), so
@@ -1060,6 +1084,7 @@ def media_admission_writer(
             max_bucket=max_bucket,
             broadcast_probe=True,
             index_is_stacked=True,
+            kinds=_index_kinds(kinds),
         ).localCheckpoint()
         decisions.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"
@@ -1067,7 +1092,8 @@ def media_admission_writer(
         _stack_for_index(
             sig.join(
                 decisions.filter(F.col("keep")).select("doc_id"), "doc_id"
-            ).select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")
+            ).select("doc_id", *halves),
+            kinds,
         ).write.partitionBy("band", "bp").mode("overwrite").parquet(
             f"{index_dir}/batch_id={batch_id}"
         )
@@ -1089,7 +1115,9 @@ def last_committed_batch(checkpoint: str) -> int:
     return max(ids, default=-1)
 
 
-def compact_media_index(spark, index_dir: str, checkpoint: str | None = None) -> int:
+def compact_media_index(
+    spark, index_dir: str, checkpoint: str | None = None, kinds=None
+) -> int:
     """Maintenance pass for the band-partitioned admission index: fold
     the COMMITTED ``batch_id`` deltas into a single consolidated
     ``batch_id=-1`` seed partition (still partitionBy(band, bp)).
@@ -1130,20 +1158,22 @@ def compact_media_index(spark, index_dir: str, checkpoint: str | None = None) ->
     committed = last_committed_batch(checkpoint) if checkpoint else None
     fold = [b for b in deltas if committed is None or b <= committed]
     hold = [b for b in deltas if committed is not None and b > committed]
+    from eventstreamd_spark.operators.perceptual import _halves_of
+
     fold_paths = [f"{index_dir}/batch_id=-1"] + [
         f"{index_dir}/batch_id={b}" for b in fold
     ]
     sig = (
-        spark.read.schema(_INDEX_SCHEMA)
+        spark.read.schema(_index_schema(kinds))
         .option("basePath", index_dir)
         .parquet(*fold_paths)
-        .select("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")
-        .distinct()  # a doc's 8 band rows fold back to one signature
+        .select("doc_id", *_halves_of(_index_kinds(kinds)))
+        .distinct()  # a doc's band rows fold back to one signature
         .localCheckpoint()  # materialize BEFORE the source dirs move
     )
     n = sig.count()
     tmp = f"{index_dir}.compact-{os.getpid()}"
-    _stack_for_index(sig).write.partitionBy("band", "bp").mode(
+    _stack_for_index(sig, kinds).write.partitionBy("band", "bp").mode(
         "overwrite"
     ).parquet(f"{tmp}/batch_id=-1")
     for b in hold:  # uncommitted epochs ride along untouched
@@ -1160,7 +1190,9 @@ def compact_media_index(spark, index_dir: str, checkpoint: str | None = None) ->
     return n
 
 
-def evict_media_index(spark, index_dir: str, min_batch_id: int) -> int:
+def evict_media_index(
+    spark, index_dir: str, min_batch_id: int, kinds=None
+) -> int:
     """Retention pass for the admission index: drop every delta whose
     epoch is OLDER than ``min_batch_id`` (the seed ``batch_id=-1``
     included once ``min_batch_id > -1``).  Returns the number of
@@ -1191,7 +1223,7 @@ def evict_media_index(spark, index_dir: str, min_batch_id: int) -> int:
         if int(entry.split("=", 1)[1]) < min_batch_id:
             shutil.rmtree(os.path.join(index_dir, entry))
     remaining = (
-        spark.read.schema(_INDEX_SCHEMA)
+        spark.read.schema(_index_schema(kinds))
         .parquet(index_dir)
         .select("doc_id")
         .distinct()
@@ -1205,6 +1237,7 @@ def maintain_media_index(
     checkpoint: str,
     max_delta_epochs: int = 8,
     retention_epochs: int | None = None,
+    kinds=None,
 ) -> dict:
     """Policy-driven maintenance for the admission index — the
     automated replacement for by-hand ``compact_media_index`` /
@@ -1249,11 +1282,11 @@ def maintain_media_index(
         cutoff = committed - retention_epochs + 1
         stale = [b for b in before if b < cutoff]
         if stale:
-            evict_media_index(spark, index_dir, cutoff)
+            evict_media_index(spark, index_dir, cutoff, kinds)
             report["fired"] = True
             report["evicted_epochs"] = len(stale)
     if len(_deltas()) >= max_delta_epochs:
-        compact_media_index(spark, index_dir, checkpoint)
+        compact_media_index(spark, index_dir, checkpoint, kinds)
         report["fired"] = True
         report["compacted"] = True
     report["delta_epochs_after"] = len(_deltas())
@@ -1270,6 +1303,7 @@ def media_admission_cycle(
     max_bucket: int | None = None,
     max_delta_epochs: int = 8,
     retention_epochs: int | None = None,
+    kinds=None,
 ) -> dict:
     """One ingest cycle with lifecycle-scheduled index maintenance:
     run the admission stream to exhaustion (``availableNow``), then —
@@ -1286,6 +1320,7 @@ def media_admission_cycle(
         hamming_max,
         sig_fn,
         max_bucket,
+        kinds,
     )
     q.awaitTermination()
     return maintain_media_index(
@@ -1294,6 +1329,7 @@ def media_admission_cycle(
         checkpoint,
         max_delta_epochs=max_delta_epochs,
         retention_epochs=retention_epochs,
+        kinds=kinds,
     )
 
 
@@ -1305,6 +1341,7 @@ def start_media_admission(
     hamming_max: int | None = None,
     sig_fn: Callable[[DataFrame], DataFrame] | None = None,
     max_bucket: int | None = None,
+    kinds=None,
 ) -> StreamingQuery:
     """Wire a streaming (doc_id, blob) DataFrame to the incremental
     perceptual admission kernel (``media_admission_writer``).  The
@@ -1318,10 +1355,87 @@ def start_media_admission(
     return (
         stream_media.writeStream.foreachBatch(
             media_admission_writer(
-                index_dir, out_dir, hamming_max, sig_fn, max_bucket
+                index_dir, out_dir, hamming_max, sig_fn, max_bucket, kinds
             )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def seed_text_index(sig: DataFrame, index_dir: str) -> None:
+    """Seed the TEXT admission index: a (doc_id, s_hi, s_lo) SimHash
+    relation (``dedup.simhash_admission_signatures`` filtered to kept
+    canonicals) in the band-partitioned layout."""
+    from eventstreamd_spark.operators.dedup import TEXT_SIG_KINDS
+
+    seed_media_index(sig, index_dir, TEXT_SIG_KINDS)
+
+
+def start_text_admission(
+    stream_docs: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    hamming_max: int | None = None,
+    max_bucket: int | None = None,
+) -> StreamingQuery:
+    """Incremental TEXT near-dup admission at ingest (round 11): the
+    media admission machinery with the 64-bit shingle SimHash as the
+    signature family — each micro-batch of (doc_id, text) is hashed
+    once, rejected against the kept corpus's banded index (partition-
+    pruned read, broadcast probe), near-dup-clustered within the
+    batch, and surviving canonicals append to the index.  Exactly-once
+    by batch_id idempotence; maintenance via ``maintain_media_index``
+    with ``kinds=dedup.TEXT_SIG_KINDS`` (or ``text_admission_cycle``).
+    The decision kernel is byte-identical to the registered batch
+    query ``text_admission_decisions``."""
+    from eventstreamd_spark.operators.dedup import (
+        HAMMING_MAX as TEXT_HMAX,
+        TEXT_SIG_KINDS,
+        simhash_admission_signatures,
+    )
+
+    return start_media_admission(
+        stream_docs,
+        index_dir,
+        out_dir,
+        checkpoint,
+        TEXT_HMAX if hamming_max is None else hamming_max,
+        simhash_admission_signatures,
+        max_bucket,
+        TEXT_SIG_KINDS,
+    )
+
+
+def text_admission_cycle(
+    stream_docs: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    hamming_max: int | None = None,
+    max_bucket: int | None = None,
+    max_delta_epochs: int = 8,
+    retention_epochs: int | None = None,
+) -> dict:
+    """One text-ingest cycle with lifecycle maintenance — the text
+    face of ``media_admission_cycle``."""
+    from eventstreamd_spark.operators.dedup import (
+        HAMMING_MAX as TEXT_HMAX,
+        TEXT_SIG_KINDS,
+        simhash_admission_signatures,
+    )
+
+    return media_admission_cycle(
+        stream_docs,
+        index_dir,
+        out_dir,
+        checkpoint,
+        TEXT_HMAX if hamming_max is None else hamming_max,
+        simhash_admission_signatures,
+        max_bucket,
+        max_delta_epochs,
+        retention_epochs,
+        TEXT_SIG_KINDS,
     )

@@ -1949,3 +1949,172 @@ def test_maintain_media_index_retention_policy(spark, sf_dir, tmp_path) -> None:
         .collect()[0]
     )
     assert row["keep"]  # its canonical's epoch was evicted
+
+
+def test_text_admission_stream_matches_batch(spark, sf_dir, tmp_path) -> None:
+    """Round-11: the TEXT admission face — two micro-batches of
+    (doc_id, text) admitted incrementally against a growing banded
+    SimHash index reproduce the one-shot batch
+    ``text_admission_decisions`` verdicts row-for-row, including a
+    plant that STRADDLES the boundary (its source admitted in batch 1,
+    the near-twin arriving in batch 2, rejected against the index)."""
+    import os
+
+    from eventstreamd_spark.operators import dedup as dd
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import (
+        seed_text_index,
+        start_text_admission,
+    )
+
+    docs = dd.with_planted_near_dups(
+        load_table(spark, sf_dir, "documents").filter("doc_id < 40")
+    ).localCheckpoint()
+    corpus = docs.filter(
+        (F.col("doc_id") < dd.PLANT_OFFSET) & (F.col("doc_id") % 2 == 0)
+    )
+    batch = docs.filter(
+        (F.col("doc_id") >= dd.PLANT_OFFSET) | (F.col("doc_id") % 2 == 1)
+    ).localCheckpoint()
+
+    # batch face: the registered query's decisions
+    want = {
+        (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+        for r in dd.text_admission_decisions(corpus, batch).collect()
+    }
+
+    # stream face: corpus keeps seed the index; the batch arrives in
+    # two doc_id-split micro-batches (plants straddle: their odd
+    # sources land in batch 1, the +100000 plants in batch 2)
+    from eventstreamd_spark.operators.perceptual import _sig_clusters
+
+    corpus_sig = dd.simhash_admission_signatures(corpus).localCheckpoint()
+    kept = (
+        _sig_clusters(
+            corpus.select("doc_id"), corpus_sig, dd.HAMMING_MAX, 16,
+            dd.TEXT_SIG_KINDS,
+        )
+        .filter("keep")
+        .select("doc_id")
+    )
+    src = str(tmp_path / "t_src")
+    idx, out = str(tmp_path / "t_idx"), str(tmp_path / "t_out")
+    ckpt = str(tmp_path / "t_ckpt")
+    os.makedirs(src)
+    seed_text_index(corpus_sig.join(kept, "doc_id"), idx)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .format("parquet")
+            .load(src)
+        )
+        q = start_text_admission(stream, idx, out, ckpt)
+        q.awaitTermination(180)
+
+    batch.filter(f"doc_id < {dd.PLANT_OFFSET}").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    batch.filter(f"doc_id >= {dd.PLANT_OFFSET}").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    got = {
+        (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(out).drop("batch_id").collect()
+    }
+    # the straddling plants decide against the INDEX in the stream but
+    # in-batch in the one-shot run — cluster/keep verdicts must agree;
+    # reasons may differ ONLY near_dup_batch -> near_dup_index
+    want_ck = {(d, c, k) for d, c, k, _ in want}
+    got_ck = {(d, c, k) for d, c, k, _ in got}
+    assert got_ck == want_ck
+    # at least one straddler was decided against the index
+    stream_reasons = {d: r for d, _, _, r in got}
+    batch_reasons = {d: r for d, _, _, r in want}
+    flips = {
+        d
+        for d in stream_reasons
+        if stream_reasons[d] != batch_reasons[d]
+    }
+    assert all(
+        batch_reasons[d] == "near_dup_batch"
+        and stream_reasons[d] == "near_dup_index"
+        for d in flips
+    )
+    assert flips, "a plant should straddle the micro-batch boundary"
+
+
+def test_text_admission_cycle_maintenance(spark, sf_dir, tmp_path) -> None:
+    """The lifecycle wrapper works for the TEXT signature family too:
+    epoch-count compaction folds committed text-index deltas into the
+    seed (kinds threading through compact_media_index), verdicts for a
+    post-maintenance batch unchanged vs an unmaintained control."""
+    import os
+
+    from eventstreamd_spark.operators import dedup as dd
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import (
+        seed_text_index,
+        start_text_admission,
+        text_admission_cycle,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "doc_id < 48"
+    ).select("doc_id", "text").localCheckpoint()
+    src, csrc = str(tmp_path / "src"), str(tmp_path / "csrc")
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    cidx, cout = str(tmp_path / "cidx"), str(tmp_path / "cout")
+    ckpt, cckpt = str(tmp_path / "ckpt"), str(tmp_path / "cckpt")
+    os.makedirs(src)
+    os.makedirs(csrc)
+    empty = spark.createDataFrame([], "doc_id bigint, s_hi bigint, s_lo bigint")
+    seed_text_index(empty, idx)
+    seed_text_index(empty, cidx)
+
+    def cycle(lo, hi):
+        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .format("parquet")
+            .load(src)
+        )
+        return text_admission_cycle(stream, idx, out, ckpt, max_delta_epochs=2)
+
+    def control(lo, hi):
+        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(csrc)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .format("parquet")
+            .load(csrc)
+        )
+        q = start_text_admission(stream, cidx, cout, cckpt)
+        q.awaitTermination(180)
+
+    r1 = cycle(0, 16)
+    control(0, 16)
+    assert not r1["compacted"]
+    r2 = cycle(16, 32)
+    control(16, 32)
+    assert r2["compacted"] and r2["delta_epochs_after"] == 0
+    assert {e for e in os.listdir(idx) if e.startswith("batch_id=")} == {
+        "batch_id=-1"
+    }
+    cycle(32, 48)
+    control(32, 48)
+    got = {
+        (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(cout).collect()
+    }
+    assert got == want
