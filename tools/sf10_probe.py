@@ -87,6 +87,7 @@ TARGETS = [
     ("dedup_simhash", 1.0, "~N (4x16-bit bands over 64-bit SimHash)"),
     ("dedup_simhash_wide", 1.0, "~N (6x32-bit pair bands, n^2/2^32 tail)"),
     ("text_admission_decisions", 1.15, "~N log n (corpus CC + banded admission)"),
+    ("dedup_simhash_prod", 1.0, "~N (banded SimHash + hot-bucket gate)"),
 ]
 
 TOLERANCE = 0.10
