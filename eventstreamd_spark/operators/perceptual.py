@@ -343,7 +343,7 @@ def band_stack(sig: DataFrame, kinds=_KINDS) -> DataFrame:
     )
 
 
-def pair_band_stack(sig: DataFrame) -> DataFrame:
+def pair_band_stack(sig: DataFrame, kinds=_KINDS) -> DataFrame:
     """Explode a signature relation into its 28 PAIR-band rows: one
     row per unordered pair of the 8 bands, bucketed on the CONCATENATED
     32-bit key.  The wide tier's candidate math (measured, SCALE.md
@@ -356,8 +356,9 @@ def pair_band_stack(sig: DataFrame) -> DataFrame:
     collides — guaranteed, one notch tighter than the single-band
     tier's <= 7."""
     mask = (1 << BAND_BITS) - 1
+    halves = _halves_of(kinds)
     chunks = []
-    for kind, hi, lo in (("a", "a_hi", "a_lo"), ("d", "d_hi", "d_lo")):
+    for kind, hi, lo in kinds:
         for b in range(N_BANDS):
             src = F.col(lo) if b < 2 else F.col(hi)
             shift = (b % 2) * BAND_BITS
@@ -377,10 +378,10 @@ def pair_band_stack(sig: DataFrame) -> DataFrame:
                 )
             )
     return sig.select(
-        "doc_id", *_HALVES, F.explode(F.array(*pairs)).alias("bb")
+        "doc_id", *halves, F.explode(F.array(*pairs)).alias("bb")
     ).select(
         "doc_id",
-        *_HALVES,
+        *halves,
         F.col("bb.band").alias("band"),
         F.col("bb.bhash").alias("bhash"),
     )
@@ -486,6 +487,7 @@ def banded_matches_against(
     broadcast_probe: bool = False,
     index_is_stacked: bool = False,
     kinds=_KINDS,
+    wide: bool = False,
 ) -> DataFrame:
     """Cross-relation candidate + verify: every (probe doc, index doc)
     pair whose combined 128-bit Hamming distance is within
@@ -511,11 +513,12 @@ def banded_matches_against(
     picks the signature family (default: the media (a, d) word pair;
     the text admission face passes the SimHash word)."""
     halves = _halves_of(kinds)
-    probe = band_stack(probe_sig, kinds).alias("p")
+    stack = pair_band_stack if wide else band_stack
+    probe = stack(probe_sig, kinds).alias("p")
     if broadcast_probe:
         probe = F.broadcast(probe)
     index_stacked = (
-        index_sig if index_is_stacked else band_stack(index_sig, kinds)
+        index_sig if index_is_stacked else stack(index_sig, kinds)
     )
     if max_bucket is not None:
         index_stacked = _drop_hot_buckets(index_stacked, max_bucket)
@@ -647,7 +650,7 @@ def media_near_dup_clusters(
 
 def _sig_clusters(
     doc_ids: DataFrame, sig: DataFrame, hamming_max: int, max_iters: int,
-    kinds=_KINDS,
+    kinds=_KINDS, wide: bool = False,
 ) -> DataFrame:
     """(doc_id, cluster_id, keep) over a precomputed signature relation
     — banded pairs -> large-star/small-star fixed point, singletons
@@ -655,8 +658,14 @@ def _sig_clusters(
     than the docs appearing in any pair)."""
     from eventstreamd_spark.operators.dedup import connected_components
 
+    pairs_fn = (
+        (lambda s_, h_: _stacked_self_pairs(
+            pair_band_stack(s_, kinds), h_, _halves_of(kinds)))
+        if wide
+        else (lambda s_, h_: banded_pairs(s_, h_, kinds=kinds))
+    )
     edges = (
-        banded_pairs(sig, hamming_max, kinds=kinds)
+        pairs_fn(sig, hamming_max)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .localCheckpoint()
     )
@@ -683,6 +692,7 @@ def admission_decisions_from_sig(
     broadcast_probe: bool = False,
     index_is_stacked: bool = False,
     kinds=_KINDS,
+    wide: bool = False,
 ) -> DataFrame:
     """The incremental-admission decision over precomputed signatures
     — the SINGLE implementation behind both the batch operator
@@ -713,13 +723,15 @@ def admission_decisions_from_sig(
             broadcast_probe=broadcast_probe,
             index_is_stacked=index_is_stacked,
             kinds=kinds,
+            wide=wide,
         )
         .groupBy("doc_id")
         .agg(F.min("index_doc").alias("cluster_id"))
     )
     survivors = batch_sig.join(rejected.select("doc_id"), "doc_id", "left_anti")
     clustered = _sig_clusters(
-        survivors.select("doc_id"), survivors, hamming_max, max_iters, kinds
+        survivors.select("doc_id"), survivors, hamming_max, max_iters, kinds,
+        wide,
     )
     return clustered.select(
         "doc_id",

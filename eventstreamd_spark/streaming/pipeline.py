@@ -930,13 +930,23 @@ def _index_schema(kinds=None) -> str:
     return f"doc_id bigint, {halves}, bhash bigint, band string, bp int, batch_id int"
 
 
-def _stack_for_index(sig: DataFrame, kinds=None) -> DataFrame:
+def _stack_for_index(sig: DataFrame, kinds=None, wide: bool = False) -> DataFrame:
     """Band-stack a signature relation and attach the bucket-prefix
-    partition column."""
-    from eventstreamd_spark.operators.perceptual import band_stack
+    partition column.  ``wide`` stacks 32-bit PAIR bands instead of
+    16-bit single bands — the index layout for kept corpora past
+    ~10^7 docs, where single-band buckets' n^2/2^16 random collisions
+    would dominate every per-trigger probe (SCALE.md §21); the bp
+    prefix always takes the TOP BP_BITS of the bucket key so the
+    directory fan-out stays 2^BP_BITS per band either way."""
+    from eventstreamd_spark.operators.perceptual import (
+        band_stack,
+        pair_band_stack,
+    )
 
-    return band_stack(sig, _index_kinds(kinds)).withColumn(
-        "bp", F.shiftright(F.col("bhash"), 16 - BP_BITS).cast("int")
+    stack = pair_band_stack if wide else band_stack
+    width = 32 if wide else 16
+    return stack(sig, _index_kinds(kinds)).withColumn(
+        "bp", F.shiftright(F.col("bhash"), width - BP_BITS).cast("int")
     )
 
 
@@ -975,7 +985,9 @@ def _pruned_index_read(
     )
 
 
-def seed_media_index(sig: DataFrame, index_dir: str, kinds=None) -> None:
+def seed_media_index(
+    sig: DataFrame, index_dir: str, kinds=None, wide: bool = False
+) -> None:
     """Write the kept corpus's perceptual signatures as the admission
     index seed (``batch_id=-1`` partition) in the band-partitioned
     layout.  ``sig`` is a (doc_id, a_hi, a_lo, d_hi, d_lo) relation —
@@ -988,7 +1000,7 @@ def seed_media_index(sig: DataFrame, index_dir: str, kinds=None) -> None:
 
     halves = _halves_of(_index_kinds(kinds))
     _stack_for_index(
-        sig.select("doc_id", *halves), kinds
+        sig.select("doc_id", *halves), kinds, wide
     ).write.partitionBy("band", "bp").mode("overwrite").parquet(
         f"{index_dir}/batch_id=-1"
     )
@@ -1001,6 +1013,7 @@ def media_admission_writer(
     sig_fn: Callable[[DataFrame], DataFrame] | None = None,
     max_bucket: int | None = None,
     kinds=None,
+    wide: bool = False,
 ):
     """foreachBatch kernel for incremental perceptual media admission:
     each micro-batch of (doc_id, blob) is hashed ONCE in the Arrow
@@ -1063,7 +1076,7 @@ def media_admission_writer(
         # prefixes), so the collect is a KB-bounded control-plane read
         probe_keys = sorted(
             (r["band"], r["bp"])
-            for r in _stack_for_index(sig, kinds)
+            for r in _stack_for_index(sig, kinds, wide)
             .select("band", "bp")
             .distinct()
             .collect()
@@ -1085,6 +1098,7 @@ def media_admission_writer(
             broadcast_probe=True,
             index_is_stacked=True,
             kinds=_index_kinds(kinds),
+            wide=wide,
         ).localCheckpoint()
         decisions.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"
@@ -1094,6 +1108,7 @@ def media_admission_writer(
                 decisions.filter(F.col("keep")).select("doc_id"), "doc_id"
             ).select("doc_id", *halves),
             kinds,
+            wide,
         ).write.partitionBy("band", "bp").mode("overwrite").parquet(
             f"{index_dir}/batch_id={batch_id}"
         )
@@ -1116,7 +1131,8 @@ def last_committed_batch(checkpoint: str) -> int:
 
 
 def compact_media_index(
-    spark, index_dir: str, checkpoint: str | None = None, kinds=None
+    spark, index_dir: str, checkpoint: str | None = None, kinds=None,
+    wide: bool = False,
 ) -> int:
     """Maintenance pass for the band-partitioned admission index: fold
     the COMMITTED ``batch_id`` deltas into a single consolidated
@@ -1173,7 +1189,7 @@ def compact_media_index(
     )
     n = sig.count()
     tmp = f"{index_dir}.compact-{os.getpid()}"
-    _stack_for_index(sig, kinds).write.partitionBy("band", "bp").mode(
+    _stack_for_index(sig, kinds, wide).write.partitionBy("band", "bp").mode(
         "overwrite"
     ).parquet(f"{tmp}/batch_id=-1")
     for b in hold:  # uncommitted epochs ride along untouched
@@ -1238,6 +1254,7 @@ def maintain_media_index(
     max_delta_epochs: int = 8,
     retention_epochs: int | None = None,
     kinds=None,
+    wide: bool = False,
 ) -> dict:
     """Policy-driven maintenance for the admission index — the
     automated replacement for by-hand ``compact_media_index`` /
@@ -1286,7 +1303,7 @@ def maintain_media_index(
             report["fired"] = True
             report["evicted_epochs"] = len(stale)
     if len(_deltas()) >= max_delta_epochs:
-        compact_media_index(spark, index_dir, checkpoint, kinds)
+        compact_media_index(spark, index_dir, checkpoint, kinds, wide)
         report["fired"] = True
         report["compacted"] = True
     report["delta_epochs_after"] = len(_deltas())
@@ -1304,6 +1321,7 @@ def media_admission_cycle(
     max_delta_epochs: int = 8,
     retention_epochs: int | None = None,
     kinds=None,
+    wide: bool = False,
 ) -> dict:
     """One ingest cycle with lifecycle-scheduled index maintenance:
     run the admission stream to exhaustion (``availableNow``), then —
@@ -1321,6 +1339,7 @@ def media_admission_cycle(
         sig_fn,
         max_bucket,
         kinds,
+        wide,
     )
     q.awaitTermination()
     return maintain_media_index(
@@ -1330,6 +1349,7 @@ def media_admission_cycle(
         max_delta_epochs=max_delta_epochs,
         retention_epochs=retention_epochs,
         kinds=kinds,
+        wide=wide,
     )
 
 
@@ -1342,6 +1362,7 @@ def start_media_admission(
     sig_fn: Callable[[DataFrame], DataFrame] | None = None,
     max_bucket: int | None = None,
     kinds=None,
+    wide: bool = False,
 ) -> StreamingQuery:
     """Wire a streaming (doc_id, blob) DataFrame to the incremental
     perceptual admission kernel (``media_admission_writer``).  The
@@ -1355,7 +1376,8 @@ def start_media_admission(
     return (
         stream_media.writeStream.foreachBatch(
             media_admission_writer(
-                index_dir, out_dir, hamming_max, sig_fn, max_bucket, kinds
+                index_dir, out_dir, hamming_max, sig_fn, max_bucket, kinds,
+                wide,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -2118,3 +2118,44 @@ def test_text_admission_cycle_maintenance(spark, sf_dir, tmp_path) -> None:
         for r in spark.read.parquet(cout).collect()
     }
     assert got == want
+
+
+def test_wide_admission_index_matches_standard(spark, sf_dir, tmp_path) -> None:
+    """Round-11: the WIDE (32-bit pair-band) admission index layout —
+    the layout a 10^9-doc kept corpus runs — produces verdicts
+    identical to the 16-bit layout on the planted media corpus (every
+    planted twin sits within the wide tier's guaranteed-recall bound),
+    and its per-band bucket keys actually span the 32-bit space."""
+    import os
+
+    from eventstreamd_spark.streaming.pipeline import (
+        _stack_for_index,
+        media_admission_writer,
+        seed_media_index,
+    )
+    from eventstreamd_spark.operators.perceptual import perceptual_hashes
+
+    media = _scene_media_subset(spark, sf_dir, 32).localCheckpoint()
+    outs = {}
+    for wide in (False, True):
+        idx = str(tmp_path / f"idx_{wide}")
+        out = str(tmp_path / f"out_{wide}")
+        seed_media_index(
+            perceptual_hashes(media.filter("doc_id < 8")), idx, wide=wide
+        )
+        w = media_admission_writer(idx, out, wide=wide)
+        w(media.filter("doc_id >= 8 AND doc_id < 20"), 0)
+        w(media.filter("doc_id >= 20"), 1)
+        outs[wide] = {
+            (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+            for r in spark.read.parquet(out).collect()
+        }
+    assert outs[True] == outs[False]
+    # layout sanity: 28 pair bands, 32-bit keys
+    sig = perceptual_hashes(media.filter("doc_id < 4"))
+    stacked = _stack_for_index(sig, wide=True)
+    rows = stacked.collect()
+    assert len({r["band"] for r in rows}) == 28
+    assert all(0 <= r["bhash"] < 1 << 32 for r in rows)
+    assert all(0 <= r["bp"] < 256 for r in rows)
+    assert any(r["bhash"] >= 1 << 16 for r in rows)
