@@ -74,6 +74,11 @@ SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16
 HAMMING_MAX = 3
+# the wide (pair-band) tier's pigeonhole guarantee: 6 pairs over 4
+# bands means <= 2 dirty bits always leave one clean PAIR; at 3 dirty
+# bits a spread like (1,1,1,0) dirties every pair, so the guaranteed
+# verify bound — and therefore the tier's DEFAULT — is 2
+HAMMING_MAX_WIDE = 2
 
 
 PLANT_OFFSET = 100_000
@@ -1143,17 +1148,20 @@ def simhash_pairs_prod(
 
 
 def simhash_pairs_wide(
-    docs: DataFrame, hamming_max: int = HAMMING_MAX
+    docs: DataFrame, hamming_max: int = HAMMING_MAX_WIDE
 ) -> DataFrame:
     """Near-dup pair tier over 32-bit PAIR-band buckets — the
     candidate tier for corpora where 16-bit buckets' ~n^2/2^16 random
     collisions become the bill (the media tier counted 45M random
     candidates for 500k docs at that width; SCALE.md §21).  Same
-    verify, same output schema; guaranteed recall for Hamming <= 2
-    (pigeonhole over pairs — see ``simhash_pair_band_stack``), so
-    callers wanting the <= 3 guarantee at moderate n keep
-    ``simhash_pairs`` — the standard LSH r-vs-recall dial, stated in
-    the open."""
+    verify, same output schema; the default verify bound is the one
+    this tier GUARANTEES — Hamming <= 2 (pigeonhole over pairs, see
+    ``simhash_pair_band_stack``) — so the default never silently
+    under-recalls.  A caller passing a looser bound opts into
+    best-effort recall above 2 (candidates at distance 3 surface only
+    when the dirty bits happen to cluster), and callers wanting the
+    guaranteed <= 3 at moderate n keep ``simhash_pairs`` — the
+    standard LSH r-vs-recall dial, stated in the open."""
     return _simhash_stacked_pairs(
         simhash_pair_band_stack(simhash_signatures(docs)), hamming_max
     )
@@ -1230,7 +1238,7 @@ def sql_simhash_pairs(base_sql: str, hamming_max: int = HAMMING_MAX) -> str:
 
 
 def sql_simhash_pairs_wide(
-    base_sql: str, hamming_max: int = HAMMING_MAX
+    base_sql: str, hamming_max: int = HAMMING_MAX_WIDE
 ) -> str:
     """DuckDB twin of simhash_pairs_wide (6 x 32-bit pair bands)."""
     return _sql_simhash_banded(

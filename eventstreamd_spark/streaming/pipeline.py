@@ -1176,9 +1176,17 @@ def compact_media_index(
     hold = [b for b in deltas if committed is not None and b > committed]
     from eventstreamd_spark.operators.perceptual import _halves_of
 
-    fold_paths = [f"{index_dir}/batch_id=-1"] + [
-        f"{index_dir}/batch_id={b}" for b in fold
-    ]
+    # the seed may be absent: retention (``evict_media_index``) drops
+    # batch_id=-1 once its cutoff passes -1, and the documented
+    # "evict, then fold" composition must keep working afterwards —
+    # fold only the partitions that exist
+    fold_paths = [
+        p
+        for p in [f"{index_dir}/batch_id=-1"]
+        if os.path.isdir(p)
+    ] + [f"{index_dir}/batch_id={b}" for b in fold]
+    if not fold_paths:  # nothing committed and no seed: nothing to do
+        return 0
     sig = (
         spark.read.schema(_index_schema(kinds))
         .option("basePath", index_dir)
@@ -1268,16 +1276,22 @@ def maintain_media_index(
       than ``last_committed - retention_epochs + 1`` — the rolling
       near-dup window, now on a clock instead of a hand-picked cutoff.
       Runs BEFORE compaction so evicted epochs aren't folded into the
-      seed first (the seed is never evicted by this policy: eviction
-      by epoch age is only meaningful for epoch-numbered deltas).
+      seed first.  The seed partition (``batch_id=-1``) ages out with
+      the window too: ``evict_media_index``'s contract drops it once
+      the cutoff passes -1 (it holds only epochs older than any
+      numbered delta), and the report records that as
+      ``seed_evicted``.  A later compaction then rebuilds the seed
+      from the surviving deltas.
     - **compaction** (``max_delta_epochs``): when the number of
       accreted ``batch_id`` delta dirs reaches the threshold, fold the
       committed ones into the seed.  The commits log gates the fold
       (see ``compact_media_index``), so an uncommitted final epoch is
       left for the engine to replay — restart-safe by construction.
 
-    Returns a report dict: ``fired`` (bool), ``evicted_epochs``,
-    ``compacted`` (bool), ``delta_epochs_before/after``."""
+    Returns a report dict: ``fired`` (bool), ``evicted_epochs``
+    (numbered deltas dropped), ``seed_evicted`` (bool — the
+    ``batch_id=-1`` seed aged out with the window), ``compacted``
+    (bool), ``delta_epochs_before/after``."""
     import os
 
     def _deltas() -> list[int]:
@@ -1292,6 +1306,7 @@ def maintain_media_index(
     report = {
         "fired": False,
         "evicted_epochs": 0,
+        "seed_evicted": False,
         "compacted": False,
         "delta_epochs_before": len(before),
     }
@@ -1299,9 +1314,13 @@ def maintain_media_index(
         cutoff = committed - retention_epochs + 1
         stale = [b for b in before if b < cutoff]
         if stale:
+            seed_stale = cutoff > -1 and os.path.isdir(
+                f"{index_dir}/batch_id=-1"
+            )
             evict_media_index(spark, index_dir, cutoff, kinds)
             report["fired"] = True
             report["evicted_epochs"] = len(stale)
+            report["seed_evicted"] = seed_stale
     if len(_deltas()) >= max_delta_epochs:
         compact_media_index(spark, index_dir, checkpoint, kinds, wide)
         report["fired"] = True
@@ -1369,7 +1388,12 @@ def start_media_admission(
     index seed must exist first (``seed_media_index`` — possibly
     empty for a cold start).  ``sig_fn`` swaps the signature kernel
     (default: image perceptual hashes; pass
-    ``audio.audio_fingerprints`` for a WAV stream); ``max_bucket``
+    ``audio.audio_fingerprints`` for a WAV stream).  Contract: the
+    kernel receives the RAW micro-batch DataFrame — every source
+    column, not a pre-projected (doc_id, blob) pair — and must
+    project the columns it needs itself (all in-repo kernels do;
+    this is what lets the TEXT face reuse the same writer with a
+    (doc_id, text) stream).  ``max_bucket``
     opts the index side into the hot-bucket guard (a production
     ingest should set it — a thumbnail flood otherwise makes every
     trigger pay the flooded bucket)."""

@@ -1951,6 +1951,66 @@ def test_maintain_media_index_retention_policy(spark, sf_dir, tmp_path) -> None:
     assert row["keep"]  # its canonical's epoch was evicted
 
 
+def test_retention_then_compaction_after_seed_eviction(
+    spark, sf_dir, tmp_path
+) -> None:
+    """Round-12 (ADVICE): the documented 'evict, then fold'
+    composition must survive SEED eviction.  Retention drops
+    ``batch_id=-1`` once the cutoff passes -1; a later compaction —
+    including the automatic one ``maintain_media_index`` fires when
+    deltas reach ``max_delta_epochs`` — must fold the surviving
+    deltas into a rebuilt seed instead of raising PATH_NOT_FOUND on
+    the missing seed path, and the rebuilt seed must keep serving
+    admission verdicts."""
+    import os
+
+    from eventstreamd_spark.streaming.pipeline import (
+        maintain_media_index,
+        media_admission_writer,
+        seed_media_index,
+    )
+
+    media = _scene_media_subset(spark, sf_dir, 32).localCheckpoint()
+    idx, out = str(tmp_path / "sidx"), str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    seed_media_index(spark.createDataFrame([], _EMPTY_SIG), idx)
+    w = media_admission_writer(idx, out)
+    os.makedirs(os.path.join(ckpt, "commits"))
+
+    def commit(b: int) -> None:
+        with open(os.path.join(ckpt, "commits", str(b)), "w") as f:
+            f.write("v1\n{}")
+
+    for b, lo in enumerate((0, 8, 16)):
+        w(media.filter(f"doc_id >= {lo} AND doc_id < {lo + 8}"), b)
+        commit(b)
+    # retention: epoch 0 ages out (cutoff 1) and the seed goes with it
+    r1 = maintain_media_index(
+        spark, idx, ckpt, max_delta_epochs=99, retention_epochs=2
+    )
+    assert r1["fired"] and r1["evicted_epochs"] == 1 and r1["seed_evicted"]
+    assert not r1["compacted"]
+    assert not os.path.isdir(f"{idx}/batch_id=-1")
+    # epoch 3 arrives, tripping the compaction threshold (3 deltas)
+    w(media.filter("doc_id >= 24 AND doc_id < 32"), 3)
+    commit(3)
+    r2 = maintain_media_index(spark, idx, ckpt, max_delta_epochs=3)
+    assert r2["compacted"] and not r2["seed_evicted"]
+    dirs = {e for e in os.listdir(idx) if e.startswith("batch_id=")}
+    assert dirs == {"batch_id=-1"}  # folded without the old seed
+    # the rebuilt seed still serves admission: an exact resend of an
+    # epoch-1 kept canonical rejects against the index
+    canon = min(
+        r["doc_id"]
+        for r in spark.read.parquet(out)
+        .filter("batch_id = 1 AND keep")
+        .collect()
+    )
+    w(media.filter(f"doc_id = {canon}"), 4)
+    row = spark.read.parquet(out).filter("batch_id = 4").collect()[0]
+    assert not row["keep"] and row["reason"] == "near_dup_index"
+
+
 def test_text_admission_stream_matches_batch(spark, sf_dir, tmp_path) -> None:
     """Round-11: the TEXT admission face — two micro-batches of
     (doc_id, text) admitted incrementally against a growing banded
