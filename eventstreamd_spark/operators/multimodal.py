@@ -84,6 +84,10 @@ def _media_builders() -> dict:
         "scene_video": video_op.documents_as_scene_video,
         "scene_video_vflip": video_op.documents_as_scene_video_vflip,
         "scene_mixed": mixed_op.documents_as_mixed_media,
+        # derived SIGNATURE fixture (not blobs): the video family's
+        # one-decode-pass relation — see video.VIDEO_SIG_CACHE_KIND
+        # for its own versioning rule
+        video_op.VIDEO_SIG_CACHE_KIND: video_op.scene_video_grid_signatures,
     }
 
 

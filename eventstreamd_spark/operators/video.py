@@ -407,6 +407,44 @@ def video_near_dup_grid(
     )
 
 
+# -- decode-once family service (round 12) ---------------------------------
+# The three registered video queries (fingerprints, near_dup,
+# near_dup_grid) all derive from ONE signature relation: the 6-word
+# grid fingerprint over the vflip-planted corpus.  The grid kernel's
+# first four words are the envelope fingerprint computed by the same
+# arithmetic (same positions, same sums — pytest pins the projection
+# equivalence), and the vflip corpus is a superset of the base corpus
+# (plants live at doc_id >= VFLIP_PLANT_OFFSET), so the base tiers are
+# a filter+project away.  At 100 TB this is the only sane shape: the
+# per-frame decode is the family's dominant cost and a real pipeline
+# computes signatures once and serves every tier from the signature
+# table — the registry materializes this relation through the
+# write-once fixture cache (``multimodal.cached_media``) under kind
+# ``VIDEO_SIG_CACHE_KIND``.
+
+# bump the _sN suffix whenever the fingerprint kernel's OUTPUT changes
+# (new word, changed bit layout) — the cache key otherwise serves
+# stale signatures; blob-synth changes keep using _MEDIA_FIXTURE_VERSION
+VIDEO_SIG_CACHE_KIND = "scene_video_grid_sig_s1"
+
+
+def scene_video_grid_signatures(docs: DataFrame) -> DataFrame:
+    """Full-corpus decode pass for the video family: 6-word grid
+    signatures over the vflip-planted scene corpus.  This is the
+    fixture builder behind ``VIDEO_SIG_CACHE_KIND``."""
+    return video_fingerprints_grid(documents_as_scene_video_vflip(docs))
+
+
+def base_signatures_from_grid(grid_sig: DataFrame) -> DataFrame:
+    """The base 4-word signature relation, derived: drop the vflip
+    plants (they exist only in the grid tier's corpus) and project
+    the envelope + spatial words.  Equals ``video_fingerprints`` over
+    the base corpus row-for-row (projection-equivalence pytest)."""
+    return grid_sig.filter(F.col("doc_id") < VFLIP_PLANT_OFFSET).select(
+        "doc_id", "a_hi", "a_lo", "d_hi", "d_lo"
+    )
+
+
 def video_near_dup(
     media: DataFrame, hamming_max: int = HAMMING_MAX
 ) -> DataFrame:

@@ -3207,6 +3207,17 @@ def media_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perc_op.media_near_dup_clusters(media)
 
 
+def _video_grid_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video family's ONE decode pass (round 12, VERDICT ask #2):
+    6-word grid signatures over the vflip-planted corpus as a
+    write-once fixture — fingerprints, near_dup and near_dup_grid all
+    derive from this relation instead of each re-decoding the full
+    MP4 corpus (previously the bench's three most expensive queries,
+    one shared decode).  The signature-table-first shape is the one a
+    real 100 TB video pipeline has."""
+    return mm_op.cached_media(spark, sf_dir, video_op.VIDEO_SIG_CACHE_KIND)
+
+
 @register("video_fingerprints", video_op.sql_video_fingerprints())
 def video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-video luminance-envelope + left/right-half SPATIAL
@@ -3214,9 +3225,13 @@ def video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ISO-BMFF sample-table walk, per-frame PNG/JPEG decode, integer
     envelope + half sums) vs the oracle's closed-form scene
     arithmetic; frame-rate and resolution invariant by construction
-    (round-9 video tier; spatial word round-10)."""
-    media = mm_op.cached_media(spark, sf_dir, "scene_video")
-    return video_op.video_fingerprints(media)
+    (round-9 video tier; spatial word round-10).  Served from the
+    family's one-decode-pass signature fixture: the grid kernel's
+    base words are the envelope fingerprint by the same arithmetic
+    (projection-equivalence pytest pins it)."""
+    return video_op.base_signatures_from_grid(
+        _video_grid_sigs(spark, sf_dir)
+    )
 
 
 @register("video_near_dup", video_op.sql_video_near_dup())
@@ -3224,9 +3239,14 @@ def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup pairs: the MP4 mirror of media_near_dup /
     audio_near_dup — catches the planted RESIZED cross-codec twin and
     the FRAME-RATE-DOUBLED twin (both Hamming 0) plus the
-    re-encode-noise twin that exact digests miss."""
-    media = mm_op.cached_media(spark, sf_dir, "scene_video")
-    return video_op.video_near_dup(media)
+    re-encode-noise twin that exact digests miss.  Banded over the
+    family's shared signature fixture (one decode pass for the whole
+    family); parquet-backed, so no localCheckpoint is needed before
+    the self-join."""
+    return perc_op.banded_pairs(
+        video_op.base_signatures_from_grid(_video_grid_sigs(spark, sf_dir)),
+        video_op.HAMMING_MAX,
+    )
 
 
 @register(
@@ -3327,9 +3347,14 @@ def video_near_dup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     vflip-planted corpus — the planted vertical-flip twin (identical
     per-frame totals AND column sums, base-tier Hamming 0) separates
     on the grid word's top/bottom quadrants while the resized
-    cross-codec and rate-doubled twins still pair."""
-    media = mm_op.cached_media(spark, sf_dir, "scene_video_vflip")
-    return video_op.video_near_dup_grid(media)
+    cross-codec and rate-doubled twins still pair.  Banded directly
+    over the family's shared signature fixture (one decode pass
+    serves fingerprints, near_dup and this tier)."""
+    return perc_op.banded_pairs(
+        _video_grid_sigs(spark, sf_dir),
+        video_op.GRID_HAMMING_MAX,
+        kinds=video_op.GRID_KINDS,
+    )
 
 
 @register("media_near_dup_wide", perc_op.sql_media_near_dup_wide())
@@ -3396,17 +3421,26 @@ _PRIORITY = [
     # digest-pinned tail (still pytest-covered; IVF keeps its window
     # row via similarity_ivf_ann, chunking via token_counts/doc_*).
     "dedup_simhash_wide",
+    # Round-12 rotation (VERDICT ask #3): the round-11 headliners —
+    # dedup_simhash_prod (guarded text tier), text_admission_decisions
+    # (incremental TEXT admission) and video_near_dup_grid (grid-aHash
+    # word) — get direct driver-green rows; similarity_lsh_ann (banded
+    # LSH keeps window rows via dedup_minhash_lsh + the media tiers,
+    # ANN via similarity_topk/ivf), doc_winnowed_fingerprints
+    # (doc_fingerprints keeps the family's row) and media_near_dup_wide
+    # (the wide pair-band idiom keeps dedup_simhash_wide's row) move to
+    # the digest-pinned tail, all still pytest-covered.
+    "dedup_simhash_prod",
+    "text_admission_decisions",
     "dedup_clusters",
     "embedding_near_dup",
     # similarity / ANN tiers
     "similarity_topk",
-    "similarity_lsh_ann",
     "similarity_ivf_ann",
     # text analysis
     "text_metrics",
     "language_id",
     "doc_fingerprints",
-    "doc_winnowed_fingerprints",
     "token_counts",
     "repetition_metrics",
     "tfidf_top_terms",
@@ -3433,8 +3467,8 @@ _PRIORITY = [
     # to the digest-pinned tail, both still pytest-covered.
     "multimodal_metadata",
     "video_near_dup",
+    "video_near_dup_grid",
     "media_near_dup",
-    "media_near_dup_wide",
     "media_near_dup_prod",
     "media_admission_decisions",
     # temporal operators over the event stream
@@ -3449,6 +3483,9 @@ _PRIORITY = [
     "quantile_sketch",
     "column_stats_catalog_hll_prod",
     # positions 51+: first checked if the driver window is wider than 50
+    "similarity_lsh_ann",
+    "doc_winnowed_fingerprints",
+    "media_near_dup_wide",
     "knn_label_noise_ivf",
     "doc_chunks",
     "media_codec_manifest",

@@ -225,3 +225,41 @@ def test_grid_near_dup_spark_vs_kernel(spark, sf_dir) -> None:
         if d <= vid.GRID_HAMMING_MAX:
             want.add((a, b, d))
     assert got == want
+
+
+def test_grid_base_words_equal_envelope_fingerprint() -> None:
+    """The decode-once contract (round 12): the grid kernel's first
+    four words ARE the envelope fingerprint — same positions, same
+    sums — so the registry may serve video_fingerprints/video_near_dup
+    by projecting the cached 6-word signature table.  Checked across
+    every cohort member class (PNG canonical, resized JPEG twin,
+    rate-doubled+perturbed, fresh scene)."""
+    for d in range(8):
+        blob = vid._synth_scene_mp4(d)
+        assert vid._grid_fingerprint(blob)[:4] == vid._envelope_fingerprint(
+            blob
+        ), f"doc {d}"
+
+
+def test_base_signatures_from_grid_match_direct_kernel(spark, sf_dir) -> None:
+    """End-to-end projection equivalence on DataFrames: deriving the
+    base 4-word signatures from the vflip-corpus grid table (filter
+    plants, project words) reproduces video_fingerprints over the
+    base corpus row-for-row."""
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 24")
+    grid = vid.scene_video_grid_signatures(docs).localCheckpoint()
+    derived = {
+        tuple(r) for r in vid.base_signatures_from_grid(grid).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in vid.video_fingerprints(
+            vid.documents_as_scene_video(docs)
+        ).collect()
+    }
+    assert derived == direct
+    # and the grid table really does carry the plants the base tier drops
+    n_plants = grid.filter(
+        f"doc_id >= {vid.VFLIP_PLANT_OFFSET}"
+    ).count()
+    assert n_plants == 24 // vid.COHORT
