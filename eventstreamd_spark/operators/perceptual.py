@@ -764,6 +764,7 @@ def media_admission_decisions(
     batch: DataFrame,
     hamming_max: int = HAMMING_MAX,
     max_iters: int = 16,
+    wide: bool = False,
 ) -> DataFrame:
     """Batch-verifiable incremental admission: dedup the CORPUS first
     (its kept canonicals' signatures form the banded perceptual
@@ -771,11 +772,15 @@ def media_admission_decisions(
     streaming tier materializes per micro-batch, as one DataFrame a
     SQL oracle can state.  At 100 TB this is the nightly-ingest shape:
     the corpus index is a prebuilt signature table (5 BIGINTs/doc) and
-    only the new batch is decoded."""
+    only the new batch is decoded.  ``wide`` opts both the corpus
+    dedup and the admission join into the 32-bit pair-band layout
+    (the 10^9-doc tier; recall bound drops to the pair-band
+    pigeonhole guarantee, the dial ``banded_pairs_wide`` states)."""
     corpus_sig = perceptual_hashes(corpus).localCheckpoint()
     index_sig = corpus_sig.join(
         _sig_clusters(
-            corpus.select("doc_id"), corpus_sig, hamming_max, max_iters
+            corpus.select("doc_id"), corpus_sig, hamming_max, max_iters,
+            wide=wide,
         )
         .filter(F.col("keep"))
         .select("doc_id"),
@@ -786,6 +791,7 @@ def media_admission_decisions(
         index_sig,
         hamming_max,
         max_iters,
+        wide=wide,
     )
 
 

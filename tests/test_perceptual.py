@@ -344,3 +344,28 @@ def test_hot_bucket_guard_bounds_degenerate_floods(spark) -> None:
     small_flood = sig.filter("doc_id < 100 OR doc_id >= 100000")
     unguarded = perc.banded_matches_against(probe, small_flood, 10).count()
     assert unguarded == 102  # 2 twin matches + 100 flood matches
+
+
+def test_media_admission_wide_matches_narrow(spark, sf_dir) -> None:
+    """Round-12 (VERDICT ask #6): the BATCH admission face with
+    wide=True (32-bit pair-band candidates) — every planted media twin
+    sits within the wide tier's guaranteed-recall bound (the streaming
+    parity test's argument), so narrow and wide verdicts must be
+    identical on this corpus, decision for decision."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 400")
+    media = perc.documents_as_scene_media(docs).select("doc_id", "blob")
+    media = media.localCheckpoint()
+    in_corpus = F.col("doc_id") % 8
+    corpus = media.filter(in_corpus.isin(*perc.ADMIT_CORPUS_MOD8))
+    batch = media.filter(~in_corpus.isin(*perc.ADMIT_CORPUS_MOD8))
+    verdicts = {}
+    for wide in (False, True):
+        verdicts[wide] = {
+            (r["doc_id"], r["cluster_id"], r["keep"], r["reason"])
+            for r in perc.media_admission_decisions(
+                corpus, batch, wide=wide
+            ).collect()
+        }
+    assert verdicts[True] == verdicts[False]
