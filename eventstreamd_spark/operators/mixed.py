@@ -133,15 +133,32 @@ def mixed_media_fingerprints(media: DataFrame) -> DataFrame:
     )
 
 
+# the mixed family's ONE decode pass (round-12, the video-family
+# decode-once idiom) — bump the _sN suffix whenever the dispatch
+# kernel's OUTPUT changes
+MIXED_SIG_CACHE_KIND = "scene_mixed_sig_s1"
+
+
+def scene_mixed_signatures(docs: DataFrame) -> DataFrame:
+    """Full-corpus decode pass for the mixed family: dispatch-kernel
+    fingerprints over the mixed PNG/JPEG/WAV/MP4 corpus — the fixture
+    builder behind ``MIXED_SIG_CACHE_KIND``."""
+    return mixed_media_fingerprints(documents_as_mixed_media(docs))
+
+
 def mixed_media_near_dup(
-    media: DataFrame, hamming_max: int = HAMMING_MAX
+    media: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs over the mixed corpus: one banded tier serves
     all three modalities (decode-once checkpoint before the
-    self-join, as everywhere)."""
-    return banded_pairs(
-        mixed_media_fingerprints(media).localCheckpoint(), hamming_max
-    )
+    self-join, as everywhere).  ``sig``: pass a precomputed signature
+    relation (the registry's write-once fixture) and the decode is
+    skipped entirely."""
+    if sig is None:
+        sig = mixed_media_fingerprints(media).localCheckpoint()
+    return banded_pairs(sig, hamming_max)
 
 
 # ---------------------------------------------------------------------------

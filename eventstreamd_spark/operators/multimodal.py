@@ -84,10 +84,12 @@ def _media_builders() -> dict:
         "scene_video": video_op.documents_as_scene_video,
         "scene_video_vflip": video_op.documents_as_scene_video_vflip,
         "scene_mixed": mixed_op.documents_as_mixed_media,
-        # derived SIGNATURE fixture (not blobs): the video family's
-        # one-decode-pass relation — see video.VIDEO_SIG_CACHE_KIND
-        # for its own versioning rule
+        # derived SIGNATURE fixtures (not blobs): each family's
+        # one-decode-pass relation — see the *_SIG_CACHE_KIND
+        # constants for their own versioning rule
         video_op.VIDEO_SIG_CACHE_KIND: video_op.scene_video_grid_signatures,
+        perc_op.IMAGE_SIG_CACHE_KIND: perc_op.scene_image_signatures,
+        mixed_op.MIXED_SIG_CACHE_KIND: mixed_op.scene_mixed_signatures,
     }
 
 

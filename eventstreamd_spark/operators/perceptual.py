@@ -198,6 +198,23 @@ def documents_as_scene_media(docs: DataFrame) -> DataFrame:
     )
 
 
+# the image family's ONE decode pass (round-12, the video-family
+# decode-once idiom): the registry materializes this signature
+# relation through the write-once fixture cache and serves
+# media_perceptual_hashes + every near-dup tier + the admission
+# corpus side from it.  Bump the _sN suffix whenever the hash
+# kernel's OUTPUT changes (blob-synth changes keep using
+# multimodal._MEDIA_FIXTURE_VERSION).
+IMAGE_SIG_CACHE_KIND = "scene_image_sig_s1"
+
+
+def scene_image_signatures(docs: DataFrame) -> DataFrame:
+    """Full-corpus decode pass for the image family: perceptual
+    (aHash, dHash) signatures over the scene-image corpus — the
+    fixture builder behind ``IMAGE_SIG_CACHE_KIND``."""
+    return perceptual_hashes(documents_as_scene_media(docs))
+
+
 def _grid_hashes(blob: bytes) -> tuple[int, int, int, int]:
     """(a_hi, a_lo, d_hi, d_lo) from a decoded image (PNG or baseline
     JPEG, magic-byte dispatch) — pure integer pipeline; works for ANY
@@ -552,7 +569,11 @@ def banded_matches_against(
     )
 
 
-def media_near_dup(media: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+def media_near_dup(
+    media: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    sig: DataFrame | None = None,
+) -> DataFrame:
     """Banded perceptual near-dup pairs (simhash_pairs idiom): 4 bands
     x 16 bits per hash; a pair within Hamming 3 of either hash is
     GUARANTEED a band collision (pigeonhole), so the planted one-cell
@@ -577,8 +598,13 @@ def media_near_dup(media: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFram
     decode kernel through lineage, doubling the dominant per-blob cost
     (measured 2x in-bench on all three media tiers; at 100 TB the
     decode IS the bill, so paying it twice is a plan bug, not noise).
+    ``sig`` (round-12): pass a precomputed signature relation — e.g.
+    the write-once fixture the registry serves the family from — and
+    the decode is skipped entirely (the signature-table-first shape;
+    a parquet-backed relation needs no checkpoint).
     """
-    return banded_pairs(perceptual_hashes(media).localCheckpoint(), hamming_max)
+    sig = perceptual_hashes(media).localCheckpoint() if sig is None else sig
+    return banded_pairs(sig, hamming_max)
 
 
 # Production guard width: a bucket carrying more members than this is
@@ -594,22 +620,22 @@ def media_near_dup_prod(
     media: DataFrame,
     hamming_max: int = HAMMING_MAX,
     max_bucket: int = PROD_MAX_BUCKET,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """The GUARDED production twin of ``media_near_dup`` (round-10,
     VERDICT ask #4 — the sketch-tier prod-twin idiom): identical
     banding and verify, with the hot-bucket guard ON, mirrored by the
     oracle.  The unguarded ``media_near_dup`` stays registered as the
     exact-recall evaluation sibling; a production ingest should run
-    this one."""
-    return banded_pairs(
-        perceptual_hashes(media).localCheckpoint(),
-        hamming_max,
-        max_bucket=max_bucket,
-    )
+    this one.  ``sig`` as on ``media_near_dup``."""
+    sig = perceptual_hashes(media).localCheckpoint() if sig is None else sig
+    return banded_pairs(sig, hamming_max, max_bucket=max_bucket)
 
 
 def media_near_dup_wide(
-    media: DataFrame, hamming_max: int = HAMMING_MAX
+    media: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """The WIDE-BUCKET sibling of ``media_near_dup`` for corpora
     where 16-bit buckets' random collisions are the bill
@@ -619,14 +645,17 @@ def media_near_dup_wide(
     and ``hamming_max`` surface only probabilistically — the standard
     LSH r-vs-recall dial, stated in the open: 16-bit tier for
     guaranteed-recall evaluation and moderate n, 32-bit tier when n
-    makes the candidate term dominate."""
-    return banded_pairs_wide(
-        perceptual_hashes(media).localCheckpoint(), hamming_max
-    )
+    makes the candidate term dominate.  ``sig`` as on
+    ``media_near_dup``."""
+    sig = perceptual_hashes(media).localCheckpoint() if sig is None else sig
+    return banded_pairs_wide(sig, hamming_max)
 
 
 def media_near_dup_clusters(
-    media: DataFrame, hamming_max: int = HAMMING_MAX, max_iters: int = 16
+    media: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    max_iters: int = 16,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical keep/drop decision for media: (doc_id, cluster_id,
     keep) where cluster_id = min doc_id of the perceptual near-dup
@@ -639,13 +668,9 @@ def media_near_dup_clusters(
     large-star/small-star fixed point (O(log n) rounds), signatures
     AND edges localCheckpoint'ed so neither the pair self-join nor the
     rounds re-run the hash kernel through lineage; singletons restored
-    by one left join."""
-    return _sig_clusters(
-        media.select("doc_id"),
-        perceptual_hashes(media).localCheckpoint(),
-        hamming_max,
-        max_iters,
-    )
+    by one left join.  ``sig`` as on ``media_near_dup``."""
+    sig = perceptual_hashes(media).localCheckpoint() if sig is None else sig
+    return _sig_clusters(media.select("doc_id"), sig, hamming_max, max_iters)
 
 
 def _sig_clusters(
@@ -765,6 +790,7 @@ def media_admission_decisions(
     hamming_max: int = HAMMING_MAX,
     max_iters: int = 16,
     wide: bool = False,
+    corpus_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-verifiable incremental admission: dedup the CORPUS first
     (its kept canonicals' signatures form the banded perceptual
@@ -775,8 +801,13 @@ def media_admission_decisions(
     only the new batch is decoded.  ``wide`` opts both the corpus
     dedup and the admission join into the 32-bit pair-band layout
     (the 10^9-doc tier; recall bound drops to the pair-band
-    pigeonhole guarantee, the dial ``banded_pairs_wide`` states)."""
-    corpus_sig = perceptual_hashes(corpus).localCheckpoint()
+    pigeonhole guarantee, the dial ``banded_pairs_wide`` states).
+    ``corpus_sig`` (round-12) passes the prebuilt corpus signature
+    relation the docstring's nightly-ingest story describes — the
+    corpus decode is skipped and only the batch pays the kernel (the
+    registry serves it from the write-once signature fixture)."""
+    if corpus_sig is None:
+        corpus_sig = perceptual_hashes(corpus).localCheckpoint()
     index_sig = corpus_sig.join(
         _sig_clusters(
             corpus.select("doc_id"), corpus_sig, hamming_max, max_iters,

@@ -3171,6 +3171,15 @@ def column_stats_catalog_hll_prod(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _image_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image family's ONE decode pass (round 12, the video-family
+    idiom): perceptual signatures over the scene-image corpus as a
+    write-once fixture — the hash relation, every near-dup tier and
+    the admission corpus side all derive from it instead of each
+    re-decoding the corpus."""
+    return mm_op.cached_media(spark, sf_dir, perc_op.IMAGE_SIG_CACHE_KIND)
+
+
 @register("media_perceptual_hashes", perc_op.sql_perceptual_hashes())
 def media_perceptual_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aHash/dHash (integer average/gradient hash over a downsampled
@@ -3178,9 +3187,9 @@ def media_perceptual_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the REAL decode paths (zlib inflate + unfilter; Huffman +
     dequant + integer IDCT), magic-byte dispatched, vs the oracle's
     closed-form scene arithmetic; a decoder or grid bug flips hash
-    bits."""
-    media = mm_op.cached_media(spark, sf_dir, "scene_image")
-    return perc_op.perceptual_hashes(media)
+    bits.  Served from the family's one-decode-pass signature
+    fixture."""
+    return _image_sigs(spark, sf_dir)
 
 
 @register("media_codec_manifest", perc_op.sql_image_codec_manifest())
@@ -3202,9 +3211,12 @@ def media_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical keep/drop per perceptual cluster: connected components
     (large-star/small-star fixed point) over the Hamming-banded pair
     tier, singletons restored, min-doc_id canonical — 'keep one image
-    per cluster' as one auditable relation."""
-    media = mm_op.cached_media(spark, sf_dir, "scene_image")
-    return perc_op.media_near_dup_clusters(media)
+    per cluster' as one auditable relation.  Derived from the
+    family's shared signature fixture (one decode pass; the signature
+    relation carries one row per doc, so it IS the doc universe the
+    singleton restore needs)."""
+    sig = _image_sigs(spark, sf_dir)
+    return perc_op.media_near_dup_clusters(sig, sig=sig)
 
 
 def _video_grid_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3257,9 +3269,9 @@ def mixed_media_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     PNG/JPEG/WAV/MP4 blob column into the shared signature schema —
     the one-table ingest shape a real 100 TB media corpus has; the
     oracle covers all three modalities with one CASE-dispatched scene
-    CTE (round-9 capstone)."""
-    media = mm_op.cached_media(spark, sf_dir, "scene_mixed")
-    return mixed_op.mixed_media_fingerprints(media)
+    CTE (round-9 capstone).  Served from the family's one-decode-pass
+    signature fixture."""
+    return mm_op.cached_media(spark, sf_dir, mixed_op.MIXED_SIG_CACHE_KIND)
 
 
 @register("mixed_media_near_dup", mixed_op.sql_mixed_media_near_dup())
@@ -3267,9 +3279,10 @@ def mixed_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs over the mixed-modality corpus: ONE banded tier
     serves images, audio and video at once — every planted twin class
     (cross-codec resize, resample, frame-rate doubling, re-encode
-    noise) lands in a single relation."""
-    media = mm_op.cached_media(spark, sf_dir, "scene_mixed")
-    return mixed_op.mixed_media_near_dup(media)
+    noise) lands in a single relation.  Banded over the family's
+    shared signature fixture (one decode pass)."""
+    sig = mm_op.cached_media(spark, sf_dir, mixed_op.MIXED_SIG_CACHE_KIND)
+    return mixed_op.mixed_media_near_dup(sig, sig=sig)
 
 
 @register(
@@ -3284,12 +3297,20 @@ def media_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason in {'kept', 'near_dup_batch', 'near_dup_index'}.  The
     streaming foreachBatch kernel shares the SAME decision core
     (operators/perceptual.py::admission_decisions_from_sig), so this
-    oracle row also pins the stream tier's verdict semantics."""
+    oracle row also pins the stream tier's verdict semantics.
+    Round-12: the CORPUS side is served from the family's signature
+    fixture — exactly the "prebuilt corpus signature table" the
+    nightly-ingest story describes — so only the BATCH pays the real
+    decode."""
     media = mm_op.cached_media(spark, sf_dir, "scene_image").select("doc_id", "blob")
     in_corpus = F.col("doc_id") % 8
-    corpus = media.filter(in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
+    corpus_sig = _image_sigs(spark, sf_dir).filter(
+        in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8)
+    )
     batch = media.filter(~in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
-    return perc_op.media_admission_decisions(corpus, batch)
+    return perc_op.media_admission_decisions(
+        corpus_sig, batch, corpus_sig=corpus_sig
+    )
 
 
 @register(
@@ -3335,9 +3356,10 @@ def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands per hash, simhash_pairs idiom) + combined-Hamming verify —
     catches the resized duplicates (member 1: Hamming 0 at a different
     resolution) and re-encode-noise twins (member 2) that exact
-    digests (media_dedup) miss by construction."""
-    media = mm_op.cached_media(spark, sf_dir, "scene_image")
-    return perc_op.media_near_dup(media)
+    digests (media_dedup) miss by construction.  Banded over the
+    family's shared signature fixture (one decode pass)."""
+    sig = _image_sigs(spark, sf_dir)
+    return perc_op.media_near_dup(sig, sig=sig)
 
 
 @register("video_near_dup_grid", video_op.sql_video_near_dup_grid())
@@ -3363,9 +3385,10 @@ def media_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume n^2/2^32 instead of n^2/2^16 (the measured 16-bit tier hit
     44M random candidates at 500k docs — quadratic at every further
     decade), guaranteed recall at combined Hamming <= 6; the tier a
-    10^10-doc corpus runs."""
-    media = mm_op.cached_media(spark, sf_dir, "scene_image")
-    return perc_op.media_near_dup_wide(media)
+    10^10-doc corpus runs.  Banded over the shared signature
+    fixture."""
+    sig = _image_sigs(spark, sf_dir)
+    return perc_op.media_near_dup_wide(sig, sig=sig)
 
 
 @register("media_near_dup_prod", perc_op.sql_media_near_dup_prod())
@@ -3374,9 +3397,10 @@ def media_near_dup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     prod-twin idiom): hot-bucket guard ON (max_bucket=64), oracle
     mirrors the guard, so a degenerate thumbnail flood stays
     subquadratic on a production ingest; the unguarded sibling keeps
-    the exact-recall evaluation row."""
-    media = mm_op.cached_media(spark, sf_dir, "scene_image")
-    return perc_op.media_near_dup_prod(media)
+    the exact-recall evaluation row.  Banded over the shared
+    signature fixture."""
+    sig = _image_sigs(spark, sf_dir)
+    return perc_op.media_near_dup_prod(sig, sig=sig)
 
 
 # ---------------------------------------------------------------------------
