@@ -1272,7 +1272,7 @@ def _sql_simhash_band_rows(src: str = "sig") -> str:
     )
 
 
-def _sql_simhash_pair_band_rows() -> str:
+def _sql_simhash_pair_band_rows(src: str = "sig") -> str:
     rows = []
     k = 0
     for i in range(SIMHASH_BANDS):
@@ -1280,7 +1280,7 @@ def _sql_simhash_pair_band_rows() -> str:
             rows.append(
                 f"SELECT doc_id, sig_hi, sig_lo, {k} AS band, "
                 f"(({_sql_simhash_chunk(i)} << {SIMHASH_BAND_BITS}) "
-                f"+ {_sql_simhash_chunk(j)}) AS bhash FROM sig"
+                f"+ {_sql_simhash_chunk(j)}) AS bhash FROM {src}"
             )
             k += 1
     return " UNION ALL ".join(rows)
@@ -2366,6 +2366,32 @@ def sql_text_admission_decisions(
         f"doc_id < {PLANT_OFFSET} AND doc_id % 2 = 0",
         f"doc_id >= {PLANT_OFFSET} OR doc_id % 2 = 1",
         _sql_simhash_band_rows,
+        ham,
+        hamming_max,
+    )
+    return f"""
+WITH RECURSIVE {_sql_simhash_sig_chain(base_sql)},
+{tail}"""
+
+
+def sql_text_admission_decisions_wide(
+    base_sql: str, hamming_max: int = HAMMING_MAX
+) -> str:
+    """DuckDB twin of the WIDE text-admission face (round 12): the
+    identical split and decision arithmetic, with candidates from the
+    6 x 32-bit PAIR bands instead of the 4 x 16-bit bands — the exact
+    banding the Spark side runs with ``wide=True``, so the engines see
+    identical candidate sets by construction."""
+    from eventstreamd_spark.operators.perceptual import sql_admission_tail
+
+    ham = (
+        "bit_count(xor(l.sig_hi, r.sig_hi)) "
+        "+ bit_count(xor(l.sig_lo, r.sig_lo))"
+    )
+    tail = sql_admission_tail(
+        f"doc_id < {PLANT_OFFSET} AND doc_id % 2 = 0",
+        f"doc_id >= {PLANT_OFFSET} OR doc_id % 2 = 1",
+        _sql_simhash_pair_band_rows,
         ham,
         hamming_max,
     )

@@ -1247,6 +1247,26 @@ WITH RECURSIVE {_sql_scene_hashes(table)},
 {tail}"""
 
 
+def sql_media_admission_decisions_wide(
+    table: str = "documents", hamming_max: int = HAMMING_MAX
+) -> str:
+    """DuckDB twin of the WIDE media-admission face (round 12): the
+    identical split and decision arithmetic over the 28 x 32-bit
+    PAIR-band candidate layout — the exact banding the Spark side
+    runs with ``wide=True``."""
+    mods = ", ".join(str(m) for m in ADMIT_CORPUS_MOD8)
+    tail = sql_admission_tail(
+        f"doc_id % 8 IN ({mods})",
+        f"doc_id % 8 NOT IN ({mods})",
+        _sql_pair_band_rows,
+        _sql_hamming(),
+        hamming_max,
+    )
+    return f"""
+WITH RECURSIVE {_sql_scene_hashes(table)},
+{tail}"""
+
+
 def sql_image_codec_manifest(table: str = "documents") -> str:
     """Integer-exact twin of the codec manifest over the scene
     fixture: render geometry is closed-form per cohort member (size,

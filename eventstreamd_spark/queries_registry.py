@@ -604,6 +604,29 @@ def text_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_admission_wide",
+    dedup_op.sql_text_admission_decisions_wide(
+        dedup_op.sql_planted_near_dups()
+    ),
+)
+def text_admission_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDE text-admission face (round 12): the identical
+    corpus/batch split and decision kernel with wide=True — candidates
+    from the 6 x 32-bit pair bands, the layout a 10^9-doc kept corpus
+    runs at ingest.  The oracle replays the exact pair banding, so
+    the recall notch (pair-band pigeonhole vs 4-band) cancels between
+    the engines and the row is hash-exact like the narrow face."""
+    docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    corpus = docs.filter(
+        (F.col("doc_id") < dedup_op.PLANT_OFFSET) & (F.col("doc_id") % 2 == 0)
+    )
+    batch = docs.filter(
+        (F.col("doc_id") >= dedup_op.PLANT_OFFSET) | (F.col("doc_id") % 2 == 1)
+    )
+    return dedup_op.text_admission_decisions(corpus, batch, wide=True)
+
+
+@register(
     "dedup_simhash_prod",
     dedup_op.sql_simhash_pairs_prod(dedup_op.sql_planted_near_dups()),
 )
@@ -3314,6 +3337,26 @@ def media_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_admission_wide", perc_op.sql_media_admission_decisions_wide()
+)
+def media_admission_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDE media-admission face (round 12): the identical split
+    and decision kernel with wide=True — candidates from the 28 x
+    32-bit pair bands (the 10^9-doc index layout), corpus side served
+    from the signature fixture like the narrow face.  Oracle replays
+    the exact pair banding, so the row is hash-exact."""
+    media = mm_op.cached_media(spark, sf_dir, "scene_image").select("doc_id", "blob")
+    in_corpus = F.col("doc_id") % 8
+    corpus_sig = _image_sigs(spark, sf_dir).filter(
+        in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8)
+    )
+    batch = media.filter(~in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
+    return perc_op.media_admission_decisions(
+        corpus_sig, batch, wide=True, corpus_sig=corpus_sig
+    )
+
+
+@register(
     "media_split_leakage",
     perc_op.sql_media_split_leakage(weights=_SPLIT_WEIGHTS),
 )
@@ -3629,6 +3672,8 @@ _COST_HINT = {
     "ivf_incremental_add": 0.80, "user_diversity": 0.35,
     "session_stats": 0.55, "column_stats_catalog_hll": 2.00,
     "hll_distinct_prod": 0.20, "hll_distinct_by_type_prod": 0.25,
+    # round-12: the wide admission faces
+    "media_admission_wide": 2.50, "text_admission_wide": 4.50,
     "kmv_distinct_prod": 0.30, "kmv_join_size_prod": 0.35,
     "schema_drift_state_merge": 0.40,
     "quantile_sketch": 0.30, "rater_agreement_kappa": 0.45,

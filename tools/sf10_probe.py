@@ -90,7 +90,8 @@ TARGETS = [
     ("dedup_simhash_prod", 1.0, "~N (banded SimHash + hot-bucket gate)"),
     # round-12 (VERDICT ask #6): the WIDE (32-bit pair-band) admission
     # faces — the layout a 10^9-doc kept corpus needs — probed at the
-    # same decade as their 16-bit siblings
+    # same decade as their 16-bit siblings (registered queries with
+    # full pair-band oracles since late round 12)
     ("text_admission_wide", 1.15, "~N log n (wide pair-band text admission)"),
     ("media_admission_wide", 1.15, "~N log n (wide pair-band media admission)"),
 ]
@@ -118,48 +119,7 @@ def _resumable_inference_score(spark, sf_dir: str):
     return inf_op.read_inference_output(spark, out_dir)
 
 
-def _text_admission_wide(spark, sf_dir: str):
-    """The registered text-admission split with wide=True (the 32-bit
-    pair-band index layout) — no registry entry: the narrow face is
-    the oracle-checked query; this probes the wide layout's decade."""
-    from pyspark.sql import functions as F
-
-    from eventstreamd_spark.operators import dedup as dd
-    from eventstreamd_spark.session import load_table
-
-    docs = dd.with_planted_near_dups(
-        load_table(spark, sf_dir, "documents")
-    )
-    corpus = docs.filter(
-        (F.col("doc_id") < dd.PLANT_OFFSET) & (F.col("doc_id") % 2 == 0)
-    )
-    batch = docs.filter(
-        (F.col("doc_id") >= dd.PLANT_OFFSET) | (F.col("doc_id") % 2 == 1)
-    )
-    return dd.text_admission_decisions(corpus, batch, wide=True)
-
-
-def _media_admission_wide(spark, sf_dir: str):
-    """The registered media-admission split with wide=True."""
-    from pyspark.sql import functions as F
-
-    from eventstreamd_spark.operators import multimodal as mm_op
-    from eventstreamd_spark.operators import perceptual as perc_op
-
-    media = mm_op.cached_media(spark, sf_dir, "scene_image").select(
-        "doc_id", "blob"
-    )
-    in_corpus = F.col("doc_id") % 8
-    corpus = media.filter(in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
-    batch = media.filter(~in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
-    return perc_op.media_admission_decisions(corpus, batch, wide=True)
-
-
-CUSTOM = {
-    "resumable_inference_score": _resumable_inference_score,
-    "text_admission_wide": _text_admission_wide,
-    "media_admission_wide": _media_admission_wide,
-}
+CUSTOM = {"resumable_inference_score": _resumable_inference_score}
 
 
 def build_blowup100(spark) -> None:
