@@ -3532,12 +3532,20 @@ _PRIORITY = [
     # kernel, same class the round-9 rotation demoted) and
     # sliding_window_counts (the tumbling variant keeps its row) move
     # to the digest-pinned tail, both still pytest-covered.
+    # Round-12 second rotation: the round's own headliners — the WIDE
+    # admission faces, registered with full pair-band oracles this
+    # round — go driver-green immediately (no one-round lag);
+    # media_near_dup_prod (the prod-guard idiom keeps
+    # dedup_simhash_prod's window row) and kmv_join_size_prod (the
+    # sketch tier keeps three window rows) move to the digest-pinned
+    # tail, both still pytest-covered.
     "multimodal_metadata",
     "video_near_dup",
     "video_near_dup_grid",
     "media_near_dup",
-    "media_near_dup_prod",
     "media_admission_decisions",
+    "media_admission_wide",
+    "text_admission_wide",
     # temporal operators over the event stream
     "asof_latest_order_per_event",
     "tumbling_window_counts",
@@ -3546,10 +3554,11 @@ _PRIORITY = [
     # sketches: the production tier (sketch-only plans — what actually
     # ships at 100 TB) gets the driver-green slots
     "hll_distinct_prod",
-    "kmv_join_size_prod",
     "quantile_sketch",
     "column_stats_catalog_hll_prod",
     # positions 51+: first checked if the driver window is wider than 50
+    "media_near_dup_prod",
+    "kmv_join_size_prod",
     "similarity_lsh_ann",
     "doc_winnowed_fingerprints",
     "media_near_dup_wide",
