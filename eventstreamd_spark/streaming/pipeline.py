@@ -1410,13 +1410,16 @@ def start_media_admission(
     )
 
 
-def seed_text_index(sig: DataFrame, index_dir: str) -> None:
+def seed_text_index(
+    sig: DataFrame, index_dir: str, wide: bool = False
+) -> None:
     """Seed the TEXT admission index: a (doc_id, s_hi, s_lo) SimHash
     relation (``dedup.simhash_admission_signatures`` filtered to kept
-    canonicals) in the band-partitioned layout."""
+    canonicals) in the band-partitioned layout (``wide``: the 32-bit
+    pair-band layout)."""
     from eventstreamd_spark.operators.dedup import TEXT_SIG_KINDS
 
-    seed_media_index(sig, index_dir, TEXT_SIG_KINDS)
+    seed_media_index(sig, index_dir, TEXT_SIG_KINDS, wide)
 
 
 def start_text_admission(
@@ -1426,6 +1429,7 @@ def start_text_admission(
     checkpoint: str,
     hamming_max: int | None = None,
     max_bucket: int | None = None,
+    wide: bool = False,
 ) -> StreamingQuery:
     """Incremental TEXT near-dup admission at ingest (round 11): the
     media admission machinery with the 64-bit shingle SimHash as the
@@ -1452,6 +1456,7 @@ def start_text_admission(
         simhash_admission_signatures,
         max_bucket,
         TEXT_SIG_KINDS,
+        wide,
     )
 
 
@@ -1464,6 +1469,7 @@ def text_admission_cycle(
     max_bucket: int | None = None,
     max_delta_epochs: int = 8,
     retention_epochs: int | None = None,
+    wide: bool = False,
 ) -> dict:
     """One text-ingest cycle with lifecycle maintenance — the text
     face of ``media_admission_cycle``."""
@@ -1484,4 +1490,5 @@ def text_admission_cycle(
         max_delta_epochs,
         retention_epochs,
         TEXT_SIG_KINDS,
+        wide,
     )

@@ -2219,3 +2219,87 @@ def test_wide_admission_index_matches_standard(spark, sf_dir, tmp_path) -> None:
     assert all(0 <= r["bhash"] < 1 << 32 for r in rows)
     assert all(0 <= r["bp"] < 256 for r in rows)
     assert any(r["bhash"] >= 1 << 16 for r in rows)
+
+
+def test_text_admission_stream_matches_batch_wide(
+    spark, sf_dir, tmp_path
+) -> None:
+    """Round-12: the TEXT admission stream with the WIDE (32-bit
+    pair-band) index layout reproduces the batch wide face
+    (``text_admission_decisions(wide=True)``) — the remaining cell of
+    the {media,text} x {narrow,wide} x {batch,stream} parity matrix.
+    Same cluster/keep agreement contract as the narrow test (a
+    straddling plant may flip near_dup_batch -> near_dup_index)."""
+    import os
+
+    from eventstreamd_spark.operators import dedup as dd
+    from eventstreamd_spark.operators.perceptual import _sig_clusters
+    from eventstreamd_spark.session import load_table
+    from eventstreamd_spark.streaming.pipeline import (
+        seed_text_index,
+        start_text_admission,
+    )
+
+    docs = dd.with_planted_near_dups(
+        load_table(spark, sf_dir, "documents").filter("doc_id < 40")
+    ).localCheckpoint()
+    corpus = docs.filter(
+        (F.col("doc_id") < dd.PLANT_OFFSET) & (F.col("doc_id") % 2 == 0)
+    )
+    batch = docs.filter(
+        (F.col("doc_id") >= dd.PLANT_OFFSET) | (F.col("doc_id") % 2 == 1)
+    ).localCheckpoint()
+
+    want = {
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in dd.text_admission_decisions(
+            corpus, batch, wide=True
+        ).collect()
+    }
+
+    corpus_sig = dd.simhash_admission_signatures(corpus).localCheckpoint()
+    kept = (
+        _sig_clusters(
+            corpus.select("doc_id"), corpus_sig, dd.HAMMING_MAX, 16,
+            dd.TEXT_SIG_KINDS, wide=True,
+        )
+        .filter("keep")
+        .select("doc_id")
+    )
+    src = str(tmp_path / "tw_src")
+    idx, out = str(tmp_path / "tw_idx"), str(tmp_path / "tw_out")
+    ckpt = str(tmp_path / "tw_ckpt")
+    os.makedirs(src)
+    seed_text_index(corpus_sig.join(kept, "doc_id"), idx, wide=True)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .format("parquet")
+            .load(src)
+        )
+        q = start_text_admission(stream, idx, out, ckpt, wide=True)
+        q.awaitTermination(180)
+
+    batch.filter(f"doc_id < {dd.PLANT_OFFSET}").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    batch.filter(f"doc_id >= {dd.PLANT_OFFSET}").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    got = {
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in spark.read.parquet(out).drop("batch_id", "reason").collect()
+    }
+    assert got == want
+    # layout sanity: the text wide index uses the 6 pair bands
+    from eventstreamd_spark.streaming.pipeline import _stack_for_index
+
+    rows = _stack_for_index(
+        corpus_sig.limit(4), dd.TEXT_SIG_KINDS, wide=True
+    ).collect()
+    assert len({r["band"] for r in rows}) == 6
+    assert all(0 <= r["bhash"] < 1 << 32 for r in rows)
