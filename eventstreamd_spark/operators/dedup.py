@@ -891,11 +891,13 @@ SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
 
 def _simhash64_py(text: str | None) -> tuple[int, int]:
     """The 64-bit shingle-SimHash spec, executable: lowercased
-    ASCII-whitespace tokens -> distinct 3-word shingles (whole-text
-    fallback under 3 tokens) -> one md5 per shingle (hex chars 1-8 =
-    hi word, 9-16 = lo word) -> per-bit majority vote, ties set.
-    Identical by construction to the pure-Python reference in
-    tests/test_simhash.py and to the DuckDB oracle chain
+    whitespace tokens (``re.split(r"\\s+")`` — byte-identical to the
+    pure-Python reference in tests/test_simhash.py; the JVM/RE2
+    twins agree on every ASCII-whitespace corpus, which the fixtures
+    are) -> distinct 3-word shingles (whole-text fallback under 3
+    tokens) -> one md5 per shingle (hex chars 1-8 = hi word, 9-16 =
+    lo word) -> per-bit majority vote, ties set.  Identical by
+    construction to the DuckDB oracle chain
     (sql_tokens/sql_word_shingles/_sql_simhash_sig_chain)."""
     import hashlib
     import re
