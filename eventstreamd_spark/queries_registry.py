@@ -3681,8 +3681,8 @@ _COST_HINT = {
     "ivf_incremental_add": 0.80, "user_diversity": 0.35,
     "session_stats": 0.55, "column_stats_catalog_hll": 2.00,
     "hll_distinct_prod": 0.20, "hll_distinct_by_type_prod": 0.25,
-    # round-12: the wide admission faces
-    "media_admission_wide": 2.50, "text_admission_wide": 4.50,
+    # round-12: the wide admission faces (in-bench measured)
+    "media_admission_wide": 5.30, "text_admission_wide": 4.10,
     "kmv_distinct_prod": 0.30, "kmv_join_size_prod": 0.35,
     "schema_drift_state_merge": 0.40,
     "quantile_sketch": 0.30, "rater_agreement_kappa": 0.45,
