@@ -53,12 +53,19 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
 
 
 def sql_word_shingles(toks_expr: str, n: int = 3) -> str:
-    """DuckDB twin of word_shingles (list_transform over a range)."""
+    """DuckDB twin of word_shingles (list_transform over a range).
+
+    The short-doc fallback COALESCEs to '': DuckDB's
+    ``array_to_string([], ' ')`` is NULL (Spark's ``concat_ws`` is
+    ''), and ``list_distinct`` silently DROPS the NULL — an empty or
+    whitespace-only document would then have zero features and an
+    all-ones majority signature on the oracle side while Spark votes
+    md5('') (round-12 review catch, confirmed against DuckDB 1.0)."""
     return (
         f"list_distinct(CASE WHEN len({toks_expr}) >= {n} THEN "
         f"list_transform(range(0, len({toks_expr}) - {n} + 1), "
         f"i -> array_to_string(list_slice({toks_expr}, i + 1, i + {n}), ' ')) "
-        f"ELSE [array_to_string({toks_expr}, ' ')] END)"
+        f"ELSE [coalesce(array_to_string({toks_expr}, ' '), '')] END)"
     )
 
 

@@ -35,7 +35,11 @@ bands x rows).
 
 from __future__ import annotations
 
+import hashlib as _hashlib
+import re as _re
 from typing import Iterator
+
+import numpy as _np
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -889,24 +893,33 @@ SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
 """
 
 
+# _simhash64_py constants, hoisted: the kernel runs once per DOCUMENT
+# inside the Arrow batch loop, so per-call arange/shift allocations
+# would be per-row overhead in the tier's dominant kernel
+_SIMHASH_WS = _re.compile(r"\s+", _re.ASCII)
+_SIMHASH_BITS32 = _np.arange(32, dtype=_np.uint32)
+_SIMHASH_POW32 = _np.uint64(1) << _np.arange(32, dtype=_np.uint64)
+
+
 def _simhash64_py(text: str | None) -> tuple[int, int]:
     """The 64-bit shingle-SimHash spec, executable: lowercased
-    whitespace tokens (``re.split(r"\\s+")`` — byte-identical to the
-    pure-Python reference in tests/test_simhash.py; the JVM/RE2
-    twins agree on every ASCII-whitespace corpus, which the fixtures
-    are) -> distinct 3-word shingles (whole-text fallback under 3
-    tokens) -> one md5 per shingle (hex chars 1-8 = hi word, 9-16 =
-    lo word) -> per-bit majority vote, ties set.  Identical by
-    construction to the DuckDB oracle chain
-    (sql_tokens/sql_word_shingles/_sql_simhash_sig_chain)."""
-    import hashlib
-    import re
+    whitespace tokens -> distinct 3-word shingles (whole-text
+    fallback under 3 tokens) -> one md5 per shingle (hex chars 1-8 =
+    hi word, 9-16 = lo word) -> per-bit majority vote, ties set.
+    Identical by construction to the pure-Python reference in
+    tests/test_simhash.py and to the DuckDB oracle chain
+    (sql_tokens/sql_word_shingles/_sql_simhash_sig_chain).
 
-    import numpy as np
-
+    Tokenization is ``re.ASCII`` ``\\s+`` — the set
+    [space, \\t, \\n, \\r, \\f, \\v], which is exactly what BOTH
+    twin engines split on (Java regex ``\\s`` and RE2's ``\\s`` are
+    ASCII-only); Python's default Unicode ``\\s`` would additionally
+    split on U+00A0/U+2028/… and fork the signature from the oracle
+    on any corpus containing Unicode whitespace (round-12 review
+    catch)."""
     if text is None:
         return 0, 0
-    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    toks = [t for t in _SIMHASH_WS.split(text.lower()) if t]
     if len(toks) >= 3:
         sh = set(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
     else:
@@ -914,16 +927,16 @@ def _simhash64_py(text: str | None) -> tuple[int, int]:
     n = len(sh)
     # md5 digest bytes 0-3 big-endian == hex chars 1-8 (the hi word);
     # bytes 4-7 == chars 9-16 (lo) — one C-speed hash per shingle
-    words = np.frombuffer(
-        b"".join(hashlib.md5(s.encode("utf-8")).digest()[:8] for s in sh),
+    words = _np.frombuffer(
+        b"".join(_hashlib.md5(s.encode("utf-8")).digest()[:8] for s in sh),
         dtype=">u4",
     ).reshape(n, 2)
-    counts = (
-        (words[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
-    ).sum(axis=0)
-    powers = np.uint64(1) << np.arange(32, dtype=np.uint64)
-    maj = (counts * 2 >= n).astype(np.uint64)
-    return int((maj[0] * powers).sum()), int((maj[1] * powers).sum())
+    counts = ((words[:, :, None] >> _SIMHASH_BITS32) & 1).sum(axis=0)
+    maj = (counts * 2 >= n).astype(_np.uint64)
+    return (
+        int((maj[0] * _SIMHASH_POW32).sum()),
+        int((maj[1] * _SIMHASH_POW32).sum()),
+    )
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
@@ -2318,8 +2331,13 @@ def text_admission_decisions(
     is a prebuilt 2-BIGINT/doc signature table and only the new batch
     is tokenized.  ``wide`` opts both the corpus dedup and the
     admission join into the 32-bit pair-band layout (the 10^9-doc
-    tier; Hamming guarantee drops to the pair-band pigeonhole bound,
-    same dial as ``simhash_pairs_wide``)."""
+    tier).  The VERIFY bound stays ``hamming_max`` under both layouts
+    — wide changes candidate generation only, so guaranteed recall
+    drops to the pair-band pigeonhole bound (combined Hamming <= 2)
+    and distance-3 twins surface best-effort; the media wide
+    admission face states the same dial (guarantee 6, verify
+    ``hamming_max``).  Both engines band identically, so the
+    registered wide face stays hash-exact regardless."""
     from eventstreamd_spark.operators.perceptual import (
         _sig_clusters,
         admission_decisions_from_sig,

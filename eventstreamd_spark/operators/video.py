@@ -439,7 +439,15 @@ def base_signatures_from_grid(grid_sig: DataFrame) -> DataFrame:
     """The base 4-word signature relation, derived: drop the vflip
     plants (they exist only in the grid tier's corpus) and project
     the envelope + spatial words.  Equals ``video_fingerprints`` over
-    the base corpus row-for-row (projection-equivalence pytest)."""
+    the base corpus row-for-row (projection-equivalence pytest).
+
+    Plant-namespace convention (repo-wide, shared with
+    ``dedup.PLANT_OFFSET`` and every planted oracle predicate): real
+    doc_ids live below ``VFLIP_PLANT_OFFSET`` (100 000) within any
+    contiguous id block — the fixtures hold this at every sf, and the
+    sf10 blow-up keeps it by replicating ids into disjoint 625 000-id
+    strides (plants land in the gap).  A corpus violating it would
+    break the ORACLES' doc_id-range predicates before this filter."""
     return grid_sig.filter(F.col("doc_id") < VFLIP_PLANT_OFFSET).select(
         "doc_id", "a_hi", "a_lo", "d_hi", "d_lo"
     )

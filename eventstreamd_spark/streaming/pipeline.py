@@ -1276,12 +1276,16 @@ def maintain_media_index(
       than ``last_committed - retention_epochs + 1`` — the rolling
       near-dup window, now on a clock instead of a hand-picked cutoff.
       Runs BEFORE compaction so evicted epochs aren't folded into the
-      seed first.  The seed partition (``batch_id=-1``) ages out with
-      the window too: ``evict_media_index``'s contract drops it once
-      the cutoff passes -1 (it holds only epochs older than any
-      numbered delta), and the report records that as
-      ``seed_evicted``.  A later compaction then rebuilds the seed
-      from the surviving deltas.
+      seed first.  When retention fires (a stale NUMBERED delta
+      exists), the seed partition (``batch_id=-1``) ages out with it —
+      ``evict_media_index``'s contract drops it once the cutoff
+      passes -1 — and the report records that as ``seed_evicted``.
+      The policy is triggered by stale numbered deltas only: a window
+      whose cutoff has passed -1 but whose numbered deltas are all
+      in-window leaves the seed standing until the next stale delta
+      (deliberate — eviction on cutoff alone would delete a
+      just-compacted seed holding in-window signatures).  A later
+      compaction rebuilds the seed from the surviving deltas.
     - **compaction** (``max_delta_epochs``): when the number of
       accreted ``batch_id`` delta dirs reaches the threshold, fold the
       committed ones into the seed.  The commits log gates the fold
@@ -1321,7 +1325,17 @@ def maintain_media_index(
             report["fired"] = True
             report["evicted_epochs"] = len(stale)
             report["seed_evicted"] = seed_stale
-    if len(_deltas()) >= max_delta_epochs:
+    deltas_now = _deltas()
+    # fire compaction only when there is something foldable: a seed to
+    # rebuild or at least one COMMITTED delta — otherwise
+    # compact_media_index would no-op (nothing committed, no seed) and
+    # reporting compacted=True would claim a fold that never happened,
+    # re-firing on every call (round-12 review catch)
+    committed_now = last_committed_batch(checkpoint)
+    foldable = os.path.isdir(f"{index_dir}/batch_id=-1") or any(
+        b <= committed_now for b in deltas_now
+    )
+    if len(deltas_now) >= max_delta_epochs and foldable:
         compact_media_index(spark, index_dir, checkpoint, kinds, wide)
         report["fired"] = True
         report["compacted"] = True

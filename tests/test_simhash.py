@@ -25,10 +25,13 @@ from eventstreamd_spark.operators import dedup as dd
 
 def _ref_tokens(text: str) -> list[str]:
     """Mirror of functions.text.tokens: lowercased whitespace split,
-    empties dropped."""
+    empties dropped.  re.ASCII deliberately: Java regex \\s and RE2's
+    \\s are both ASCII-only [ \\t\\n\\r\\f\\v], so the spec splits on
+    exactly that set — Python's default Unicode \\s would also split
+    on U+00A0 etc. and fork the reference from both engines."""
     import re
 
-    return [t for t in re.split(r"\s+", text.lower()) if t]
+    return [t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t]
 
 
 def _ref_features(text: str, n: int = 3) -> list[str]:
@@ -219,7 +222,7 @@ def test_prod_guard_inert_on_real_corpus_collapses_flood(spark) -> None:
     assert got == std
 
 
-def test_text_admission_wide_face(spark) -> None:
+def test_text_admission_wide_face(spark, sf_dir) -> None:
     """Round-12 (VERDICT ask #6): the batch text-admission face with
     wide=True (32-bit pair-band layout).  Narrow and wide verdicts
     agree wherever the wide tier's recall guarantee applies; here the
@@ -229,9 +232,7 @@ def test_text_admission_wide_face(spark) -> None:
     from eventstreamd_spark.session import load_table
 
     docs = dd.with_planted_near_dups(
-        load_table(spark, "/root/testdata/sf0.001", "documents").filter(
-            "doc_id < 40"
-        )
+        load_table(spark, sf_dir, "documents").filter("doc_id < 40")
     ).localCheckpoint()
     corpus = docs.filter(
         (F.col("doc_id") < dd.PLANT_OFFSET) & (F.col("doc_id") % 2 == 0)
