@@ -134,15 +134,16 @@ def mixed_media_fingerprints(media: DataFrame) -> DataFrame:
 
 
 # the mixed family's ONE decode pass (round-12, the video-family
-# decode-once idiom) — bump the _sN suffix whenever the dispatch
-# kernel's OUTPUT changes
+# decode-once idiom): session-cached by multimodal.cached_media —
+# computed every invocation, never persisted across runs.  The _sN
+# suffix names the dispatch kernel's OUTPUT version in the view key.
 MIXED_SIG_CACHE_KIND = "scene_mixed_sig_s1"
 
 
 def scene_mixed_signatures(docs: DataFrame) -> DataFrame:
     """Full-corpus decode pass for the mixed family: dispatch-kernel
-    fingerprints over the mixed PNG/JPEG/WAV/MP4 corpus — the fixture
-    builder behind ``MIXED_SIG_CACHE_KIND``."""
+    fingerprints over the mixed PNG/JPEG/WAV/MP4 corpus — spec twin of
+    the session-cached relation behind ``MIXED_SIG_CACHE_KIND``."""
     return mixed_media_fingerprints(documents_as_mixed_media(docs))
 
 

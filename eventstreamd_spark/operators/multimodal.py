@@ -84,12 +84,41 @@ def _media_builders() -> dict:
         "scene_video": video_op.documents_as_scene_video,
         "scene_video_vflip": video_op.documents_as_scene_video_vflip,
         "scene_mixed": mixed_op.documents_as_mixed_media,
-        # derived SIGNATURE fixtures (not blobs): each family's
-        # one-decode-pass relation — see the *_SIG_CACHE_KIND
-        # constants for their own versioning rule
-        video_op.VIDEO_SIG_CACHE_KIND: video_op.scene_video_grid_signatures,
-        perc_op.IMAGE_SIG_CACHE_KIND: perc_op.scene_image_signatures,
-        mixed_op.MIXED_SIG_CACHE_KIND: mixed_op.scene_mixed_signatures,
+    }
+
+
+def _sig_builders() -> dict:
+    """sig kind -> (blob fixture kind, fingerprint fn).
+
+    DERIVED signature relations are deliberately NOT on the disk-
+    fixture path above: the blobs are synthetic INPUTS (a stand-in for
+    the object store a real pipeline reads), but the per-frame decode
+    + hash is exactly the work the registered queries claim to
+    measure, and persisting its output across bench invocations would
+    time a parquet read where the engine bills a decode.  Instead the
+    relation is computed from the blob fixture once per SparkSession
+    (``cached_media`` registers it in the session's own cache manager
+    via a cached temp view), so every bench/oracle invocation pays one
+    real decode per family and every tier in the family reads the
+    signature table — the guide-§8 "fingerprints once, decisions from
+    the small table" shape, without cross-run persistence."""
+    from eventstreamd_spark.operators import mixed as mixed_op
+    from eventstreamd_spark.operators import perceptual as perc_op
+    from eventstreamd_spark.operators import video as video_op
+
+    return {
+        video_op.VIDEO_SIG_CACHE_KIND: (
+            "scene_video_vflip",
+            video_op.video_fingerprints_grid,
+        ),
+        perc_op.IMAGE_SIG_CACHE_KIND: (
+            "scene_image",
+            perc_op.perceptual_hashes,
+        ),
+        mixed_op.MIXED_SIG_CACHE_KIND: (
+            "scene_mixed",
+            mixed_op.mixed_media_fingerprints,
+        ),
     }
 
 
@@ -125,7 +154,12 @@ def cached_media(spark, sf_dir: str, kind: str) -> DataFrame:
     the loser re-verifies a complete copy actually exists before
     discarding its own (a rename can fail for other reasons —
     read-only fs, path limits — and reading blindly would serve a
-    missing or partial fixture)."""
+    missing or partial fixture).
+
+    ``*_SIG_CACHE_KIND`` kinds are different: they are DERIVED
+    relations (decode + fingerprint over a blob fixture), so they are
+    computed fresh per SparkSession and shared within it via a cached
+    temp view — never written to disk (see ``_sig_builders``)."""
     import hashlib
     import os
     import shutil
@@ -141,6 +175,24 @@ def cached_media(spark, sf_dir: str, kind: str) -> DataFrame:
         + "-"
         + _source_fingerprint(sf_dir)
     )
+    sig = _sig_builders()
+    if kind in sig:
+        # Derived signature relation: session-scoped, never persisted
+        # (see _sig_builders).  The cached temp view makes Spark's own
+        # CacheManager the memo — spark.table(view) resolves to the
+        # registered plan, whose InMemoryRelation is materialized by
+        # the FIRST query that executes it (both legs of a banded
+        # self-join share the one materialization) and reused by every
+        # later family query in the same session.  Nothing touches
+        # .scratch; a new process recomputes the decode from the blob
+        # fixture.
+        blob_kind, fingerprint = sig[kind]
+        view = f"__media_sig_{kind}_{tag}".replace("-", "_").replace(".", "_")
+        if not spark.catalog.tableExists(view):
+            df = fingerprint(cached_media(spark, sf_dir, blob_kind))
+            df.createOrReplaceTempView(view)
+            spark.catalog.cacheTable(view)
+        return spark.table(view)
     cache = os.path.join(
         repo, ".scratch", "media_fixture", _MEDIA_FIXTURE_VERSION, tag,
         f"{kind}.parquet",

@@ -200,18 +200,18 @@ def documents_as_scene_media(docs: DataFrame) -> DataFrame:
 
 # the image family's ONE decode pass (round-12, the video-family
 # decode-once idiom): the registry materializes this signature
-# relation through the write-once fixture cache and serves
-# media_perceptual_hashes + every near-dup tier + the admission
-# corpus side from it.  Bump the _sN suffix whenever the hash
-# kernel's OUTPUT changes (blob-synth changes keep using
-# multimodal._MEDIA_FIXTURE_VERSION).
+# relation ONCE PER SESSION (multimodal.cached_media: a cached temp
+# view over the blob fixture — computed every invocation, never
+# persisted across runs) and serves media_perceptual_hashes + every
+# near-dup tier + the admission corpus side from it.  The _sN suffix
+# names the kernel OUTPUT version in the session view key.
 IMAGE_SIG_CACHE_KIND = "scene_image_sig_s1"
 
 
 def scene_image_signatures(docs: DataFrame) -> DataFrame:
     """Full-corpus decode pass for the image family: perceptual
-    (aHash, dHash) signatures over the scene-image corpus — the
-    fixture builder behind ``IMAGE_SIG_CACHE_KIND``."""
+    (aHash, dHash) signatures over the scene-image corpus — spec twin
+    of the session-cached relation behind ``IMAGE_SIG_CACHE_KIND``."""
     return perceptual_hashes(documents_as_scene_media(docs))
 
 

@@ -3197,9 +3197,10 @@ def column_stats_catalog_hll_prod(spark: SparkSession, sf_dir: str) -> DataFrame
 def _image_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image family's ONE decode pass (round 12, the video-family
     idiom): perceptual signatures over the scene-image corpus as a
-    write-once fixture — the hash relation, every near-dup tier and
-    the admission corpus side all derive from it instead of each
-    re-decoding the corpus."""
+    SESSION-cached relation (computed from the blob fixture every
+    invocation, never persisted across runs) — the hash relation,
+    every near-dup tier and the admission corpus side all derive from
+    it instead of each re-decoding the corpus."""
     return mm_op.cached_media(spark, sf_dir, perc_op.IMAGE_SIG_CACHE_KIND)
 
 
@@ -3235,7 +3236,7 @@ def media_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (large-star/small-star fixed point) over the Hamming-banded pair
     tier, singletons restored, min-doc_id canonical — 'keep one image
     per cluster' as one auditable relation.  Derived from the
-    family's shared signature fixture (one decode pass; the signature
+    family's shared session-cached signature relation (one decode pass; the signature
     relation carries one row per doc, so it IS the doc universe the
     singleton restore needs)."""
     sig = _image_sigs(spark, sf_dir)
@@ -3245,11 +3246,12 @@ def media_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _video_grid_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The video family's ONE decode pass (round 12, VERDICT ask #2):
     6-word grid signatures over the vflip-planted corpus as a
-    write-once fixture — fingerprints, near_dup and near_dup_grid all
-    derive from this relation instead of each re-decoding the full
-    MP4 corpus (previously the bench's three most expensive queries,
-    one shared decode).  The signature-table-first shape is the one a
-    real 100 TB video pipeline has."""
+    SESSION-cached relation (computed from the blob fixture every
+    invocation, never persisted across runs) — fingerprints, near_dup
+    and near_dup_grid all derive from this relation instead of each
+    re-decoding the full MP4 corpus (previously the bench's three most
+    expensive queries, one shared decode).  The signature-table-first
+    shape is the one a real 100 TB video pipeline has."""
     return mm_op.cached_media(spark, sf_dir, video_op.VIDEO_SIG_CACHE_KIND)
 
 
@@ -3261,7 +3263,7 @@ def video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope + half sums) vs the oracle's closed-form scene
     arithmetic; frame-rate and resolution invariant by construction
     (round-9 video tier; spatial word round-10).  Served from the
-    family's one-decode-pass signature fixture: the grid kernel's
+    family's one-decode-pass session-cached signature relation: the grid kernel's
     base words are the envelope fingerprint by the same arithmetic
     (projection-equivalence pytest pins it)."""
     return video_op.base_signatures_from_grid(
@@ -3275,8 +3277,8 @@ def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio_near_dup — catches the planted RESIZED cross-codec twin and
     the FRAME-RATE-DOUBLED twin (both Hamming 0) plus the
     re-encode-noise twin that exact digests miss.  Banded over the
-    family's shared signature fixture (one decode pass for the whole
-    family); parquet-backed, so no localCheckpoint is needed before
+    family's shared session-cached signature relation (one decode pass for the whole
+    family); cache-backed, so no localCheckpoint is needed before
     the self-join."""
     return perc_op.banded_pairs(
         video_op.base_signatures_from_grid(_video_grid_sigs(spark, sf_dir)),
@@ -3293,7 +3295,7 @@ def mixed_media_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-table ingest shape a real 100 TB media corpus has; the
     oracle covers all three modalities with one CASE-dispatched scene
     CTE (round-9 capstone).  Served from the family's one-decode-pass
-    signature fixture."""
+    session-cached signature relation."""
     return mm_op.cached_media(spark, sf_dir, mixed_op.MIXED_SIG_CACHE_KIND)
 
 
@@ -3303,7 +3305,7 @@ def mixed_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves images, audio and video at once — every planted twin class
     (cross-codec resize, resample, frame-rate doubling, re-encode
     noise) lands in a single relation.  Banded over the family's
-    shared signature fixture (one decode pass)."""
+    shared session-cached signature relation (one decode pass)."""
     sig = mm_op.cached_media(spark, sf_dir, mixed_op.MIXED_SIG_CACHE_KIND)
     return mixed_op.mixed_media_near_dup(sig, sig=sig)
 
@@ -3343,7 +3345,7 @@ def media_admission_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WIDE media-admission face (round 12): the identical split
     and decision kernel with wide=True — candidates from the 28 x
     32-bit pair bands (the 10^9-doc index layout), corpus side served
-    from the signature fixture like the narrow face.  Oracle replays
+    from the session-cached signature relation like the narrow face.  Oracle replays
     the exact pair banding, so the row is hash-exact."""
     media = mm_op.cached_media(spark, sf_dir, "scene_image").select("doc_id", "blob")
     in_corpus = F.col("doc_id") % 8
@@ -3400,7 +3402,7 @@ def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches the resized duplicates (member 1: Hamming 0 at a different
     resolution) and re-encode-noise twins (member 2) that exact
     digests (media_dedup) miss by construction.  Banded over the
-    family's shared signature fixture (one decode pass)."""
+    family's shared session-cached signature relation (one decode pass)."""
     sig = _image_sigs(spark, sf_dir)
     return perc_op.media_near_dup(sig, sig=sig)
 
@@ -3413,7 +3415,7 @@ def video_near_dup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-frame totals AND column sums, base-tier Hamming 0) separates
     on the grid word's top/bottom quadrants while the resized
     cross-codec and rate-doubled twins still pair.  Banded directly
-    over the family's shared signature fixture (one decode pass
+    over the family's shared session-cached signature relation (one decode pass
     serves fingerprints, near_dup and this tier)."""
     return perc_op.banded_pairs(
         _video_grid_sigs(spark, sf_dir),
@@ -3441,7 +3443,7 @@ def media_near_dup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors the guard, so a degenerate thumbnail flood stays
     subquadratic on a production ingest; the unguarded sibling keeps
     the exact-recall evaluation row.  Banded over the shared
-    signature fixture."""
+    session-cached signature relation."""
     sig = _image_sigs(spark, sf_dir)
     return perc_op.media_near_dup_prod(sig, sig=sig)
 

@@ -263,3 +263,46 @@ def test_base_signatures_from_grid_match_direct_kernel(spark, sf_dir) -> None:
         f"doc_id >= {vid.VFLIP_PLANT_OFFSET}"
     ).count()
     assert n_plants == 24 // vid.COHORT
+
+
+def test_sig_relation_is_session_cached_not_persisted(spark, sf_dir) -> None:
+    """Round-12 rule: DERIVED signature relations are computed fresh
+    every invocation (process) and shared only within the session via
+    Spark's own cache manager — never written under .scratch.  Pins
+    (a) the returned relation resolves to a cached temp view, (b) no
+    sig parquet appears on disk, (c) rows equal the spec builder."""
+    import glob
+    import os
+
+    from eventstreamd_spark.operators import multimodal as mm
+
+    df = mm.cached_media(spark, sf_dir, vid.VIDEO_SIG_CACHE_KIND)
+    df.write.format("noop").mode("overwrite").save()
+    # (a) the relation is session-cached: some __media_sig temp view
+    # for this kind exists and is cached
+    views = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(f"__media_sig_{vid.VIDEO_SIG_CACHE_KIND}")
+    ]
+    assert views and all(spark.catalog.isCached(v) for v in views)
+    # (b) nothing persisted: the sig kind never lands under .scratch
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(mm.__file__)))
+    hits = glob.glob(
+        os.path.join(
+            os.path.dirname(repo),
+            ".scratch",
+            "media_fixture",
+            "*",
+            "*",
+            f"{vid.VIDEO_SIG_CACHE_KIND}.parquet",
+        )
+    )
+    assert hits == [], hits
+    # (c) same rows as the spec builder over the same documents
+    spec = vid.scene_video_grid_signatures(
+        load_table(spark, sf_dir, "documents")
+    )
+    assert {tuple(r) for r in df.collect()} == {
+        tuple(r) for r in spec.collect()
+    }
