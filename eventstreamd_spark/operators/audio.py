@@ -221,8 +221,17 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
     )
 
 
+# the audio family's ONE decode pass (round 12, joining the
+# image/video/mixed families): session-cached by
+# multimodal.cached_media — computed every invocation, never persisted
+# across runs; serves audio_fingerprints and audio_near_dup
+AUDIO_SIG_CACHE_KIND = "scene_audio_sig_s1"
+
+
 def audio_near_dup(
-    media: DataFrame, hamming_max: int = HAMMING_MAX
+    media: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Banded audio near-dup pairs — the WAV mirror of
     ``media_near_dup``: same banding, same pigeonhole recall
@@ -236,8 +245,12 @@ def audio_near_dup(
     fingerprint cannot see — separates on the z-word (planted
     pytest in tests/test_audio.py).
     Decode-once: signatures are localCheckpoint'ed before the banded
-    self-join (see ``perceptual.media_near_dup``)."""
-    return banded_pairs(audio_fingerprints(media).localCheckpoint(), hamming_max)
+    self-join (see ``perceptual.media_near_dup``); ``sig`` passes a
+    precomputed signature relation (the registry's session-cached
+    one-decode-pass table) and the decode is skipped entirely."""
+    if sig is None:
+        sig = audio_fingerprints(media).localCheckpoint()
+    return banded_pairs(sig, hamming_max)
 
 
 # ---------------------------------------------------------------------------

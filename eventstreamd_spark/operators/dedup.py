@@ -1098,17 +1098,23 @@ def simhash_pair_band_stack(sig: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    sig: DataFrame | None = None,
+) -> DataFrame:
     """SimHash near-dup pairs: banded candidate generation + hamming
     verify.  4 bands x 16 bits; hamming <= 3 guarantees a band
     collision, so recall is exact for the distance bound.
     Signatures are localCheckpoint'ed before the self-join — Spark
     re-runs a mapInPandas subplan once per reference (SCALE.md §19),
-    and the kernel is the tier's dominant cost."""
-    return _simhash_stacked_pairs(
-        simhash_band_stack(simhash_signatures(docs).localCheckpoint()),
-        hamming_max,
-    )
+    and the kernel is the tier's dominant cost.  ``sig`` passes a
+    precomputed (doc_id, sig_hi, sig_lo) relation (the registry's
+    session-cached one-tokenize-pass table — the prebuilt signature
+    table a real corpus carries) and the kernel is skipped."""
+    if sig is None:
+        sig = simhash_signatures(docs).localCheckpoint()
+    return _simhash_stacked_pairs(simhash_band_stack(sig), hamming_max)
 
 
 SIMHASH_MAX_BUCKET = 64
@@ -1118,6 +1124,7 @@ def simhash_pairs_prod(
     docs: DataFrame,
     hamming_max: int = HAMMING_MAX,
     max_bucket: int = SIMHASH_MAX_BUCKET,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """The GUARDED production twin of simhash_pairs (the
     media_near_dup_prod idiom brought to text): band rows in buckets
@@ -1134,14 +1141,20 @@ def simhash_pairs_prod(
     # checkpoint BEFORE stacking: the guard references the stacked
     # relation twice (gate sizes + join side) and the self-join twice
     # more — un-checkpointed, the signature kernel would run 4x
-    stacked = simhash_band_stack(simhash_signatures(docs).localCheckpoint())
+    # (a precomputed ``sig`` is session-cached, which serves every
+    # reference from one materialization the same way)
+    if sig is None:
+        sig = simhash_signatures(docs).localCheckpoint()
+    stacked = simhash_band_stack(sig)
     return _simhash_stacked_pairs(
         _drop_hot_buckets(stacked, max_bucket), hamming_max
     )
 
 
 def simhash_pairs_wide(
-    docs: DataFrame, hamming_max: int = HAMMING_MAX_WIDE
+    docs: DataFrame,
+    hamming_max: int = HAMMING_MAX_WIDE,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pair tier over 32-bit PAIR-band buckets — the
     candidate tier for corpora where 16-bit buckets' ~n^2/2^16 random
@@ -1155,9 +1168,10 @@ def simhash_pairs_wide(
     when the dirty bits happen to cluster), and callers wanting the
     guaranteed <= 3 at moderate n keep ``simhash_pairs`` — the
     standard LSH r-vs-recall dial, stated in the open."""
+    if sig is None:
+        sig = simhash_signatures(docs).localCheckpoint()
     return _simhash_stacked_pairs(
-        simhash_pair_band_stack(simhash_signatures(docs).localCheckpoint()),
-        hamming_max,
+        simhash_pair_band_stack(sig), hamming_max
     )
 
 
@@ -2302,6 +2316,14 @@ FROM base b JOIN modal m ON m.entity_id = b.entity_id
 TEXT_SIG_KINDS = (("s", "s_hi", "s_lo"),)
 
 
+# the text family's ONE tokenize+hash pass (round 12, the media-family
+# idiom): dedup_simhash/_wide/_prod and the admission faces' CORPUS
+# side all read this session-cached relation (computed every
+# invocation, never persisted across runs).  The _sN suffix names the
+# kernel OUTPUT version in the session view key.
+TEXT_SIG_CACHE_KIND = "text_simhash_sig_s1"
+
+
 def simhash_admission_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, s_hi, s_lo): the shingle-SimHash signature in the
     admission pipeline's pluggable shape — pass as ``sig_fn`` with
@@ -2320,6 +2342,8 @@ def text_admission_decisions(
     hamming_max: int = HAMMING_MAX,
     max_iters: int = 16,
     wide: bool = False,
+    corpus_sig: DataFrame | None = None,
+    batch_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-verifiable incremental text admission: dedup the CORPUS
     first (its kept canonicals' SimHash signatures form the banded
@@ -2343,7 +2367,15 @@ def text_admission_decisions(
         admission_decisions_from_sig,
     )
 
-    corpus_sig = simhash_admission_signatures(corpus).localCheckpoint()
+    # ``corpus_sig``/``batch_sig`` pass prebuilt signature tables
+    # (the registry serves both splits of the family's session-cached
+    # one-tokenize-pass relation — signatures are per-doc and
+    # deterministic, so the filtered cached relation equals running
+    # the kernel on the split).  With neither given, each split pays
+    # its own kernel, localCheckpoint'ed so the banded self-joins
+    # cannot re-run it per reference.
+    if corpus_sig is None:
+        corpus_sig = simhash_admission_signatures(corpus).localCheckpoint()
     index_sig = corpus_sig.join(
         _sig_clusters(
             corpus.select("doc_id"),
@@ -2357,8 +2389,10 @@ def text_admission_decisions(
         .select("doc_id"),
         "doc_id",
     )
+    if batch_sig is None:
+        batch_sig = simhash_admission_signatures(batch).localCheckpoint()
     return admission_decisions_from_sig(
-        simhash_admission_signatures(batch).localCheckpoint(),
+        batch_sig,
         index_sig,
         hamming_max,
         max_iters,

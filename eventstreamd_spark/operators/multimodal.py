@@ -102,6 +102,7 @@ def _sig_builders() -> dict:
     real decode per family and every tier in the family reads the
     signature table — the guide-§8 "fingerprints once, decisions from
     the small table" shape, without cross-run persistence."""
+    from eventstreamd_spark.operators import audio as audio_op
     from eventstreamd_spark.operators import mixed as mixed_op
     from eventstreamd_spark.operators import perceptual as perc_op
     from eventstreamd_spark.operators import video as video_op
@@ -118,6 +119,10 @@ def _sig_builders() -> dict:
         mixed_op.MIXED_SIG_CACHE_KIND: (
             "scene_mixed",
             mixed_op.mixed_media_fingerprints,
+        ),
+        audio_op.AUDIO_SIG_CACHE_KIND: (
+            "scene_audio",
+            audio_op.audio_fingerprints,
         ),
     }
 
@@ -145,6 +150,42 @@ def _source_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:12]
 
 
+def _fixture_tag(sf_dir: str) -> str:
+    """(basename, path-hash, content-fingerprint) tag shared by the
+    disk fixture paths and the session view names."""
+    import hashlib
+    import os
+
+    return (
+        os.path.basename(os.path.normpath(sf_dir))
+        + "-"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        + "-"
+        + _source_fingerprint(sf_dir)
+    )
+
+
+def session_cached_relation(spark, sf_dir: str, kind: str, build) -> DataFrame:
+    """A DERIVED relation (signatures, fingerprints) computed fresh per
+    SparkSession and shared within it — never persisted across runs.
+
+    The cached temp view makes Spark's own CacheManager the memo:
+    ``spark.table(view)`` resolves to the registered plan, whose
+    InMemoryRelation is materialized by the FIRST query that executes
+    it (both legs of a banded self-join share the one materialization)
+    and reused by every later query in the same session.  Nothing
+    touches ``.scratch``; a new process recomputes from the inputs.
+    ``build`` is called once per (session, sf_dir fingerprint, kind) to
+    produce the relation's plan."""
+    view = f"__session_sig_{kind}_{_fixture_tag(sf_dir)}".replace(
+        "-", "_"
+    ).replace(".", "_")
+    if not spark.catalog.tableExists(view):
+        build().createOrReplaceTempView(view)
+        spark.catalog.cacheTable(view)
+    return spark.table(view)
+
+
 def cached_media(spark, sf_dir: str, kind: str) -> DataFrame:
     """The synthetic media corpus for ``sf_dir`` as a write-once
     parquet fixture: built with the blob adapter on first use, read
@@ -168,31 +209,16 @@ def cached_media(spark, sf_dir: str, kind: str) -> DataFrame:
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    tag = (
-        os.path.basename(os.path.normpath(sf_dir))
-        + "-"
-        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-        + "-"
-        + _source_fingerprint(sf_dir)
-    )
     sig = _sig_builders()
     if kind in sig:
-        # Derived signature relation: session-scoped, never persisted
-        # (see _sig_builders).  The cached temp view makes Spark's own
-        # CacheManager the memo — spark.table(view) resolves to the
-        # registered plan, whose InMemoryRelation is materialized by
-        # the FIRST query that executes it (both legs of a banded
-        # self-join share the one materialization) and reused by every
-        # later family query in the same session.  Nothing touches
-        # .scratch; a new process recomputes the decode from the blob
-        # fixture.
         blob_kind, fingerprint = sig[kind]
-        view = f"__media_sig_{kind}_{tag}".replace("-", "_").replace(".", "_")
-        if not spark.catalog.tableExists(view):
-            df = fingerprint(cached_media(spark, sf_dir, blob_kind))
-            df.createOrReplaceTempView(view)
-            spark.catalog.cacheTable(view)
-        return spark.table(view)
+        return session_cached_relation(
+            spark,
+            sf_dir,
+            kind,
+            lambda: fingerprint(cached_media(spark, sf_dir, blob_kind)),
+        )
+    tag = _fixture_tag(sf_dir)
     cache = os.path.join(
         repo, ".scratch", "media_fixture", _MEDIA_FIXTURE_VERSION, tag,
         f"{kind}.parquet",

@@ -791,6 +791,7 @@ def media_admission_decisions(
     max_iters: int = 16,
     wide: bool = False,
     corpus_sig: DataFrame | None = None,
+    batch_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-verifiable incremental admission: dedup the CORPUS first
     (its kept canonicals' signatures form the banded perceptual
@@ -802,10 +803,12 @@ def media_admission_decisions(
     dedup and the admission join into the 32-bit pair-band layout
     (the 10^9-doc tier; recall bound drops to the pair-band
     pigeonhole guarantee, the dial ``banded_pairs_wide`` states).
-    ``corpus_sig`` (round-12) passes the prebuilt corpus signature
-    relation the docstring's nightly-ingest story describes — the
-    corpus decode is skipped and only the batch pays the kernel (the
-    registry serves it from the write-once signature fixture)."""
+    ``corpus_sig``/``batch_sig`` (round-12) pass prebuilt signature
+    relations — the registry serves BOTH splits of the family's
+    session-cached one-decode-pass relation (signatures are per-doc
+    and deterministic, so filtering the cached relation equals
+    decoding the split), and no decode runs beyond the session's one.
+    With neither given, each split pays its own kernel."""
     if corpus_sig is None:
         corpus_sig = perceptual_hashes(corpus).localCheckpoint()
     index_sig = corpus_sig.join(
@@ -817,8 +820,10 @@ def media_admission_decisions(
         .select("doc_id"),
         "doc_id",
     )
+    if batch_sig is None:
+        batch_sig = perceptual_hashes(batch).localCheckpoint()
     return admission_decisions_from_sig(
-        perceptual_hashes(batch).localCheckpoint(),
+        batch_sig,
         index_sig,
         hamming_max,
         max_iters,

@@ -566,6 +566,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.minhash_lsh_dedup(docs)
 
 
+def _text_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text family's ONE tokenize+hash pass (round 12, the
+    media-family idiom): shingle-SimHash signatures over the planted
+    corpus as a SESSION-cached relation — computed from the parquet
+    inputs every invocation, shared within the session, never
+    persisted.  dedup_simhash/_wide/_prod band over it directly (a
+    near-dup tier over a corpus-resident table, guide-§8 shape), and
+    the admission faces take their CORPUS (prebuilt index) side from
+    it; admission BATCHES still pay their own kernel — they model
+    fresh data."""
+    from eventstreamd_spark.operators.multimodal import (
+        session_cached_relation,
+    )
+
+    return session_cached_relation(
+        spark,
+        sf_dir,
+        dedup_op.TEXT_SIG_CACHE_KIND,
+        lambda: dedup_op.simhash_signatures(
+            dedup_op.with_planted_near_dups(
+                load_table(spark, sf_dir, "documents")
+            )
+        ),
+    )
+
+
 @register(
     "dedup_simhash",
     dedup_op.sql_simhash_pairs(dedup_op.sql_planted_near_dups()),
@@ -577,7 +603,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried an n^2/2^8 random-collision term per band (SCALE.md §21's
     bucket-width-tracks-log2(n) rule, applied to the text tier)."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return dedup_op.simhash_pairs(docs)
+    return dedup_op.simhash_pairs(docs, sig=_text_sigs(spark, sf_dir))
+
+
+def _text_admission_split_sig(
+    spark: SparkSession, sf_dir: str, split: str
+) -> DataFrame:
+    """One admission split of the session-cached text signature
+    relation, in the admission pipeline's (doc_id, s_hi, s_lo) shape:
+    ``corpus`` = even original docs (the prebuilt index side),
+    ``batch`` = odd originals + every plant.  Signatures are per-doc
+    and deterministic, so filtering the cached relation equals running
+    the kernel on the filtered docs — both narrow and wide faces read
+    the family's ONE tokenize+hash pass instead of re-running it per
+    face and per split."""
+    in_corpus = (F.col("doc_id") < dedup_op.PLANT_OFFSET) & (
+        F.col("doc_id") % 2 == 0
+    )
+    return (
+        _text_sigs(spark, sf_dir)
+        .filter(in_corpus if split == "corpus" else ~in_corpus)
+        .select(
+            "doc_id",
+            F.col("sig_hi").alias("s_hi"),
+            F.col("sig_lo").alias("s_lo"),
+        )
+    )
 
 
 @register(
@@ -600,7 +651,12 @@ def text_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(
         (F.col("doc_id") >= dedup_op.PLANT_OFFSET) | (F.col("doc_id") % 2 == 1)
     )
-    return dedup_op.text_admission_decisions(corpus, batch)
+    return dedup_op.text_admission_decisions(
+        corpus,
+        batch,
+        corpus_sig=_text_admission_split_sig(spark, sf_dir, "corpus"),
+        batch_sig=_text_admission_split_sig(spark, sf_dir, "batch"),
+    )
 
 
 @register(
@@ -623,7 +679,13 @@ def text_admission_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(
         (F.col("doc_id") >= dedup_op.PLANT_OFFSET) | (F.col("doc_id") % 2 == 1)
     )
-    return dedup_op.text_admission_decisions(corpus, batch, wide=True)
+    return dedup_op.text_admission_decisions(
+        corpus,
+        batch,
+        wide=True,
+        corpus_sig=_text_admission_split_sig(spark, sf_dir, "corpus"),
+        batch_sig=_text_admission_split_sig(spark, sf_dir, "batch"),
+    )
 
 
 @register(
@@ -636,7 +698,7 @@ def dedup_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing in one 16-bit bucket stays subquadratic on a production
     ingest; the unguarded sibling keeps the exact-recall row."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return dedup_op.simhash_pairs_prod(docs)
+    return dedup_op.simhash_pairs_prod(docs, sig=_text_sigs(spark, sf_dir))
 
 
 @register(
@@ -649,7 +711,7 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of n^2/2^16, guaranteed recall at combined Hamming <= 2;
     the tier a 10^9-doc text corpus runs."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return dedup_op.simhash_pairs_wide(docs)
+    return dedup_op.simhash_pairs_wide(docs, sig=_text_sigs(spark, sf_dir))
 
 
 _EMB_PLANT = (
@@ -3323,18 +3385,16 @@ def media_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming foreachBatch kernel shares the SAME decision core
     (operators/perceptual.py::admission_decisions_from_sig), so this
     oracle row also pins the stream tier's verdict semantics.
-    Round-12: the CORPUS side is served from the family's signature
-    fixture — exactly the "prebuilt corpus signature table" the
-    nightly-ingest story describes — so only the BATCH pays the real
-    decode."""
-    media = mm_op.cached_media(spark, sf_dir, "scene_image").select("doc_id", "blob")
+    Round-12: BOTH splits are served from the family's session-cached
+    one-decode-pass signature relation (signatures are per-doc, so the
+    filtered relation equals decoding the split) — the decision pass
+    runs entirely over 5-BIGINT signature rows, the guide-§8 shape."""
     in_corpus = F.col("doc_id") % 8
-    corpus_sig = _image_sigs(spark, sf_dir).filter(
-        in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8)
-    )
-    batch = media.filter(~in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
+    sigs = _image_sigs(spark, sf_dir)
+    corpus_sig = sigs.filter(in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
+    batch_sig = sigs.filter(~in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
     return perc_op.media_admission_decisions(
-        corpus_sig, batch, corpus_sig=corpus_sig
+        corpus_sig, batch_sig, corpus_sig=corpus_sig, batch_sig=batch_sig
     )
 
 
@@ -3344,17 +3404,16 @@ def media_admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_admission_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WIDE media-admission face (round 12): the identical split
     and decision kernel with wide=True — candidates from the 28 x
-    32-bit pair bands (the 10^9-doc index layout), corpus side served
-    from the session-cached signature relation like the narrow face.  Oracle replays
-    the exact pair banding, so the row is hash-exact."""
-    media = mm_op.cached_media(spark, sf_dir, "scene_image").select("doc_id", "blob")
+    32-bit pair bands (the 10^9-doc index layout), both splits served
+    from the session-cached signature relation like the narrow face.
+    Oracle replays the exact pair banding, so the row is hash-exact."""
     in_corpus = F.col("doc_id") % 8
-    corpus_sig = _image_sigs(spark, sf_dir).filter(
-        in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8)
-    )
-    batch = media.filter(~in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
+    sigs = _image_sigs(spark, sf_dir)
+    corpus_sig = sigs.filter(in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
+    batch_sig = sigs.filter(~in_corpus.isin(*perc_op.ADMIT_CORPUS_MOD8))
     return perc_op.media_admission_decisions(
-        corpus_sig, batch, wide=True, corpus_sig=corpus_sig
+        corpus_sig, batch_sig, wide=True, corpus_sig=corpus_sig,
+        batch_sig=batch_sig
     )
 
 
@@ -3378,9 +3437,10 @@ def audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAV of the scene-audio corpus — the REAL decode path (RIFF walk,
     16-bit PCM) vs the oracle's closed-form scene arithmetic;
     sample-rate invariant by construction (round-9 ask #3; spectral
-    word round-10)."""
-    media = mm_op.cached_media(spark, sf_dir, "scene_audio")
-    return audio_op.audio_fingerprints(media)
+    word round-10).  Served from the family's one-decode-pass
+    session-cached signature relation (round 12, the video-family
+    idiom)."""
+    return mm_op.cached_media(spark, sf_dir, audio_op.AUDIO_SIG_CACHE_KIND)
 
 
 @register("audio_near_dup", audio_op.sql_audio_near_dup())
@@ -3390,9 +3450,13 @@ def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches the planted RESAMPLED twin (same scene at 2x sample rate,
     Hamming 0) and the re-encode-noise twin that exact digests miss;
     an equal-envelope different-pitch clip separates on the
-    zero-crossing word (planted pytest)."""
+    zero-crossing word (planted pytest).  Banded over the family's
+    shared session-cached signature relation (one decode pass)."""
     media = mm_op.cached_media(spark, sf_dir, "scene_audio")
-    return audio_op.audio_near_dup(media)
+    return audio_op.audio_near_dup(
+        media,
+        sig=mm_op.cached_media(spark, sf_dir, audio_op.AUDIO_SIG_CACHE_KIND),
+    )
 
 
 @register("media_near_dup", perc_op.sql_media_near_dup())

@@ -369,3 +369,40 @@ def test_media_admission_wide_matches_narrow(spark, sf_dir) -> None:
             ).collect()
         }
     assert verdicts[True] == verdicts[False]
+
+
+def test_admission_accepts_precomputed_sigs_identically(spark, sf_dir) -> None:
+    """Round-12 one-decode-pass sharing: admission given precomputed
+    corpus_sig/batch_sig relations (the registry serves both splits of
+    the family's session-cached signature table) returns exactly the
+    decisions it computes from the raw blobs — a pure
+    common-subexpression factoring, narrow and wide."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 400")
+    media = perc.documents_as_scene_media(docs).select("doc_id", "blob")
+    media = media.localCheckpoint()
+    sigs = perc.perceptual_hashes(media).localCheckpoint()
+    in_corpus = F.col("doc_id") % 8
+    corpus = media.filter(in_corpus.isin(*perc.ADMIT_CORPUS_MOD8))
+    batch = media.filter(~in_corpus.isin(*perc.ADMIT_CORPUS_MOD8))
+    corpus_sig = sigs.filter(in_corpus.isin(*perc.ADMIT_CORPUS_MOD8))
+    batch_sig = sigs.filter(~in_corpus.isin(*perc.ADMIT_CORPUS_MOD8))
+    for wide in (False, True):
+        own = {
+            tuple(r)
+            for r in perc.media_admission_decisions(
+                corpus, batch, wide=wide
+            ).collect()
+        }
+        shared = {
+            tuple(r)
+            for r in perc.media_admission_decisions(
+                corpus_sig,
+                batch_sig,
+                wide=wide,
+                corpus_sig=corpus_sig,
+                batch_sig=batch_sig,
+            ).collect()
+        }
+        assert own == shared, wide

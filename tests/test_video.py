@@ -283,7 +283,7 @@ def test_sig_relation_is_session_cached_not_persisted(spark, sf_dir) -> None:
     views = [
         t.name
         for t in spark.catalog.listTables()
-        if t.name.startswith(f"__media_sig_{vid.VIDEO_SIG_CACHE_KIND}")
+        if t.name.startswith(f"__session_sig_{vid.VIDEO_SIG_CACHE_KIND}")
     ]
     assert views and all(spark.catalog.isCached(v) for v in views)
     # (b) nothing persisted: the sig kind never lands under .scratch
