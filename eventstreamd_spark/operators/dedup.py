@@ -176,16 +176,23 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.6
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
     docs -> distinct shingles -> explode (inverted index) -> self-join
     on shingle -> |A ∩ B| per pair -> join doc sizes -> jaccard filter.
     Outputs (doc_a < doc_b, jaccard).  Integer counts divide in double:
-    engine-exact.
+    engine-exact.  ``sh`` passes a precomputed (doc_id, shingles)
+    relation (the registry's session-cached one-tokenize-pass table —
+    round 12, the signature-relation idiom applied to the shingle
+    tiers) and the per-token hash kernel is skipped.
     """
-    sh = with_hashed_shingles(docs, n)
+    if sh is None:
+        sh = with_hashed_shingles(docs, n)
     # one pass: the inverted index carries each doc's shingle count, so
     # pair sizes ride the shuffle instead of two extra size-join
     # branches (each of which would recompute the shingling).  The
@@ -256,6 +263,7 @@ def ngram_jaccard_pairs_df_cutoff(
     n: int = 3,
     threshold: float = 0.6,
     max_df: int = MAX_SHINGLE_DF,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs with a document-frequency cutoff
     on the inverted index — the form of tier 2 you actually run at
@@ -271,7 +279,8 @@ def ngram_jaccard_pairs_df_cutoff(
     a conservative lower bound (a true near-dup loses at most its
     boilerplate shingles from the numerator).
     """
-    sh = with_hashed_shingles(docs, n)
+    if sh is None:
+        sh = with_hashed_shingles(docs, n)
     # explode_outer, not explode — see ngram_jaccard_pairs: an inner
     # explode lets InferFiltersFromGenerate inline the shingling into
     # the scan filter (measured 12x on this tier).
@@ -353,6 +362,7 @@ def ngram_jaccard_pairs_df_frac_cutoff(
     n: int = 3,
     threshold: float = 0.6,
     max_df_frac: float = MAX_SHINGLE_DF_FRAC,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """DF-cutoff dedup tier with the cutoff as a FRACTION of corpus
     size instead of an absolute count.
@@ -369,7 +379,8 @@ def ngram_jaccard_pairs_df_frac_cutoff(
     standard scalar-broadcast shape) — the df window still rides the
     shingle-keyed exchange the pair join needs anyway.
     """
-    sh = with_hashed_shingles(docs, n)
+    if sh is None:
+        sh = with_hashed_shingles(docs, n)
     n_docs = docs.agg(F.count("*").alias("_n_docs"))
     inv = sh.select(
         "doc_id",
@@ -448,7 +459,10 @@ WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {threshold}
 
 
 def minhash_keep_corpus(
-    docs: DataFrame, n: int = 3, threshold: float = 0.6
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """The dedup output users actually consume: the kept corpus after
     MinHash-LSH near-dup removal.
@@ -463,7 +477,7 @@ def minhash_keep_corpus(
     of the input.  Use dedup_clusters when cluster-exact retention
     (exactly one doc per transitive cluster) is required.
     """
-    pairs = minhash_lsh_dedup(docs, n=n, threshold=threshold)
+    pairs = minhash_lsh_dedup(docs, n=n, threshold=threshold, sh=sh)
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return docs.join(drop, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
@@ -672,7 +686,9 @@ def minhash_signature(hashed_shingles: F.Column) -> list[F.Column]:
     return sig
 
 
-def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
+def minhash_lsh_candidates(
+    docs: DataFrame, n: int = 3, sh: DataFrame | None = None
+) -> DataFrame:
     """LSH banding: candidate pairs = docs colliding on >= 1 band.
 
     The signature is computed in one narrow pass; banding explodes to B
@@ -684,7 +700,9 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
     won't inline a non-cheap expression referenced 16 times, so each
     shingle is poly-hashed exactly once.
     """
-    hashed = with_hashed_shingles(docs, n).withColumnRenamed("shingles", "hs")
+    hashed = (
+        sh if sh is not None else with_hashed_shingles(docs, n)
+    ).withColumnRenamed("shingles", "hs")
     sig = hashed.select("doc_id", *minhash_signature(F.col("hs")))
     bands = sig.select(
         "doc_id",
@@ -725,14 +743,18 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_lsh_dedup(
-    docs: DataFrame, n: int = 3, threshold: float = 0.6
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: banded candidates -> exact-jaccard
     verify (precision = exact; recall bounded by the banding curve).
     Verification intersects hashed-shingle sets — long compares, and
     the same arrays the candidate tier derives its signatures from."""
-    cands = minhash_lsh_candidates(docs, n)
-    sh = with_hashed_shingles(docs, n)
+    cands = minhash_lsh_candidates(docs, n, sh=sh)
+    if sh is None:
+        sh = with_hashed_shingles(docs, n)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")
@@ -845,6 +867,7 @@ def dedup_clusters(
     n: int = 3,
     threshold: float = 0.6,
     max_iters: int = 16,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical cluster assignment: (doc_id, cluster_id) for every doc,
     cluster_id = min doc_id of its near-dup connected component
@@ -858,7 +881,7 @@ def dedup_clusters(
     length); singletons are restored with one left join against the
     full doc list.
     """
-    pairs = minhash_lsh_dedup(docs, n, threshold)
+    pairs = minhash_lsh_dedup(docs, n, threshold, sh=sh)
     # materialize the (small) edge list once — the iteration joins
     # against it, and without the checkpoint every round would re-run
     # the whole MinHash pipeline through the edges' lineage
@@ -1460,7 +1483,10 @@ FROM hits
 
 
 def ngram_containment_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.9
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by CONTAINMENT: |A ∩ B| / min(|A|,|B|).
 
@@ -1471,7 +1497,8 @@ def ngram_containment_pairs(
     scoring expression differs, so every scale property (fixed-width
     keys, ReusedExchange legs, DF-cutoff composability) carries over.
     """
-    sh = with_hashed_shingles(docs, n)
+    if sh is None:
+        sh = with_hashed_shingles(docs, n)
     inv = sh.select(
         "doc_id",
         F.size("shingles").alias("n_sh"),
@@ -1980,7 +2007,10 @@ SWEEP_EDGES = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
 
 
 def jaccard_threshold_sweep(
-    docs: DataFrame, n: int = 3, edges: tuple = SWEEP_EDGES
+    docs: DataFrame,
+    n: int = 3,
+    edges: tuple = SWEEP_EDGES,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup tuning report: how many candidate pairs survive at each
     Jaccard threshold — the sweep you run BEFORE fixing the production
@@ -1993,7 +2023,7 @@ def jaccard_threshold_sweep(
     threshold.  Cumulative counts (pairs with jaccard >= edge) come
     from a reverse running sum over the |edges|-row histogram.
     """
-    pairs = ngram_jaccard_pairs(docs, n, threshold=min(edges))
+    pairs = ngram_jaccard_pairs(docs, n, threshold=min(edges), sh=sh)
     # built ascending so the HIGHEST matching edge sits outermost in
     # the when-chain (last wrap wins) — first-match-wins like the SQL
     # CASE written descending
@@ -2146,7 +2176,10 @@ GROUP BY 1, 2
 
 
 def lsh_recall_report(
-    docs: DataFrame, n: int = 3, threshold: float = 0.6
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Per-similarity-bucket recall of the MinHash-LSH tier against the
     exact inverted-index ground truth — the eval a dedup pipeline runs
@@ -2165,8 +2198,8 @@ def lsh_recall_report(
     arithmetic (one IEEE multiply + floor of an integer-ratio double)
     is bit-identical across engines.
     """
-    exact = ngram_jaccard_pairs(docs, n, threshold)
-    caught = minhash_lsh_dedup(docs, n, threshold).select(
+    exact = ngram_jaccard_pairs(docs, n, threshold, sh=sh)
+    caught = minhash_lsh_dedup(docs, n, threshold, sh=sh).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
     )
     labeled = exact.join(caught, ["doc_a", "doc_b"], "left")
@@ -2322,6 +2355,13 @@ TEXT_SIG_KINDS = (("s", "s_hi", "s_lo"),)
 # invocation, never persisted across runs).  The _sN suffix names the
 # kernel OUTPUT version in the session view key.
 TEXT_SIG_CACHE_KIND = "text_simhash_sig_s1"
+
+# the shingle tiers' ONE tokenize+hash pass (round 12): the n=3
+# hashed-shingle relation over the planted corpus, session-cached the
+# same way — the MinHash tier alone evaluates it up to 3x per query
+# (candidates + both verify legs), and nine registered queries build
+# on the identical relation.
+SHINGLE_CACHE_KIND = "text_shingles3_s1"
 
 
 def simhash_admission_signatures(docs: DataFrame) -> DataFrame:

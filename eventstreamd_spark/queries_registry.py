@@ -552,7 +552,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (inverted-index join)."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return dedup_op.ngram_jaccard_pairs(docs)
+    return dedup_op.ngram_jaccard_pairs(docs, sh=_doc_shingles(spark, sf_dir))
 
 
 @register(
@@ -563,7 +563,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: banded signatures -> candidates -> exact
     verify.  Portable hashing makes even the sketch oracle-checkable."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return dedup_op.minhash_lsh_dedup(docs)
+    return dedup_op.minhash_lsh_dedup(docs, sh=_doc_shingles(spark, sf_dir))
 
 
 def _text_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,6 +604,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-width-tracks-log2(n) rule, applied to the text tier)."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
     return dedup_op.simhash_pairs(docs, sig=_text_sigs(spark, sf_dir))
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle tiers' ONE tokenize+hash pass (round 12, the
+    signature-relation idiom): the n=3 hashed-shingle relation over
+    the planted corpus as a SESSION-cached relation — computed from
+    the parquet inputs every invocation, shared within the session,
+    never persisted.  The n-gram Jaccard/containment tiers, the
+    MinHash tiers (which alone evaluate the kernel up to 3x per
+    query), the threshold sweep and the recall report all read it
+    instead of re-hashing the corpus per query."""
+    from eventstreamd_spark.operators.multimodal import (
+        session_cached_relation,
+    )
+
+    return session_cached_relation(
+        spark,
+        sf_dir,
+        dedup_op.SHINGLE_CACHE_KIND,
+        lambda: dedup_op.with_hashed_shingles(
+            dedup_op.with_planted_near_dups(
+                load_table(spark, sf_dir, "documents")
+            ),
+            3,
+        ),
+    )
 
 
 def _text_admission_split_sig(
@@ -1237,7 +1263,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup connected components -> canonical (doc_id, cluster_id);
     the keep-one-per-cluster decision a training pipeline executes."""
     return dedup_op.dedup_clusters(
-        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
+        sh=_doc_shingles(spark, sf_dir),
     )
 
 
@@ -1905,7 +1932,9 @@ def dedup_ngram_df_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index — the hot-shingle pair-blowup guard you run at
     100 TB (drops ~74% of shingle postings at sf0.1)."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return dedup_op.ngram_jaccard_pairs_df_cutoff(docs)
+    return dedup_op.ngram_jaccard_pairs_df_cutoff(
+        docs, sh=_doc_shingles(spark, sf_dir)
+    )
 
 
 @register(
@@ -1919,7 +1948,9 @@ def dedup_ngram_df_frac_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shingle in >2% of docs = boilerplate) — scale-invariant semantics
     vs the absolute-count variant."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return dedup_op.ngram_jaccard_pairs_df_frac_cutoff(docs)
+    return dedup_op.ngram_jaccard_pairs_df_frac_cutoff(
+        docs, sh=_doc_shingles(spark, sf_dir)
+    )
 
 
 @register(
@@ -1964,7 +1995,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     that Jaccard misses); same inverted-index exchange as the Jaccard
     tier, different score."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return dedup_op.ngram_containment_pairs(docs)
+    return dedup_op.ngram_containment_pairs(
+        docs, sh=_doc_shingles(spark, sf_dir)
+    )
 
 
 @register(
@@ -2110,7 +2143,7 @@ def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kept corpus after MinHash-LSH dedup (pair-local min-id drop
     rule; one LSH pass + broadcast anti-join, no CC iteration)."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return dedup_op.minhash_keep_corpus(docs)
+    return dedup_op.minhash_keep_corpus(docs, sh=_doc_shingles(spark, sf_dir))
 
 
 @register("bigram_lm_scores", text_op.sql_bigram_lm_scores())
@@ -2375,7 +2408,8 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard threshold-sensitivity report: one scoring pass, a
     histogram per cutoff edge plus reverse cumulative pair counts."""
     return dedup_op.jaccard_threshold_sweep(
-        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
+        sh=_doc_shingles(spark, sf_dir),
     )
 
 
@@ -2860,7 +2894,7 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs when tuning bands/rows (the dedup analog of
     ann_recall)."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return dedup_op.lsh_recall_report(docs)
+    return dedup_op.lsh_recall_report(docs, sh=_doc_shingles(spark, sf_dir))
 
 
 @register("cascade_delete_report", merge_op.sql_cascade_delete_report())

@@ -1842,3 +1842,30 @@ def test_source_overlap_null_text_doc(spark) -> None:
         for r in con.sql(dedup_op.sql_source_overlap("documents")).fetchall()
     }
     assert got == want and len(got) == 1
+
+
+def test_shingle_tiers_accept_precomputed_sh_identically(spark, sf_dir) -> None:
+    """Round-12 one-tokenize-pass sharing: every shingle tier given a
+    precomputed (doc_id, shingles) relation (``sh=``) returns exactly
+    the rows it computes from the raw docs — the registry's
+    session-cached relation is a pure common-subexpression factoring,
+    not a semantic change."""
+    docs = dedup.with_planted_near_dups(
+        load_table(spark, sf_dir, "documents")
+    ).filter("doc_id % 100000 < 64")
+    sh = dedup.with_hashed_shingles(docs, 3).localCheckpoint()
+    tiers = (
+        dedup.ngram_jaccard_pairs,
+        dedup.ngram_jaccard_pairs_df_cutoff,
+        dedup.ngram_jaccard_pairs_df_frac_cutoff,
+        dedup.ngram_containment_pairs,
+        dedup.minhash_lsh_dedup,
+        dedup.minhash_keep_corpus,
+        dedup.dedup_clusters,
+        dedup.jaccard_threshold_sweep,
+        dedup.lsh_recall_report,
+    )
+    for tier in tiers:
+        own = {tuple(r) for r in tier(docs).collect()}
+        shared = {tuple(r) for r in tier(docs, sh=sh).collect()}
+        assert own == shared, tier.__name__
