@@ -54,6 +54,12 @@ N_ITERS = 2
 DIM = 64  # driver testdata embedding width (oracle twin hardcodes it;
 # the Spark side reads the true width per row via posexplode)
 
+# session-cache kind for the fitted centroid frame (multimodal.py::
+# session_cached_relation): assignments and prototypes run the SAME
+# deterministic Lloyd fit, so one fit per process serves both queries
+# within the session — never persisted across runs
+CENTS_CACHE_KIND = "kmeans_cents16x2_s1"
+
 
 def _assign(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast k centroids, argmax cosine
@@ -145,6 +151,14 @@ def _recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
     return [(row["cell_id"], row["cvec"]) for row in means.collect()]
 
 
+def fit_centroids(
+    embeddings: DataFrame, n_cells: int = N_CELLS, n_iters: int = N_ITERS
+) -> DataFrame:
+    """Public face of the Lloyd fit — the (cell_id, cvec) frame the
+    registry session-caches so both kmeans queries share one fit."""
+    return _fit(embeddings, n_cells, n_iters)
+
+
 def _fit(
     embeddings: DataFrame, n_cells: int, n_iters: int
 ) -> DataFrame:
@@ -167,6 +181,7 @@ def kmeans_assignments(
     embeddings: DataFrame,
     n_cells: int = N_CELLS,
     n_iters: int = N_ITERS,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Final (vec_id, cell_id) assignment after ``n_iters`` Lloyd
     rounds from the deterministic ivf seeding (first ``n_cells``
@@ -175,8 +190,13 @@ def kmeans_assignments(
     Cells that lose every member simply drop out of the next round's
     centroid set (standard Lloyd; both engines mirror the behavior
     because the groupBy produces no row for them).
+
+    ``cents``: a precomputed ``fit_centroids`` frame (the fit is
+    deterministic, so passing it skips the Lloyd rounds without
+    changing the assignment).
     """
-    cents = _fit(embeddings, n_cells, n_iters)
+    if cents is None:
+        cents = _fit(embeddings, n_cells, n_iters)
     return _assign(embeddings, cents).select("vec_id", "cell_id")
 
 
@@ -185,6 +205,7 @@ def kmeans_prototypes(
     n_cells: int = N_CELLS,
     n_iters: int = N_ITERS,
     k_per_cell: int = 5,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Prototype selection: the ``k_per_cell`` vectors closest to their
     refined centroid, per cell — prototype-based data pruning
@@ -197,7 +218,8 @@ def kmeans_prototypes(
     selection is a per-cell top-k window (bounded partitions — cell
     sized, never corpus sized).
     """
-    cents = _fit(embeddings, n_cells, n_iters)
+    if cents is None:
+        cents = _fit(embeddings, n_cells, n_iters)
     assigned = _assign(embeddings, cents)
     scored = assigned.join(F.broadcast(cents), "cell_id").withColumn(
         "ccos",

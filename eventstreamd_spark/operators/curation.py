@@ -24,7 +24,9 @@ from eventstreamd_spark.operators.textops import quality_ok_col, sql_quality_ok
 from eventstreamd_spark.session import fan_out
 
 
-def curation_decisions(docs: DataFrame) -> DataFrame:
+def curation_decisions(
+    docs: DataFrame, sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, quality_ok, detected_lang, is_canonical, keep).
 
     One narrow projection computes both text features (quality flag and
@@ -32,13 +34,17 @@ def curation_decisions(docs: DataFrame) -> DataFrame:
     operation is the join against the cluster assignment, on an 8-byte
     key.  At 100 TB: features scale linearly with no shuffle; the join
     shuffles (doc_id, 3 small columns), never the text.
+
+    ``sh`` optionally supplies the precomputed (doc_id, shingles)
+    relation for the dedup closure (must equal
+    ``with_hashed_shingles(docs, 3)``).
     """
     feats = fan_out(docs).select(
         "doc_id",
         quality_ok_col(F.col("text")).cast("int").alias("quality_ok"),
         lang_id(tokens(F.col("text"))).alias("detected_lang"),
     )
-    clusters = dedup_clusters(docs)
+    clusters = dedup_clusters(docs, sh=sh)
     joined = feats.join(clusters, "doc_id")
     canonical = F.col("cluster_id") == F.col("doc_id")
     keep = (
@@ -71,7 +77,9 @@ JOIN ({clusters}) c ON c.doc_id = f.doc_id
 """
 
 
-def corpus_build_manifest(docs: DataFrame) -> DataFrame:
+def corpus_build_manifest(
+    docs: DataFrame, sh: DataFrame | None = None
+) -> DataFrame:
     """The whole corpus-construction pipeline as ONE composed plan:
     curation verdicts (quality + language + canonical-dedup) gate the
     corpus, survivors get token counts and deterministic token-budget
@@ -102,7 +110,7 @@ def corpus_build_manifest(docs: DataFrame) -> DataFrame:
         lang_id(tokens(F.col("text"))).alias("detected_lang"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    clusters = dedup_clusters(docs)
+    clusters = dedup_clusters(docs, sh=sh)
     keep = (
         F.col("quality_ok")
         & (F.col("cluster_id") == F.col("doc_id"))

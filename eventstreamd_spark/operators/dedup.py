@@ -832,22 +832,34 @@ def connected_components(edges: DataFrame, max_iters: int = 16) -> DataFrame:
         # stars would make a root a src (violating a) or give a src
         # two dsts (violating b); the rewrites preserve connectivity,
         # so each star is then exactly one original component rooted
-        # at its min.  Two cheap probe jobs on the checkpointed edge
-        # set, short-circuited — still cheaper than the full
-        # large+small round (2 shuffles + checkpoint) they replace.
-        chained = cur.select("dst").join(
-            cur.select(F.col("src").alias("dst")).distinct(),
-            "dst",
-            "left_semi",
-        )
-        if chained.limit(1).count() == 0:
-            multi_root = (
-                cur.groupBy("src")
-                .agg(F.count_distinct("dst").alias("n_dst"))
-                .where(F.col("n_dst") > 1)
+        # at its min.  Both conditions are checked by ONE aggregation
+        # job on the checkpointed edge set: melt each edge into a
+        # src-role row (node=src, dst kept) and a dst-role row
+        # (node=dst, dst NULL), then per node count distinct non-NULL
+        # dsts (condition b) and whether both roles appear (condition
+        # a).  One shuffle on the small star set — the converged case
+        # (every round but the last) pays one driver-synchronized job
+        # where the two-probe form paid two.
+        dst_type = dict(cur.dtypes)["dst"]
+        roles = cur.select(F.col("src").alias("node"), "dst").union(
+            cur.select(
+                F.col("dst").alias("node"),
+                F.lit(None).cast(dst_type).alias("dst"),
             )
-            if multi_root.limit(1).count() == 0:
-                break
+        )
+        violations = (
+            roles.groupBy("node")
+            .agg(
+                F.count_distinct("dst").alias("n_dst"),
+                F.max(F.col("dst").isNull().cast("int")).alias("as_dst"),
+            )
+            .where(
+                (F.col("n_dst") > 1)
+                | ((F.col("n_dst") >= 1) & (F.col("as_dst") == 1))
+            )
+        )
+        if violations.limit(1).count() == 0:
+            break
         cur = _small_star(_large_star(cur.union(
             cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ))).localCheckpoint()
@@ -882,9 +894,12 @@ def dedup_clusters(
     full doc list.
     """
     pairs = minhash_lsh_dedup(docs, n, threshold, sh=sh)
-    # materialize the (small) edge list once — the iteration joins
-    # against it, and without the checkpoint every round would re-run
-    # the whole MinHash pipeline through the edges' lineage
+    # materialize the (small) edge list once — connected_components'
+    # first rewritten round reads the symmetrized edges up to FOUR
+    # times (each star pass joins its input against its own groupBy,
+    # and the union doubles the subtree again); without the checkpoint
+    # every read re-runs the whole MinHash pipeline through lineage
+    # (measured 2.4x on this query in a fresh-JVM A/B)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).localCheckpoint()
@@ -1952,6 +1967,9 @@ def resolve_entities(
     from pyspark.sql import Window
 
     pairs = fuzzy_name_pairs(parts, name_col, max_dist)
+    # checkpointed: the first star round reads the symmetrized edges
+    # up to 4x (see dedup_clusters) — un-checkpointed, each read
+    # re-runs the blocking + levenshtein verify through lineage
     edges = pairs.select(
         F.col("name_a").alias("src"), F.col("name_b").alias("dst")
     ).localCheckpoint()
@@ -2081,6 +2099,7 @@ def split_leakage_check(
     n: int = 3,
     threshold: float = 0.6,
     salt: str = "s2",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-split leakage audit: near-dup pairs that STRADDLE a
     train/val/test boundary — the failure decontamination screens for
@@ -2105,7 +2124,7 @@ def split_leakage_check(
     """
     from eventstreamd_spark.operators.sampling import dataset_split
 
-    pairs = minhash_lsh_dedup(docs, n, threshold)
+    pairs = minhash_lsh_dedup(docs, n, threshold, sh=sh)
     splits = dataset_split(docs, "doc_id", weights, salt=salt).select(
         "doc_id", "split"
     )

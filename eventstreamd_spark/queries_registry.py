@@ -1309,7 +1309,8 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline: quality gate + language ID +
     dedup clustering -> one keep/drop verdict per document."""
     return curation_op.curation_decisions(
-        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
+        sh=_doc_shingles(spark, sf_dir),
     )
 
 
@@ -2165,12 +2166,34 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.semantic_dedup_pairs(_emb_planted(spark, sf_dir))
 
 
+def _bpe_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE training artifact (merge table + final vocabulary in
+    one relation) as a SESSION-cached relation — TRAIN runs once per
+    process; the merge-table and encode queries both project their
+    half out of it (bpe.py::bpe_induction_relation)."""
+    from eventstreamd_spark.operators.multimodal import (
+        session_cached_relation,
+    )
+
+    return session_cached_relation(
+        spark,
+        sf_dir,
+        bpe_op.INDUCTION_CACHE_KIND,
+        lambda: bpe_op.bpe_induction_relation(
+            load_table(spark, sf_dir, "documents")
+        ),
+    )
+
+
 @register("bpe_merges", bpe_op.sql_bpe_merge_table())
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge-table induction (Sennrich et al. 2016):
     iterative greedy pair fusion over the word-count vocabulary —
     per-round cost O(vocab), independent of corpus size."""
-    return bpe_op.bpe_merge_table(load_table(spark, sf_dir, "documents"))
+    return bpe_op.bpe_merge_table(
+        load_table(spark, sf_dir, "documents"),
+        induction=_bpe_induction(spark, sf_dir),
+    )
 
 
 @register("quality_ensemble", text_op.sql_quality_ensemble())
@@ -2228,12 +2251,33 @@ def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from eventstreamd_spark.operators import clustering as clustering_op  # noqa: E402
 
 
+def _kmeans_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted Lloyd centroid frame as a SESSION-cached relation —
+    the fit is deterministic and identical for both kmeans queries, so
+    one driver-coordinated fit per process serves both (the same
+    sharing idiom as the signature/shingle relations; the k x d frame
+    itself is tiny)."""
+    from eventstreamd_spark.operators.multimodal import (
+        session_cached_relation,
+    )
+
+    return session_cached_relation(
+        spark,
+        sf_dir,
+        clustering_op.CENTS_CACHE_KIND,
+        lambda: clustering_op.fit_centroids(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+    )
+
+
 @register("kmeans_assignments", clustering_op.sql_kmeans_assignments())
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means refinement of the IVF cells (MLlib-style
     driver-coordinated centroid rounds; SemDeDup cell sharpening)."""
     return clustering_op.kmeans_assignments(
-        load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "embeddings"),
+        cents=_kmeans_cents(spark, sf_dir),
     )
 
 
@@ -2242,7 +2286,8 @@ def kmeans_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-based pruning (Sorscher et al. 2022): the k most
     centroid-typical vectors per refined cell."""
     return clustering_op.kmeans_prototypes(
-        load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "embeddings"),
+        cents=_kmeans_cents(spark, sf_dir),
     )
 
 
@@ -2454,6 +2499,7 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.split_leakage_check(
         dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
         _SPLIT_WEIGHTS,
+        sh=_doc_shingles(spark, sf_dir),
     )
 
 
@@ -2541,7 +2587,10 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE: apply the learned merge table per distinct term,
     broadcast the (term -> symbol count) map over the corpus — per-doc
     BPE token counts at O(vocab x merges) fold cost."""
-    return bpe_op.bpe_encode_stats(load_table(spark, sf_dir, "documents"))
+    return bpe_op.bpe_encode_stats(
+        load_table(spark, sf_dir, "documents"),
+        induction=_bpe_induction(spark, sf_dir),
+    )
 
 
 @register("token_budget_fill", text_op.sql_token_budget_fill())
@@ -2792,7 +2841,8 @@ def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate the corpus, survivors get token counts + deterministic shard
     assignments — the manifest a training job consumes."""
     return curation_op.corpus_build_manifest(
-        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
+        sh=_doc_shingles(spark, sf_dir),
     )
 
 
@@ -2966,7 +3016,8 @@ def pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     the highest-rank member of each component is the canonical copy.
     One pair computation feeds both components and ranks."""
     return graph_op.pagerank_canonical(
-        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
+        sh=_doc_shingles(spark, sf_dir),
     )
 
 
@@ -2980,7 +3031,8 @@ def triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degree capped at O(sqrt E)) — the cluster-chaining health
     check for the LSH threshold."""
     return graph_op.triangle_stats(
-        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
+        sh=_doc_shingles(spark, sf_dir),
     )
 
 

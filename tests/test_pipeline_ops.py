@@ -1869,3 +1869,87 @@ def test_shingle_tiers_accept_precomputed_sh_identically(spark, sf_dir) -> None:
         own = {tuple(r) for r in tier(docs).collect()}
         shared = {tuple(r) for r in tier(docs, sh=sh).collect()}
         assert own == shared, tier.__name__
+
+
+def test_connected_components_string_nodes(spark) -> None:
+    """The single-job convergence probe melts src/dst rows with a
+    typed NULL — it must resolve that type from the edge schema, so
+    components over STRING node ids (entity resolution runs the star
+    rounds on raw name strings) work exactly like numeric ids."""
+    from eventstreamd_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "src string, dst string"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iters=8).collect()
+    }
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_graph_and_curation_accept_precomputed_sh_identically(
+    spark, sf_dir
+) -> None:
+    """The round-12 shared-shingle extension (graph tier, curation,
+    split leakage): each consumer given the precomputed (doc_id,
+    shingles) relation returns exactly the rows it computes from raw
+    docs — pure common-subexpression factoring, not a semantic
+    change."""
+    from eventstreamd_spark.operators import curation, graph
+
+    docs = dedup.with_planted_near_dups(
+        load_table(spark, sf_dir, "documents")
+    ).filter("doc_id % 100000 < 64")
+    sh = dedup.with_hashed_shingles(docs, 3).localCheckpoint()
+    consumers = (
+        graph.pagerank_canonical,
+        graph.triangle_stats,
+        curation.curation_decisions,
+        curation.corpus_build_manifest,
+        lambda d, sh=None: dedup.split_leakage_check(
+            d, {"train": 0.8, "val": 0.1, "test": 0.1}, sh=sh
+        ),
+    )
+    for fn in consumers:
+        own = {tuple(r) for r in fn(docs).collect()}
+        shared = {tuple(r) for r in fn(docs, sh=sh).collect()}
+        assert own == shared, getattr(fn, "__name__", "split_leakage")
+
+
+def test_bpe_induction_relation_serves_both_faces_identically(
+    spark, sf_dir
+) -> None:
+    """The session-shared BPE induction artifact: the merge table and
+    the encode stats projected from ``bpe_induction_relation`` equal
+    the ones computed by running the induction rounds directly."""
+    from eventstreamd_spark.operators import bpe as bpe_op
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 64")
+    ind = bpe_op.bpe_induction_relation(docs).localCheckpoint()
+    own_mt = {tuple(r) for r in bpe_op.bpe_merge_table(docs).collect()}
+    shared_mt = {
+        tuple(r) for r in bpe_op.bpe_merge_table(docs, induction=ind).collect()
+    }
+    assert own_mt == shared_mt and len(own_mt) == bpe_op.N_MERGES
+    own_enc = {tuple(r) for r in bpe_op.bpe_encode_stats(docs).collect()}
+    shared_enc = {
+        tuple(r)
+        for r in bpe_op.bpe_encode_stats(docs, induction=ind).collect()
+    }
+    assert own_enc == shared_enc
+
+
+def test_kmeans_precomputed_centroids_identity(spark, sf_dir) -> None:
+    """Both kmeans queries given the precomputed ``fit_centroids``
+    frame return exactly what they compute by fitting internally (the
+    fit is deterministic, so the session-shared frame is a pure
+    factoring)."""
+    from eventstreamd_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.fit_centroids(emb).localCheckpoint()
+    for fn in (clustering.kmeans_assignments, clustering.kmeans_prototypes):
+        own = {tuple(r) for r in fn(emb).collect()}
+        shared = {tuple(r) for r in fn(emb, cents=cents).collect()}
+        assert own == shared, fn.__name__
