@@ -510,6 +510,58 @@ def test_pq_ann_and_recall_share_code_table(spark, sf_dir) -> None:
     assert memo.HITS >= before + 2
 
 
+def test_topk_kmax_base_serves_k_by_rank_filter(spark, sf_dir) -> None:
+    # §8 (r12): the topk kernels memoize ONE ranked top-TOPK_MEMO_KMAX
+    # base per (query set, session) and serve every k <= kmax by rank
+    # filter.  Pin (a) the k=5 face is row-for-row the pure-Python
+    # exact cosine top-5 (same left-to-right float association as
+    # functions/vectors.py::dot, self excluded) — ranking at kmax then
+    # filtering to k loses nothing; (b) a later k <= kmax call is a
+    # memo hit on the same base, not a second corpus scan.
+    import math
+    from functools import reduce
+
+    from eventstreamd_spark.operators import similarity as sim
+    from eventstreamd_spark.plans import memo
+    from eventstreamd_spark.session import load_table
+
+    memo.memo_clear()
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, qids, k=5).collect()
+    )
+
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def dot(a, b):
+        return reduce(
+            lambda acc, x: acc + x,
+            (float(x) * float(y) for x, y in zip(a, b)),
+            0.0,
+        )
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    want = []
+    for q in qids:
+        ranked = sorted(
+            ((vid, cos(vecs[q], v)) for vid, v in vecs.items() if vid != q),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        want.extend((q, i + 1, vid) for i, (vid, _) in enumerate(ranked))
+    assert got == sorted(want)
+
+    # (b) the k=10 (= kmax) face is the SAME checkpoint, served from
+    # the memo — one exact corpus scan for the whole eval suite
+    hits = memo.HITS
+    top10 = sim.brute_force_topk(emb, qids, k=10)
+    assert memo.HITS == hits + 1
+    assert top10.count() == len(qids) * 10
+
+
 def test_memo_checkpoint_plan_is_leaf(spark, sf_dir) -> None:
     # the memoized exact ranking enters downstream plans as a
     # materialized leaf (ExistingRDD/LogicalRDD), not a re-expanded
