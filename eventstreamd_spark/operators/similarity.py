@@ -127,9 +127,17 @@ def brute_force_topk(
 
 
 def bucketed_corpus(embeddings: DataFrame, dim: int = 64) -> DataFrame:
-    # fan_out before the 16-hyperplane projection (CPU-heavy narrow map)
-    return fan_out(embeddings).withColumn(
-        "bucket", lsh_bucket(F.col("embedding"), dim)
+    # fan_out before the 16-hyperplane projection (CPU-heavy narrow map).
+    # The bucketed relation IS the LSH index: at 100 TB it is bucketed
+    # once per rebuild (one narrow map + one shuffle) and every query
+    # probes it — memo_checkpoint is the in-session rehearsal, so the
+    # 16-plane fold runs once per session instead of once per join leg
+    # per invocation (the fold, not the banded join, is this tier's
+    # measured bill — see lsh_bucket's docstring).
+    return memo_checkpoint(
+        fan_out(embeddings).withColumn(
+            "bucket", lsh_bucket(F.col("embedding"), dim)
+        )
     )
 
 
@@ -402,6 +410,15 @@ def ivf_cells(
     at scale).  Assignment = broadcast the 16 centroids, score with
     cosine, keep the argmax per vector via a window — one narrow pass
     over the corpus plus a 16x row blow-up that immediately collapses.
+
+    The assignment relation IS the IVF index ("this operator IS the
+    partition layout", ivf_topk) — at 100 TB it is written partitioned
+    by cell_id once per rebuild and every retrieval face reads it.  The
+    in-session rehearsal of that is ``memo_checkpoint``: four
+    independent faces consume the identical assignment (ivf_topk's
+    ranked-base build, semantic_dedup_pairs, cell_label_purity,
+    knn_label_noise_ivf via the label join-back), and without the memo
+    each ran its own corpus x n_cells argmax pass per session.
     """
     from eventstreamd_spark.functions.vectors import dot, norm
 
@@ -439,11 +456,13 @@ def ivf_cells(
             )
         ).alias("b")
     )
-    return best.select(
-        "vec_id",
-        F.col("b.embedding").alias("embedding"),
-        F.col("b.cell_id").alias("cell_id"),
-        *[F.col(f"b.{c}").alias(c) for c in keep],
+    return memo_checkpoint(
+        best.select(
+            "vec_id",
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.cell_id").alias("cell_id"),
+            *[F.col(f"b.{c}").alias(c) for c in keep],
+        )
     )
 
 
@@ -1795,8 +1814,20 @@ def knn_label_noise_ivf(
 
     Same guarded-cosine scoring, tie order, and integer disagreement
     arithmetic as the exact tier — only the candidate set changes.
+
+    The assignment comes from the SHARED ``ivf_cells`` relation (the
+    session-memoized IVF index every retrieval face reads) with labels
+    joined back on the unique vec_id — the ``cell_label_purity`` idiom;
+    a ``keep=("label",)`` assignment would be a second, semantically
+    distinct corpus x n_cells argmax pass that can never memo-hit the
+    other faces'.  Row-identical: ``keep`` columns ride AFTER the
+    (score, cell_id) decision fields and can never influence the
+    argmax, and vec_id is unique, so the inner label join is
+    row-preserving.
     """
-    cells = ivf_cells(embeddings, n_cells, keep=("label",))
+    cells = ivf_cells(embeddings, n_cells).join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    )
     cents = embeddings.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
     )

@@ -562,6 +562,65 @@ def test_topk_kmax_base_serves_k_by_rank_filter(spark, sf_dir) -> None:
     assert top10.count() == len(qids) * 10
 
 
+def test_ivf_assignment_shared_across_faces(spark, sf_dir) -> None:
+    # r12 optimization-round: ivf_cells memoizes the assignment (the
+    # IVF index relation) once per (corpus plan, n_cells, session).
+    # (a) knn_label_noise_ivf's label join-back is row-identical to the
+    # keep=("label",) assignment it replaced — keep columns ride after
+    # the (score, cell_id) decision fields and vec_id is unique, so the
+    # substitution is exact; (b) a second face's ivf_cells call is a
+    # memo hit, not a second corpus x n_cells argmax pass.
+    from eventstreamd_spark.operators import similarity as sim
+    from eventstreamd_spark.plans import memo
+    from eventstreamd_spark.session import load_table
+
+    memo.memo_clear()
+    emb = load_table(spark, sf_dir, "embeddings")
+    via_keep = sorted(
+        (r.vec_id, r.cell_id, r.label)
+        for r in sim.ivf_cells(emb, keep=("label",)).collect()
+    )
+    via_join = sorted(
+        (r.vec_id, r.cell_id, r.label)
+        for r in sim.ivf_cells(emb)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "cell_id", "label")
+        .collect()
+    )
+    assert via_keep == via_join
+
+    hits = memo.HITS
+    sim.ivf_cells(emb)  # same (corpus, n_cells, keep=()) => memo hit
+    assert memo.HITS == hits + 1
+
+
+def test_lsh_bucket_index_memoized(spark, sf_dir) -> None:
+    # r12 optimization-round: bucketed_corpus (the LSH index) is
+    # memoized per session — the 16-plane fold runs once, every later
+    # lsh_topk call (and both legs of one call) reads the checkpoint.
+    # Bucket values must equal an un-memoized evaluation of the same
+    # projection.
+    from eventstreamd_spark.operators import similarity as sim
+    from eventstreamd_spark.plans import memo
+    from eventstreamd_spark.session import fan_out, load_table
+
+    memo.memo_clear()
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = fan_out(emb).withColumn(
+        "bucket", sim.lsh_bucket(F.col("embedding"))
+    )
+    want = sorted((r.vec_id, r.bucket) for r in raw.collect())
+    got = sorted(
+        (r.vec_id, r.bucket)
+        for r in sim.bucketed_corpus(emb).select("vec_id", "bucket").collect()
+    )
+    assert got == want
+
+    hits = memo.HITS
+    sim.bucketed_corpus(emb)
+    assert memo.HITS == hits + 1
+
+
 def test_memo_checkpoint_plan_is_leaf(spark, sf_dir) -> None:
     # the memoized exact ranking enters downstream plans as a
     # materialized leaf (ExistingRDD/LogicalRDD), not a re-expanded

@@ -8,7 +8,11 @@ fresh-JVM number would charge the shared base to whichever query runs
 first and credit nothing to the rest.
 
 Usage:
-    python tools/ann_family_bench.py [N]
+    python tools/ann_family_bench.py [N] [QUERY ...]
+
+Extra args override the default face list (same one-session protocol
+for any family whose win is cross-query sharing — e.g. the r12
+IVF-assignment/LSH-index memo faces).
 
 Prints per-query cold + best-of-N and the family total (sum of bests,
 plus the cold total), as one JSON line.  Run it alternately from the
@@ -39,7 +43,10 @@ FAMILY = [
 
 
 def main() -> None:
+    global FAMILY
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    if len(sys.argv) > 2:
+        FAMILY = sys.argv[2:]
     from eventstreamd_spark.session import get_spark
     from eventstreamd_spark import queries_registry as reg
 
