@@ -42,6 +42,7 @@ from typing import Iterator
 import numpy as _np
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from eventstreamd_spark.functions.text import (
     HASH_MOD,
@@ -771,11 +772,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond"): every node connects its LARGER neighbors to
     the minimum of its neighborhood.  Input must be symmetric; output
-    edges point larger -> smaller.  One groupBy + one self-join, both
-    on 8-byte keys."""
-    mins = edges.groupBy("src").agg(F.min("dst").alias("mn"))
+    edges point larger -> smaller.
+
+    SINGLE-SCAN form (round 13): the per-src neighborhood minimum is a
+    window aggregate over the same key instead of a groupBy + join-back
+    — one pass over the input where the join form read it twice (the
+    reason every caller had to eagerly checkpoint the edge pipeline
+    before the first round), and one exchange of the edges instead of
+    an exchange for the aggregate plus one for the join."""
+    w = Window.partitionBy("src")
     return (
-        edges.join(mins, "src")
+        edges.withColumn("mn", F.min("dst").over(w))
         .filter(F.col("dst") > F.col("src"))
         .select(
             F.col("dst").alias("src"),
@@ -788,17 +795,57 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: every node connects its SMALLER neighbors
     (and itself) to the minimum of that set.  Input edges must point
-    larger -> smaller (large-star output); output likewise."""
-    mins = edges.groupBy("src").agg(F.min("dst").alias("mn"))
-    moved = (
-        edges.join(mins, "src")
-        .filter(F.col("dst") != F.col("mn"))
-        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    larger -> smaller (large-star output); output likewise.
+
+    SINGLE-SCAN form (round 13): window minimum per src, then BOTH
+    output legs ("moved" smaller-neighbor edges and the per-group
+    "kept" src->min edge) emitted from one projection via explode —
+    the kept leg per ROW instead of per GROUP, which the trailing
+    ``distinct`` (already required by the algorithm) collapses to the
+    identical set.  One scan and one window exchange where the join
+    form paid a groupBy exchange, a join and two scans."""
+    w = Window.partitionBy("src")
+    withmn = edges.withColumn("mn", F.min("dst").over(w))
+    both = F.array_compact(
+        F.array(
+            F.when(
+                F.col("dst") != F.col("mn"),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("mn").alias("dst")
+                ),
+            ),
+            F.when(
+                F.col("src") != F.col("mn"),
+                F.struct(
+                    F.col("src").alias("src"), F.col("mn").alias("dst")
+                ),
+            ),
+        )
     )
-    kept = mins.filter(F.col("src") != F.col("mn")).select(
-        "src", F.col("mn").alias("dst")
+    return (
+        withmn.select(F.explode(both).alias("e"))
+        .select("e.src", "e.dst")
+        .distinct()
     )
-    return moved.union(kept).distinct()
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of an undirected pair list in ONE projection
+    (explode of a 2-struct array) — a single scan of the input where
+    the union-of-two-selects form read it twice."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
 
 
 def connected_components(edges: DataFrame, max_iters: int = 16) -> DataFrame:
@@ -810,15 +857,20 @@ def connected_components(edges: DataFrame, max_iters: int = 16) -> DataFrame:
     adversarial chain at 100 TB).
 
     ``edges`` is an undirected pair list (src, dst); symmetrization
-    happens here.  Each round is two groupBy+join passes over the
-    current edge set with ``localCheckpoint`` truncating lineage; the
-    convergence probe compares consecutive edge sets, a cheap anti-join
-    on 16-byte rows.
+    happens here.  Each round is two single-scan window passes over the
+    current edge set (see ``_large_star``/``_small_star``); rounds are
+    ``localCheckpoint``'ed LAZILY (round 13) so the materialization
+    happens inside the convergence probe's aggregation job — one
+    driver-synchronized job per round where the eager form paid two
+    (checkpoint job + probe job).  Combined with the single-scan star
+    passes and the one-projection ``_symmetrize``, the initial round
+    reads ``edges`` exactly ONCE, so callers no longer need to eagerly
+    checkpoint their pair pipeline before calling (the old join-form
+    stars read it up to 4x through lineage).
     """
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    cur = _small_star(_large_star(_symmetrize(edges))).localCheckpoint(
+        eager=False
     )
-    cur = _small_star(_large_star(sym)).localCheckpoint()
     for _ in range(max_iters):
         # fixed-point probe BEFORE computing another round: the
         # converged state is exactly a star forest, which needs BOTH
@@ -833,19 +885,29 @@ def connected_components(edges: DataFrame, max_iters: int = 16) -> DataFrame:
         # two dsts (violating b); the rewrites preserve connectivity,
         # so each star is then exactly one original component rooted
         # at its min.  Both conditions are checked by ONE aggregation
-        # job on the checkpointed edge set: melt each edge into a
-        # src-role row (node=src, dst kept) and a dst-role row
-        # (node=dst, dst NULL), then per node count distinct non-NULL
-        # dsts (condition b) and whether both roles appear (condition
-        # a).  One shuffle on the small star set — the converged case
-        # (every round but the last) pays one driver-synchronized job
-        # where the two-probe form paid two.
+        # job on the round's edge set: melt each edge into a src-role
+        # row (node=src, dst kept) and a dst-role row (node=dst, dst
+        # NULL) — via ONE explode projection, so the lazily-
+        # checkpointed round is scanned (and thereby materialized)
+        # exactly once inside this probe job — then per node count
+        # distinct non-NULL dsts (condition b) and whether both roles
+        # appear (condition a).  One shuffle on the small star set —
+        # one driver-synchronized job per round where the eager-
+        # checkpoint + two-probe form paid three.
         dst_type = dict(cur.dtypes)["dst"]
-        roles = cur.select(F.col("src").alias("node"), "dst").union(
+        roles = (
             cur.select(
-                F.col("dst").alias("node"),
-                F.lit(None).cast(dst_type).alias("dst"),
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src").alias("node"), F.col("dst")),
+                        F.struct(
+                            F.col("dst").alias("node"),
+                            F.lit(None).cast(dst_type).alias("dst"),
+                        ),
+                    )
+                ).alias("r")
             )
+            .select("r.node", "r.dst")
         )
         violations = (
             roles.groupBy("node")
@@ -860,9 +922,9 @@ def connected_components(edges: DataFrame, max_iters: int = 16) -> DataFrame:
         )
         if violations.limit(1).count() == 0:
             break
-        cur = _small_star(_large_star(cur.union(
-            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ))).localCheckpoint()
+        cur = _small_star(
+            _large_star(_symmetrize(cur))
+        ).localCheckpoint(eager=False)
     # at convergence the edge set is a star forest: src -> component min;
     # roots only appear as dst, so add their self-rows for a total map
     stars = cur.select(
@@ -894,15 +956,15 @@ def dedup_clusters(
     full doc list.
     """
     pairs = minhash_lsh_dedup(docs, n, threshold, sh=sh)
-    # materialize the (small) edge list once — connected_components'
-    # first rewritten round reads the symmetrized edges up to FOUR
-    # times (each star pass joins its input against its own groupBy,
-    # and the union doubles the subtree again); without the checkpoint
-    # every read re-runs the whole MinHash pipeline through lineage
-    # (measured 2.4x on this query in a fresh-JVM A/B)
+    # no edge checkpoint (round 13): the single-scan window-form star
+    # passes read the symmetrized edges exactly ONCE in the initial
+    # round (the old join-form stars read them up to 4x, which forced
+    # an eager localCheckpoint here — one extra driver-synchronized
+    # job per call; the MinHash pipeline now runs once either way,
+    # inside the convergence probe's job)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).localCheckpoint()
+    )
     comp = connected_components(edges, max_iters)
     return docs.select("doc_id").join(
         comp, F.col("doc_id") == F.col("node"), "left"
@@ -1967,12 +2029,12 @@ def resolve_entities(
     from pyspark.sql import Window
 
     pairs = fuzzy_name_pairs(parts, name_col, max_dist)
-    # checkpointed: the first star round reads the symmetrized edges
-    # up to 4x (see dedup_clusters) — un-checkpointed, each read
-    # re-runs the blocking + levenshtein verify through lineage
+    # no edge checkpoint (round 13): the single-scan star passes read
+    # the edges exactly once, so the blocking + levenshtein verify
+    # runs once through lineage (see dedup_clusters)
     edges = pairs.select(
         F.col("name_a").alias("src"), F.col("name_b").alias("dst")
-    ).localCheckpoint()
+    )
     comp = connected_components(edges)
     names = parts.select(F.col(name_col).alias("name")).distinct()
     resolved = names.join(

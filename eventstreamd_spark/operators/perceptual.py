@@ -689,16 +689,15 @@ def _sig_clusters(
         if wide
         else (lambda s_, h_: banded_pairs(s_, h_, kinds=kinds))
     )
-    # checkpointed: connected_components' first star round reads the
-    # symmetrized edges up to 4x (each star pass joins its input
-    # against its own groupBy, and the symmetrizing union doubles the
-    # subtree) — un-checkpointed, each read re-runs the banded pair
-    # join through lineage (measured 1.8x on media_admission_wide in
-    # a fresh-JVM A/B)
+    # no edge checkpoint (round 13): connected_components' single-scan
+    # window-form star passes read the symmetrized edges exactly ONCE
+    # in the initial round (the old join-form stars read them up to
+    # 4x, which forced an eager localCheckpoint here — one extra
+    # driver-synchronized job per face; the banded pair join now runs
+    # once through lineage, inside the convergence probe's job)
     edges = (
         pairs_fn(sig, hamming_max)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .localCheckpoint()
     )
     comp = connected_components(edges, max_iters)
     return (

@@ -1237,6 +1237,26 @@ _CATALOG_COLS = [
 ]
 
 
+def _catalog_exact_rel(lineitem: DataFrame) -> DataFrame:
+    """The ONE-ROW exact statistics aggregate the catalog family
+    shares (round 13, the signature-relation idiom applied to the
+    stats tier): per column the non-null count and the exact NDV, plus
+    the row count — one Expand-rewritten scan, ``memo_checkpoint``'ed
+    (1 row, well inside the memo's small-output contract) so the
+    session pays the multi-column COUNT DISTINCT scan once instead of
+    once per catalog face (``column_stats_catalog`` unpivots it;
+    ``column_stats_catalog_hll`` reads its ndv_exact eval column and
+    null/non-null counts from it)."""
+    from eventstreamd_spark.plans.memo import memo_checkpoint
+
+    aggs = []
+    for c in _CATALOG_COLS:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    return memo_checkpoint(lineitem.agg(*aggs))
+
+
 def column_stats_catalog(lineitem: DataFrame) -> DataFrame:
     """ANALYZE TABLE in one scan: for every column, the non-null
     count, null count and exact NDV — the statistics a cost-based
@@ -1248,14 +1268,11 @@ def column_stats_catalog(lineitem: DataFrame) -> DataFrame:
     x row expansion collapsed map-side); the result unpivots to one
     row per column via ``stack``.  At 100 TB you'd swap exact NDV for
     the HLL tier (sketches.py) column-by-column; exact is kept here so
-    the oracle can assert equality.
+    the oracle can assert equality.  The aggregate itself is the
+    session-shared ``_catalog_exact_rel`` (one Expand scan serves this
+    face and ``column_stats_catalog_hll``'s eval column).
     """
-    aggs = []
-    for c in _CATALOG_COLS:
-        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
-    aggs.append(F.count(F.lit(1)).alias("__n"))
-    one = lineitem.agg(*aggs)
+    one = _catalog_exact_rel(lineitem)
     stack_args = ", ".join(
         f"'{c}', __nn_{c}, __n - __nn_{c}, __nd_{c}" for c in _CATALOG_COLS
     )
@@ -2632,28 +2649,21 @@ _CATALOG_KINDS = {
 }
 
 
-def column_stats_catalog_hll(lineitem: DataFrame) -> DataFrame:
-    """ANALYZE TABLE, sketch tier: per-column non-null/null counts plus
-    HLL-estimated NDV — the shape a CBO statistics job actually runs at
-    100 TB, where the exact tier's multi-COUNT-DISTINCT Expand keeps a
-    hash set per column and this keeps 64 integers per column.
-
-    One scan: columns unpivot to (column_name, canonical-string) rows
-    via a NARROW n_cols-x explode (values canonicalized by the digest
-    module's engine-portable forms — the same strings both engines
-    md5), then ONE register aggregate whose map-side combine caps every
-    task's shuffle at n_cols x m rows.  The exact NDV (the Expand tier)
-    rides along as the eval column with the standard 1.04/sqrt(m)
-    error budget asserted at ~4 sigma, exactly the
-    hll_distinct_by_type / rolling_wau_hll pattern.
-    """
+def _catalog_cells_rel(lineitem: DataFrame) -> DataFrame:
+    """The SHARED register-cell relation of the HLL catalog tier
+    (round 13): (column_name, bucket, m_rho, cnt) with null values
+    riding bucket -1 — one narrow explode+md5 scan whose map-side
+    combine caps every task's shuffle at n_cols x (m+1) rows,
+    ``memo_checkpoint``'ed (n_cols x (m+1) rows, well inside the
+    memo's small-output contract) so ``column_stats_catalog_hll`` and
+    ``column_stats_catalog_hll_prod`` pay the unpivot+hash scan once
+    per session instead of once per face (and the eval face no longer
+    runs a SECOND scan for its null/non-null counts — they fall out of
+    the same cells)."""
     from eventstreamd_spark.digest import _canon
     from eventstreamd_spark.functions.text import h60
-    from eventstreamd_spark.operators.sketches import (
-        _HLL_M,
-        _REM_BITS,
-        _hll_est_columns,
-    )
+    from eventstreamd_spark.operators.sketches import _REM_BITS
+    from eventstreamd_spark.plans.memo import memo_checkpoint
     from eventstreamd_spark.session import fan_out
 
     structs = F.array(
@@ -2672,33 +2682,80 @@ def column_stats_catalog_hll(lineitem: DataFrame) -> DataFrame:
     # cores (measured 106s at the 10x probe vs seconds when spread);
     # a no-op at real scale where the input has thousands of splits.
     rows = fan_out(lineitem).select(F.explode(structs).alias("s")).select("s.*")
-    counts = rows.groupBy("column_name").agg(
-        F.count("val").cast("bigint").alias("n_nonnull"),
-        (F.count(F.lit(1)) - F.count("val")).cast("bigint").alias("n_null"),
-    )
+    # ONE pass: null rows ride the SAME cell aggregate as bucket -1
+    # (rho 0), so the null/non-null counts fall out of the register
+    # shuffle instead of a second scan+explode+aggregate+join (the
+    # two-aggregate formulation scanned and unpivoted lineitem twice —
+    # measured ~35% of the tier's sf1 cost).  h60(NULL) is NULL, so the
+    # null gate is the bound hash column itself.
     h = h60(F.col("val"))
+    hs = rows.select("column_name", h.alias("h"))
     rem = F.expr(f"h % CAST({1 << _REM_BITS} AS BIGINT)")
-    rho = F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
-        F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
-    )
-    regs = (
-        rows.filter(F.col("val").isNotNull())
-        .select("column_name", h.alias("h"))
-        .select(
-            "column_name",
-            F.expr(f"shiftright(h, {_REM_BITS})").alias("bucket"),
-            rho.alias("rho"),
+    rho = F.when(F.col("h").isNull(), F.lit(0)).otherwise(
+        F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
+            F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
         )
-        .groupBy("column_name", "bucket")
-        .agg(F.max("rho").alias("m_rho"))
     )
-    scaled = regs.groupBy("column_name").agg(
+    bucket = F.when(F.col("h").isNull(), F.lit(-1).cast("bigint")).otherwise(
+        F.expr(f"shiftright(h, {_REM_BITS})")
+    )
+    return memo_checkpoint(
+        hs.select("column_name", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("column_name", "bucket")
+        .agg(
+            F.max("rho").alias("m_rho"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+
+
+def column_stats_catalog_hll(lineitem: DataFrame) -> DataFrame:
+    """ANALYZE TABLE, sketch tier: per-column non-null/null counts plus
+    HLL-estimated NDV — the shape a CBO statistics job actually runs at
+    100 TB, where the exact tier's multi-COUNT-DISTINCT Expand keeps a
+    hash set per column and this keeps 64 integers per column.
+
+    One scan: columns unpivot to (column_name, canonical-string) rows
+    via a NARROW n_cols-x explode (values canonicalized by the digest
+    module's engine-portable forms — the same strings both engines
+    md5), then ONE register aggregate whose map-side combine caps every
+    task's shuffle at n_cols x m rows.  The exact NDV (the Expand tier)
+    rides along as the eval column with the standard 1.04/sqrt(m)
+    error budget asserted at ~4 sigma, exactly the
+    hll_distinct_by_type / rolling_wau_hll pattern.
+
+    Round 13: both heavy passes are the session-shared relations —
+    registers AND null/non-null counts project from
+    ``_catalog_cells_rel`` (shared with the prod twin), ndv_exact from
+    ``_catalog_exact_rel`` (shared with the exact face) — so this face
+    runs ZERO corpus scans of its own once either sibling ran, and the
+    register arithmetic below is unchanged (same cells, same sums,
+    value-identical output).
+    """
+    from eventstreamd_spark.operators.sketches import (
+        _HLL_M,
+        _REM_BITS,
+        _hll_est_columns,
+    )
+
+    cells = _catalog_cells_rel(lineitem)
+    live = F.col("bucket") >= 0
+    per_col = cells.groupBy("column_name").agg(
+        F.sum(F.when(live, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonnull"),
+        F.coalesce(F.sum(F.when(~live, F.col("cnt"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_null"),
         F.sum(
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST({_REM_BITS + 1} - m_rho AS INT))"
-            )
+            F.when(
+                live,
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({_REM_BITS + 1} - m_rho AS INT))"
+                ),
+            ).otherwise(0)
         ).alias("s_present"),
-        F.count(F.lit(1)).cast("int").alias("n_present"),
+        F.sum(live.cast("int")).cast("int").alias("n_present"),
     )
     s_total = (
         F.col("s_present")
@@ -2708,38 +2765,30 @@ def column_stats_catalog_hll(lineitem: DataFrame) -> DataFrame:
     est = _hll_est_columns(
         s_total, (F.lit(_HLL_M) - F.col("n_present")).cast("int")
     )
-    exact_aggs = [
-        F.count_distinct(F.col(c)).cast("bigint").alias(f"__nd_{c}")
-        for c in _CATALOG_KINDS
-    ]
-    one = lineitem.agg(*exact_aggs)
+    one = _catalog_exact_rel(lineitem)
     exact = one.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("column_name"),
-                        F.col(f"__nd_{c}").alias("ndv_exact"),
+                        F.col(f"__nd_{c}").cast("bigint").alias("ndv_exact"),
                     )
                     for c in _CATALOG_KINDS
                 ]
             )
         ).alias("s")
     ).select("s.*")
-    return (
-        counts.join(scaled, "column_name")
-        .join(exact, "column_name")
-        .select(
-            "column_name",
-            "n_nonnull",
-            "n_null",
-            "ndv_exact",
-            est.alias("ndv_hll"),
-            (
-                F.abs(est - F.col("ndv_exact").cast("double"))
-                <= F.lit(0.52) * F.col("ndv_exact").cast("double")
-            ).alias("within_bound"),
-        )
+    return per_col.join(exact, "column_name").select(
+        "column_name",
+        "n_nonnull",
+        "n_null",
+        "ndv_exact",
+        est.alias("ndv_hll"),
+        (
+            F.abs(est - F.col("ndv_exact").cast("double"))
+            <= F.lit(0.52) * F.col("ndv_exact").cast("double")
+        ).alias("within_bound"),
     )
 
 
@@ -2821,53 +2870,16 @@ def column_stats_catalog_hll_prod(lineitem: DataFrame) -> DataFrame:
     Same single narrow unpivot scan, same fan_out guard, same
     deterministic register arithmetic — so the DuckDB oracle is still
     value-exact — minus the Expand-tier exact leg that the sketch
-    exists to avoid."""
-    from eventstreamd_spark.digest import _canon
-    from eventstreamd_spark.functions.text import h60
+    exists to avoid.  Round 13: the cells ARE the session-shared
+    ``_catalog_cells_rel`` (one scan serves this face and the eval
+    sibling); the register arithmetic below is unchanged."""
     from eventstreamd_spark.operators.sketches import (
         _HLL_M,
         _REM_BITS,
         _hll_est_columns,
     )
-    from eventstreamd_spark.session import fan_out
 
-    structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.when(F.col(c).isNull(), F.lit(None).cast("string"))
-                .otherwise(_canon(F.col(c), k))
-                .alias("val"),
-            )
-            for c, k in _CATALOG_KINDS.items()
-        ]
-    )
-    rows = fan_out(lineitem).select(F.explode(structs).alias("s")).select("s.*")
-    # ONE pass: null rows ride the SAME cell aggregate as bucket -1
-    # (rho 0), so the null/non-null counts fall out of the register
-    # shuffle instead of a second scan+explode+aggregate+join (the
-    # two-aggregate formulation scanned and unpivoted lineitem twice —
-    # measured ~35% of the tier's sf1 cost).  h60(NULL) is NULL, so the
-    # null gate is the bound hash column itself.
-    h = h60(F.col("val"))
-    hs = rows.select("column_name", h.alias("h"))
-    rem = F.expr(f"h % CAST({1 << _REM_BITS} AS BIGINT)")
-    rho = F.when(F.col("h").isNull(), F.lit(0)).otherwise(
-        F.when(rem == 0, F.lit(_REM_BITS + 1)).otherwise(
-            F.lit(_REM_BITS + 1) - F.length(F.bin(rem))
-        )
-    )
-    bucket = F.when(F.col("h").isNull(), F.lit(-1).cast("bigint")).otherwise(
-        F.expr(f"shiftright(h, {_REM_BITS})")
-    )
-    cells = (
-        hs.select("column_name", bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("column_name", "bucket")
-        .agg(
-            F.max("rho").alias("m_rho"),
-            F.count(F.lit(1)).cast("bigint").alias("cnt"),
-        )
-    )
+    cells = _catalog_cells_rel(lineitem)
     live = F.col("bucket") >= 0
     agg = cells.groupBy("column_name").agg(
         F.sum(F.when(live, F.col("cnt")).otherwise(0))

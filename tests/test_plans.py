@@ -801,7 +801,16 @@ def test_analyze_sketch_tier_single_scan(plans) -> None:
     phys = plans("column_stats_catalog_hll_prod").split(
         "== Physical Plan =="
     )[-1]
-    assert phys.count("Scan parquet") == 1
+    # round 13: the register cells are the session-shared
+    # _catalog_cells_rel (memo_checkpoint) — the query's own plan reads
+    # the checkpointed cells (zero parquet scans), and the ONE scan that
+    # builds them lives in the shared relation, still single-scan by
+    # construction (asserted value-exact against the eval sibling in
+    # test_sketches.py).
+    n_scans = phys.count("Scan parquet")
+    assert n_scans <= 1
+    if n_scans == 0:
+        assert "Scan ExistingRDD" in phys
     assert "Join" not in phys
 
 
