@@ -90,6 +90,54 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Round-13 scaling observability (VERDICT ask #4, ADDITIVE ONLY —
+    # timings and methodology unchanged): the driver's low-core scaling
+    # rerun compares per-query seconds, but the top-10 window it samples
+    # is driver-job-bound at sf0.1, so every ratio reads ~1 and the
+    # check cannot tell "cores ignored" from "not data-bound".  Emit the
+    # direct evidence instead: a sampler thread polls statusTracker
+    # (~20 Hz, a few py4j calls per tick — negligible next to 32-way
+    # stages) for the max number of CONCURRENTLY ACTIVE TASKS observed
+    # during each query.  max == cpus proves the core count is honored
+    # regardless of whether any sampled query's wall time scales.
+    import threading
+
+    class _ParSampler:
+        def __init__(self, sc):
+            self._tracker = sc.statusTracker()
+            self._stop = threading.Event()
+            self._thread: threading.Thread | None = None
+            self.max_seen = 0
+
+        def _run(self) -> None:
+            while not self._stop.is_set():
+                try:
+                    n = 0
+                    for sid in self._tracker.getActiveStageIds():
+                        info = self._tracker.getStageInfo(sid)
+                        if info:
+                            n += info.numActiveTasks
+                    if n > self.max_seen:
+                        self.max_seen = n
+                except Exception:
+                    pass
+                self._stop.wait(0.05)
+
+        def __enter__(self):
+            self.max_seen = 0
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+            return self
+
+        def __exit__(self, *exc):
+            self._stop.set()
+            self._thread.join(timeout=2.0)
+            return False
+
+    sampler = _ParSampler(spark.sparkContext)
+    max_parallel: dict[str, int] = {}
+
     cold: dict[str, float] = {}
     for name, fn in queries_registry.QUERIES.items():
         if name == "registry_digest":
@@ -103,20 +151,22 @@ def main() -> None:
             # warm-up, whole-stage-codegen Janino compilation — that a
             # long-lived cluster amortizes to zero.  pass 2 (steady
             # state) is the headline; cold totals stay in the output.
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            cold[name] = round(time.perf_counter() - t0, 4)
-            # steady state = best of two passes: single-pass numbers
-            # swing ~20% run-to-run from GC/codegen-cache churn in the
-            # shared JVM; the minimum is the reproducible figure
-            best = float("inf")
-            for _ in range(2):
+            with sampler:
                 t0 = time.perf_counter()
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+                cold[name] = round(time.perf_counter() - t0, 4)
+                # steady state = best of two passes: single-pass numbers
+                # swing ~20% run-to-run from GC/codegen-cache churn in
+                # the shared JVM; the minimum is the reproducible figure
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    df = fn(spark, SF_DIR)
+                    df.write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                timings[name] = round(best, 4)
+            max_parallel[name] = sampler.max_seen
         except Exception as exc:  # a broken query must not sink the run
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -256,6 +306,11 @@ def main() -> None:
         "remeasured": remeasured,
         "escalated": escalated,
         "failures": failures,
+        # per-query max concurrently-active tasks (round 13, additive):
+        # the scaling evidence the low-core rerun's wall-clock ratios
+        # cannot provide at this SF
+        "max_parallel": max_parallel,
+        "cpus": int(CPUS),
     }
     # round-suffixed detail is the durable record (the unsuffixed file
     # was historically overwritten each round, which destroyed the
@@ -276,6 +331,15 @@ def main() -> None:
         "n_queries": len(timings),
         "cold_total_sec": round(sum(cold.values()), 4),
         "n_failures": len(failures),
+        # scaling evidence (round 13, additive): cpus = the honored
+        # $SPARK_GRAFT_CPUS; max_task_parallelism = the largest number
+        # of concurrently active tasks statusTracker observed across
+        # ALL queries this run.  Equality (up to small data keeping a
+        # stage narrower than the core count) is the direct proof the
+        # core count reaches execution, which per-query wall-clock
+        # ratios on driver-bound sub-5s queries cannot show.
+        "cpus": int(CPUS),
+        "max_task_parallelism": max(max_parallel.values(), default=0),
         "detail_file": "BENCH_DETAIL.json",
     }
     line = json.dumps(out)

@@ -779,7 +779,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     — one pass over the input where the join form read it twice (the
     reason every caller had to eagerly checkpoint the edge pipeline
     before the first round), and one exchange of the edges instead of
-    an exchange for the aggregate plus one for the join."""
+    an exchange for the aggregate plus one for the join.
+
+    NO trailing distinct (round 13): every consumer is ``_small_star``,
+    whose window min is duplicate-insensitive and whose own distinct
+    re-canonicalizes the round's output; large-star maps each input
+    edge to at most one output row, so duplicates cannot grow beyond
+    the (already-distinct) input — the dedup exchange here was one
+    driver-visible AQE stage per CC round of pure overhead."""
     w = Window.partitionBy("src")
     return (
         edges.withColumn("mn", F.min("dst").over(w))
@@ -788,7 +795,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
             F.col("dst").alias("src"),
             F.least(F.col("src"), F.col("mn")).alias("dst"),
         )
-        .distinct()
     )
 
 

@@ -505,6 +505,7 @@ def banded_matches_against(
     index_is_stacked: bool = False,
     kinds=_KINDS,
     wide: bool = False,
+    dedup: bool = True,
 ) -> DataFrame:
     """Cross-relation candidate + verify: every (probe doc, index doc)
     pair whose combined 128-bit Hamming distance is within
@@ -528,7 +529,12 @@ def banded_matches_against(
     doc_id from the probe side.  ``max_bucket`` applies the hot-bucket
     guard to the INDEX side (the unbounded one at ingest).  ``kinds``
     picks the signature family (default: the media (a, d) word pair;
-    the text admission face passes the SimHash word)."""
+    the text admission face passes the SimHash word).  ``dedup=False``
+    (round 13) skips the trailing distinct for consumers whose next
+    operator is itself an aggregation over the matches (the admission
+    kernel's per-doc MIN) — min over the multi-band duplicate rows
+    equals min over the distinct rows, and the dedup exchange was one
+    AQE stage per face of pure overhead."""
     halves = _halves_of(kinds)
     stack = pair_band_stack if wide else band_stack
     probe = stack(probe_sig, kinds).alias("p")
@@ -558,15 +564,12 @@ def banded_matches_against(
         F.bit_count(F.col(f"p.{c}").bitwiseXOR(F.col(f"i.{c}_i")))
         for c in halves
     )
-    return (
-        joined.select(
-            F.col("p.doc_id").alias("doc_id"),
-            F.col("i.index_doc").alias("index_doc"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= hamming_max)
-        .distinct()
-    )
+    matches = joined.select(
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("i.index_doc").alias("index_doc"),
+        hamming.cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= hamming_max)
+    return matches.distinct() if dedup else matches
 
 
 def media_near_dup(
@@ -760,6 +763,10 @@ def admission_decisions_from_sig(
             index_is_stacked=index_is_stacked,
             kinds=kinds,
             wide=wide,
+            # the per-doc MIN below absorbs multi-band duplicate
+            # matches; skipping the tier's distinct removes one
+            # exchange per face (see banded_matches_against)
+            dedup=False,
         )
         .groupBy("doc_id")
         .agg(F.min("index_doc").alias("cluster_id"))
