@@ -146,19 +146,22 @@ def _rshift_round(a: np.ndarray, bits: int) -> np.ndarray:
 
 
 def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
-    """(n,8,8) level-shifted samples -> (n,8,8) DCT coefficients."""
-    return _rshift_round(
-        np.einsum("ux,nxy,vy->nuv", _T_FIXED, blocks, _T_FIXED), 2 * _S
-    )
+    """(n,8,8) level-shifted samples -> (n,8,8) DCT coefficients.
+
+    Two int64 matmuls instead of the old 3-operand einsum (round 13):
+    einsum without an optimize path contracts all four indices in one
+    naive loop — 8x the multiply-adds — and pays ~0.1 ms of expression
+    parsing PER CALL, which at one call per frame was ~25% of the media
+    decode kernel.  T @ B @ T' is the same exact integer sum (int64
+    addition is associative), same single rounding shift."""
+    return _rshift_round((_T_FIXED @ blocks) @ _T_FIXED.T, 2 * _S)
 
 
 def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
     """(n,8,8) dequantized coefficients -> (n,8,8) level-shifted
-    samples (caller adds 128 and clamps)."""
-    return _rshift_round(
-        np.einsum("xu,nuv,yv->nxy", _T_FIXED.T.copy(), coefs, _T_FIXED.T.copy()),
-        2 * _S,
-    )
+    samples (caller adds 128 and clamps).  Matmul form — see
+    ``_fdct_blocks``; values bounded by 2^55 < int64."""
+    return _rshift_round((_T_FIXED.T @ coefs) @ _T_FIXED, 2 * _S)
 
 
 # --- Huffman ----------------------------------------------------------------
@@ -183,6 +186,72 @@ def _decode_map(bits, vals):
     return {
         (ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()
     }
+
+
+# LUT cache for the fast decoder: (bits, vals) -> 65536-entry list where
+# entry = (code_length << 8) | symbol for every 16-bit window beginning
+# with that code, 0 for windows no code covers.  Keyed on the wire-format
+# table definition, so identical DHT segments across images (the normal
+# case: encoders ship the Annex-K tables) build the table once per
+# process — including reused Spark Python workers (round 13, guide §4.5:
+# heavyweight init once, amortized over every task).
+_HUFF_LUT_CACHE: dict = {}
+
+
+def _huff_lut(bits, vals) -> list:
+    key = (bits, vals)
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is None:
+        lut = [0] * 65536
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                sym = vals[k]
+                k += 1
+                base = code << (16 - ln)
+                lut[base : base + (1 << (16 - ln))] = [(ln << 8) | sym] * (
+                    1 << (16 - ln)
+                )
+                code += 1
+            code <<= 1
+        _HUFF_LUT_CACHE[key] = lut
+    return lut
+
+
+def _entropy_segments(blob: bytes, pos: int) -> tuple[list, list]:
+    """Split the scan's entropy data into un-stuffed segments at real
+    markers: ([bytes, ...], [marker_byte_or_None, ...]) where
+    markers[i] is the marker that TERMINATED segments[i] (None when the
+    data ran out without one).  Scanning jumps between 0xFF bytes with
+    ``bytes.find`` (~1/256 of entropy bytes), so the pre-pass is a few
+    hundred C-level calls per image instead of the old reader's
+    per-byte Python loop."""
+    n = len(blob)
+    segs: list = []
+    marks: list = []
+    parts: list = []
+    i = pos
+    while True:
+        j = blob.find(b"\xff", i)
+        if j < 0:
+            parts.append(blob[i:])
+            segs.append(b"".join(parts))
+            marks.append(None)
+            return segs, marks
+        parts.append(blob[i:j])
+        nxt = blob[j + 1] if j + 1 < n else None
+        if nxt == 0x00:  # stuffed data byte
+            parts.append(b"\xff")
+            i = j + 2
+            continue
+        segs.append(b"".join(parts))
+        marks.append(nxt)
+        parts = []
+        i = j + 2
+        if nxt is None or not (0xD0 <= nxt <= 0xD7):
+            # EOI or any non-restart marker ends the scan's entropy data
+            return segs, marks
 
 
 class _BitWriter:
@@ -266,6 +335,53 @@ class _BitReader:
                 return m
             self.pos += 1
         raise ValueError("expected restart marker")
+
+
+class _FastBitReader:
+    """LUT-driven entropy reader over ONE pre-un-stuffed segment
+    (round 13, guide §4.6: the bit-at-a-time ``_BitReader`` was ~60% of
+    the media decode kernel's profile — ``bit()``/``huff()`` walked
+    Huffman codes one method call per BIT).  This reader peeks a 16-bit
+    window with one ``int.from_bytes`` and resolves the whole code via
+    the ``_huff_lut`` table: two C-level calls per SYMBOL.  Reads past
+    the segment end raise the same ``ValueError`` contract as the old
+    reader (windows are zero-padded for peeking, but consuming bits
+    beyond the segment raises)."""
+
+    __slots__ = ("data", "bitpos", "nbits")
+
+    def __init__(self, seg: bytes) -> None:
+        self.data = seg
+        self.bitpos = 0
+        self.nbits = 8 * len(seg)
+
+    def huff(self, lut: list) -> int:
+        bp = self.bitpos
+        bi = bp >> 3
+        chunk = self.data[bi : bi + 3]
+        v = int.from_bytes(chunk, "big")
+        if len(chunk) < 3:
+            v <<= (3 - len(chunk)) * 8
+        e = lut[(v >> (8 - (bp & 7))) & 0xFFFF]
+        if e == 0:
+            raise ValueError("invalid Huffman code")
+        ln = e >> 8
+        if bp + ln > self.nbits:
+            raise ValueError("entropy data exhausted")
+        self.bitpos = bp + ln
+        return e & 0xFF
+
+    def receive(self, s: int) -> int:
+        bp = self.bitpos
+        if bp + s > self.nbits:
+            raise ValueError("entropy data exhausted")
+        self.bitpos = bp + s
+        bi = bp >> 3
+        chunk = self.data[bi : bi + 3]
+        v = int.from_bytes(chunk, "big")
+        if len(chunk) < 3:
+            v <<= (3 - len(chunk)) * 8
+        return ((v >> (8 - (bp & 7))) & 0xFFFF) >> (16 - s)
 
 
 def _extend(v: int, s: int) -> int:
@@ -500,7 +616,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 bits = tuple(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = tuple(body[i + 17 : i + 17 + n])
-                huff[(cls, tid)] = _decode_map(bits, vals)
+                huff[(cls, tid)] = _huff_lut(bits, vals)
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
@@ -549,31 +665,55 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
         if c["tq"] not in quant:
             raise ValueError("missing quant table")
 
-    reader = _BitReader(blob, data_pos)
+    segs, marks = _entropy_segments(blob, data_pos)
+    seg_idx = 0
+    reader = _FastBitReader(segs[0])
     preds = {c["id"]: 0 for c in comps}
     mcu_count = 0
     expected_rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                m = reader.align_to_marker()
+                m = marks[seg_idx]
+                if m is None:
+                    raise ValueError("expected restart marker")
                 if not 0xD0 <= m <= 0xD7:
                     raise ValueError(f"expected RST, got 0x{m:02x}")
                 if m - 0xD0 != expected_rst:
                     raise ValueError("restart marker out of sequence")
                 expected_rst = (expected_rst + 1) % 8
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("entropy data exhausted")
+                reader = _FastBitReader(segs[seg_idx])
                 preds = {c["id"]: 0 for c in comps}
             for c in comps:
+                # hot path (round 13): zz as a plain list (element
+                # writes ~3x cheaper than numpy scalar stores; the row
+                # assignment below converts once at C speed), EXTEND
+                # inlined (one call per nonzero coefficient adds up)
+                dc_tab = c["dc_tab"]
+                ac_tab = c["ac_tab"]
+                huff_f = reader.huff
+                recv_f = reader.receive
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = reader.huff(c["dc_tab"])
-                        diff = _extend(reader.receive(s), s) if s else 0
+                        zz = [0] * 64
+                        s = huff_f(dc_tab)
+                        if s:
+                            v = recv_f(s)
+                            diff = (
+                                v - ((1 << s) - 1)
+                                if v < (1 << (s - 1))
+                                else v
+                            )
+                        else:
+                            diff = 0
                         preds[c["id"]] += diff
                         zz[0] = preds[c["id"]]
                         k = 1
                         while k < 64:
-                            rs = reader.huff(c["ac_tab"])
+                            rs = huff_f(ac_tab)
                             r, s = rs >> 4, rs & 0xF
                             if s == 0:
                                 if r == 15:
@@ -583,7 +723,12 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                             k += r
                             if k > 63:
                                 raise ValueError("AC run overflows block")
-                            zz[k] = _extend(reader.receive(s), s)
+                            v = recv_f(s)
+                            zz[k] = (
+                                v - ((1 << s) - 1)
+                                if v < (1 << (s - 1))
+                                else v
+                            )
                             k += 1
                         bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
                         c["coef"][bi] = zz

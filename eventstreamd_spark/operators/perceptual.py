@@ -228,13 +228,23 @@ def _grid_hashes(blob: bytes) -> tuple[int, int, int, int]:
     from eventstreamd_spark.functions.image import decode_image
 
     w, h, channels, pixels = decode_image(blob)
-    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
-    gray = arr.reshape(h, w, channels).sum(axis=2)  # channel-byte sum
+    # uint8 view + int64-ACCUMULATOR channel sum (round 13): the old
+    # whole-buffer astype(int64) copied and widened every byte 8x first
+    gray = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(h, w, channels)
+        .sum(axis=2, dtype=np.int64)
+    )  # channel-byte sum
     gi = (np.arange(h, dtype=np.int64) * GRID) // h
     gj = (np.arange(w, dtype=np.int64) * GRID) // w
     idx = (gi[:, None] * GRID + gj[None, :]).ravel()
-    S = np.zeros(N_CELLS, dtype=np.int64)
-    np.add.at(S, idx, gray.ravel())
+    # bincount-with-weights instead of np.add.at (round 13): add.at is
+    # unbuffered and ~10x slower; the float64 accumulation is EXACT for
+    # these integers (cell sums <= 765*W*H < 2^53 by the overflow note
+    # above), and the cast back to int64 is value-identical
+    S = np.bincount(idx, weights=gray.ravel(), minlength=N_CELLS).astype(
+        np.int64
+    )
     n = np.bincount(idx, minlength=N_CELLS).astype(np.int64)
     abits = S * n.sum() >= S.sum() * n
     S8, n8 = S.reshape(GRID, GRID), n.reshape(GRID, GRID)

@@ -246,16 +246,13 @@ def _envelope_fingerprint(blob: bytes) -> tuple[int, int, int, int]:
         f = (t * n_frames) // N_POSITIONS
         if sums[f] is None:
             w, h, ch, px = decode_image(samples[f])
-            a = (
-                np.frombuffer(bytes(px), dtype=np.uint8)
-                .astype(np.int64)
-                .reshape(h, w, ch)
-            )
+            # uint8 view + int64-accumulator sums (see _grid_fingerprint)
+            a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
             half = w // 2
             sums[f] = (
-                int(a.sum()),
-                int(a[:, :half, :].sum()),
-                int(a[:, w - half:, :].sum()),
+                int(a.sum(dtype=np.int64)),
+                int(a[:, :half, :].sum(dtype=np.int64)),
+                int(a[:, w - half:, :].sum(dtype=np.int64)),
             )
         tot_f, left, right = sums[f]
         energy.append(tot_f)
@@ -321,20 +318,21 @@ def _grid_fingerprint(blob: bytes) -> tuple[int, ...]:
     def frame_sums(f: int) -> tuple[int, ...]:
         if sums[f] is None:
             w, h, ch, px = decode_image(samples[f])
-            a = (
-                np.frombuffer(bytes(px), dtype=np.uint8)
-                .astype(np.int64)
-                .reshape(h, w, ch)
-            )
+            # zero-copy uint8 view + int64 ACCUMULATOR sums (round 13):
+            # the old whole-frame astype(int64) copied and widened every
+            # pixel 8x before seven separate sums; summing the uint8
+            # view with dtype=int64 reads 1/8 the bytes and produces the
+            # identical integers
+            a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
             halfw, halfh = w // 2, h // 2
             sums[f] = (
-                int(a.sum()),
-                int(a[:, :halfw, :].sum()),
-                int(a[:, w - halfw:, :].sum()),
-                int(a[:halfh, :halfw, :].sum()),
-                int(a[:halfh, w - halfw:, :].sum()),
-                int(a[h - halfh:, :halfw, :].sum()),
-                int(a[h - halfh:, w - halfw:, :].sum()),
+                int(a.sum(dtype=np.int64)),
+                int(a[:, :halfw, :].sum(dtype=np.int64)),
+                int(a[:, w - halfw:, :].sum(dtype=np.int64)),
+                int(a[:halfh, :halfw, :].sum(dtype=np.int64)),
+                int(a[:halfh, w - halfw:, :].sum(dtype=np.int64)),
+                int(a[h - halfh:, :halfw, :].sum(dtype=np.int64)),
+                int(a[h - halfh:, w - halfw:, :].sum(dtype=np.int64)),
             )
         return sums[f]
 
