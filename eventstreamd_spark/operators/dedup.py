@@ -1939,7 +1939,10 @@ def source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
         sh.select("source", F.explode_outer("shingles").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
         .distinct()
-        .localCheckpoint()
+        # lazy (round 13): the three consumers read blocks computed
+        # once per partition inside the first executing job; eager
+        # materialization only added a driver-synchronized job
+        .localCheckpoint(eager=False)
     )
     sizes = inv.groupBy("source").agg(F.count("*").alias("n_sh"))
     right = inv.select(

@@ -59,11 +59,21 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     all in fixed-point integers (see module docstring).  Every node in
     the edge list has degree >= 1, so there are no dangling nodes.
     """
-    sym = _symmetrize(edges).localCheckpoint()
+    # LAZY checkpoints (round 13): each rank relation is referenced by
+    # exactly one downstream consumer and ``sym``/``deg`` blocks are
+    # computed once per partition under BlockManager locks no matter
+    # how many iteration subtrees scan them, so eager materialization
+    # bought nothing but one driver-synchronized job per iteration —
+    # 7 jobs per pagerank call of pure scheduler latency.  The lazy
+    # form still truncates the logical plan per iteration (the frame
+    # wraps a LogicalRDD immediately) and still computes every
+    # iteration exactly once, inside the FIRST job that executes the
+    # final ranks.
+    sym = _symmetrize(edges).localCheckpoint(eager=False)
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
     pr = deg.select(
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("pr")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(iters):
         share = pr.join(deg, pr["node"] == deg["src"]).select(
             F.col("node"), F.expr("pr div deg").alias("share")
@@ -78,7 +88,7 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
                 .cast("long")
                 .alias("pr"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return pr
 
@@ -101,9 +111,13 @@ def pagerank_canonical(
     shingling of the corpus.
     """
     pairs = dedup_op.minhash_lsh_dedup(docs, n, threshold, sh=sh)
+    # lazy (round 13): CC's convergence probe is the first job to
+    # execute and it materializes the edge blocks; pagerank's sym pass
+    # reads them afterwards — same compute-once guarantee, one fewer
+    # driver-synchronized job
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     comp = dedup_op.connected_components(edges, max_iters=16)
     pr = pagerank(edges, iters)
     joined = comp.join(pr, "node").select(
@@ -203,7 +217,7 @@ def triangle_stats(
     pairs = dedup_op.minhash_lsh_dedup(docs, n, threshold, sh=sh)
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     sym = edges.select(F.col("a").alias("v")).union(
         edges.select(F.col("b").alias("v"))
     )
@@ -226,7 +240,11 @@ def triangle_stats(
             .alias("dst"),
             F.greatest("kap_a", "kap_b").alias("dst_kap"),
         )
-        .localCheckpoint()
+        # lazy (round 13): three consumers (e1, e2, closer) all scan
+        # the persisted blocks, computed once per partition under
+        # BlockManager locks inside the first executing job — the
+        # eager form's only extra was a driver-synchronized job
+        .localCheckpoint(eager=False)
     )
     e1 = oriented.select(
         F.col("src").alias("u"), F.col("dst").alias("v"), F.col("dst_kap").alias("kv")

@@ -762,7 +762,15 @@ def admission_decisions_from_sig(
     # singleton-restore leg, and the final union leg) — materialize
     # the banded index join + verify ONCE instead of letting each
     # consumer re-run it through lineage; the checkpointed relation
-    # is one small (doc_id, cluster_id) row per rejected doc
+    # is one small (doc_id, cluster_id) row per rejected doc.
+    # EAGER deliberately (round-13 measured wrong turn): the lazy form
+    # saves one driver-synchronized job per face but the media faces
+    # regressed 1.3x fresh-vs-fresh (4.53 vs 3.39 / 5.23 vs 4.02
+    # best-of-4 alternated) — the eager checkpoint hands the planner
+    # the EXACT materialized size of `rejected`, which drives the
+    # survivor anti-join and final-union planning; lazily checkpointed
+    # LogicalRDDs carry no such stats.  Text faces were ~0.9x either
+    # way; net across the four faces the eager form wins.
     rejected = (
         banded_matches_against(
             batch_sig,

@@ -456,14 +456,19 @@ def ivf_cells(
             )
         ).alias("b")
     )
-    return memo_checkpoint(
-        best.select(
-            "vec_id",
-            F.col("b.embedding").alias("embedding"),
-            F.col("b.cell_id").alias("cell_id"),
-            *[F.col(f"b.{c}").alias(c) for c in keep],
-        )
+    out = best.select(
+        "vec_id",
+        F.col("b.embedding").alias("embedding"),
+        F.col("b.cell_id").alias("cell_id"),
+        *[F.col(f"b.{c}").alias(c) for c in keep],
     )
+    # Only the canonical keep=() assignment is memoized: a keep-variant
+    # call has a distinct semanticHash, so memoizing it would pin a
+    # SECOND full-corpus checkpoint in executor storage for the session.
+    # Production callers all use keep=() + the label join-back idiom
+    # (cell_label_purity/knn_label_noise_ivf); keep survives for the
+    # equivalence tests that pin that idiom row-identical.
+    return memo_checkpoint(out) if not keep else out.localCheckpoint()
 
 
 def ivf_topk(

@@ -50,6 +50,15 @@ def main() -> None:
     from eventstreamd_spark.session import get_spark
     from eventstreamd_spark import queries_registry as reg
 
+    # Validate overrides up front: a typo otherwise fails with an
+    # opaque KeyError only after the Spark session has spun up.
+    unknown = [q for q in FAMILY if q not in reg.QUERIES]
+    if unknown:
+        sys.exit(
+            f"unknown queries: {unknown}\nvalid names: "
+            + ", ".join(sorted(reg.QUERIES))
+        )
+
     spark = get_spark(
         "ann-family-bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
