@@ -134,6 +134,11 @@ def bucketed_corpus(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     # 16-plane fold runs once per session instead of once per join leg
     # per invocation (the fold, not the banded join, is this tier's
     # measured bill — see lsh_bucket's docstring).
+    # Deliberately corpus-proportional and EAGER (plans/memo.py contract
+    # note): the embedding column stays because the probe re-ranks by
+    # exact cosine.  7.5 MB at the sf1 blow-up (20k vectors,
+    # tools/MEMO_FOOTPRINT_SF1.json), MEMORY_AND_DISK, non-reliable
+    # under executor loss; first call materializes at construction time.
     return memo_checkpoint(
         fan_out(embeddings).withColumn(
             "bucket", lsh_bucket(F.col("embedding"), dim)
@@ -419,6 +424,15 @@ def ivf_cells(
     ranked-base build, semantic_dedup_pairs, cell_label_purity,
     knn_label_noise_ivf via the label join-back), and without the memo
     each ran its own corpus x n_cells argmax pass per session.
+
+    Deliberately corpus-proportional and EAGER (see plans/memo.py's
+    contract note): the memoized relation keeps the embedding column
+    because every consumer re-ranks candidates by exact cosine — the
+    same reason the persisted index carries it.  Measured 7.6 MB at
+    the sf1 blow-up (20k vectors; tools/MEMO_FOOTPRINT_SF1.json),
+    linear in the corpus, MEMORY_AND_DISK so growth spills rather
+    than OOMs; blocks are non-reliable under executor loss.  First
+    call materializes at plan-construction time.
     """
     from eventstreamd_spark.functions.vectors import dot, norm
 

@@ -614,7 +614,18 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     never persisted.  The n-gram Jaccard/containment tiers, the
     MinHash tiers (which alone evaluate the kernel up to 3x per
     query), the threshold sweep and the recall report all read it
-    instead of re-hashing the corpus per query."""
+    instead of re-hashing the corpus per query.
+
+    Deliberately corpus-proportional (plans/memo.py contract note):
+    this relation is the shingle INDEX a 100 TB deployment writes to
+    parquet once per corpus rebuild (the ``write_ivf_index`` pattern)
+    and every dedup face reads; the session cache is the one-session
+    rehearsal of that read path.  Measured 27.0 MB at the sf1 blow-up
+    (60k docs, 3.1M hashed shingles — 1.37x the raw text column;
+    tools/MEMO_FOOTPRINT_SF1.json), linear in the corpus; the cached
+    view's MEMORY_AND_DISK level spills rather than OOMs, and a
+    controlled resident-vs-cleared A/B (tools/CACHE_PRESSURE_AB.json)
+    showed no eviction pressure on unrelated queries."""
     from eventstreamd_spark.operators.multimodal import (
         session_cached_relation,
     )
