@@ -25,7 +25,9 @@ from eventstreamd_spark.session import fan_out
 
 
 def curation_decisions(
-    docs: DataFrame, sh: DataFrame | None = None
+    docs: DataFrame,
+    sh: DataFrame | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, quality_ok, detected_lang, is_canonical, keep).
 
@@ -44,7 +46,11 @@ def curation_decisions(
         quality_ok_col(F.col("text")).cast("int").alias("quality_ok"),
         lang_id(tokens(F.col("text"))).alias("detected_lang"),
     )
-    clusters = dedup_clusters(docs, sh=sh)
+    # ``clusters`` optionally supplies the precomputed cluster
+    # assignment (must equal ``dedup_clusters(docs)``) — the registry
+    # serves every closure consumer from ONE session-cached CC pass
+    if clusters is None:
+        clusters = dedup_clusters(docs, sh=sh)
     joined = feats.join(clusters, "doc_id")
     canonical = F.col("cluster_id") == F.col("doc_id")
     keep = (
@@ -78,7 +84,9 @@ JOIN ({clusters}) c ON c.doc_id = f.doc_id
 
 
 def corpus_build_manifest(
-    docs: DataFrame, sh: DataFrame | None = None
+    docs: DataFrame,
+    sh: DataFrame | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """The whole corpus-construction pipeline as ONE composed plan:
     curation verdicts (quality + language + canonical-dedup) gate the
@@ -110,7 +118,8 @@ def corpus_build_manifest(
         lang_id(tokens(F.col("text"))).alias("detected_lang"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    clusters = dedup_clusters(docs, sh=sh)
+    if clusters is None:
+        clusters = dedup_clusters(docs, sh=sh)
     keep = (
         F.col("quality_ok")
         & (F.col("cluster_id") == F.col("doc_id"))

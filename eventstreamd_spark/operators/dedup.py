@@ -464,6 +464,7 @@ def minhash_keep_corpus(
     n: int = 3,
     threshold: float = 0.6,
     sh: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The dedup output users actually consume: the kept corpus after
     MinHash-LSH near-dup removal.
@@ -478,7 +479,12 @@ def minhash_keep_corpus(
     of the input.  Use dedup_clusters when cluster-exact retention
     (exactly one doc per transitive cluster) is required.
     """
-    pairs = minhash_lsh_dedup(docs, n=n, threshold=threshold, sh=sh)
+    # ``pairs`` optionally supplies the precomputed near-dup pair
+    # relation (must equal ``minhash_lsh_dedup(docs, n, threshold)``) —
+    # the registry serves all nine pair-tier consumers from ONE
+    # session-cached pass (round 13, the shared-relation idiom)
+    if pairs is None:
+        pairs = minhash_lsh_dedup(docs, n=n, threshold=threshold, sh=sh)
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return docs.join(drop, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
@@ -948,6 +954,7 @@ def dedup_clusters(
     threshold: float = 0.6,
     max_iters: int = 16,
     sh: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical cluster assignment: (doc_id, cluster_id) for every doc,
     cluster_id = min doc_id of its near-dup connected component
@@ -961,7 +968,10 @@ def dedup_clusters(
     length); singletons are restored with one left join against the
     full doc list.
     """
-    pairs = minhash_lsh_dedup(docs, n, threshold, sh=sh)
+    # ``pairs`` optionally supplies the precomputed pair relation
+    # (contract as in minhash_keep_corpus)
+    if pairs is None:
+        pairs = minhash_lsh_dedup(docs, n, threshold, sh=sh)
     # no edge checkpoint (round 13): the single-scan window-form star
     # passes read the symmetrized edges exactly ONCE in the initial
     # round (the old join-form stars read them up to 4x, which forced
@@ -2171,6 +2181,7 @@ def split_leakage_check(
     threshold: float = 0.6,
     salt: str = "s2",
     sh: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-split leakage audit: near-dup pairs that STRADDLE a
     train/val/test boundary — the failure decontamination screens for
@@ -2195,7 +2206,8 @@ def split_leakage_check(
     """
     from eventstreamd_spark.operators.sampling import dataset_split
 
-    pairs = minhash_lsh_dedup(docs, n, threshold, sh=sh)
+    if pairs is None:
+        pairs = minhash_lsh_dedup(docs, n, threshold, sh=sh)
     splits = dataset_split(docs, "doc_id", weights, salt=salt).select(
         "doc_id", "split"
     )
@@ -2270,6 +2282,7 @@ def lsh_recall_report(
     n: int = 3,
     threshold: float = 0.6,
     sh: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-similarity-bucket recall of the MinHash-LSH tier against the
     exact inverted-index ground truth — the eval a dedup pipeline runs
@@ -2289,9 +2302,9 @@ def lsh_recall_report(
     is bit-identical across engines.
     """
     exact = ngram_jaccard_pairs(docs, n, threshold, sh=sh)
-    caught = minhash_lsh_dedup(docs, n, threshold, sh=sh).select(
-        "doc_a", "doc_b", F.lit(1).alias("hit")
-    )
+    if pairs is None:
+        pairs = minhash_lsh_dedup(docs, n, threshold, sh=sh)
+    caught = pairs.select("doc_a", "doc_b", F.lit(1).alias("hit"))
     labeled = exact.join(caught, ["doc_a", "doc_b"], "left")
     bucket = F.floor(F.col("jaccard") * 10).cast("bigint")
     return (

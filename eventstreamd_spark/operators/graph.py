@@ -59,21 +59,21 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     all in fixed-point integers (see module docstring).  Every node in
     the edge list has degree >= 1, so there are no dangling nodes.
     """
-    # LAZY checkpoints (round 13): each rank relation is referenced by
-    # exactly one downstream consumer and ``sym``/``deg`` blocks are
-    # computed once per partition under BlockManager locks no matter
-    # how many iteration subtrees scan them, so eager materialization
-    # bought nothing but one driver-synchronized job per iteration —
-    # 7 jobs per pagerank call of pure scheduler latency.  The lazy
-    # form still truncates the logical plan per iteration (the frame
-    # wraps a LogicalRDD immediately) and still computes every
-    # iteration exactly once, inside the FIRST job that executes the
-    # final ranks.
-    sym = _symmetrize(edges).localCheckpoint(eager=False)
+    # EAGER checkpoints deliberately (round-13 measured wrong turn):
+    # the lazy form (eager=False throughout) cuts 7 driver-synchronized
+    # jobs per call and measured FLAT in isolation, but in the shared-
+    # relation family context it regressed pagerank_canonical 1.5x —
+    # an eagerly materialized rank relation hands the planner its exact
+    # size, which keeps the per-iteration share join a broadcast; a
+    # lazily checkpointed LogicalRDD carries no stats and the joins
+    # degrade.  Same mechanism as the admission kernel's `rejected`
+    # (perceptual.py) — the driver-job saving does not pay for the
+    # lost join planning.
+    sym = _symmetrize(edges).localCheckpoint()
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
     pr = deg.select(
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("pr")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     for _ in range(iters):
         share = pr.join(deg, pr["node"] == deg["src"]).select(
             F.col("node"), F.expr("pr div deg").alias("share")
@@ -88,7 +88,7 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
                 .cast("long")
                 .alias("pr"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     return pr
 
@@ -99,6 +99,8 @@ def pagerank_canonical(
     threshold: float = 0.6,
     iters: int = 5,
     sh: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical-copy selection for every doc in the near-dup graph:
     (doc_id, cluster_id, pr, is_canonical), is_canonical marking the
@@ -110,7 +112,16 @@ def pagerank_canonical(
     costs one extra Pregel loop over dedup_clusters, not a second
     shingling of the corpus.
     """
-    pairs = dedup_op.minhash_lsh_dedup(docs, n, threshold, sh=sh)
+    # ``pairs``/``clusters`` optionally supply the session-shared pair
+    # and cluster relations (round 13; contracts: pairs ==
+    # minhash_lsh_dedup(docs, n, threshold), clusters ==
+    # dedup_clusters(docs, n, threshold)).  A supplied cluster relation
+    # replaces the CC fixed point outright: for every graph node its
+    # cluster_id IS its component min (singletons never appear in
+    # ``pr``, and the join below is inner on node), so the rows are
+    # identical by construction — pinned by pytest.
+    if pairs is None:
+        pairs = dedup_op.minhash_lsh_dedup(docs, n, threshold, sh=sh)
     # lazy (round 13): CC's convergence probe is the first job to
     # execute and it materializes the edge blocks; pagerank's sym pass
     # reads them afterwards — same compute-once guarantee, one fewer
@@ -118,7 +129,13 @@ def pagerank_canonical(
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).localCheckpoint(eager=False)
-    comp = dedup_op.connected_components(edges, max_iters=16)
+    if clusters is None:
+        comp = dedup_op.connected_components(edges, max_iters=16)
+    else:
+        comp = clusters.select(
+            F.col("doc_id").alias("node"),
+            F.col("cluster_id").alias("component"),
+        )
     pr = pagerank(edges, iters)
     joined = comp.join(pr, "node").select(
         F.col("node").alias("doc_id"),
@@ -188,6 +205,7 @@ def triangle_stats(
     n: int = 3,
     threshold: float = 0.6,
     sh: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Triangle census of the near-dup graph: node/edge counts, exact
     triangle count, wedge (open 2-path) count, and the global
@@ -214,10 +232,11 @@ def triangle_stats(
     degree); the single coefficient divide runs once in double (3T
     and W exact) — bit-identical across engines.
     """
-    pairs = dedup_op.minhash_lsh_dedup(docs, n, threshold, sh=sh)
+    if pairs is None:
+        pairs = dedup_op.minhash_lsh_dedup(docs, n, threshold, sh=sh)
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     sym = edges.select(F.col("a").alias("v")).union(
         edges.select(F.col("b").alias("v"))
     )
@@ -240,11 +259,14 @@ def triangle_stats(
             .alias("dst"),
             F.greatest("kap_a", "kap_b").alias("dst_kap"),
         )
-        # lazy (round 13): three consumers (e1, e2, closer) all scan
-        # the persisted blocks, computed once per partition under
-        # BlockManager locks inside the first executing job — the
-        # eager form's only extra was a driver-synchronized job
-        .localCheckpoint(eager=False)
+        # EAGER deliberately (round-13 measured wrong turn): the lazy
+        # form saved two driver-synchronized jobs and read 0.89x in an
+        # isolated fresh A/B, but in multi-query sessions its deferred
+        # materialization fired thousands of garbage-collected-
+        # accumulator warnings (DAGScheduler formats one exception per
+        # task per dead metric) — the session-tax cost exceeds the
+        # job saving.
+        .localCheckpoint()
     )
     e1 = oriented.select(
         F.col("src").alias("u"), F.col("dst").alias("v"), F.col("dst_kap").alias("kv")

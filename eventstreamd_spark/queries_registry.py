@@ -562,8 +562,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: banded signatures -> candidates -> exact
     verify.  Portable hashing makes even the sketch oracle-checkable."""
-    docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return dedup_op.minhash_lsh_dedup(docs, sh=_doc_shingles(spark, sf_dir))
+    return _doc_pairs(spark, sf_dir)
 
 
 def _text_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,6 +638,66 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 load_table(spark, sf_dir, "documents")
             ),
             3,
+        ),
+    )
+
+
+def _doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH near-dup PAIR relation (doc_a, doc_b, jaccard)
+    at the canonical (n=3, threshold=0.6) over the planted corpus, as
+    a session-cached relation (round 13).  NINE registered faces
+    compose this identical relation — the pair tier itself
+    (dedup_minhash_lsh), the keep-corpus anti-join, the transitive
+    closure (dedup_clusters + both curation faces via
+    ``_doc_clusters``), the iterative tier (pagerank_canonical,
+    triangle_stats), the leakage audit (split_leakage) and the recall
+    report — and each previously re-ran banded candidates + exact
+    verify per query.  The relation is near-dup pairs only (KB at any
+    SF fraction of corpus), squarely inside the session-cache
+    contract; one candidates+verify pass per session serves all nine.
+    Identity pytests pin each consumer's ``pairs=`` path equal to its
+    raw-docs path."""
+    from eventstreamd_spark.operators.multimodal import (
+        session_cached_relation,
+    )
+
+    return session_cached_relation(
+        spark,
+        sf_dir,
+        "minhash_pairs3_06",
+        lambda: dedup_op.minhash_lsh_dedup(
+            dedup_op.with_planted_near_dups(
+                load_table(spark, sf_dir, "documents")
+            ),
+            sh=_doc_shingles(spark, sf_dir),
+        ),
+    )
+
+
+def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical cluster assignment (doc_id, cluster_id) over the
+    planted corpus — ``dedup_clusters`` at (n=3, threshold=0.6) — as a
+    session-cached relation (round 13).  FOUR faces compose this
+    identical closure (dedup_clusters, curation_decisions,
+    corpus_build_manifest, pagerank_canonical's component map) and
+    each previously ran its own star-contraction fixed point per
+    query.  One row per document (tiny at any SF); the CC convergence
+    probes run once per session, inside the first consumer's timed
+    cold pass."""
+    from eventstreamd_spark.operators.multimodal import (
+        session_cached_relation,
+    )
+
+    return session_cached_relation(
+        spark,
+        sf_dir,
+        "dedup_clusters3_06",
+        lambda: dedup_op.dedup_clusters(
+            dedup_op.with_planted_near_dups(
+                load_table(spark, sf_dir, "documents")
+            ),
+            sh=_doc_shingles(spark, sf_dir),
+            pairs=_doc_pairs(spark, sf_dir),
         ),
     )
 
@@ -1273,10 +1332,7 @@ def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup connected components -> canonical (doc_id, cluster_id);
     the keep-one-per-cluster decision a training pipeline executes."""
-    return dedup_op.dedup_clusters(
-        dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
-        sh=_doc_shingles(spark, sf_dir),
-    )
+    return _doc_clusters(spark, sf_dir)
 
 
 from eventstreamd_spark.operators import sampling as sampling_op  # noqa: E402
@@ -1322,6 +1378,7 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_op.curation_decisions(
         dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
         sh=_doc_shingles(spark, sf_dir),
+        clusters=_doc_clusters(spark, sf_dir),
     )
 
 
@@ -2155,7 +2212,11 @@ def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kept corpus after MinHash-LSH dedup (pair-local min-id drop
     rule; one LSH pass + broadcast anti-join, no CC iteration)."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return dedup_op.minhash_keep_corpus(docs, sh=_doc_shingles(spark, sf_dir))
+    return dedup_op.minhash_keep_corpus(
+        docs,
+        sh=_doc_shingles(spark, sf_dir),
+        pairs=_doc_pairs(spark, sf_dir),
+    )
 
 
 @register("bigram_lm_scores", text_op.sql_bigram_lm_scores())
@@ -2511,6 +2572,7 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
         _SPLIT_WEIGHTS,
         sh=_doc_shingles(spark, sf_dir),
+        pairs=_doc_pairs(spark, sf_dir),
     )
 
 
@@ -2854,6 +2916,7 @@ def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_op.corpus_build_manifest(
         dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
         sh=_doc_shingles(spark, sf_dir),
+        clusters=_doc_clusters(spark, sf_dir),
     )
 
 
@@ -2955,7 +3018,11 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs when tuning bands/rows (the dedup analog of
     ann_recall)."""
     docs = dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents"))
-    return dedup_op.lsh_recall_report(docs, sh=_doc_shingles(spark, sf_dir))
+    return dedup_op.lsh_recall_report(
+        docs,
+        sh=_doc_shingles(spark, sf_dir),
+        pairs=_doc_pairs(spark, sf_dir),
+    )
 
 
 @register("cascade_delete_report", merge_op.sql_cascade_delete_report())
@@ -3029,6 +3096,8 @@ def pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_op.pagerank_canonical(
         dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
         sh=_doc_shingles(spark, sf_dir),
+        pairs=_doc_pairs(spark, sf_dir),
+        clusters=_doc_clusters(spark, sf_dir),
     )
 
 
@@ -3044,6 +3113,7 @@ def triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_op.triangle_stats(
         dedup_op.with_planted_near_dups(load_table(spark, sf_dir, "documents")),
         sh=_doc_shingles(spark, sf_dir),
+        pairs=_doc_pairs(spark, sf_dir),
     )
 
 

@@ -1917,6 +1917,55 @@ def test_graph_and_curation_accept_precomputed_sh_identically(
         assert own == shared, getattr(fn, "__name__", "split_leakage")
 
 
+def test_pair_and_cluster_consumers_accept_precomputed_identically(
+    spark, sf_dir
+) -> None:
+    """Round-13 shared pair/closure relations: every consumer given the
+    precomputed MinHash pair relation (``pairs=``, contract ==
+    minhash_lsh_dedup(docs, 3, 0.6)) and/or the precomputed cluster
+    assignment (``clusters=``, contract == dedup_clusters(docs)) must
+    return exactly the rows it computes from raw docs — the registry's
+    session-cached relations are pure common-subexpression factoring.
+    pagerank_canonical's clusters path additionally swaps the CC fixed
+    point for the cluster relation itself, so this pins the
+    component-min == cluster_id equivalence on real planted data."""
+    from eventstreamd_spark.operators import curation, graph
+
+    docs = dedup.with_planted_near_dups(
+        load_table(spark, sf_dir, "documents")
+    ).filter("doc_id % 100000 < 64")
+    pairs = dedup.minhash_lsh_dedup(docs).localCheckpoint()
+    clusters = dedup.dedup_clusters(docs).localCheckpoint()
+
+    pair_consumers = (
+        dedup.minhash_keep_corpus,
+        dedup.dedup_clusters,
+        dedup.lsh_recall_report,
+        graph.triangle_stats,
+        lambda d, pairs=None: dedup.split_leakage_check(
+            d, {"train": 0.8, "val": 0.1, "test": 0.1}, pairs=pairs
+        ),
+    )
+    for fn in pair_consumers:
+        own = {tuple(r) for r in fn(docs).collect()}
+        shared = {tuple(r) for r in fn(docs, pairs=pairs).collect()}
+        assert own == shared, getattr(fn, "__name__", "split_leakage")
+
+    for fn in (curation.curation_decisions, curation.corpus_build_manifest):
+        own = {tuple(r) for r in fn(docs).collect()}
+        shared = {tuple(r) for r in fn(docs, clusters=clusters).collect()}
+        assert own == shared, fn.__name__
+
+    own = {tuple(r) for r in graph.pagerank_canonical(docs).collect()}
+    shared = {
+        tuple(r)
+        for r in graph.pagerank_canonical(
+            docs, pairs=pairs, clusters=clusters
+        ).collect()
+    }
+    assert own == shared
+
+
 def test_bpe_induction_relation_serves_both_faces_identically(
     spark, sf_dir
 ) -> None:
