@@ -873,6 +873,7 @@ def media_split_leakage(
     weights: dict[str, float],
     salt: str = "m1",
     hamming_max: int = HAMMING_MAX,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-split leakage audit for MEDIA: perceptual near-dup pairs
     that straddle a train/val/test boundary — the media mirror of
@@ -889,7 +890,11 @@ def media_split_leakage(
     than materializing it."""
     from eventstreamd_spark.operators.sampling import dataset_split
 
-    pairs = media_near_dup(media, hamming_max)
+    # ``sig`` as on media_near_dup — the registry serves the family's
+    # one-decode-pass session relation (round 13: this was the ONE
+    # media face still decoding inline per invocation, caught by the
+    # final bench's fresh-JVM escalation control)
+    pairs = media_near_dup(media, hamming_max, sig=sig)
     splits = dataset_split(
         media.select("doc_id"), "doc_id", weights, salt=salt
     ).select("doc_id", "split")

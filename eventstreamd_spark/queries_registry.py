@@ -3594,7 +3594,9 @@ def media_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-keyed exact-digest audit cannot see (the fixture's resized
     duplicates leak across splits by construction)."""
     media = mm_op.cached_media(spark, sf_dir, "scene_image")
-    return perc_op.media_split_leakage(media, _SPLIT_WEIGHTS)
+    return perc_op.media_split_leakage(
+        media, _SPLIT_WEIGHTS, sig=_image_sigs(spark, sf_dir)
+    )
 
 
 @register("audio_fingerprints", audio_op.sql_audio_fingerprints())
